@@ -1,0 +1,65 @@
+"""BENCH harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from repcheck_data_integration_spark import registry  # noqa: E402
+from repcheck_data_integration_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship plans plus the heaviest custom operators.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "join_fuzzy_topk",
+    "join_spatial",
+    "snk_upsert",
+    "win_current_role",
+    "dedup_minhash_lsh",
+    "sim_search_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    registry.load_all_modules()
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    spark = get_spark("bench")
+
+    # one warmup action so JVM/codegen startup isn't billed to q1
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = registry.QUERIES[name](spark, SF_DIR)
+        n = df.count()
+        per_query[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {per_query[name]}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

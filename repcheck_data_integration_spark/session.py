@@ -1,0 +1,54 @@
+"""SparkSession builder.
+
+Local test profile runs on ``local[$SPARK_GRAFT_CPUS]`` (default all cores)
+with shuffle partitions sized to cores rather than the 200 default; at
+cluster scale the same builder is used with ``master`` unset so the submitter
+decides. AQE is always on: it gives runtime join re-selection, partition
+coalescing and skew-join splitting, which is the behaviour we want at 100 TB
+where static planning can't see skew.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "repcheck_spark",
+    shuffle_partitions: int | None = None,
+    local: bool = True,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    master = f"local[{cpus}]" if (local and cpus) else ("local[*]" if local else None)
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+        except ValueError:
+            shuffle_partitions = os.cpu_count() or 8
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        # shuffle partitions ~ cores locally; AQE coalesces further at runtime.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # deterministic oracle comparison: DuckDB timestamps are UTC-naive.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for pandas_udf / toPandas round trips.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        # parquet ns timestamps in the fixtures; read as micros deterministically
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    )
+    if master:
+        b = b.master(master)
+        b = b.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,30 @@
+"""Driver-contract smoke tests: entry(), queries(), oracle_sql()."""
+
+from __future__ import annotations
+
+import importlib
+
+spark_entry = importlib.import_module("__spark_entry__")
+
+
+def test_entry_returns_rows(spark):
+    df = spark_entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert len(df.columns) > 0
+
+
+def test_queries_registry_shape(spark):
+    qs = spark_entry.queries()
+    oracles = spark_entry.oracle_sql()
+    assert len(qs) >= 3
+    # every oracle key must have a query
+    assert set(oracles) <= set(qs)
+
+
+def test_flagship_runs_at_smoke_sf(spark, sf_dir):
+    qs = spark_entry.queries()
+    df = qs["tpch_q3_shipping_priority"](spark, sf_dir)
+    out = df.collect()
+    assert len(out) <= 10
+    assert set(df.columns) == {"o_orderkey", "revenue", "o_orderdate", "o_orderpriority"}
