@@ -1,0 +1,158 @@
+"""Aggregation operators (SURVEY.md §2.4). Citations refer to /root/reference.
+
+All hash aggregates: partial (map-side combine) + final, no sort. Collected
+sets are sorted then serialized to strings so results are deterministic and
+hash-comparable regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_custkey,
+           min(o_orderdate) AS first_order_date,
+           max(o_orderdate) AS latest_order_date,
+           (max({'d': o_orderdate, 'k': o_orderkey})).k AS latest_orderkey
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/latest action date per bill + argmax (bills_federal.py:127-128,
+    153-154). Argmax is made deterministic by taking the lexicographic max of
+    (date, key) — ties on date resolve to the highest key on both engines."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_order_date"),
+        F.max("o_orderdate").alias("latest_order_date"),
+        F.max(
+            F.struct(F.col("o_orderdate").alias("d"), F.col("o_orderkey").alias("k"))
+        )["k"].alias("latest_orderkey"),
+    )
+
+
+@register(
+    "agg_collect_set",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list(DISTINCT o_orderstatus ORDER BY o_orderstatus), ',')
+               AS statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session → set of bill identifiers (bills_federal.py:115,161).
+    Serialized sorted so the value hash is partition-order independent."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        )
+    )
+
+
+@register(
+    "agg_count",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record counts (zip_codes.py:51, zip_code_overlap.py:23)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "agg_dup_check",
+    oracle="""
+    SELECT l_orderkey, count(*) AS n
+    FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+    """,
+)
+def agg_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-ID data-quality check (state_house_districts.py:132-135:
+    Counter(ids) → count > 1)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@register(
+    "agg_vote_counts",
+    oracle="""
+    SELECT l_returnflag,
+           coalesce(count(*) FILTER (WHERE l_linestatus = 'O'), 0) AS "O",
+           coalesce(count(*) FILTER (WHERE l_linestatus = 'F'), 0) AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_vote_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-option vote tallies (models.py:119-120, bills_federal.py:206)
+    as a pivot: groupBy(id).pivot(option).count()."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .count()
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("O"), F.lit(0)).alias("O"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("F"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native extension (SURVEY.md §2.4 'not present in reference')."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native extension: hierarchical subtotals."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB answer to exact
+    countDistinct's full shuffle. rows-only (sketch results are
+    engine-specific by construction); bounded-error asserted in tests."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )

@@ -1,0 +1,183 @@
+"""Window operators (SURVEY.md §2.5). Citations refer to /root/reference.
+
+Every window carries a full deterministic ORDER BY (score, then key
+tie-breaks) — without it top-k/dedup results vary run-to-run and can never
+hash-match an oracle. At scale a window = one shuffle on the partition key;
+partition keys here are the natural entity keys so cardinality is high and
+skew low.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "win_top1_score",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn = 1
+    """,
+)
+def win_top1_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-candidate-by-score selection (vote_matching.py:160-168
+    process.extractOne) as a top-1 window."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "win_current_role",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderstatus, role_score FROM (
+        SELECT o_custkey, o_orderkey, o_orderstatus,
+               CASE o_orderstatus WHEN 'O' THEN 3 WHEN 'P' THEN 2 ELSE 1 END
+                   AS role_score,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CASE o_orderstatus WHEN 'O' THEN 3 WHEN 'P' THEN 2
+                            ELSE 1 END DESC,
+                            o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+    """,
+)
+def win_current_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """*The* nontrivial reference window: pick the current role per person by
+    priority class then recency (people_utils.py:9-84 — interval containment
+    wins, then future-end, then best-guess). Re-expressed as score-rank:
+    priority CASE → row_number over (score DESC, date DESC, key DESC)."""
+    o = load(spark, sf_dir, "orders")
+    score = (
+        F.when(F.col("o_orderstatus") == "O", 3)
+        .when(F.col("o_orderstatus") == "P", 2)
+        .otherwise(1)
+    )
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("role_score").desc(), F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("role_score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderstatus", "role_score")
+    )
+
+
+@register(
+    "win_latest_version",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber DESC, l_partkey DESC,
+                                           l_suppkey DESC, l_quantity DESC) AS rn
+        FROM lineitem) WHERE rn = 1
+    """,
+)
+def win_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins dedup within a batch (database.py:52-73 upsert
+    semantics) — the keyed-dedup window reused by snk_upsert. l_linenumber
+    is not unique per order in the fixture, so the full tie-break chain
+    makes the pick deterministic."""
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_linenumber").desc(),
+        F.col("l_partkey").desc(),
+        F.col("l_suppkey").desc(),
+        F.col("l_quantity").desc(),
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                / 100.0 AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native extension (SURVEY.md §2.5): frame-spec running total.
+    Summed on the scaled integer so the cumulative value is exact."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    scaled = F.round(F.col("value") * 100, 0).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(scaled).over(w) / 100.0).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "win_rank_dense",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+               AS bal_rank,
+           dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+               AS bal_dense_rank
+    FROM customer
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native extension: rank family (tie-stable by definition)."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_value
+    FROM events
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native extension: offset windows (sessionization primitive)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = [
     "region",
@@ -27,8 +28,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar parquet scan — Catalyst pushes filters/pruning into it."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Columnar parquet scan — Catalyst pushes filters/pruning into it.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the fixture parquet, which Spark's
+    TimestampType (micros) rejects; read it as long nanos and truncate to
+    micros with integer division (double division would lose precision at
+    2^60). DuckDB oracles mirror this with ``CAST(ts AS TIMESTAMP)``.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
