@@ -1,0 +1,282 @@
+"""Registered queries for the scalar-function surface (SURVEY.md §2.7),
+batched into wide selects per family. Citations refer to /root/reference.
+
+Everything here is a single scan + project — no shuffle — and stays inside
+whole-stage codegen (the unaccent pandas_udf is the one Arrow hop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+from .kernels import keep_digits, strip_leading_zeros, surrogate_key_md5, unaccent, uuid5
+
+
+@register(
+    "fn_string_pack",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '#([0-9]+)', 1) AS cust_num,
+           regexp_replace(c_name, '#[0-9]+', '', 'g') AS name_stripped,
+           regexp_replace(c_name, '[^0-9]', '', 'g') AS digits_only,
+           regexp_replace(regexp_replace(c_name, '[^0-9]', '', 'g'), '^0+', '')
+               AS digits_nozero,
+           lower(trim(c_name)) AS name_lower,
+           replace(c_mktsegment, 'BUILD', 'BLD') AS seg_replaced,
+           'ocd-customer/nation:' || CAST(c_nationkey AS VARCHAR) || '/id:'
+               || CAST(c_custkey AS VARCHAR) AS ocd_id,
+           string_split(c_mktsegment, 'I')[1] AS seg_first_part,
+           lpad(CAST(c_nationkey AS VARCHAR), 2, '0') AS nation_zfill
+    FROM customer
+    """,
+)
+def fn_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String kernels: regex extract/replace (bills_federal.py:43,
+    vote_matching.py:31,44,103), keep-digits (bills_federal.py:21-22),
+    lower/trim/lstrip0 (vote_matching.py:103,120; census_utils.py:13-14),
+    f-string id minting (zip_codes.py:64, federal_house_districts.py:87-96),
+    split (people_federal.py:60-64), zfill (federal_house_districts.py:126)."""
+    c = load(spark, sf_dir, "customer")
+    digits = keep_digits(F.col("c_name"))
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "#([0-9]+)", 1).alias("cust_num"),
+        F.regexp_replace("c_name", "#[0-9]+", "").alias("name_stripped"),
+        digits.alias("digits_only"),
+        strip_leading_zeros(digits).alias("digits_nozero"),
+        F.lower(F.trim(F.col("c_name"))).alias("name_lower"),
+        F.replace(F.col("c_mktsegment"), F.lit("BUILD"), F.lit("BLD")).alias(
+            "seg_replaced"
+        ),
+        F.concat(
+            F.lit("ocd-customer/nation:"),
+            F.col("c_nationkey").cast("string"),
+            F.lit("/id:"),
+            F.col("c_custkey").cast("string"),
+        ).alias("ocd_id"),
+        F.element_at(F.split("c_mktsegment", "I"), 1).alias("seg_first_part"),
+        F.lpad(F.col("c_nationkey").cast("string"), 2, "0").alias("nation_zfill"),
+    )
+
+
+@register(
+    "fn_date_pack",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS date_str,
+           coalesce(try_strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                                 '%Y-%m-%d'),
+                    try_strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                                 '%Y-%m-%d %H:%M:%S')) AS parsed_ts,
+           o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1998-12-31 00:00:00' AS in_range,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                AS BIGINT) AS days_since_epoch_start,
+           strftime(o_orderdate, '%Y-%m') AS month_bucket,
+           o_orderdate <= TIMESTAMP '2026-01-01 00:00:00' AS before_asof
+    FROM orders
+    """,
+)
+def fn_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date kernels: strptime multi-format fallback (bills_state.py:35-51),
+    interval containment (people_utils.py:53-54), formatting; the as-of
+    comparison stands in for datetime.now() (bills_federal.py:155) with a
+    pinned literal so results are reproducible."""
+    o = load(spark, sf_dir, "orders")
+    date_str = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    return o.select(
+        "o_orderkey",
+        date_str.alias("date_str"),
+        F.coalesce(
+            F.try_to_timestamp(date_str, F.lit("yyyy-MM-dd")),
+            F.try_to_timestamp(date_str, F.lit("yyyy-MM-dd HH:mm:ss")),
+        ).alias("parsed_ts"),
+        F.col("o_orderdate")
+        .between("1996-01-01 00:00:00", "1998-12-31 00:00:00")
+        .alias("in_range"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month_bucket"),
+        (F.col("o_orderdate") <= F.lit("2026-01-01 00:00:00").cast("timestamp")).alias(
+            "before_asof"
+        ),
+    )
+
+
+@register(
+    "fn_case_try_pack",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 25 THEN 'M'
+                WHEN p_size < 40 THEN 'L' ELSE 'XL' END AS size_bucket,
+           TRY_CAST(CASE WHEN p_partkey % 3 = 0
+                         THEN regexp_extract(p_brand, '#([0-9]+)', 1) || 'x'
+                         ELSE regexp_extract(p_brand, '#([0-9]+)', 1) END
+                    AS BIGINT) AS brand_num,
+           coalesce(TRY_CAST(CASE WHEN p_partkey % 3 = 0
+                                  THEN regexp_extract(p_brand, '#([0-9]+)', 1) || 'x'
+                                  ELSE regexp_extract(p_brand, '#([0-9]+)', 1) END
+                             AS BIGINT), -1) AS brand_num_or_default
+    FROM part
+    """,
+)
+def fn_case_try_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branchy normalization (census_utils.py:2-15, people_state.py:36-47:
+    district-number edge cases), int() with ValueError fallback
+    (census_utils.py:12-15) → try_cast + coalesce default."""
+    p = load(spark, sf_dir, "part")
+    brand_num_str = F.regexp_extract("p_brand", "#([0-9]+)", 1)
+    poisoned = F.when(
+        F.col("p_partkey") % 3 == 0, F.concat(brand_num_str, F.lit("x"))
+    ).otherwise(brand_num_str)
+    brand_num = poisoned.try_cast("long")
+    return p.select(
+        "p_partkey",
+        F.when(F.col("p_size") < 10, "S")
+        .when(F.col("p_size") < 25, "M")
+        .when(F.col("p_size") < 40, "L")
+        .otherwise("XL")
+        .alias("size_bucket"),
+        brand_num.alias("brand_num"),
+        F.coalesce(brand_num, F.lit(-1)).alias("brand_num_or_default"),
+    )
+
+
+@register(
+    "fn_json_pack",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(substr('~' || props, 2), '$.k') AS pseudo_ref_k,
+           to_json({'t': event_type,
+                    'k': CAST(json_extract_string(props, '$.k') AS BIGINT)})
+               AS packed_json
+    FROM events
+    """,
+)
+def fn_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON kernels: embedded '~{...}' pseudo-ref parse (bills_federal.py:139,
+    vote_matching.py:14-20), json extraction, to_json of a struct
+    (zip_codes.py:81 geometry → text)."""
+    e = load(spark, sf_dir, "events")
+    k_val = F.get_json_object("props", "$.k").cast("long")
+    pseudo = F.concat(F.lit("~"), F.col("props"))
+    return e.select(
+        "event_id",
+        k_val.alias("k_val"),
+        F.get_json_object(
+            F.expr("substring(concat('~', props), 2, length(props))"), "$.k"
+        ).alias("pseudo_ref_k"),
+        F.to_json(
+            F.struct(F.col("event_type").alias("t"), k_val.alias("k"))
+        ).alias("packed_json"),
+    )
+
+
+@register(
+    "fn_array_pack",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS first_coord,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum')
+                 / len(embedding), 4) AS coord_mean,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 4)
+               AS coord_max,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
+                AS INTEGER) AS n_positive
+    FROM embeddings
+    """,
+)
+def fn_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array kernels: transform/aggregate/filter (people_federal.py:116
+    list-comprehension over other_names; nytimes_precincts.py:66-70 centroid
+    = coordinate mean, plain-math proxy per SURVEY §2.7 fn_math_centroid)."""
+    e = load(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    total = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(dbl, 1), 4).alias("first_coord"),
+        F.round(total / F.size("embedding"), 4).alias("coord_mean"),
+        F.round(F.array_max(dbl), 4).alias("coord_max"),
+        F.size(F.filter(dbl, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "fn_explode",
+    oracle="""
+    SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+           round(CAST(embedding[i] AS DOUBLE), 4) AS coord
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+    WHERE vec_id < 50
+    """,
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 row → N rows (vote loop over vote_event['votes'],
+    vote_matching.py:250-268) = posexplode over the array column."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "coord")
+    ).select("vec_id", "pos", F.round(F.col("coord").cast("double"), 4).alias("coord"))
+
+
+@register(
+    "fn_unaccent",
+    oracle="""
+    SELECT c_custkey,
+           strip_accents(c_name || ' éàüñç') AS name_unaccented
+    FROM customer WHERE c_custkey < 100
+    """,
+)
+def fn_unaccent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode unaccent via Arrow-vectorized pandas_udf
+    (vote_matching.py:88-92); DuckDB oracle via strip_accents."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return c.select(
+        "c_custkey",
+        unaccent(F.concat(F.col("c_name"), F.lit(" éàüñç"))).alias("name_unaccented"),
+    )
+
+
+@register(
+    "fn_surrogate_key",
+    oracle="""
+    SELECT o_orderkey,
+           md5(CAST(o_orderkey AS VARCHAR) || '_' || CAST(o_custkey AS VARCHAR))
+               AS surrogate_id
+    FROM orders
+    """,
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate key minting (uuid5-style composition,
+    bills_federal.py:27-36) in its oracle-checkable md5 form."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        surrogate_key_md5(
+            F.col("o_orderkey").cast("string"), F.col("o_custkey").cast("string")
+        ).alias("surrogate_id"),
+    )
+
+
+@register("fn_uuid5")
+def fn_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-exact UUIDv5 surrogate keys (bills_federal.py:28,32) as a native
+    sha1-splice expression. rows-only (DuckDB 1.0 has no sha1); parity with
+    python uuid.uuid5 is unit-tested in tests/test_functions.py."""
+    o = load(spark, sf_dir, "orders")
+    name = F.concat_ws(
+        "_", F.col("o_orderkey").cast("string"), F.col("o_custkey").cast("string")
+    )
+    return o.select("o_orderkey", uuid5(name).alias("uuid5_id"))
