@@ -1,0 +1,151 @@
+"""Two-pass blocked entity resolution (SURVEY.md §2.3 join_fuzzy_topk).
+
+Reference: /root/reference/scripts/bills/vote_matching.py:106-270 — resolve a
+free-text voter name to a person: (1) block candidates by state + chamber
+(:196-206), (2) exact lower(name)/lower(last_name) match short-circuits
+(:124-136), (3) else fuzzy-score all blocked candidates and accept the best
+match with score ≥ 80 (:156-168, threshold :178).
+
+Spark shape: the exact pass is an equi-join (cheap, shuffles on block+name);
+the fuzzy pass runs only on the unmatched remainder — a blocked equi-join on
+the block keys (NOT a cross join; blocking is what keeps the candidate set
+per probe small at scale), a native ``levenshtein``-ratio score, and a top-1
+window with full tie-breaks. Skewed blocks are AQE's problem (skew-join
+splitting); pathological blocks can be salted upstream.
+
+The scorer here is the SQL-expressible levenshtein ratio so the whole
+operator is oracle-checkable; a RapidFuzz-style WRatio can be slotted in as a
+pandas_udf (rows-only) without changing the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+DEFAULT_THRESHOLD = 0.8  # mirrors vote_matching.py:178 (score >= 80)
+
+
+def levenshtein_ratio(a, b) -> F.Column:
+    """1 - edit_distance/max_len on case-folded input, in [0, 1]."""
+    la, lb = F.lower(a), F.lower(b)
+    return 1.0 - F.levenshtein(la, lb) / F.greatest(
+        F.length(la), F.length(lb), F.lit(1)
+    )
+
+
+def resolve_entities(
+    probes: DataFrame,
+    candidates: DataFrame,
+    block_keys: list[str],
+    probe_id: str = "probe_id",
+    probe_name: str = "pname",
+    cand_id: str = "cand_id",
+    cand_name: str = "cname",
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Returns (probe_id, matched_id, score, method); probes with no
+    acceptable candidate are absent (the reference logs-and-skips them,
+    vote_matching.py:266)."""
+    p = probes.alias("p")
+    c = candidates.alias("c")
+    exact = (
+        p.join(
+            c,
+            [
+                *[F.col(f"p.{k}") == F.col(f"c.{k}") for k in block_keys],
+                F.lower(F.col(f"p.{probe_name}")) == F.lower(F.col(f"c.{cand_name}")),
+            ],
+        )
+        .groupBy(F.col(f"p.{probe_id}").alias(probe_id))
+        .agg(F.min(F.col(f"c.{cand_id}")).alias("matched_id"))
+        .select(
+            probe_id,
+            "matched_id",
+            F.lit(1.0).alias("score"),
+            F.lit("exact").alias("method"),
+        )
+    )
+
+    remainder = p.join(exact.select(probe_id), on=probe_id, how="left_anti").alias("r")
+    scored = remainder.join(
+        c, [F.col(f"r.{k}") == F.col(f"c.{k}") for k in block_keys]
+    ).select(
+        F.col(f"r.{probe_id}").alias(probe_id),
+        F.col(f"c.{cand_id}").alias(cand_id),
+        F.round(
+            levenshtein_ratio(F.col(f"r.{probe_name}"), F.col(f"c.{cand_name}")), 4
+        ).alias("score"),
+    )
+    w = W.partitionBy(probe_id).orderBy(F.col("score").desc(), F.col(cand_id))
+    fuzzy = (
+        scored.filter(F.col("score") >= threshold)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            probe_id,
+            F.col(cand_id).alias("matched_id"),
+            "score",
+            F.lit("fuzzy").alias("method"),
+        )
+    )
+    return exact.unionByName(fuzzy)
+
+
+@register(
+    "join_fuzzy_topk",
+    oracle=f"""
+    WITH probes AS (
+        SELECT s_suppkey AS probe_id, s_nationkey AS block,
+               CASE WHEN s_suppkey % 2 = 1
+                    THEN lower(substr(s_name, 1, length(s_name) - 1))
+                    ELSE s_name END AS pname
+        FROM supplier),
+    cands AS (
+        SELECT s_suppkey AS cand_id, s_nationkey AS block, s_name AS cname
+        FROM supplier),
+    exact AS (
+        SELECT probe_id, min(cand_id) AS matched_id, 1.0 AS score,
+               'exact' AS method
+        FROM probes JOIN cands
+          ON probes.block = cands.block AND lower(pname) = lower(cname)
+        GROUP BY probe_id),
+    scored AS (
+        SELECT p.probe_id, c.cand_id,
+               round(1.0 - levenshtein(lower(p.pname), lower(c.cname))
+                     / greatest(length(lower(p.pname)), length(lower(c.cname)), 1),
+                     4) AS score
+        FROM probes p JOIN cands c ON p.block = c.block
+        WHERE p.probe_id NOT IN (SELECT probe_id FROM exact)),
+    fuzzy AS (
+        SELECT probe_id, cand_id AS matched_id, score, 'fuzzy' AS method
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY score DESC, cand_id) AS rn
+              FROM scored WHERE score >= {DEFAULT_THRESHOLD}) WHERE rn = 1)
+    SELECT * FROM exact UNION ALL SELECT * FROM fuzzy
+    """,
+)
+def join_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution demo: odd supplier names are mangled (lowercased,
+    last char dropped) so the exact pass catches evens and the fuzzy pass
+    must recover odds within their nation block."""
+    s = load(spark, sf_dir, "supplier")
+    probes = s.select(
+        F.col("s_suppkey").alias("probe_id"),
+        F.col("s_nationkey").alias("block"),
+        F.when(
+            F.col("s_suppkey") % 2 == 1,
+            F.lower(F.expr("substr(s_name, 1, length(s_name) - 1)")),
+        )
+        .otherwise(F.col("s_name"))
+        .alias("pname"),
+    )
+    cands = s.select(
+        F.col("s_suppkey").alias("cand_id"),
+        F.col("s_nationkey").alias("block"),
+        F.col("s_name").alias("cname"),
+    )
+    return resolve_entities(probes, cands, block_keys=["block"])

@@ -1,0 +1,276 @@
+"""Spatial join (SURVEY.md §2.3 join_spatial).
+
+Reference: /root/reference/scripts/census/zip_code_overlap.py:25-49 — for
+every person, find all zipcode polygons whose geometry ST_Intersects the
+person's district polygon, one PostGIS query per person (O(people) round
+trips). Spark has no native geo type, so the engine represents geometry as a
+GeoJSON string plus a materialized bbox (xmin/ymin/xmax/ymax doubles) and
+splits the join into:
+
+1. **bbox prefilter** — the cheap, scalable part. Implemented as a
+   *grid-bucketed equi-join*: each rectangle is exploded to the grid cells
+   it covers, the join runs on (cell_x, cell_y) — a plain hash join Spark
+   can shuffle/broadcast/skew-split — then the exact bbox-overlap predicate
+   filters within cells. Duplicate pairs (rects sharing several cells) are
+   suppressed with the reference-cell trick (emit only in the cell that
+   contains the overlap region's min corner) — no distinct needed, so no
+   extra shuffle. A naive inequality join degenerates to
+   broadcast-nested-loop; the grid join is O(pairs-per-cell) and scales out.
+2. **exact refine** — ST_Intersects on the true geometry, a pure-Python
+   ray-casting/edge-intersection kernel in an Arrow-batched pandas_udf
+   (rows-only; shapely is not in this container).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..tables import load
+
+
+def grid_cells(xmin: Column, ymin: Column, xmax: Column, ymax: Column, cell: float):
+    """Explodable array of (cell_x, cell_y) structs covering the bbox."""
+    cx0 = F.floor(xmin / cell).cast("long")
+    cx1 = F.floor(xmax / cell).cast("long")
+    cy0 = F.floor(ymin / cell).cast("long")
+    cy1 = F.floor(ymax / cell).cast("long")
+    return F.flatten(
+        F.transform(
+            F.sequence(cx0, cx1),
+            lambda cx: F.transform(
+                F.sequence(cy0, cy1),
+                lambda cy: F.struct(cx.alias("cx"), cy.alias("cy")),
+            ),
+        )
+    )
+
+
+def bbox_grid_join(
+    left: DataFrame,
+    right: DataFrame,
+    cell: float,
+    left_bbox: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+    right_bbox: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+) -> DataFrame:
+    """All (left, right) pairs whose bboxes overlap, via grid bucketing.
+    Output: every column of both inputs (bbox columns must be disjointly
+    named across the two sides)."""
+    lx0, ly0, lx1, ly1 = (F.col(c) for c in left_bbox)
+    rx0, ry0, rx1, ry1 = (F.col(c) for c in right_bbox)
+
+    lcells = left.withColumn(
+        "__cell", F.explode(grid_cells(lx0, ly0, lx1, ly1, cell))
+    )
+    rcells = right.withColumn(
+        "__cell", F.explode(grid_cells(rx0, ry0, rx1, ry1, cell))
+    )
+    joined = lcells.join(rcells, on="__cell")
+
+    overlap = (lx0 <= rx1) & (lx1 >= rx0) & (ly0 <= ry1) & (ly1 >= ry0)
+    # reference-cell dedup: emit the pair only from the cell holding the
+    # overlap region's min corner — each overlapping pair appears in exactly
+    # one cell, so no distinct/shuffle is needed.
+    ref_cx = F.floor(F.greatest(lx0, rx0) / cell).cast("long")
+    ref_cy = F.floor(F.greatest(ly0, ry0) / cell).cast("long")
+    return joined.filter(
+        overlap
+        & (F.col("__cell.cx") == ref_cx)
+        & (F.col("__cell.cy") == ref_cy)
+    ).drop("__cell")
+
+
+# -- exact refine: pure-python point-in-polygon / segment intersection ------
+
+def _ring_from_geojson(geom: dict) -> list[tuple[float, float]]:
+    if geom["type"] == "Polygon":
+        return [(float(x), float(y)) for x, y in geom["coordinates"][0]]
+    raise ValueError(f"unsupported geometry {geom['type']}")
+
+
+def _point_in_ring(x: float, y: float, ring: list[tuple[float, float]]) -> bool:
+    """Ray casting (even-odd rule)."""
+    inside = False
+    n = len(ring)
+    for i in range(n - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        if (y1 > y) != (y2 > y):
+            xi = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+            if x < xi:
+                inside = not inside
+    return inside
+
+
+def _segments_intersect(p1, p2, p3, p4) -> bool:
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    def on_seg(a, b, c):
+        return (
+            min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= c[1] <= max(a[1], b[1])
+        )
+
+    o1, o2 = orient(p1, p2, p3), orient(p1, p2, p4)
+    o3, o4 = orient(p3, p4, p1), orient(p3, p4, p2)
+    if o1 != o2 and o3 != o4:
+        return True
+    return any(
+        o == 0 and on_seg(a, b, c)
+        for o, a, b, c in [
+            (o1, p1, p2, p3),
+            (o2, p1, p2, p4),
+            (o3, p3, p4, p1),
+            (o4, p3, p4, p2),
+        ]
+    )
+
+
+def polygons_intersect(g1: str, g2: str) -> bool:
+    """ST_Intersects for GeoJSON Polygons (exteriors): edge crossing or
+    containment either way. Pure Python, deterministic — the refine kernel
+    (zip_code_overlap.py:36 pushes this into PostGIS; here it runs
+    distributed in a pandas_udf after the bbox prefilter)."""
+    r1 = _ring_from_geojson(json.loads(g1))
+    r2 = _ring_from_geojson(json.loads(g2))
+    for i in range(len(r1) - 1):
+        for j in range(len(r2) - 1):
+            if _segments_intersect(r1[i], r1[i + 1], r2[j], r2[j + 1]):
+                return True
+    return _point_in_ring(*r2[0], r1) or _point_in_ring(*r1[0], r2)
+
+
+@F.pandas_udf(T.BooleanType())
+def st_intersects(g1: pd.Series, g2: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            polygons_intersect(a, b) if a is not None and b is not None else None
+            for a, b in zip(g1, g2)
+        ]
+    )
+
+
+# -- derived rectangle fixtures (deterministic integer-ish geometry) --------
+
+def _district_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25 big overlapping rectangles from nation (stand-in for districts)."""
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        ((F.col("n_nationkey") % 5) * 20.0 - 3.0).alias("d_xmin"),
+        (F.floor(F.col("n_nationkey") / 5) * 20.0 - 3.0).alias("d_ymin"),
+        ((F.col("n_nationkey") % 5) * 20.0 + 10.0 + (F.col("n_nationkey") % 7)).alias(
+            "d_xmax"
+        ),
+        (F.floor(F.col("n_nationkey") / 5) * 20.0 + 12.0).alias("d_ymax"),
+    )
+
+
+def _zip_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many small squares from customer (stand-in for zipcode polygons)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        (F.col("c_custkey") % 97).cast("double").alias("z_xmin"),
+        ((F.col("c_custkey") * 7) % 89).cast("double").alias("z_ymin"),
+        ((F.col("c_custkey") % 97) + 2.0).alias("z_xmax"),
+        (((F.col("c_custkey") * 7) % 89) + 2.0).alias("z_ymax"),
+    )
+
+
+SQL_RECTS = """
+    districts AS (
+        SELECT n_nationkey,
+               (n_nationkey % 5) * 20.0 - 3.0 AS d_xmin,
+               floor(n_nationkey / 5) * 20.0 - 3.0 AS d_ymin,
+               (n_nationkey % 5) * 20.0 + 10.0 + (n_nationkey % 7) AS d_xmax,
+               floor(n_nationkey / 5) * 20.0 + 12.0 AS d_ymax
+        FROM nation),
+    zips AS (
+        SELECT c_custkey,
+               CAST(c_custkey % 97 AS DOUBLE) AS z_xmin,
+               CAST((c_custkey * 7) % 89 AS DOUBLE) AS z_ymin,
+               (c_custkey % 97) + 2.0 AS z_xmax,
+               ((c_custkey * 7) % 89) + 2.0 AS z_ymax
+        FROM customer)
+"""
+
+
+@register(
+    "join_spatial",
+    oracle=f"""
+    WITH {SQL_RECTS}
+    SELECT n_nationkey, c_custkey
+    FROM districts JOIN zips
+      ON d_xmin <= z_xmax AND d_xmax >= z_xmin
+     AND d_ymin <= z_ymax AND d_ymax >= z_ymin
+    """,
+)
+def join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bbox-overlap spatial join via the grid-bucketed equi-join (the 100 TB
+    plan shape); the oracle is the equivalent theta join. Converts the
+    reference's O(people) PostGIS loop into one distributed join."""
+    d = _district_rects(spark, sf_dir)
+    z = _zip_rects(spark, sf_dir)
+    pairs = bbox_grid_join(
+        d,
+        z,
+        cell=16.0,
+        left_bbox=("d_xmin", "d_ymin", "d_xmax", "d_ymax"),
+        right_bbox=("z_xmin", "z_ymin", "z_xmax", "z_ymax"),
+    )
+    return pairs.select("n_nationkey", "c_custkey")
+
+
+@register("join_spatial_refine")
+def join_spatial_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bbox prefilter + exact ST_Intersects refine on GeoJSON diamonds
+    inscribed in the rectangles (rows-only: DuckDB has no geometry here;
+    kernel correctness is unit-tested on hand-built polygons)."""
+    d = _district_rects(spark, sf_dir)
+    z = _zip_rects(spark, sf_dir)
+
+    def diamond(x0, y0, x1, y1):
+        mx, my = (x0 + x1) / 2, (y0 + y1) / 2
+        return F.to_json(
+            F.struct(
+                F.lit("Polygon").alias("type"),
+                F.array(
+                    F.array(
+                        F.array(mx, y0),
+                        F.array(x1, my),
+                        F.array(mx, y1),
+                        F.array(x0, my),
+                        F.array(mx, y0),
+                    )
+                ).alias("coordinates"),
+            )
+        )
+
+    d = d.withColumn(
+        "d_geom",
+        diamond(F.col("d_xmin"), F.col("d_ymin"), F.col("d_xmax"), F.col("d_ymax")),
+    )
+    z = z.withColumn(
+        "z_geom",
+        diamond(F.col("z_xmin"), F.col("z_ymin"), F.col("z_xmax"), F.col("z_ymax")),
+    )
+    pairs = bbox_grid_join(
+        d,
+        z,
+        cell=16.0,
+        left_bbox=("d_xmin", "d_ymin", "d_xmax", "d_ymax"),
+        right_bbox=("z_xmin", "z_ymin", "z_xmax", "z_ymax"),
+    )
+    return (
+        pairs.filter(st_intersects(F.col("d_geom"), F.col("z_geom")))
+        .select("n_nationkey", "c_custkey")
+        .orderBy("n_nationkey", "c_custkey")
+    )

@@ -1,0 +1,143 @@
+"""MERGE / keyed-upsert sink (SURVEY.md §2.1 snk_upsert).
+
+The reference's *only* sink is ``INSERT … ON CONFLICT (pk) DO UPDATE SET
+<non-pk cols>`` executed one row + one COMMIT at a time
+(/root/reference/scripts/database/database.py:52-73, created_at excluded from
+the update). Here that contract is one set-oriented plan:
+
+1. last-writer-wins dedup of the source batch (window on the key), because
+   the reference's per-row loop implicitly lets the last occurrence win;
+2. full-outer join target ⋈ source on the key;
+3. per-column resolution: source wins when present, except *preserved*
+   columns (created_at) which keep the target value.
+
+At 100 TB: the join shuffles both sides on the key once — with the target
+stored bucketed by key (or Delta/Iceberg MERGE where available) the shuffle
+disappears on the target side. No per-row transactions, no driver loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+SRC_MARK = "__src_present"
+
+
+def dedup_last_writer(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column]
+) -> DataFrame:
+    """Keep the winning row per key (win_latest_version mechanism)."""
+    w = W.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    version_cols: Sequence[str] = (),
+    preserve: Sequence[str] = ("created_at",),
+) -> DataFrame:
+    """MERGE INTO target USING source ON keys
+    WHEN MATCHED UPDATE (except ``preserve``) WHEN NOT MATCHED INSERT.
+
+    ``version_cols``: within-batch precedence (highest wins); with none
+    given the batch must be key-unique (asserted by the window anyway with
+    an arbitrary-but-deterministic key order).
+    """
+    cols = target.columns
+    assert set(source.columns) >= set(cols), "source must cover target columns"
+    order = [F.col(c).desc() for c in version_cols] or [F.col(k) for k in keys]
+    # dedup before projecting so version columns are still visible
+    src = dedup_last_writer(source, keys, order).select(*cols)
+
+    src = src.select(
+        *[F.col(c).alias(c if c in keys else f"__s_{c}") for c in cols],
+        F.lit(True).alias(SRC_MARK),
+    )
+    joined = target.join(src, on=list(keys), how="full_outer")
+
+    out_cols: list[Column] = []
+    for c in cols:
+        if c in keys:
+            out_cols.append(F.col(c))
+        elif c in preserve:
+            out_cols.append(F.coalesce(F.col(c), F.col(f"__s_{c}")).alias(c))
+        else:
+            out_cols.append(
+                F.when(F.col(SRC_MARK), F.col(f"__s_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+    return joined.select(*out_cols)
+
+
+ORDER_COLS = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,"
+    " o_orderpriority"
+)
+
+
+@register(
+    "snk_upsert",
+    oracle=f"""
+    WITH upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+               o_orderpriority, 2 AS __ver
+        FROM orders WHERE o_custkey % 10 = 0),
+    dup AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 500.0 AS o_totalprice, o_orderdate,
+               o_orderpriority, 1 AS __ver
+        FROM orders WHERE o_custkey % 10 = 0),
+    ins AS (
+        SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+               'N' AS o_orderstatus, 1.0 AS o_totalprice, o_orderdate,
+               o_orderpriority, 1 AS __ver
+        FROM orders WHERE o_custkey % 17 = 0),
+    src AS (SELECT * FROM upd UNION ALL SELECT * FROM dup
+            UNION ALL SELECT * FROM ins),
+    unioned AS (
+        SELECT *, 1 AS __prio FROM src
+        UNION ALL
+        SELECT {ORDER_COLS}, 0 AS __ver, 0 AS __prio FROM orders)
+    SELECT {ORDER_COLS} FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY __prio DESC, __ver DESC) AS rn
+        FROM unioned) WHERE rn = 1
+    """,
+)
+def snk_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert demo: updates (custkey%10), an in-batch duplicate that must
+    lose (lower __ver), and fresh inserts (key+10M) — result is the merged
+    orders table. Oracle expresses the same MERGE as union + dedup window."""
+    orders = load(spark, sf_dir, "orders")
+    upd = orders.filter(F.col("o_custkey") % 10 == 0).withColumns(
+        {"o_totalprice": F.col("o_totalprice") + 1000.0, "__ver": F.lit(2)}
+    )
+    dup = orders.filter(F.col("o_custkey") % 10 == 0).withColumns(
+        {"o_totalprice": F.col("o_totalprice") + 500.0, "__ver": F.lit(1)}
+    )
+    ins = orders.filter(F.col("o_custkey") % 17 == 0).withColumns(
+        {
+            "o_orderkey": F.col("o_orderkey") + 10000000,
+            "o_orderstatus": F.lit("N"),
+            "o_totalprice": F.lit(1.0),
+            "__ver": F.lit(1),
+        }
+    )
+    source = upd.unionByName(dup).unionByName(ins)
+    return merge_upsert(
+        orders, source, keys=["o_orderkey"], version_cols=["__ver"], preserve=()
+    )

@@ -1,0 +1,144 @@
+"""Unit tests for the custom operators on tiny hand-built frames —
+the reference-shaped assertions DuckDB can't oracle (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from repcheck_data_integration_spark.operators.spatial import (
+    bbox_grid_join,
+    polygons_intersect,
+)
+from repcheck_data_integration_spark.operators.upsert import merge_upsert
+
+
+def test_merge_upsert_preserves_created_at(spark):
+    """database.py:52-73 semantics: ON CONFLICT updates every non-pk column
+    EXCEPT created_at (:68 pops it from the update set)."""
+    t0 = dt.datetime(2020, 1, 1)
+    t1 = dt.datetime(2024, 6, 1)
+    target = spark.createDataFrame(
+        [("a", "old", t0), ("b", "keep", t0)], ["id", "val", "created_at"]
+    )
+    source = spark.createDataFrame(
+        [("a", "new", t1), ("c", "ins", t1)], ["id", "val", "created_at"]
+    )
+    out = {
+        r["id"]: r
+        for r in merge_upsert(target, source, keys=["id"]).collect()
+    }
+    assert len(out) == 3
+    assert out["a"]["val"] == "new"
+    assert out["a"]["created_at"] == t0  # preserved on update
+    assert out["b"]["val"] == "keep"
+    assert out["c"]["val"] == "ins"
+    assert out["c"]["created_at"] == t1  # taken from source on insert
+
+
+def test_merge_upsert_in_batch_last_writer_wins(spark):
+    target = spark.createDataFrame([("a", 0, 0)], ["id", "val", "ver"])
+    source = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), ("a", 9, 1)], ["id", "val", "ver"]
+    )
+    out = merge_upsert(
+        target, source, keys=["id"], version_cols=["ver"], preserve=()
+    ).collect()
+    assert len(out) == 1 and out[0]["val"] == 2
+
+
+def test_bbox_grid_join_matches_naive(spark):
+    """Grid-bucketed join must equal the naive theta join for any cell size,
+    including rects spanning many cells and negative coordinates."""
+    import itertools
+
+    lrows = [
+        (i, float(x0), float(y0), float(x0 + w), float(y0 + h))
+        for i, (x0, y0, w, h) in enumerate(
+            [(-5, -5, 3, 3), (0, 0, 10, 1), (2, 2, 1, 8), (7, -2, 4, 4), (100, 100, 1, 1)]
+        )
+    ]
+    rrows = [
+        (j, float(x0), float(y0), float(x0 + 2), float(y0 + 2))
+        for j, (x0, y0) in enumerate(
+            [(-4, -4), (1, 0), (2, 9), (9, 0), (50, 50), (101, 101)]
+        )
+    ]
+    left = spark.createDataFrame(lrows, ["lid", "lx0", "ly0", "lx1", "ly1"])
+    right = spark.createDataFrame(rrows, ["rid", "rx0", "ry0", "rx1", "ry1"])
+    naive = {
+        (l[0], r[0])
+        for l, r in itertools.product(lrows, rrows)
+        if l[1] <= r[3] and l[3] >= r[1] and l[2] <= r[4] and l[4] >= r[2]
+    }
+    for cell in (1.0, 3.0, 16.0):
+        got = {
+            (r["lid"], r["rid"])
+            for r in bbox_grid_join(
+                left,
+                right,
+                cell=cell,
+                left_bbox=("lx0", "ly0", "lx1", "ly1"),
+                right_bbox=("rx0", "ry0", "rx1", "ry1"),
+            ).collect()
+        }
+        assert got == naive, f"cell={cell}"
+
+
+def _poly(*pts):
+    return json.dumps({"type": "Polygon", "coordinates": [list(pts) + [list(pts[0])]]})
+
+
+def test_polygons_intersect_kernel():
+    sq = _poly([0, 0], [4, 0], [4, 4], [0, 4])
+    inner = _poly([1, 1], [2, 1], [2, 2], [1, 2])          # contained
+    crossing = _poly([3, 3], [6, 3], [6, 6], [3, 6])       # edge crossing
+    disjoint = _poly([10, 10], [11, 10], [11, 11], [10, 11])
+    touching = _poly([4, 0], [8, 0], [8, 4], [4, 4])       # shared edge
+    assert polygons_intersect(sq, inner)
+    assert polygons_intersect(inner, sq)
+    assert polygons_intersect(sq, crossing)
+    assert not polygons_intersect(sq, disjoint)
+    assert polygons_intersect(sq, touching)
+
+    # diamonds whose bboxes overlap but shapes don't — the case the bbox
+    # prefilter alone gets wrong and the refine must catch
+    d1 = _poly([0, 2], [2, 0], [4, 2], [2, 4])
+    far_corner = _poly([3.8, 3.8], [4.6, 3.8], [4.6, 4.6], [3.8, 4.6])
+    assert not polygons_intersect(d1, far_corner)
+
+
+def test_fuzzy_golden_votes(spark):
+    """Golden micro-fixture from vote_matching.py:273-319: 'Baldwin (D-WI)'
+    style voter strings resolve to the right person within the state block;
+    sub-threshold garbage stays unmatched."""
+    from repcheck_data_integration_spark.operators.resolve import resolve_entities
+
+    probes = spark.createDataFrame(
+        [
+            (1, "WI", "tammy baldwin"),     # exact (case-folded)
+            (2, "WI", "tammy boldwin"),     # fuzzy typo
+            (3, "TX", "ted cruz"),          # exact in another block
+            (4, "WI", "zzzzzz qqqqqq"),     # no acceptable candidate
+        ],
+        ["probe_id", "block", "pname"],
+    )
+    cands = spark.createDataFrame(
+        [
+            (100, "WI", "Tammy Baldwin"),
+            (101, "WI", "Ron Johnson"),
+            (102, "TX", "Ted Cruz"),
+            (103, "TX", "John Cornyn"),
+        ],
+        ["cand_id", "block", "cname"],
+    )
+    out = {
+        r["probe_id"]: (r["matched_id"], r["method"])
+        for r in resolve_entities(probes, cands, ["block"]).collect()
+    }
+    assert out[1] == (100, "exact")
+    assert out[2] == (100, "fuzzy")
+    assert out[3] == (102, "exact")
+    assert 4 not in out
