@@ -1,0 +1,376 @@
+"""Document deduplication suite (BASELINE.json north star: the LLM-pipeline
+operators a 100 TB training-data run needs). Reference seed: the text-cleanup
+path at /root/reference/scripts/ai/summarize_bills_federal.py:67-82.
+
+Five strategies, cheapest-first — the standard production ladder:
+
+- exact        content-hash groupBy (one shuffle on the hash)
+- minhash+LSH  shingle → k minhashes → banded buckets → candidate pairs →
+               exact-jaccard verify. Candidate generation is an equi-join on
+               (band_idx, band_hash): at 100 TB this is the only strategy
+               whose cost is O(colliding pairs), not O(n²).
+- simhash      near-dup fingerprint equality groups
+- ngram-jaccard blocked pairwise verify (the verify kernel used standalone)
+- embedding-cosine blocked pairwise semantic near-dup
+
+Everything is expressed with native array/string functions (no UDFs), so the
+whole suite is DuckDB-oracle-checkable; minhash uses lexicographic-min over
+seeded md5 strings, which both engines evaluate identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+TOKEN_RE = "[a-z0-9]+"
+N_MINHASH = 8
+N_BANDS = 4  # band size 2 → P(candidate) = 1-(1-j²)⁴
+JACCARD_THRESHOLD = 0.5
+
+
+def tokens(col: Column) -> Column:
+    return F.regexp_extract_all(col, F.lit(TOKEN_RE), 0)
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Guarded: Spark's sequence(1, 0) counts
+    *down*, so short docs must short-circuit to an empty array."""
+    t = tokens(col)
+    k = F.size(t) - (n - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j) for j in range(n)]
+    )
+    return F.when(
+        k >= 1, F.array_distinct(F.transform(F.sequence(F.lit(1), k), gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+SQL_SHINGLES = """
+        list_distinct(list_transform(
+            generate_series(1, greatest(len(regexp_extract_all(text, '[a-z0-9]+')) - 2, 0)),
+            i -> regexp_extract_all(text, '[a-z0-9]+')[i] || ' ' ||
+                 regexp_extract_all(text, '[a-z0-9]+')[i+1] || ' ' ||
+                 regexp_extract_all(text, '[a-z0-9]+')[i+2]))
+"""
+
+
+def stable_round4(col: Column) -> Column:
+    """Engine-stable 4-decimal rounding: ``floor(x*1e4 + 0.5)/1e4``.
+
+    Spark's ``round`` HALF_UPs the *shortest decimal repr* of the double
+    while DuckDB rounds the binary value, so rationals that land exactly on
+    a half (e.g. 0.53375) round differently. floor(x*1e4+0.5) is plain IEEE
+    arithmetic — identical everywhere. Non-negative inputs only."""
+    return F.floor(col * 10000.0 + 0.5) / 10000.0
+
+
+def sql_stable_round4(expr: str) -> str:
+    return f"floor(({expr}) * 10000.0 + 0.5) / 10000.0"
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| on distinct-element arrays."""
+    i = F.size(F.array_intersect(a, b)).cast("double")
+    return i / (F.size(a) + F.size(b) - i)
+
+
+SQL_JACCARD = (
+    "len(list_intersect({a}, {b}))::DOUBLE"
+    " / (len({a}) + len({b}) - len(list_intersect({a}, {b})))"
+)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_hash,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id
+    FROM documents
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy; canonical = lowest doc_id per hash."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.min("doc_id")
+        .over(W.partitionBy(F.md5("text")))
+        .alias("canonical_doc_id"),
+    )
+
+
+def minhash_cols() -> list[Column]:
+    return [
+        F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"mh{j}")
+        for j in range(N_MINHASH)
+    ]
+
+
+def _minhash_sql() -> str:
+    return ",\n".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{j}:' || s)), 'min') AS mh{j}"
+        for j in range(N_MINHASH)
+    )
+
+
+def _bands_spark() -> Column:
+    return F.array(
+        *[F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))) for b in range(N_BANDS)]
+    )
+
+
+def _bands_sql() -> str:
+    return ", ".join(f"md5(mh{2*b} || mh{2*b+1})" for b in range(N_BANDS))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {SQL_SHINGLES} AS sh FROM documents),
+    mh AS (
+        SELECT doc_id, sh, {_minhash_sql()}
+        FROM sh WHERE len(sh) > 0),
+    bands AS (
+        SELECT doc_id, i - 1 AS band_idx, [{_bands_sql()}][i] AS band_hash
+        FROM mh, unnest(generate_series(1, {N_BANDS})) AS u(i)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id)
+    SELECT doc1, doc2,
+           {sql_stable_round4(SQL_JACCARD.format(a='x.sh', b='y.sh'))} AS jaccard_sim
+    FROM cand JOIN mh x ON cand.doc1 = x.doc_id
+              JOIN mh y ON cand.doc2 = y.doc_id
+    WHERE {SQL_JACCARD.format(a='x.sh', b='y.sh')} >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: shingle → minhash (lexicographic min of
+    seeded md5, identical across engines) → band → bucket equi-join →
+    exact-jaccard verify. The shape that scales: candidates come from a hash
+    join on band buckets, never an n² compare."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles(F.col("text")).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    mh = sh.select("doc_id", "sh", *minhash_cols())
+    bands = mh.select(
+        "doc_id", F.posexplode(_bands_spark()).alias("band_idx", "band_hash")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    x = mh.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    y = mh.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    sim = jaccard(F.col("sh1"), F.col("sh2"))
+    return (
+        cand.join(x, "doc1")
+        .join(y, "doc2")
+        .filter(sim >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", stable_round4(sim).alias("jaccard_sim"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+               {SQL_SHINGLES} AS sh
+        FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               {SQL_JACCARD.format(a='a.sh', b='b.sh')} AS j
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+    SELECT doc1, doc2, {sql_stable_round4('j')} AS jaccard_sim
+    FROM pairs WHERE j >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise n-gram jaccard: block on (lang, length-bucket) so the
+    pair space is per-block, not global n² — the blocking discipline of
+    vote_matching.py:196-206 applied to documents."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        shingles(F.col("text")).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    j = jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(j >= 0.3)
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            stable_round4(j).alias("jaccard_sim"),
+        )
+    )
+
+
+N_SIMHASH_BITS = 16
+
+
+def _simhash_exprs_spark() -> str:
+    """Spark SQL expr computing the per-token ±1 contribution array from the
+    first 4 md5 hex digits (16 bits)."""
+    digs = [
+        f"cast(conv(substr(md5(tok), {1 + i // 4}, 1), 16, 10) as int)"
+        for i in range(N_SIMHASH_BITS)
+    ]
+    bits = [f"(({digs[i]} div {1 << (3 - i % 4)}) % 2)" for i in range(N_SIMHASH_BITS)]
+    return ", ".join(f"sum(2 * {b} - 1) AS s{i}" for i, b in enumerate(bits))
+
+
+def _simhash_exprs_duck() -> str:
+    digs = [
+        f"CAST('0x' || substr(md5(tok), {1 + i // 4}, 1) AS INTEGER)"
+        for i in range(N_SIMHASH_BITS)
+    ]
+    bits = [f"(({digs[i]} // {1 << (3 - i % 4)}) % 2)" for i in range(N_SIMHASH_BITS)]
+    return ", ".join(f"sum(2 * {b} - 1) AS s{i}" for i, b in enumerate(bits))
+
+
+_FP_SQL = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(N_SIMHASH_BITS)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+        FROM documents),
+    sums AS (
+        SELECT doc_id, {_simhash_exprs_duck()} FROM tok GROUP BY doc_id),
+    fp AS (
+        SELECT doc_id, CAST({_FP_SQL} AS BIGINT) AS simhash FROM sums)
+    SELECT doc_id, simhash,
+           min(doc_id) OVER (PARTITION BY simhash) AS canonical_doc_id
+    FROM fp
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 16-bit sign-of-weighted-sum fingerprint over token hashes;
+    equal fingerprints form near-dup groups. (Hamming-ball expansion via
+    banded bit-prefix joins is the scale-out extension — same bucket-join
+    shape as MinHash LSH.)"""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    sums = tok.groupBy("doc_id").agg(
+        *[F.expr(e) for e in _split_aggs(_simhash_exprs_spark())]
+    )
+    fp = sums.select(
+        "doc_id", F.expr(f"CAST({_FP_SQL} AS BIGINT)").alias("simhash")
+    )
+    return fp.select(
+        "doc_id",
+        "simhash",
+        F.min("doc_id").over(W.partitionBy("simhash")).alias("canonical_doc_id"),
+    )
+
+
+def _split_aggs(s: str) -> list[str]:
+    """Split 'sum(...) AS s0, sum(...) AS s1' on top-level commas."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [x for x in (p.strip() for p in out) if x]
+
+
+COSINE_THRESHOLD = 0.45
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold of the element products in double —
+    bit-identical to DuckDB's list_aggregate('sum') over the same list."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+SQL_DOT = (
+    "list_aggregate(list_transform(generate_series(1, len({a})),"
+    " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')"
+)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_double(a, b) / (
+        F.sqrt(dot_double(a, a)) * F.sqrt(dot_double(b, b))
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return (
+        f"{SQL_DOT.format(a=a, b=b)} / "
+        f"(sqrt({SQL_DOT.format(a=a, b=a)}) * sqrt({SQL_DOT.format(a=b, b=b)}))"
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+           {sql_stable_round4(sql_cosine('a.embedding', 'b.embedding'))} AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup: blocked (same label ≙ same coarse cluster) pairwise
+    cosine. The label block stands in for an ANN cell assignment — at scale
+    the block key comes from LSH/IVF (see similarity.py), never all-pairs."""
+    e = load(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= COSINE_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            stable_round4(cos).alias("cosine_sim"),
+        )
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .dedup import sql_stable_round4, stable_round4
 from ..tables import load
 
 DEFAULT_THRESHOLD = 0.8  # mirrors vote_matching.py:178 (score >= 80)
@@ -76,8 +77,8 @@ def resolve_entities(
     ).select(
         F.col(f"r.{probe_id}").alias(probe_id),
         F.col(f"c.{cand_id}").alias(cand_id),
-        F.round(
-            levenshtein_ratio(F.col(f"r.{probe_name}"), F.col(f"c.{cand_name}")), 4
+        stable_round4(
+            levenshtein_ratio(F.col(f"r.{probe_name}"), F.col(f"c.{cand_name}"))
         ).alias("score"),
     )
     w = W.partitionBy(probe_id).orderBy(F.col("score").desc(), F.col(cand_id))
@@ -115,9 +116,10 @@ def resolve_entities(
         GROUP BY probe_id),
     scored AS (
         SELECT p.probe_id, c.cand_id,
-               round(1.0 - levenshtein(lower(p.pname), lower(c.cname))
-                     / greatest(length(lower(p.pname)), length(lower(c.cname)), 1),
-                     4) AS score
+               {sql_stable_round4(
+                   "1.0 - levenshtein(lower(p.pname), lower(c.cname))"
+                   " / greatest(length(lower(p.pname)), length(lower(c.cname)), 1)")}
+                   AS score
         FROM probes p JOIN cands c ON p.block = c.block
         WHERE p.probe_id NOT IN (SELECT probe_id FROM exact)),
     fuzzy AS (

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+Reference seed: the fuzzy top-1 pattern at
+/root/reference/scripts/bills/vote_matching.py:160-168, lifted to vector
+space: probe → score all candidates → take best k.
+
+Two tiers:
+- brute-force top-k: exact, the correctness baseline. One pass over the
+  candidate set per query batch — fine when the query set is small or the
+  corpus is broadcastable.
+- IVF-style cell-probed search: candidates are pre-bucketed into coarse
+  cells (here: their label cluster, element-wise centroid computed in one
+  groupBy); a query scores only the closest n_probe cells' members. At
+  100 TB this turns an O(|Q|·|C|) scan into O(|Q|·|C|/cells·n_probe) with a
+  bucket equi-join — the same scale shape as MinHash LSH for dedup.
+
+Cosine arithmetic is a sequential double fold (see dedup.dot_double) so
+scores are bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+from .dedup import cosine, dot_double, sql_cosine, sql_stable_round4, stable_round4
+
+TOP_K = 10
+N_QUERIES = 5  # vec_id < 5 are the probe vectors
+
+
+@register(
+    "sim_search_topk",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {sql_cosine('q.embedding', 'c.embedding')} AS cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES})
+    SELECT query_id, cand_id, {sql_stable_round4('cos')} AS cosine_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k: the correctness baseline every ANN
+    variant is measured against. Queries are broadcast against the corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    cos = cosine(F.col("q_emb"), F.col("c_emb"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "cand_id", stable_round4(F.col("cos")).alias("cosine_sim"))
+    )
+
+
+def cell_centroids(e: DataFrame) -> DataFrame:
+    """Element-wise mean embedding per cell (label) — one explode + groupBy,
+    the distributed equivalent of a coarse-quantizer codebook."""
+    pos = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    return (
+        pos.groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "label", F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid")
+        )
+    )
+
+
+@register("sim_search_ivf")
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: score each query against the cell
+    centroids, probe the best 3 cells, brute-force only inside them.
+    rows-only (approximate by design); recall vs sim_search_topk is
+    asserted in tests/test_similarity.py."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = cell_centroids(e)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # pick n_probe cells per query (centroid table is tiny → broadcast)
+    qc = q.join(F.broadcast(cents))
+    wcell = W.partitionBy("query_id").orderBy(
+        F.col("cent_cos").desc(), F.col("label")
+    )
+    probed = (
+        qc.select(
+            "query_id",
+            "q_emb",
+            "label",
+            cosine(F.col("q_emb"), F.col("centroid")).alias("cent_cos"),
+        )
+        .withColumn("rn", F.row_number().over(wcell))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "q_emb", "label")
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    cos = cosine(F.col("q_emb"), F.col("c_emb"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        c.join(
+            F.broadcast(probed),
+            (F.col("label") == F.col("c_label"))
+            & (F.col("query_id") != F.col("cand_id")),
+        )
+        .select("query_id", "cand_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "cand_id", stable_round4(F.col("cos")).alias("cosine_sim"))
+    )
+
+
+SQL_SQ = ("list_aggregate(list_transform(generate_series(1, len(embedding)),"
+          " i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), 'sum')")
+
+
+@register(
+    "sim_search_dot_norm",
+    oracle=f"""
+    SELECT vec_id,
+           {sql_stable_round4(SQL_SQ)} AS sq_norm,
+           {sql_stable_round4('sqrt(' + SQL_SQ + ')')} AS l2_norm
+    FROM embeddings
+    """,
+)
+def sim_search_dot_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector primitives (dot product / L2 norm) as native array folds —
+    the building blocks the ANN ops compose."""
+    e = load(spark, sf_dir, "embeddings")
+    sq = dot_double(F.col("embedding"), F.col("embedding"))
+    return e.select(
+        "vec_id",
+        stable_round4(sq).alias("sq_norm"),
+        stable_round4(F.sqrt(sq)).alias("l2_norm"),
+    )

@@ -1,0 +1,198 @@
+"""Text analysis for training-data pipelines (BASELINE.json north star).
+Reference seed: token counting / text cleanup at
+/root/reference/scripts/ai/summarize_bills_federal.py:23-82.
+
+All native string/array expressions — single scan, no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+from .dedup import sql_stable_round4, stable_round4, tokens
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+# BPE-ish word/number/punct segmentation (public GPT-2-style shape,
+# simplified to what both regex engines support identically)
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+               AS n_word_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace-word tokens + a BPE-ish regex segmentation
+    (tiktoken stand-in, summarize_bills_federal.py:23-65)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_word_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               regexp_extract_all(text, '[a-z0-9]+') AS toks
+        FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE length(array_to_string(toks, '')) * 1.0 / len(toks)
+               END AS avg_token_len,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE len(list_filter(toks, x -> x IN {_SW_SQL})) * 1.0
+                         / len(toks)
+               END AS stopword_ratio,
+               length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0
+                   / greatest(length(text), 1) AS punct_ratio
+        FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           {sql_stable_round4('avg_token_len')} AS avg_token_len,
+           {sql_stable_round4('stopword_ratio')} AS stopword_ratio,
+           {sql_stable_round4('punct_ratio')} AS punct_ratio,
+           {sql_stable_round4("0.5 * least(n_tokens / 100.0, 1.0)"
+                 " + 0.3 * least(stopword_ratio * 5.0, 1.0)"
+                 " + 0.2 * (1.0 - punct_ratio)")} AS quality_score
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length, stopword ratio (fluent text has
+    function words), punctuation/noise ratio — the standard pre-training
+    filter features, combined into one [0,1] score."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    avg_len = F.when(n == 0, 0.0).otherwise(
+        F.length(F.array_join(toks, "")) * 1.0 / n
+    )
+    sw = F.when(n == 0, 0.0).otherwise(
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * 1.0 / n
+    )
+    punct = (
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
+        * 1.0
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    quality = (
+        0.5 * F.least(n / 100.0, F.lit(1.0))
+        + 0.3 * F.least(sw * 5.0, F.lit(1.0))
+        + 0.2 * (1.0 - punct)
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        stable_round4(avg_len).alias("avg_token_len"),
+        stable_round4(sw).alias("stopword_ratio"),
+        stable_round4(punct).alias("punct_ratio"),
+        stable_round4(quality).alias("quality_score"),
+    )
+
+
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "les", "et"),
+    "es": ("el", "los", "las", "y"),
+}
+
+
+def _marker_count_sql(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(regexp_extract_all(text, '[a-z0-9]+'), x -> x IN ({lst})))"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               {_marker_count_sql(LANG_MARKERS['en'])} AS c_en,
+               {_marker_count_sql(LANG_MARKERS['de'])} AS c_de,
+               {_marker_count_sql(LANG_MARKERS['fr'])} AS c_fr,
+               {_marker_count_sql(LANG_MARKERS['es'])} AS c_es
+        FROM documents)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en > 0
+                THEN 'en'
+                WHEN c_de >= c_fr AND c_de >= c_es AND c_de > 0 THEN 'de'
+                WHEN c_fr >= c_es AND c_fr > 0 THEN 'fr'
+                WHEN c_es > 0 THEN 'es'
+                ELSE 'und' END AS predicted_lang
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (n-gram heuristic): count per-language
+    function words, argmax with a fixed priority tie-break, 'und' when no
+    marker fires. (The fixture text is synthetic word-salad, so the labeled
+    lang column is kept alongside for comparison, not as ground truth the
+    heuristic could recover.)"""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    def marker_count(ws):
+        return F.size(F.filter(toks, lambda x: x.isin(*ws)))
+
+    counts = {lang: marker_count(ws) for lang, ws in LANG_MARKERS.items()}
+    c_en, c_de, c_fr, c_es = counts["en"], counts["de"], counts["fr"], counts["es"]
+    pred = (
+        F.when((c_en >= c_de) & (c_en >= c_fr) & (c_en >= c_es) & (c_en > 0), "en")
+        .when((c_de >= c_fr) & (c_de >= c_es) & (c_de > 0), "de")
+        .when((c_fr >= c_es) & (c_fr > 0), "fr")
+        .when(c_es > 0, "es")
+        .otherwise("und")
+    )
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               list_sort(list_transform(
+                   list_distinct(regexp_extract_all(text, '[a-z0-9]+')),
+                   t -> md5(t))) AS hs
+        FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(hs[1:3], '')) AS fingerprint,
+           CAST(len(hs) AS BIGINT) AS n_distinct_tokens
+    FROM h
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k document fingerprint (rolling-hash/winnowing family): hash of
+    the k smallest token hashes — stable under reordering and small edits."""
+    d = load(spark, sf_dir, "documents")
+    hs = F.array_sort(
+        F.transform(F.array_distinct(tokens(F.col("text"))), lambda t: F.md5(t))
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(hs, 1, 3), "")).alias("fingerprint"),
+        F.size(hs).cast("long").alias("n_distinct_tokens"),
+    )

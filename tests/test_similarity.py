@@ -1,0 +1,27 @@
+"""ANN quality tests: the approximate path must stay close to brute force."""
+
+from __future__ import annotations
+
+from repcheck_data_integration_spark.operators.similarity import (
+    sim_search_ivf,
+    sim_search_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    exact = {
+        (r["query_id"], r["cand_id"]) for r in sim_search_topk(spark, SF).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"]) for r in sim_search_ivf(spark, SF).collect()
+    }
+    assert approx, "ivf returned nothing"
+    recall = len(exact & approx) / len(exact)
+    # 3 of 10 cells probed; random 64-dim embeddings make cells weakly
+    # informative, so demand a sane floor rather than near-1 recall
+    assert recall >= 0.3, f"recall {recall}"
+    # every approx hit must be a real neighbor of its query (subset of the
+    # per-query exact candidate scoring, checked via score ordering in the op)
+    assert {q for q, _ in approx} == {q for q, _ in exact}
