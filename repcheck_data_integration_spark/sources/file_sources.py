@@ -1,0 +1,236 @@
+"""File sources / sinks (SURVEY.md §2.1). Citations refer to /root/reference.
+
+The reference reads per-record JSON files, JSON-lines GeoJSON, CSV, YAML
+trees and shapefiles, then upserts into Postgres. Spark natively covers
+json/jsonl/csv/parquet; YAML rides binaryFile + mapInPandas (Arrow batches);
+shapefile decode is stubbed pending pyshp (sources/shapefile.py).
+
+Correctness harness: the fixture parquet is the source of truth, so each
+scan op *derives* its input files from a parquet table once (cached under
+/tmp), reads them back through the scan under test, and the oracle reads the
+parquet directly — a full write→scan→compare roundtrip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..tables import load
+
+FIXTURE_ROOT = "/tmp/repcheck_spark_fixtures"
+
+
+def _fixture_dir(sf_dir: str, kind: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(FIXTURE_ROOT, tag, kind)
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_DONE"))
+
+
+def _mark_done(path: str) -> None:
+    with open(os.path.join(path, "_DONE"), "w") as f:
+        f.write("ok")
+
+
+@register("src_parquet_scan", oracle="SELECT * FROM region")
+def src_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-native scan: vectorized parquet with pushdown."""
+    return load(spark, sf_dir, "region")
+
+
+JSON_DIR_FILTER = "c_custkey % 30 = 0"
+
+
+@register(
+    "src_json_dir_scan",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE {JSON_DIR_FILTER}
+    """,
+)
+def src_json_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory of one-document-per-file JSON selected by filename prefix
+    (bills_federal.py:24-25,112,118-120: glob 'bill*', json.load each).
+    Spark: multiLine JSON reader over the glob — one distributed read, and
+    decoys with a different prefix are never touched."""
+    d = _fixture_dir(sf_dir, "json_dir")
+    if not _done(d):
+        os.makedirs(d, exist_ok=True)
+        rows = (
+            load(spark, sf_dir, "customer")
+            .filter(F.expr(JSON_DIR_FILTER))
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(d, f"bill_{r['c_custkey']}.json"), "w") as f:
+                json.dump(r.asDict(), f)
+        # decoy files the prefix glob must skip (jurisdiction*.json in ref)
+        for i in range(3):
+            with open(os.path.join(d, f"other_{i}.json"), "w") as f:
+                json.dump({"c_custkey": -1}, f)
+        _mark_done(d)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.option("multiLine", True)
+        .schema(schema)
+        .json(os.path.join(d, "bill_*.json"))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    )
+
+
+@register(
+    "src_jsonl_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_id % 7 = 0
+    """,
+)
+def src_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newline-delimited JSON (nytimes_precincts.py:60-64: one json.loads
+    per line) — Spark's default JSON source."""
+    d = _fixture_dir(sf_dir, "jsonl")
+    if not _done(d):
+        (
+            load(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 7 == 0)
+            .select("event_id", "user_id", "event_type", "value")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(d)
+        )
+        _mark_done(d)
+    schema = "event_id long, user_id long, event_type string, value double"
+    return spark.read.schema(schema).json(os.path.join(d, "*.json")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "src_csv_scan",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def src_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header CSV (people_district_mapping.py:22-24 csv.DictReader); read
+    back with an explicit schema — no inferSchema at scale."""
+    d = _fixture_dir(sf_dir, "csv")
+    if not _done(d):
+        (
+            load(spark, sf_dir, "customer")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(d)
+        )
+        _mark_done(d)
+    schema = (
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string"
+    )
+    return (
+        spark.read.option("header", True)
+        .schema(schema)
+        .csv(os.path.join(d, "*.csv"))
+    )
+
+
+YAML_SCHEMA = "id string, name string, district long, chamber string"
+
+
+@register(
+    "src_yaml_dir_scan",
+    oracle="""
+    SELECT 'person-' || CAST(n_nationkey AS VARCHAR) AS id,
+           n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS district,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'upper' ELSE 'lower' END AS chamber
+    FROM nation
+    """,
+)
+def src_yaml_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file YAML tree (people_federal.py:85-94: yaml.safe_load per
+    person file). No native source → binaryFile scan + mapInPandas decode:
+    the *distributed* shape (files are split across tasks, parsing runs
+    in Arrow batches), unlike the reference's driver loop."""
+    import yaml
+
+    d = _fixture_dir(sf_dir, "yaml_dir")
+    if not _done(d):
+        os.makedirs(d, exist_ok=True)
+        for r in load(spark, sf_dir, "nation").collect():
+            doc = {
+                "id": f"person-{r['n_nationkey']}",
+                "name": r["n_name"],
+                "district": int(r["n_regionkey"]),
+                "chamber": "upper" if r["n_nationkey"] % 2 == 0 else "lower",
+            }
+            with open(os.path.join(d, f"person-{r['n_nationkey']}.yml"), "w") as f:
+                yaml.safe_dump(doc, f)
+        _mark_done(d)
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = [yaml.safe_load(content) for content in pdf["content"]]
+            yield pd.DataFrame.from_records(
+                recs, columns=["id", "name", "district", "chamber"]
+            )
+
+    files = spark.read.format("binaryFile").load(os.path.join(d, "*.yml"))
+    return files.select("content").mapInPandas(decode, schema=YAML_SCHEMA)
+
+
+@register(
+    "src_ref_lookup",
+    oracle="""
+    SELECT n_nationkey, r_name AS region_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def src_ref_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small whole-file JSON lookup (reference_data_helper.py:5-19
+    FIPS→state) loaded once and broadcast against the big side."""
+    d = _fixture_dir(sf_dir, "ref_lookup")
+    if not _done(d):
+        os.makedirs(d, exist_ok=True)
+        rows = load(spark, sf_dir, "region").collect()
+        with open(os.path.join(d, "lookup.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r.asDict()) + "\n")
+        _mark_done(d)
+    lookup = spark.read.schema("r_regionkey int, r_name string").json(
+        os.path.join(d, "lookup.json")
+    )
+    n = load(spark, sf_dir, "nation")
+    return n.join(
+        F.broadcast(lookup), n.n_regionkey == lookup.r_regionkey
+    ).select("n_nationkey", F.col("r_name").alias("region_name"))
+
+
+@register(
+    "snk_parquet_roundtrip",
+    oracle="SELECT * FROM supplier",
+)
+def snk_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink + re-scan roundtrip — the engine's native materialization
+    path (the reference's only sink is the row-wise Postgres upsert;
+    database.py:52-73)."""
+    out = _fixture_dir(sf_dir, "parquet_sink")
+    load(spark, sf_dir, "supplier").write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

@@ -1,0 +1,146 @@
+"""Time-window operators (SURVEY.md §2.9 extension surface).
+
+The reference is batch-only; its incremental story is idempotent keyed
+re-runs (/root/reference/scripts/database/database.py:52-73). The engine's
+streaming surface is Structured Streaming (see stream_ops.py for the live
+readStream/watermark/foreachBatch forms, exercised in tests); the *same*
+window semantics are registered here in batch mode so the DuckDB oracle can
+check them — Spark guarantees batch/stream parity for these operators.
+
+Window starts are emitted as epoch seconds (BIGINT) so timestamp-precision
+differences can't leak into the hash compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+TUMBLE_S = 600
+SLIDE_S = 300
+
+
+@register(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT CAST(floor(epoch(ts) / {TUMBLE_S}) * {TUMBLE_S} AS BIGINT)
+               AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS DOUBLE)
+               AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation: window(ts, '10 minutes') per event_type.
+    In streaming mode the identical expression runs under a watermark
+    (stream_ops.tumbling_counts); partial aggregation keeps the shuffle
+    keyed on (window, type) — bounded state at any scale."""
+    e = load(spark, sf_dir, "events")
+    win = F.window("ts", f"{TUMBLE_S} seconds")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT e.*, CAST(floor(epoch(ts) / {SLIDE_S}) * {SLIDE_S}
+                         - i * {SLIDE_S} AS BIGINT) AS window_start
+        FROM events e, unnest(generate_series(0, {TUMBLE_S // SLIDE_S - 1})) AS u(i)
+        WHERE epoch(ts) >= floor(epoch(ts) / {SLIDE_S}) * {SLIDE_S} - i * {SLIDE_S}
+          AND epoch(ts) < floor(epoch(ts) / {SLIDE_S}) * {SLIDE_S} - i * {SLIDE_S}
+                          + {TUMBLE_S})
+    SELECT window_start, count(*) AS n_events
+    FROM assigned GROUP BY window_start
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation: window(ts, '10 min', '5 min') — each event
+    lands in window_size/slide windows; the oracle reproduces Spark's
+    window-assignment arithmetic with an explicit unnest."""
+    e = load(spark, sf_dir, "events")
+    win = F.window("ts", f"{TUMBLE_S} seconds", f"{SLIDE_S} seconds")
+    return (
+        e.groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_timestamp("w.start").alias("window_start"), "n_events")
+    )
+
+
+SESSION_GAP_S = 300
+
+
+@register(
+    "stream_session_window",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                        > {SESSION_GAP_S}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered)
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) per user: native session_window in
+    Spark; the oracle is the classic gaps-and-islands rewrite (lag → flag →
+    running sum), proving the semantics match. Session start is truncated to
+    whole seconds for the compare."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT user_id, event_type, min(event_id) AS first_event_id
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates-within-watermark semantics in batch form: first event
+    per (user, type). Streaming twin: stream_ops.dedup_within_watermark."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id")
+    )

@@ -1,0 +1,124 @@
+"""Live Structured Streaming surface (SURVEY.md §2.9).
+
+The reference's incremental contract is "re-run the batch, keyed upsert
+makes it idempotent" (/root/reference/scripts/database/database.py:52-73).
+Here that becomes real incremental processing:
+
+- file-source readStream over the events fixture (at scale: Kafka/queue),
+- watermarked tumbling-window aggregation (late data dropped after 10 min),
+- dropDuplicates within the watermark,
+- foreachBatch + merge_upsert: exactly-once keyed MERGE into a parquet
+  target — the streaming twin of the reference's upsert loop.
+
+All exercised synchronously in tests via availableNow/processAllAvailable
+with a memory sink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.upsert import merge_upsert
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over parquet events (ts pre-converted to micros —
+    the fixture's ns timestamps don't fit TimestampType, so stream from a
+    converted copy, see tests)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(path)
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts — append-mode safe."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Drop duplicate (user_id, event_type) pairs arriving within the
+    watermark — bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory(df: DataFrame, name: str) -> StreamingQuery:
+    """Drive a streaming frame to completion synchronously (test harness)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_upsert_to_parquet(
+    events: DataFrame, target_path: str, checkpoint: str
+) -> StreamingQuery:
+    """foreachBatch MERGE: each micro-batch is keyed-upserted into the
+    parquet target — the Structured-Streaming twin of snk_upsert. (With a
+    transactional table format this is MERGE INTO; plain parquet rewrite
+    here keeps the container dependency-free.)"""
+
+    def upsert_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        agg = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+            prev = target.select(
+                "user_id",
+                F.col("n_events").alias("prev_n"),
+                F.col("last_event_id").alias("prev_last"),
+            )
+            joined = agg.join(prev, "user_id", "full_outer")
+            merged = joined.select(
+                "user_id",
+                (
+                    F.coalesce(F.col("n_events"), F.lit(0))
+                    + F.coalesce(F.col("prev_n"), F.lit(0))
+                ).alias("n_events"),
+                F.greatest(
+                    F.coalesce(F.col("last_event_id"), F.lit(-1)),
+                    F.coalesce(F.col("prev_last"), F.lit(-1)),
+                ).alias("last_event_id"),
+            )
+        else:
+            merged = agg
+        tmp = target_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        out = spark.read.parquet(tmp)
+        out.write.mode("overwrite").parquet(target_path)
+
+    return (
+        events.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
