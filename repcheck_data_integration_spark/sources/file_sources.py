@@ -224,6 +224,53 @@ def src_ref_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_shapefile_scan",
+    oracle="""
+    SELECT CAST(n_nationkey AS VARCHAR) AS nation_key, n_name AS name,
+           CAST(n_nationkey * 2 AS DOUBLE) AS xmin,
+           CAST(n_nationkey AS DOUBLE) AS ymin,
+           CAST(n_nationkey * 2 + 1 + n_nationkey % 3 AS DOUBLE) AS xmax,
+           CAST(n_nationkey + 1 + n_nationkey % 3 AS DOUBLE) AS ymax,
+           CAST(5 AS BIGINT) AS n_points
+    FROM nation
+    """,
+)
+def src_shapefile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapefile scan (zip_codes.py:49-81 pyshp loop) via the pure-python
+    ESRI decoder over binaryFile + mapInPandas — one .shp per region, like
+    the reference's per-state TIGER files; positional DBF records become
+    named columns (sources/shapefile.py)."""
+    from .shapefile import read_shapefile_dir, write_shapefile
+
+    d = _fixture_dir(sf_dir, "shapefiles")
+    if not _done(d):
+        os.makedirs(d, exist_ok=True)
+        nations = load(spark, sf_dir, "nation").collect()
+        by_region: dict[int, list] = {}
+        for r in nations:
+            k = r["n_nationkey"]
+            x0, y0, w = k * 2.0, k * 1.0, 1.0 + k % 3
+            by_region.setdefault(r["n_regionkey"], []).append(
+                {
+                    "attrs": [str(k), r["n_name"]],
+                    "ring": [[x0, y0], [x0 + w, y0], [x0 + w, y0 + w],
+                             [x0, y0 + w], [x0, y0]],
+                }
+            )
+        for region, recs in by_region.items():
+            write_shapefile(
+                os.path.join(d, f"tl_region_{region:02d}"), ["KEY", "NAME"], recs
+            )
+        _mark_done(d)
+    df = read_shapefile_dir(
+        spark, os.path.join(d, "*.shp"), field_names=["nation_key", "name"]
+    )
+    return df.select(
+        "nation_key", "name", "xmin", "ymin", "xmax", "ymax", "n_points"
+    )
+
+
+@register(
     "snk_parquet_roundtrip",
     oracle="SELECT * FROM supplier",
 )

@@ -1,0 +1,74 @@
+"""Tests for the shapefile decoder and acquisition utilities."""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+
+from repcheck_data_integration_spark.sources import acquire
+from repcheck_data_integration_spark.sources.shapefile import (
+    parse_dbf,
+    parse_shp,
+    read_shapefile_dir,
+    write_shapefile,
+)
+
+RECORDS = [
+    {"attrs": ["55", "Wisconsin-3"], "ring": [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]},
+    {"attrs": ["06", "California-9"], "ring": [[10, 10], [20, 10], [20, 30], [10, 30], [10, 10]]},
+]
+
+
+def _write_fixture(d):
+    write_shapefile(os.path.join(d, "tl_test_55"), ["FIPS", "NAME"], RECORDS[:1])
+    write_shapefile(os.path.join(d, "tl_test_06"), ["FIPS", "NAME"], RECORDS[1:])
+
+
+def test_parse_roundtrip(tmp_path):
+    _write_fixture(tmp_path)
+    stem = str(tmp_path / "tl_test_55")
+    with open(stem + ".shp", "rb") as f:
+        shapes = parse_shp(f.read())
+    with open(stem + ".dbf", "rb") as f:
+        names, recs = parse_dbf(f.read())
+    assert names == ["FIPS", "NAME"]
+    assert recs == [["55", "Wisconsin-3"]]
+    assert shapes[0]["geometry"]["type"] == "Polygon"
+    assert shapes[0]["bbox"] == (0.0, 0.0, 4.0, 4.0)
+    assert shapes[0]["geometry"]["coordinates"][0][1] == [4.0, 0.0]
+
+
+def test_read_shapefile_dir_distributed(spark, tmp_path):
+    """The per-state file layout of the reference (one task per .shp)."""
+    _write_fixture(tmp_path)
+    df = read_shapefile_dir(
+        spark, str(tmp_path / "*.shp"), field_names=["fips", "name"]
+    )
+    rows = {r["fips"]: r for r in df.collect()}
+    assert set(rows) == {"55", "06"}
+    assert rows["06"]["xmax"] == 20.0 and rows["06"]["ymax"] == 30.0
+    assert rows["55"]["n_points"] == 5
+    geom = json.loads(rows["55"]["geometry"])
+    assert geom["coordinates"][0][0] == [0.0, 0.0]
+
+
+def test_http_fetch_file_url_and_zip(tmp_path):
+    payload = tmp_path / "payload.txt"
+    payload.write_bytes(b"x" * 1000)
+    archive = tmp_path / "a.zip"
+    with zipfile.ZipFile(archive, "w") as z:
+        z.write(payload, "payload.txt")
+    dest = str(tmp_path / "dl" / "a.zip")
+    got = acquire.http_fetch(archive.as_uri(), dest)
+    assert got == dest and os.path.getsize(dest) > 0
+    names = acquire.extract_zip(dest, str(tmp_path / "out"))
+    assert names and open(names[0], "rb").read() == b"x" * 1000
+
+
+def test_git_clone_local(tmp_path):
+    dest = str(tmp_path / "clone")
+    got = acquire.git_clone("/root/repo", dest)
+    assert os.path.isdir(os.path.join(got, ".git"))
+    # idempotent: second call reuses the checkout
+    assert acquire.git_clone("/root/repo", dest) == dest
