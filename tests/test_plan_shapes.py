@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: the properties that decide whether a
+query survives a 100× scale-up, locked in as assertions.
+
+- filters reach the parquet scan (PushedFilters),
+- projections prune the read schema (ReadSchema),
+- dimension joins broadcast (BroadcastHashJoin),
+- the grid spatial join never degenerates to nested-loop/cartesian,
+- aggregation is partial+final (map-side combine),
+- hot paths stay inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from repcheck_data_integration_spark import registry
+
+registry.load_all_modules()
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(spark, name: str, mode: str = "formatted", execute: bool = False) -> str:
+    df = registry.QUERIES[name](spark, SF)
+    if execute:
+        df.collect()  # AQE finalizes the plan (codegen ids) only on execution
+    jvm = spark._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan(spark, "flt_eq")
+    assert "PushedFilters" in p
+    assert "o_orderstatus" in p.split("PushedFilters")[1][:200]
+
+
+def test_projection_prunes_read_schema(spark):
+    p = plan(spark, "prj_select")
+    read_schema = p.split("ReadSchema")[1][:200]
+    assert "c_custkey" in read_schema and "c_mktsegment" in read_schema
+    assert "c_acctbal" not in read_schema  # unused column never read
+
+
+def test_q3_broadcasts_dimension(spark):
+    p = plan(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+    assert "PushedFilters" in p
+    # top-k executes as ordered take, not a global sort of the aggregate
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q1_partial_aggregation(spark):
+    p = plan(spark, "tpch_q1_pricing_summary")
+    # partial + final hash aggregate = map-side combine before the shuffle
+    assert p.count("HashAggregate") >= 2
+    assert "partial_sum" in p
+
+
+def test_spatial_grid_join_is_hash_join(spark):
+    p = plan(spark, "join_spatial")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the cell-key equi-join is a real hash join
+    assert "Join" in p
+
+
+def test_semi_anti_join_shapes(spark):
+    assert "LeftSemi" in plan(spark, "join_semi_bill_vote")
+    assert "LeftAnti" in plan(spark, "join_anti_bill_vote")
+
+
+def test_fuzzy_resolution_blocked_not_cartesian(spark):
+    p = plan(spark, "join_fuzzy_topk")
+    assert "CartesianProduct" not in p  # blocking keys make it an equi-join
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["tpch_q1_pricing_summary", "flt_conj", "agg_count", "win_top1_score"],
+)
+def test_hot_paths_use_codegen(spark, name):
+    # "[codegen id : n]" markers appear in the AQE-final formatted plan
+    assert "codegen id" in plan(spark, name, execute=True)
