@@ -156,3 +156,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
     )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           floor((quantile_cont(l_extendedprice, 0.5)) * 10000.0 + 0.5) / 10000.0
+               AS median_price,
+           floor((quantile_cont(l_extendedprice, 0.9)) * 10000.0 + 0.5) / 10000.0
+               AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native extension: exact interpolated percentiles (both engines
+    use linear interpolation on the sorted values). The 100 TB variant is
+    approx_percentile (one-pass sketch); exact is the correctness anchor."""
+    from .dedup import stable_round4
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        stable_round4(F.percentile("l_extendedprice", F.lit(0.5))).alias(
+            "median_price"
+        ),
+        stable_round4(F.percentile("l_extendedprice", F.lit(0.9))).alias(
+            "p90_price"
+        ),
+    )

@@ -20,8 +20,10 @@ pandas_udf (rows-only) without changing the plan shape.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..registry import register
 from .dedup import sql_stable_round4, stable_round4
@@ -38,6 +40,28 @@ def levenshtein_ratio(a, b) -> F.Column:
     )
 
 
+@F.pandas_udf(T.DoubleType())
+def wratio_scorer(sa: pd.Series, sb: pd.Series) -> pd.Series:
+    """WRatio-family fuzzy score (vote_matching.py:9,161 uses thefuzz's
+    WRatio; that lib isn't in this container, so this is the same public
+    recipe: max of full-string ratio and sorted-token ratio via stdlib
+    SequenceMatcher). Python-resident → Arrow-batched pandas_udf; plans
+    using it are rows-only (not SQL-expressible), plan shape unchanged."""
+    from difflib import SequenceMatcher
+
+    def score(x, y):
+        if x is None or y is None:
+            return 0.0
+        x, y = x.lower().strip(), y.lower().strip()
+        full = SequenceMatcher(None, x, y).ratio()
+        tx = " ".join(sorted(x.split()))
+        ty = " ".join(sorted(y.split()))
+        tok = SequenceMatcher(None, tx, ty).ratio()
+        return round(max(full, tok), 4)
+
+    return pd.Series([score(x, y) for x, y in zip(sa, sb)])
+
+
 def resolve_entities(
     probes: DataFrame,
     candidates: DataFrame,
@@ -47,6 +71,7 @@ def resolve_entities(
     cand_id: str = "cand_id",
     cand_name: str = "cname",
     threshold: float = DEFAULT_THRESHOLD,
+    scorer=levenshtein_ratio,
 ) -> DataFrame:
     """Returns (probe_id, matched_id, score, method); probes with no
     acceptable candidate are absent (the reference logs-and-skips them,
@@ -78,7 +103,7 @@ def resolve_entities(
         F.col(f"r.{probe_id}").alias(probe_id),
         F.col(f"c.{cand_id}").alias(cand_id),
         stable_round4(
-            levenshtein_ratio(F.col(f"r.{probe_name}"), F.col(f"c.{cand_name}"))
+            scorer(F.col(f"r.{probe_name}"), F.col(f"c.{cand_name}"))
         ).alias("score"),
     )
     w = W.partitionBy(probe_id).orderBy(F.col("score").desc(), F.col(cand_id))
@@ -151,3 +176,29 @@ def join_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").alias("cname"),
     )
     return resolve_entities(probes, cands, block_keys=["block"])
+
+
+@register("join_fuzzy_wratio")
+def join_fuzzy_wratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same two-pass resolution plan with the WRatio-family pandas_udf
+    scorer slotted in (rows-only: not SQL-expressible). Demonstrates that
+    swapping the Python kernel leaves the blocked-join plan shape intact."""
+    s = load(spark, sf_dir, "supplier")
+    probes = s.select(
+        F.col("s_suppkey").alias("probe_id"),
+        F.col("s_nationkey").alias("block"),
+        F.when(
+            F.col("s_suppkey") % 2 == 1,
+            F.lower(F.expr("substr(s_name, 1, length(s_name) - 1)")),
+        )
+        .otherwise(F.col("s_name"))
+        .alias("pname"),
+    )
+    cands = s.select(
+        F.col("s_suppkey").alias("cand_id"),
+        F.col("s_nationkey").alias("block"),
+        F.col("s_name").alias("cname"),
+    )
+    return resolve_entities(
+        probes, cands, block_keys=["block"], scorer=wratio_scorer
+    )

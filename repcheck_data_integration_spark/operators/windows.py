@@ -181,3 +181,36 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
     )
+
+
+@register(
+    "win_asof_last",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_value
+    FROM events
+    """,
+)
+def win_asof_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native extension: as-of selection — for each event, the value
+    of the user's most recent prior 'click' (pyspark guide's as-of pattern
+    expressed as last_value-ignore-nulls; at scale this is the window form
+    of an as-of join, shuffling once on the entity key)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_click_value"),
+    )
