@@ -131,3 +131,21 @@ def flt_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("value") > 100, F.col("value")).alias("big_value"),
         )
     )
+
+
+@register(
+    "flt_lambda",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_type = 'click' AND user_id % 2 = 0
+    """,
+)
+def flt_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's in-memory candidate-blocking filter
+    (vote_matching.py:196-209: filter(lambda p: p['state']==s) then chamber)
+    — declaratively it's just a conjunctive predicate Catalyst can push,
+    where the lambda version forces a full driver-side materialization."""
+    e = load(spark, sf_dir, "events")
+    return e.filter(
+        (F.col("event_type") == "click") & (F.col("user_id") % 2 == 0)
+    ).select("event_id", "user_id", "event_type")

@@ -1,0 +1,95 @@
+"""LLM batch-map pipeline (SURVEY.md §2.8/§2.10 llm_summarize).
+
+Reference: /root/reference/scripts/ai/summarize_bills_federal.py — per bill:
+fetch PDF (:127-135), extract text with pdfminer (:136-150), clean it
+(:67-82), count tokens with tiktoken (:23-65), call the chat API (stubbed /
+commented out in the reference itself, :84-125).
+
+Spark shape: one ``mapInPandas`` pass — Arrow batches in, one summary row
+per document out — which is exactly how batched LLM inference runs at scale
+(the batch boundary is the rate-limit/batching unit). Neither pdfminer,
+tiktoken nor an API client is in this container, so:
+
+- text cleanup + token counting are the real kernels (pure Python, same
+  regexes as the reference's cleanup);
+- the "model call" is a deterministic extractive fake (first-k-tokens),
+  making the whole pipeline oracle-checkable;
+- the real client/pdf hooks raise NotImplementedError behind import-tries
+  (swap-in points documented).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..tables import load
+
+SUMMARY_TOKENS = 12
+
+
+def clean_text(text: str) -> str:
+    """Form-feed / newline cleanup (summarize_bills_federal.py:67-82)."""
+    t = re.sub(r"[\x0c\n\r]+", " ", text)
+    return re.sub(r"  +", " ", t).strip()
+
+
+def count_tokens(text: str) -> int:
+    """tiktoken stand-in: BPE-ish segmentation (words / numbers / punct) —
+    same regex as textstats.BPE_RE so counts agree engine-wide."""
+    return len(re.findall(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]", text))
+
+
+def fake_summarize(text: str, k: int = SUMMARY_TOKENS) -> str:
+    """Deterministic extractive 'summary': first k word tokens. The real
+    chat-API call (stubbed in the reference too) plugs in here."""
+    return " ".join(re.findall(r"[a-z0-9]+", text)[:k])
+
+
+def extract_pdf_text(payload: bytes) -> str:
+    """PDF text extraction — requires pdfminer (not in this container)."""
+    try:
+        from pdfminer.high_level import extract_text  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "pdf extraction requires pdfminer; wire extract_text(BytesIO(payload))"
+        ) from e
+    raise NotImplementedError
+
+
+@register(
+    "llm_summarize",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(regexp_extract_all(text, '[a-z0-9]+')[1:{SUMMARY_TOKENS}],
+                           ' ') AS summary,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def llm_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch 'LLM' map over mapInPandas: clean → token-count → summarize,
+    one Arrow batch at a time. With the deterministic extractive kernel the
+    whole pipeline is oracle-checkable; swapping in a real client changes
+    only the kernel, not the plan."""
+
+    def run_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cleaned = pdf["text"].map(clean_text)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "summary": cleaned.map(fake_summarize),
+                    "n_tokens": cleaned.map(count_tokens),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        run_batch, schema="doc_id long, summary string, n_tokens long"
+    )

