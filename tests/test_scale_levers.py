@@ -1,0 +1,92 @@
+"""Scale levers: salted aggregation/join equivalence + bucketed joins
+actually eliminating the exchange."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from repcheck_data_integration_spark.operators.skew import (
+    salted_agg,
+    salted_broadcast_join,
+    write_bucketed,
+)
+from repcheck_data_integration_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_agg_matches_plain(spark):
+    li = load(spark, SF, "lineitem")
+    plain = {
+        (r["l_returnflag"],): (r["n"], r["qty"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"],): (r["n"], r["qty"])
+        for r in salted_agg(
+            li.select("l_returnflag", "l_quantity"),
+            keys=["l_returnflag"],
+            aggs={
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "qty": (
+                    F.sum(F.round(F.col("l_quantity") * 100).cast("long")),
+                    F.sum("qty"),
+                ),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_broadcast_join_matches_plain(spark):
+    orders = load(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, SF, "customer").select("c_custkey", "c_nationkey")
+    plain = sorted(
+        map(
+            tuple,
+            orders.join(
+                cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            salted_broadcast_join(
+                orders,
+                cust.withColumnRenamed("c_custkey", "o_custkey"),
+                key="o_custkey",
+                n_salts=4,
+            ).collect(),
+        )
+    )
+    assert got == plain
+
+
+def test_bucketed_join_eliminates_exchange(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load(spark, SF, "orders")
+        lineitem = load(spark, SF, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=4)
+        write_bucketed(lineitem, "b_lineitem", "o_orderkey", n_buckets=4)
+        j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        jvm = spark._jvm
+        plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        # bucket-aligned scan: the sort-merge join needs no shuffle
+        assert "Exchange" not in plan, plan
+        assert j.count() == lineitem.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
