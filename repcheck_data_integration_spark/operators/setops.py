@@ -114,3 +114,25 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-native: distinct projection (hash aggregate underneath)."""
     return load(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+@register(
+    "fn_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, val FROM (
+        SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+        UNION ALL
+        SELECT c_custkey, 'nationkey' AS metric,
+               CAST(c_nationkey AS DOUBLE) AS val
+        FROM customer)
+    """,
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native extension: unpivot/melt (wide → long) — the inverse of
+    agg_vote_counts' pivot; Spark's unpivot is a zero-shuffle Expand."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
