@@ -30,6 +30,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_search_topk",
     "text_quality_score",
+    "pipeline_enrich_merge",
 ]
 
 

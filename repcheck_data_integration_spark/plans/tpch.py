@@ -164,3 +164,94 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke-check query (entry())."""
     return q3_shipping_priority(spark, sf_dir)
+
+
+PIPE_COLS = (
+    "o_orderkey, bill_uid, o_custkey, o_orderdate, latest_ship, n_items, revenue"
+)
+
+
+@register(
+    "pipeline_enrich_merge",
+    oracle=f"""
+    WITH kept AS (
+        SELECT * FROM orders WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')),
+    agg AS (
+        SELECT l_orderkey, max(l_shipdate) AS latest_ship,
+               count(*) AS n_items,
+               {sql_exact_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem GROUP BY l_orderkey),
+    enriched AS (
+        SELECT o_orderkey,
+               md5(CAST(o_orderkey AS VARCHAR) || '_' ||
+                   CAST(o_custkey AS VARCHAR)) AS bill_uid,
+               o_custkey, o_orderdate, latest_ship,
+               coalesce(n_items, 0) AS n_items,
+               coalesce(revenue, 0.0) AS revenue
+        FROM kept LEFT JOIN agg ON o_orderkey = l_orderkey),
+    base AS (
+        SELECT o_orderkey, CAST(NULL AS VARCHAR) AS bill_uid, o_custkey,
+               o_orderdate, CAST(NULL AS TIMESTAMP) AS latest_ship,
+               CAST(0 AS BIGINT) AS n_items, 0.0 AS revenue
+        FROM orders),
+    unioned AS (
+        SELECT {PIPE_COLS}, 1 AS __prio FROM enriched
+        UNION ALL SELECT {PIPE_COLS}, 0 AS __prio FROM base)
+    SELECT {PIPE_COLS} FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY __prio DESC) AS rn
+        FROM unioned) WHERE rn = 1
+    """,
+)
+def pipeline_enrich_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 lifecycle composed as ONE plan: jurisdiction-filtered semi-join
+    (bills kept for ingested jurisdiction), per-bill aggregate derivation
+    (latest action date, item count, exact revenue — the argmax/argmin of
+    bills_federal.py:127-128 writ large), deterministic surrogate key mint,
+    then MERGE into the existing table (update enriched rows, keep the
+    rest). Exercises scan→pushdown-filter→semi-join→hash-agg→outer-join→
+    keyed-merge in a single Catalyst-optimized DAG."""
+    from ..functions.kernels import surrogate_key_md5
+    from ..operators.upsert import merge_upsert
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    kept = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_semi"
+    )
+    agg = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("latest_ship"),
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )
+    enriched = (
+        kept.join(agg, kept.o_orderkey == agg.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            surrogate_key_md5(
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+            ).alias("bill_uid"),
+            "o_custkey",
+            "o_orderdate",
+            "latest_ship",
+            F.coalesce("n_items", F.lit(0)).alias("n_items"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )
+    base = orders.select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("bill_uid"),
+        "o_custkey",
+        "o_orderdate",
+        F.lit(None).cast("timestamp").alias("latest_ship"),
+        F.lit(0).cast("long").alias("n_items"),
+        F.lit(0.0).alias("revenue"),
+    )
+    return merge_upsert(base, enriched, keys=["o_orderkey"], preserve=())

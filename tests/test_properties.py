@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the algebraic invariants the
+engine's correctness story leans on. Example counts are kept small —
+each example round-trips through the JVM."""
+
+from __future__ import annotations
+
+import uuid
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from repcheck_data_integration_spark.functions.kernels import uuid5
+from repcheck_data_integration_spark.operators.spatial import bbox_grid_join
+from repcheck_data_integration_spark.operators.upsert import merge_upsert
+
+FAST = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.text(alphabet="abcde", min_size=1, max_size=3)
+
+
+@FAST
+@given(
+    target=st.dictionaries(keys, st.integers(0, 100), max_size=5),
+    source=st.dictionaries(keys, st.integers(0, 100), max_size=5),
+)
+def test_merge_upsert_semantics_and_idempotence(spark, target, source):
+    """merge(t, s) == t ⊕ s (source wins on conflicts, union of keys), and
+    re-applying the same source is a no-op (the reference's blind-re-run
+    contract, database.py:52-73)."""
+    t = spark.createDataFrame(
+        list(target.items()) or [("_", -1)], ["id", "val"]
+    )
+    s = spark.createDataFrame(
+        list(source.items()) or [("_", -1)], ["id", "val"]
+    )
+    once = merge_upsert(t, s, keys=["id"], preserve=())
+    expected = {**target, **source} if target or source else {"_": -1}
+    if not target:
+        expected = {**{"_": -1}, **source}
+    if not source:
+        expected = {**target, **{"_": -1}}
+    assert {r["id"]: r["val"] for r in once.collect()} == expected
+    twice = merge_upsert(once, s, keys=["id"], preserve=())
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, once.collect()))
+
+
+rects = st.lists(
+    st.tuples(
+        st.integers(-20, 20), st.integers(-20, 20),
+        st.integers(0, 15), st.integers(0, 15),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@FAST
+@given(left=rects, right=rects, cell=st.sampled_from([1.0, 3.0, 7.5]))
+def test_bbox_grid_join_equals_naive(spark, left, right, cell):
+    lrows = [
+        (i, float(x), float(y), float(x + w), float(y + h))
+        for i, (x, y, w, h) in enumerate(left)
+    ]
+    rrows = [
+        (j, float(x), float(y), float(x + w), float(y + h))
+        for j, (x, y, w, h) in enumerate(right)
+    ]
+    naive = {
+        (a[0], b[0])
+        for a in lrows
+        for b in rrows
+        if a[1] <= b[3] and a[3] >= b[1] and a[2] <= b[4] and a[4] >= b[2]
+    }
+    ldf = spark.createDataFrame(lrows, ["lid", "lx0", "ly0", "lx1", "ly1"])
+    rdf = spark.createDataFrame(rrows, ["rid", "rx0", "ry0", "rx1", "ry1"])
+    got = {
+        (r["lid"], r["rid"])
+        for r in bbox_grid_join(
+            ldf,
+            rdf,
+            cell=cell,
+            left_bbox=("lx0", "ly0", "lx1", "ly1"),
+            right_bbox=("rx0", "ry0", "rx1", "ry1"),
+        ).collect()
+    }
+    assert got == naive
+
+
+@FAST
+@given(names=st.lists(st.text(max_size=20), min_size=1, max_size=5, unique=True))
+def test_uuid5_matches_stdlib_on_arbitrary_text(spark, names):
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    got = {
+        r["name"]: r["u"]
+        for r in df.select("name", uuid5(F.col("name")).alias("u")).collect()
+    }
+    for n in names:
+        assert got[n] == str(uuid.uuid5(uuid.NAMESPACE_OID, n))

@@ -86,3 +86,37 @@ def test_foreachbatch_upsert(spark, events_stream_dir, tmp_path):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
     assert os.path.exists(target)
+
+
+def test_stateful_running_totals(spark, events_stream_dir):
+    """applyInPandasWithState: totals across micro-batches must equal the
+    batch groupBy."""
+    stream = stream_ops.read_events_stream(spark, events_stream_dir)
+    q = stream_ops.run_to_memory(
+        stream_ops.running_user_totals(stream), "stateful_out"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            # one emission per user per micro-batch → take the final state
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                                              ORDER BY n_events DESC) rn
+                 FROM stateful_out) WHERE rn = 1"""
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in load(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("v"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for u, (n, v) in expected.items():
+        assert got[u][0] == n, u
+        assert abs(got[u][1] - v) < 0.05, u
+    q.stop()
