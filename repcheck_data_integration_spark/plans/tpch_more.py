@@ -243,3 +243,33 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         )
     )
+
+
+@register(
+    "tpch_q17_small_quantity",
+    oracle=f"""
+    WITH avgq AS (
+        SELECT l_partkey AS pk, avg(l_quantity) AS aq
+        FROM lineitem GROUP BY l_partkey)
+    SELECT {sql_exact_sum('l_extendedprice')} AS total_price,
+           count(*) AS n_small
+    FROM lineitem JOIN avgq ON l_partkey = pk
+    WHERE l_quantity < 0.5 * aq
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated scalar subquery (per-part average) decorrelated
+    into an aggregate + self-join — the rewrite Catalyst itself performs for
+    correlated scalars, stated explicitly."""
+    li = load(spark, sf_dir, "lineitem")
+    avgq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("aq")
+    )
+    return (
+        li.join(avgq, li.l_partkey == avgq.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            exact_sum(F.col("l_extendedprice")).alias("total_price"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
