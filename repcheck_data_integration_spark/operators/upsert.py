@@ -57,6 +57,16 @@ def merge_upsert(
     """
     cols = target.columns
     assert set(source.columns) >= set(cols), "source must cover target columns"
+    # null merge keys can never match in a join (NULL != NULL), so a null-key
+    # row would silently duplicate instead of update — hard fail like the
+    # reference's PK constraint would (SURVEY §7 'must handle null-key')
+    null_keys = source.filter(
+        F.greatest(*[F.col(k).isNull() for k in keys])
+        if len(keys) > 1
+        else F.col(keys[0]).isNull()
+    ).count()
+    if null_keys:
+        raise ValueError(f"{null_keys} source rows with NULL merge key {keys}")
     order = [F.col(c).desc() for c in version_cols] or [F.col(k) for k in keys]
     # dedup before projecting so version columns are still visible
     src = dedup_last_writer(source, keys, order).select(*cols)

@@ -214,3 +214,51 @@ def win_asof_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("last_click_value"),
     )
+
+
+@register(
+    "win_grouped_zscore",
+    oracle="""
+    WITH m AS (
+        SELECT c_nationkey,
+               count(*) AS n,
+               sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS s1,
+               sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                   * CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS s2
+        FROM customer GROUP BY c_nationkey)
+    SELECT c_custkey, c.c_nationkey,
+           floor((CAST(round(c_acctbal * 100, 0) AS BIGINT) - s1 * 1.0 / n)
+                 / sqrt(greatest(s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n),
+                                 1e-12))
+                 * 10000.0 + 0.5) / 10000.0 AS zscore
+    FROM customer c JOIN m ON c.c_nationkey = m.c_nationkey
+    """,
+)
+def win_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas op (applyInPandas — the per-group DataFrame-in/
+    DataFrame-out surface, SURVEY §2.8): per-nation z-score of account
+    balance. The kernel does its sums on scaled Python ints (exact,
+    order-independent) so the result hash-matches the SQL oracle — the
+    pattern for putting *numeric* Python kernels under oracle checks."""
+    import math
+
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        scaled = [int(x) for x in (pdf["c_acctbal"] * 100).round(0)]
+        n = len(scaled)
+        s1 = sum(scaled)
+        s2 = sum(v * v for v in scaled)
+        mean = s1 * 1.0 / n
+        var = max(s2 * 1.0 / n - mean * mean, 1e-12)
+        sd = math.sqrt(var)
+        z = [math.floor((v - mean) / sd * 10000.0 + 0.5) / 10000.0 for v in scaled]
+        return pd.DataFrame(
+            {"c_custkey": pdf["c_custkey"], "c_nationkey": pdf["c_nationkey"],
+             "zscore": z}
+        )
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    return c.groupBy("c_nationkey").applyInPandas(
+        zscore, schema="c_custkey long, c_nationkey int, zscore double"
+    )

@@ -142,3 +142,14 @@ def test_fuzzy_golden_votes(spark):
     assert out[2] == (100, "fuzzy")
     assert out[3] == (102, "exact")
     assert 4 not in out
+
+
+def test_merge_upsert_rejects_null_keys(spark):
+    """NULL merge keys can't match in a join — the engine fails fast like
+    the reference's PK constraint instead of silently duplicating."""
+    import pytest
+
+    target = spark.createDataFrame([("a", 1)], ["id", "val"])
+    source = spark.createDataFrame([(None, 2), ("b", 3)], ["id", "val"])
+    with pytest.raises(ValueError, match="NULL merge key"):
+        merge_upsert(target, source, keys=["id"], preserve=()).collect()

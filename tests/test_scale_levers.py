@@ -90,3 +90,21 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Date-partitioned layout: a month filter must prune the scan to that
+    partition's files (the 100 TB layout for the events table)."""
+    out = str(tmp_path / "events_by_month")
+    e = load(spark, SF, "events")
+    e.withColumn("month", F.date_format("ts", "yyyy-MM")).write.mode(
+        "overwrite"
+    ).partitionBy("month").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("month") == "2024-01")
+    jvm = spark._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "month" in plan.split("PartitionFilters")[1][:120]
+    assert back.count() == e.filter(F.date_format("ts", "yyyy-MM") == "2024-01").count()
