@@ -1,0 +1,128 @@
+"""Scale probe: run the heavy operators on synthetically 10×-scaled inputs
+(union of key-shifted copies of the sf0.1 fixtures — ~6M lineitem rows,
+50k docs) and compare wall-clock to the 1× run. An operator whose runtime
+grows much faster than the input is a scale bug (quadratic pair blowup,
+broadcast overflow, skew collapse).
+
+Usage: python tools/scale_probe.py [factor]   (default 10)
+Writes SCALE.md with the measured 1×→N× ratios.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from repcheck_data_integration_spark import registry  # noqa: E402
+from repcheck_data_integration_spark.session import get_spark  # noqa: E402
+from repcheck_data_integration_spark import tables  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+
+# key column to shift per table so scaled copies don't collide
+SHIFT_KEYS = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id"],
+    "supplier": ["s_suppkey"],
+}
+SHIFT = 100_000_000
+
+PROBES = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "join_fuzzy_topk",
+    "join_spatial",
+    "snk_upsert",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_search_topk",
+    "pipeline_enrich_merge",
+]
+
+
+def scaled_load(factor):
+    base_load = tables.load
+
+    def load(spark, sf_dir, name) -> DataFrame:
+        df = base_load(spark, sf_dir, name)
+        if name not in SHIFT_KEYS or factor == 1:
+            return df
+        parts = [df]
+        for i in range(1, factor):
+            c = df
+            for k in SHIFT_KEYS[name]:
+                c = c.withColumn(k, F.col(k) + i * SHIFT)
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    return load
+
+
+def run(factor: int) -> dict[str, float]:
+    import repcheck_data_integration_spark.tables as t
+
+    orig = t.load
+    t.load = scaled_load(factor)
+    # operator modules captured `load` at import time — patch them too
+    for mod in list(sys.modules.values()):
+        if getattr(mod, "__name__", "").startswith(
+            "repcheck_data_integration_spark"
+        ) and hasattr(mod, "load") and getattr(mod, "load") is orig:
+            mod.load = t.load
+    spark = get_spark(f"scale_probe_{factor}")
+    spark.range(100).selectExpr("sum(id)").collect()
+    out = {}
+    for name in PROBES:
+        t0 = time.time()
+        n = registry.QUERIES[name](spark, SF_DIR).count()
+        out[name] = (round(time.time() - t0, 2), n)
+        print(f"  {factor}x {name}: {n} rows in {out[name][0]}s", file=sys.stderr)
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    registry.load_all_modules()
+    t1 = run(1)
+    tn = run(factor)
+    lines = [
+        "# SCALE — wall-clock under synthetic input scaling\n",
+        f"sf0.1 inputs unioned {factor}× with shifted keys "
+        f"(~{600*factor}k lineitem rows, {5*factor}k docs), local[32].",
+        "A healthy distributed operator's runtime tracks its input+output",
+        "volume. Caveats baked into this probe: the scaled copies are exact",
+        "text duplicates of each other, so the dedup operators' OUTPUT",
+        f"legitimately explodes (each doc gains {factor-1} twins → ~",
+        f"{factor*(factor-1)//2}× more true near-dup pairs per original),",
+        "and join_fuzzy_topk's probe AND candidate sets both grow while the",
+        "block count (nations) stays fixed — at real scale the block key",
+        "grows with the data (state×chamber×…), keeping per-block work",
+        "bounded.\n",
+        f"| query | 1× sec (rows) | {factor}× sec (rows) | time ratio |",
+        "|---|---|---|---|",
+    ]
+    for name in PROBES:
+        (s1, n1), (sn, nn) = t1[name], tn[name]
+        lines.append(
+            f"| {name} | {s1} ({n1}) | {sn} ({nn}) | {sn / max(s1, 0.01):.1f}× |"
+        )
+    with open(os.path.join(os.path.dirname(__file__), "..", "SCALE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote SCALE.md")
+
+
+if __name__ == "__main__":
+    main()
