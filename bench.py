@@ -28,8 +28,11 @@ HEADLINE = [
     "snk_upsert",
     "win_current_role",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "sim_search_topk",
     "text_quality_score",
+    "stream_tumbling_window",
+    "llm_summarize",
     "pipeline_enrich_merge",
 ]
 

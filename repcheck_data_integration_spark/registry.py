@@ -54,6 +54,7 @@ def load_all_modules() -> None:
         textstats,
         multimodal,
         llm,
+        quality,
     )
     from .functions import scalar_queries  # noqa: F401
     from .sources import file_sources  # noqa: F401
