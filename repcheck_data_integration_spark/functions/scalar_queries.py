@@ -158,7 +158,10 @@ def fn_case_try_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
            json_extract_string(substr('~' || props, 2), '$.k') AS pseudo_ref_k,
            to_json({'t': event_type,
                     'k': CAST(json_extract_string(props, '$.k') AS BIGINT)})
-               AS packed_json
+               AS packed_json,
+           ({'t': event_type,
+             'k': CAST(json_extract_string(props, '$.k') AS BIGINT)}).t
+               AS nested_field
     FROM events
     """,
 )
@@ -178,6 +181,11 @@ def fn_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(
             F.struct(F.col("event_type").alias("t"), k_val.alias("k"))
         ).alias("packed_json"),
+        # fn_struct_field: nested access (props['votes_dem'] style,
+        # nytimes_precincts.py:64,72-82)
+        F.struct(F.col("event_type").alias("t"), k_val.alias("k"))["t"].alias(
+            "nested_field"
+        ),
     )
 
 

@@ -57,23 +57,18 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
-    # unpivot the single wide row into one profile row per column
-    row = profiled.collect()[0]
-    out = [
-        (
-            c,
-            row["n_rows"],
-            row[f"{c}__nonnull"],
-            row[f"{c}__distinct"],
-            row[f"{c}__min"],
-            row[f"{c}__max"],
-        )
+    # unpivot the single wide row into one profile row per column — stays on
+    # the executors (stack = zero-shuffle Expand), no driver collect
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nonnull`, `{c}__distinct`, `{c}__min`, `{c}__max`"
         for c in cols
-    ]
-    return spark.createDataFrame(
-        out,
-        "column_name string, n_rows long, n_nonnull long, n_distinct long,"
-        " min_value string, max_value string",
+    )
+    return profiled.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS"
+        " (column_name, n_nonnull, n_distinct, min_value, max_value)",
+        "n_rows",
+    ).select(
+        "column_name", "n_rows", "n_nonnull", "n_distinct", "min_value", "max_value"
     )
 
 
