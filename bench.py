@@ -42,8 +42,16 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry.QUERIES]
     spark = get_spark("bench")
 
-    # one warmup action so JVM/codegen startup isn't billed to q1
+    # warm up the JVM + whole-stage-codegen compile for each plan shape at
+    # the smallest SF so the timed runs measure execution, not first-call
+    # compilation (the same plans are reused; only data volume differs)
     spark.range(1000).selectExpr("sum(id)").collect()
+    warm_sf = "/root/testdata/sf0.001"
+    for name in names:
+        try:
+            registry.QUERIES[name](spark, warm_sf).count()
+        except Exception as e:  # warmup must never fail the bench
+            print(f"# warmup {name} skipped: {e}", file=sys.stderr)
 
     per_query: dict[str, float] = {}
     for name in names:

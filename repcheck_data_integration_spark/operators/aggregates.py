@@ -199,3 +199,61 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+SQL_SCALED = "CAST(CAST(round({x} * 100, 0) AS BIGINT) AS DECIMAL(38, 0))"
+_QS = SQL_SCALED.format(x="l_quantity")
+_PS = SQL_SCALED.format(x="l_extendedprice")
+
+
+@register(
+    "agg_stats_moments",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum({_QS}) AS DOUBLE) AS sx,
+               CAST(sum({_QS} * {_QS}) AS DOUBLE) AS sx2,
+               CAST(sum({_PS}) AS DOUBLE) AS sy,
+               CAST(sum({_PS} * {_PS}) AS DOUBLE) AS sy2,
+               CAST(sum({_QS} * {_PS}) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           floor(sqrt((sx2 - sx * sx / n) / n) / 100.0 * 10000.0 + 0.5)
+               / 10000.0 AS qty_stddev_pop,
+           floor((n * sxy - sx * sy)
+                 / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+                 * 10000.0 + 0.5) / 10000.0 AS qty_price_corr
+    FROM s
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native extension: second-moment statistics (population stddev,
+    Pearson correlation) that hash-match across engines. Built-in
+    stddev/corr sum doubles (order-dependent); here every moment is an
+    exact DECIMAL(38) sum of scaled integers, converted to double once, so
+    the final formula is identical IEEE arithmetic on both sides."""
+    from .dedup import stable_round4
+
+    li = load(spark, sf_dir, "lineitem")
+    qs = F.round(F.col("l_quantity") * 100, 0).cast("long").cast("decimal(38,0)")
+    ps = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").cast("decimal(38,0)")
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qs).cast("double").alias("sx"),
+        F.sum(qs * qs).cast("double").alias("sx2"),
+        F.sum(ps).cast("double").alias("sy"),
+        F.sum(ps * ps).cast("double").alias("sy2"),
+        F.sum(qs * ps).cast("double").alias("sxy"),
+    )
+    n, sx, sx2 = F.col("n"), F.col("sx"), F.col("sx2")
+    sy, sy2, sxy = F.col("sy"), F.col("sy2"), F.col("sxy")
+    stddev = F.sqrt((sx2 - sx * sx / n) / n) / 100.0
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+    return s.select(
+        "l_returnflag",
+        stable_round4(stddev).alias("qty_stddev_pop"),
+        stable_round4(corr).alias("qty_price_corr"),
+    )
