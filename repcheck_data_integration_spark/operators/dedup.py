@@ -130,20 +130,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_cols() -> list[Column]:
-    """k minhash signatures from ONE md5 per shingle: the j-th hash is the
-    j-th 4-hex-char slice of the digest (8 quasi-independent 16-bit hashes)
-    — 8× fewer digest computations than seeded re-hashing, same LSH math.
-    The single md5 is materialized in its own array column first ("shh") so
-    the 8 array_min folds reuse it instead of re-hashing."""
-    return [
-        F.array_min(
-            F.transform(F.col("shh"), lambda h: F.substring(h, 1 + 4 * j, 4))
-        ).alias(f"mh{j}")
-        for j in range(N_MINHASH)
-    ]
-
-
+# k minhash signatures from ONE md5 per shingle: the j-th hash is the j-th
+# 4-hex-char slice of the digest (8 quasi-independent 16-bit hashes) — 8×
+# fewer digest computations than seeded re-hashing, same LSH math. The Spark
+# side computes them via explode + min-aggregate (whole-stage codegen); the
+# oracle states the same mins over the per-shingle digest list.
 def _minhash_sql() -> str:
     return ",\n".join(
         f"list_aggregate(list_transform(shh, h -> substr(h, {1 + 4 * j}, 4)),"

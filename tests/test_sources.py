@@ -72,3 +72,42 @@ def test_git_clone_local(tmp_path):
     assert os.path.isdir(os.path.join(got, ".git"))
     # idempotent: second call reuses the checkout
     assert acquire.git_clone("/root/repo", dest) == dest
+
+
+def test_csv_json_roundtrip_nasty_strings(spark, tmp_path):
+    """Quoting/escaping fidelity: commas, quotes, newlines, unicode and
+    empty strings must survive the csv and json write→read roundtrips."""
+    rows = [
+        (1, 'comma, inside'),
+        (2, 'quote " inside'),
+        (3, 'newline\ninside'),
+        (4, 'unicode é漢字 ok'),
+        (5, ''),
+        (6, None),
+        (7, ' leading and trailing '),
+    ]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    csv_opts = {
+        "header": True,
+        "multiLine": True,
+        # Spark's csv WRITER trims by default — disable to preserve padding
+        "ignoreLeadingWhiteSpace": False,
+        "ignoreTrailingWhiteSpace": False,
+    }
+    for fmt, extra in (("csv", csv_opts), ("json", {})):
+        out = str(tmp_path / fmt)
+        w = df.coalesce(1).write.mode("overwrite")
+        r = spark.read.schema("id long, s string")
+        for k, v in extra.items():
+            w = w.option(k, v)
+            r = r.option(k, v)
+        getattr(w, fmt)(out)
+        back = sorted(
+            ((x["id"], x["s"]) for x in getattr(r, fmt)(out).collect()),
+        )
+        expected = sorted(rows)
+        if fmt == "csv":
+            # csv cannot distinguish null from empty string; normalize both
+            back = [(i, s or None) for i, s in back]
+            expected = [(i, s or None) for i, s in expected]
+        assert back == expected, fmt
