@@ -93,3 +93,25 @@ def llm_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         run_batch, schema="doc_id long, summary string, n_tokens long"
     )
+
+
+# SURVEY §2.10 registers these capabilities under llm_* op ids; the full
+# implementations live in dedup.py / similarity.py / textstats.py (see
+# COVERAGE.md). Registered here under the §2.10 names as well so the
+# inventory check is 1:1 — same callables, same oracles.
+def _alias(new: str, existing: str) -> None:
+    from ..registry import ORACLE, QUERIES, register
+
+    fn = QUERIES[existing]
+    register(new, ORACLE.get(existing))(fn)
+
+
+def _register_llm_aliases() -> None:
+    from . import dedup, similarity, textstats  # noqa: F401
+
+    _alias("llm_dedup_minhash", "dedup_minhash_lsh")
+    _alias("llm_sim_search", "sim_search_topk")
+    _alias("llm_text_stats", "text_quality_score")
+
+
+_register_llm_aliases()
