@@ -1,0 +1,230 @@
+"""Temporal operators: as-of join and SCD2 dimension maintenance.
+
+Neither exists natively in Spark (pyspark guide 'Common OLAP patterns'); both
+are staples of the ETL surface this engine targets.
+
+- **as-of join**: for each left row, the most recent right row with
+  right.ts <= left.ts within the same key. Implemented as union → single
+  window (last_value ignore-nulls over the interleaved timeline) — one
+  shuffle on the key, no per-group pandas, no range explosion. This is the
+  scalable form of pandas.merge_asof.
+- **SCD2 apply**: fold a batch of keyed updates into a
+  slowly-changing-dimension table with [valid_from, valid_to) intervals and
+  an is_current flag — the temporal upgrade of snk_upsert (the reference
+  overwrites history; database.py:52-73).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+HIGH_DATE = "9999-12-31 00:00:00"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tie_col: str,
+) -> DataFrame:
+    """left + (for each left row) the latest right row with
+    right_ts <= left_ts, matched within ``by``. ``tie_col`` orders
+    same-timestamp rows deterministically (right rows sort before left rows
+    at equal ts, so an exactly-simultaneous right row IS visible)."""
+    lt = left.select(
+        F.col(by).alias("__by"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_probe"),
+        F.col(tie_col).alias("__tie"),
+        F.struct(*left.columns).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    rt = right.select(
+        F.col(by).alias("__by"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_probe"),
+        F.col(tie_col).alias("__tie"),
+        F.lit(None).cast(lt.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    w = (
+        W.partitionBy("__by")
+        .orderBy("__ts", "__is_probe", "__tie")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = lt.unionByName(rt).select(
+        "__is_probe",
+        "__l",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    probes = carried.filter(F.col("__is_probe") == 1)
+    return probes.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"asof_{c}") for c in value_cols],
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH probes AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_id % 10 = 0),
+    refs AS (
+        SELECT event_id AS ref_event_id, user_id, ts, value
+        FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           (SELECT r.value FROM refs r
+            WHERE r.user_id = p.user_id AND r.ts <= p.ts
+            ORDER BY r.ts DESC, r.ref_event_id DESC LIMIT 1) AS asof_value
+    FROM probes p
+    """,
+)
+def join_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join demo: every 10th event looks up the user's most recent
+    'click' value at-or-before its timestamp. The oracle states it as a
+    correlated top-1 subquery; the engine runs the union-window form (one
+    shuffle, no correlation)."""
+    e = load(spark, sf_dir, "events")
+    probes = e.filter(F.col("event_id") % 10 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    refs = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", F.col("event_id").alias("ref_tie")
+    )
+    out = asof_join(
+        probes.withColumn("__probe_tie", F.col("event_id")),
+        refs.withColumnRenamed("ref_tie", "__probe_tie"),
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        tie_col="__probe_tie",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("asof_value").alias("asof_value")
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    effective_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Fold keyed updates into an SCD2 dimension.
+
+    ``dim``: (key, compare_cols..., valid_from, valid_to, is_current).
+    ``updates``: (key, compare_cols..., effective_col).
+    Changed/new keys close the current row at the update's effective time
+    and open a new current row; unchanged keys pass through untouched.
+    """
+    upd = updates.select(
+        F.col(key),
+        *[F.col(c) for c in compare_cols],
+        F.col(effective_col).alias("__eff"),
+    )
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current"))
+
+    changed_cond = F.lit(False)
+    for c in compare_cols:
+        changed_cond = changed_cond | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
+
+    joined = cur.alias("cur").join(upd.alias("upd"), key, "full_outer")
+    # rows whose current version survives (no update, or identical update)
+    untouched = joined.filter(
+        F.col("__eff").isNull() | ~changed_cond
+    ).select(*[F.col(f"cur.{c}") for c in dim.columns])
+    # close the superseded versions
+    closed = (
+        joined.filter(F.col("__eff").isNotNull() & changed_cond)
+        .filter(F.col("cur.valid_from").isNotNull())
+        .select(
+            F.col(f"cur.{key}").alias(key),
+            *[F.col(f"cur.{c}").alias(c) for c in compare_cols],
+            F.col("cur.valid_from").alias("valid_from"),
+            F.col("__eff").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    # open the new current versions (changed or brand-new keys)
+    opened = (
+        joined.filter(F.col("__eff").isNotNull() & changed_cond)
+        .select(
+            F.coalesce(F.col(f"upd.{key}"), F.col(f"cur.{key}")).alias(key),
+            *[F.col(f"upd.{c}").alias(c) for c in compare_cols],
+            F.col("__eff").alias("valid_from"),
+            F.lit(HIGH_DATE).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return (
+        hist.unionByName(untouched)
+        .unionByName(closed.select(*dim.columns))
+        .unionByName(opened.select(*dim.columns))
+    )
+
+
+@register(
+    "snk_scd2",
+    oracle=f"""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment,
+               TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+               TIMESTAMP '{HIGH_DATE}' AS valid_to,
+               true AS is_current
+        FROM customer),
+    upd AS (
+        SELECT c_custkey, 'PIVOTED' AS c_mktsegment,
+               TIMESTAMP '2025-06-01 00:00:00' AS eff
+        FROM customer WHERE c_custkey % 5 = 0),
+    joined AS (SELECT d.*, u.c_mktsegment AS u_seg, u.eff
+               FROM dim d LEFT JOIN upd u USING (c_custkey)),
+    untouched AS (
+        SELECT c_custkey, c_mktsegment, valid_from, valid_to, is_current
+        FROM joined WHERE eff IS NULL OR u_seg = c_mktsegment),
+    closed AS (
+        SELECT c_custkey, c_mktsegment, valid_from, eff AS valid_to,
+               false AS is_current
+        FROM joined WHERE eff IS NOT NULL AND u_seg <> c_mktsegment),
+    opened AS (
+        SELECT c_custkey, u_seg AS c_mktsegment, eff AS valid_from,
+               TIMESTAMP '{HIGH_DATE}' AS valid_to, true AS is_current
+        FROM joined WHERE eff IS NOT NULL AND u_seg <> c_mktsegment)
+    SELECT * FROM untouched UNION ALL
+    SELECT * FROM closed UNION ALL
+    SELECT * FROM opened
+    """,
+)
+def snk_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 demo: every 5th customer's segment changes effective 2025-06-01 —
+    the old version closes, a new current version opens, everyone else
+    passes through."""
+    c = load(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(HIGH_DATE).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("PIVOTED").alias("c_mktsegment"),
+        F.lit("2025-06-01 00:00:00").cast("timestamp").alias("eff"),
+    )
+    return scd2_apply(
+        dim, upd, key="c_custkey", effective_col="eff",
+        compare_cols=["c_mktsegment"],
+    )

@@ -55,6 +55,7 @@ def load_all_modules() -> None:
         multimodal,
         llm,
         quality,
+        temporal,
     )
     from .functions import scalar_queries  # noqa: F401
     from .sources import file_sources  # noqa: F401

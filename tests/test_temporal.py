@@ -1,0 +1,82 @@
+"""Edge-case tests for the temporal operators (as-of join, SCD2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from repcheck_data_integration_spark.operators.temporal import (
+    HIGH_DATE,
+    asof_join,
+    scd2_apply,
+)
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u", ts("2024-01-01T10:00:00")),  # after r1
+            (2, "u", ts("2024-01-01T12:00:00")),  # exactly at r2 → sees r2
+            (3, "u", ts("2024-01-01T08:00:00")),  # before everything → null
+            (4, "v", ts("2024-01-01T23:00:00")),  # other key isolation
+        ],
+        ["id", "k", "t"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, "u", ts("2024-01-01T09:00:00"), 1.0),
+            (101, "u", ts("2024-01-01T12:00:00"), 2.0),
+            (102, "v", ts("2024-01-01T09:30:00"), 9.0),
+        ],
+        ["rid", "k", "t", "val"],
+    )
+    out = asof_join(
+        left.withColumn("__tie", F.col("id")),
+        right.withColumnRenamed("rid", "__tie"),
+        by="k",
+        left_ts="t",
+        right_ts="t",
+        value_cols=["val"],
+        tie_col="__tie",
+    )
+    got = {r["id"]: r["asof_val"] for r in out.collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: None, 4: 9.0}
+
+
+def test_scd2_new_changed_unchanged(spark):
+    high = ts(HIGH_DATE.replace(" ", "T"))
+    t0, t1 = ts("2020-01-01T00:00:00"), ts("2025-01-01T00:00:00")
+    dim = spark.createDataFrame(
+        [
+            ("a", "red", t0, high, True),
+            ("b", "blue", t0, high, True),
+            ("b", "green", ts("2015-01-01T00:00:00"), t0, False),  # history
+        ],
+        ["id", "color", "valid_from", "valid_to", "is_current"],
+    )
+    upd = spark.createDataFrame(
+        [
+            ("a", "red", t1),      # unchanged → untouched
+            ("b", "yellow", t1),   # changed → close + open
+            ("c", "black", t1),    # brand new key → open only
+        ],
+        ["id", "color", "eff"],
+    )
+    out = scd2_apply(dim, upd, key="id", effective_col="eff",
+                     compare_cols=["color"])
+    rows = {(r["id"], r["color"]): r for r in out.collect()}
+    assert out.count() == 5
+    assert rows[("a", "red")]["is_current"] and rows[("a", "red")]["valid_to"] == high
+    assert not rows[("b", "blue")]["is_current"]
+    assert rows[("b", "blue")]["valid_to"] == t1  # closed at effective time
+    assert rows[("b", "yellow")]["is_current"]
+    assert rows[("b", "yellow")]["valid_from"] == t1
+    assert rows[("c", "black")]["is_current"]
+    # exactly one current row per live key
+    cur = out.filter("is_current").groupBy("id").count().collect()
+    assert all(r["count"] == 1 for r in cur)
