@@ -1,0 +1,124 @@
+"""Graph-shaped operators over edge tables.
+
+The reference's graph is the person↔area edge table
+(/root/reference/scripts/database/models.py:8-13, built by
+zip_code_overlap.py). The relational engine answers traversal queries with
+self-joins over the edge list — here the canonical 2-hop pattern, plus
+degree statistics. At 100 TB the edge table is bucketed by the join
+endpoint so hops are co-located joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer—supplier edges derived from purchases (distinct pairs) —
+    the person_area analogue on the fixture schema."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+
+
+@register(
+    "graph_degree",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT supp, count(*) AS degree
+    FROM edges GROUP BY supp
+    """,
+)
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-degree profile (how many customers touch each supplier) — the
+    skew diagnostic you run before traversals."""
+    return _edges(spark, sf_dir).groupBy("supp").agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+@register(
+    "graph_two_hop",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT a.cust AS cust1, b.cust AS cust2,
+           count(*) AS n_shared_suppliers
+    FROM edges a JOIN edges b ON a.supp = b.supp AND a.cust < b.cust
+    GROUP BY a.cust, b.cust
+    HAVING count(*) >= 30
+    """,
+)
+def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop traversal: customer pairs connected through ≥30 shared
+    suppliers (co-purchase similarity). One self-join on the hop node +
+    hash aggregate — the same explode-join shape as the n-gram jaccard
+    verify, because 2-hop counting IS set intersection by another name."""
+    e = _edges(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.supp") == F.col("b.supp"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(
+            F.col("a.cust").alias("cust1"), F.col("b.cust").alias("cust2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_suppliers"))
+        .filter(F.col("n_shared_suppliers") >= 30)
+    )
+
+
+@register(
+    "agg_reaggregate",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS DOUBLE)
+               AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def agg_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compositional aggregation: the daily rollup computed FROM the hourly
+    rollup (counts summed, scaled-int partial sums merged) must equal the
+    daily computed from raw — the algebraic property incremental
+    materialized views depend on. The oracle computes daily directly; the
+    engine goes raw → hourly → daily."""
+    e = load(spark, sf_dir, "events")
+    scaled = F.round(F.col("value") * 100, 0).cast("long")
+    hourly = (
+        e.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(scaled).alias("sum_scaled"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            (F.floor(F.col("hour_start") / 86400) * 86400)
+            .cast("long")
+            .alias("day_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            (F.sum("sum_scaled") / 100.0).cast("double").alias("total_value"),
+        )
+    )

@@ -56,6 +56,7 @@ def load_all_modules() -> None:
         llm,
         quality,
         temporal,
+        graph,
     )
     from .functions import scalar_queries  # noqa: F401
     from .sources import file_sources  # noqa: F401
