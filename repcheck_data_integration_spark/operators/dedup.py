@@ -434,3 +434,70 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("__cos") >= COSINE_THRESHOLD).select(
         "vec1", "vec2", stable_round4(F.col("__cos")).alias("cosine_sim")
     )
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc1", dst: str = "doc2", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected pair graph by iterative
+    min-label propagation: each node repeatedly adopts the smallest label in
+    its neighborhood until fixpoint. Converges in O(diameter) rounds —
+    near-dup clusters are shallow, so a handful of joins. Returns
+    (node, component) where component = min node id in the cluster.
+
+    This is the step that turns pairwise dedup output into canonical
+    groups (keep min-id per component, drop the rest). Iterative → no SQL
+    oracle; invariants are unit-tested on known cluster shapes."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+@register("dedup_components")
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical near-dup clusters: MinHash-LSH pairs → connected
+    components → (doc_id, canonical_doc_id). rows-only (iterative)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical_doc_id")
+    ).orderBy("doc_id")

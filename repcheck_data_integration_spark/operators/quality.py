@@ -115,3 +115,28 @@ def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("fk_customer").alias("constraint_name"), "n_violations")
     )
     return pk.unionByName(domain).unionByName(rng).unionByName(fk)
+
+
+@register(
+    "sample_deterministic",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100 < 10
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by hashing the key (md5 bucket), not rand():
+    the same rows are selected on every engine, every run, at every
+    parallelism — the only kind of sample that composes across a 100 TB
+    pipeline (joins between sampled tables stay consistent). Spark's
+    sample() and DuckDB's USING SAMPLE are both engine-local RNGs and can
+    never agree."""
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return o.filter(bucket < 10).select("o_orderkey", "o_custkey", "o_totalprice")

@@ -153,3 +153,19 @@ def test_merge_upsert_rejects_null_keys(spark):
     source = spark.createDataFrame([(None, 2), ("b", 3)], ["id", "val"])
     with pytest.raises(ValueError, match="NULL merge key"):
         merge_upsert(target, source, keys=["id"], preserve=()).collect()
+
+
+def test_connected_components_known_clusters(spark):
+    from repcheck_data_integration_spark.operators.dedup import connected_components
+
+    # two chains and a triangle: {1-2-3-4}, {10-11}, {20-21-22 triangle}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["doc1", "doc2"],
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
