@@ -113,10 +113,26 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int]:
     return 16 + h[0] % 240, 16 + h[1] % 240
 
 
-@register("mm_decode_stub")
+@register(
+    "mm_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           16 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 240
+               AS width,
+           16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) % 240
+               AS height,
+           (16 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 240)
+           * (16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) % 240)
+               AS n_pixels
+    FROM documents
+    """,
+)
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over mapInPandas with the deterministic fake
-    kernel (rows-only; kernel swap-in point documented in decode_image)."""
+    kernel (swap-in point for a real decoder documented in decode_image).
+    Because the fake derives dimensions from the payload md5, even this
+    Python kernel is oracle-checkable — the SQL twin recomputes the same
+    digest bytes."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
