@@ -67,13 +67,18 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cell_centroids(e: DataFrame) -> DataFrame:
     """Element-wise mean embedding per cell (label) — one explode + groupBy,
-    the distributed equivalent of a coarse-quantizer codebook."""
+    the distributed equivalent of a coarse-quantizer codebook. Means are
+    exact scaled-integer sums (order-independent), so the codebook — and
+    therefore the whole IVF search — is deterministic and oracle-checkable."""
     pos = e.select(
         "label", F.posexplode("embedding").alias("pos", "v")
     )
+    scaled = F.round(F.col("v").cast("double") * 1000000, 0).cast("long")
     return (
         pos.groupBy("label", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .agg(
+            (F.sum(scaled) * 1.0 / 1000000 / F.count(F.lit(1))).alias("m")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(
@@ -82,12 +87,47 @@ def cell_centroids(e: DataFrame) -> DataFrame:
     )
 
 
-@register("sim_search_ivf")
+@register(
+    "sim_search_ivf",
+    oracle=f"""
+    WITH pos AS (
+        SELECT label, i AS pos, embedding[i] AS v
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+    cent AS (
+        SELECT label, pos,
+               sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))
+                   * 1.0 / 1000000 / count(*) AS m
+        FROM pos GROUP BY label, pos),
+    centlist AS (
+        SELECT label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY label),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    qc AS (
+        SELECT query_id, q_emb, label,
+               {sql_cosine('q_emb', 'centroid')} AS cent_cos
+        FROM q, centlist),
+    probed AS (
+        SELECT query_id, q_emb, label FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cent_cos DESC, label) AS rn
+            FROM qc) WHERE rn <= 3),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS cand_id,
+               {sql_cosine('p.q_emb', 'c.embedding')} AS cos
+        FROM probed p JOIN embeddings c
+          ON c.label = p.label AND c.vec_id <> p.query_id)
+    SELECT query_id, cand_id, {{0}} AS cosine_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cand_id) AS rn
+        FROM scored) WHERE rn <= {TOP_K}
+    """.format(sql_stable_round4("cos")),
+)
 def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: score each query against the cell
     centroids, probe the best 3 cells, brute-force only inside them.
-    rows-only (approximate by design); recall vs sim_search_topk is
-    asserted in tests/test_similarity.py."""
+    Approximate relative to sim_search_topk (recall asserted in
+    tests/test_similarity.py) yet fully deterministic — the exact-mean
+    codebook makes even the approximate path oracle-checkable."""
     e = load(spark, sf_dir, "embeddings")
     cents = cell_centroids(e)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
