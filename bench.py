@@ -33,6 +33,10 @@ HEADLINE = [
     "text_quality_score",
     "stream_tumbling_window",
     "llm_summarize",
+    "join_asof",
+    "snk_scd2",
+    "win_grouped_zscore",
+    "agg_stats_moments",
     "pipeline_enrich_merge",
 ]
 
