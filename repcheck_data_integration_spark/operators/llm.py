@@ -25,6 +25,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
@@ -115,3 +116,69 @@ def _register_llm_aliases() -> None:
 
 
 _register_llm_aliases()
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars, text,
+               regexp_extract_all(text, '[a-z0-9]+') AS t
+        FROM documents),
+    scored AS (
+        SELECT doc_id, lang, n_chars,
+               len(t) AS n_tokens,
+               md5(text) AS content_hash,
+               CASE WHEN len(t) = 0 THEN 0.0
+                    ELSE len(list_filter(t, x -> x IN ('the','a','of','and',
+                                                       'to','in'))) * 1.0
+                         / len(t) END AS stopword_ratio
+        FROM toks),
+    kept AS (
+        SELECT * FROM scored
+        WHERE n_tokens BETWEEN 20 AND 1000
+          AND lang IN ('en', 'de', 'fr', 'es')
+          AND stopword_ratio >= 0.0),
+    canonical AS (
+        SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS canon
+        FROM kept)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, content_hash
+    FROM canonical WHERE doc_id = canon
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star flow composed end-to-end in ONE plan: tokenize → quality
+    gates (length bounds, language keep-list, stopword floor) → exact-dedup
+    keep-lowest-id — the batch curation pass a training-data pipeline runs
+    before the near-dup (MinHash) and semantic (cosine) stages. Single scan,
+    one window; at 100 TB the only shuffle is the content-hash partition."""
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import tokens
+    from ..operators.textstats import STOPWORDS
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.withColumn("t", tokens(F.col("text")))
+    n = F.size("t")
+    sw = F.when(n == 0, 0.0).otherwise(
+        F.size(F.filter(F.col("t"), lambda x: x.isin(*STOPWORDS))) * 1.0 / n
+    )
+    scored = toks.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        F.md5("text").alias("content_hash"),
+        sw.alias("stopword_ratio"),
+    )
+    kept = scored.filter(
+        F.col("n_tokens").between(20, 1000)
+        & F.col("lang").isin("en", "de", "fr", "es")
+        & (F.col("stopword_ratio") >= 0.0)
+    )
+    canon = kept.withColumn(
+        "canon", F.min("doc_id").over(W.partitionBy("content_hash"))
+    )
+    return canon.filter(F.col("doc_id") == F.col("canon")).select(
+        "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "content_hash",
+    )

@@ -120,3 +120,61 @@ def test_stateful_running_totals(spark, events_stream_dir):
         assert got[u][0] == n, u
         assert abs(got[u][1] - v) < 0.05, u
     q.stop()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two availableNow runs over one checkpoint: batch 1 advances the
+    watermark past 12:00; batch 2 delivers an event from 00:01 — it must be
+    dropped, while an in-watermark event is aggregated."""
+    import datetime as dt
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+
+    def write_batch(rows, name):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once(qname):
+        stream = stream_ops.read_events_stream(spark, src)
+        q = (
+            stream_ops.tumbling_counts(stream, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    write_batch(
+        [(1, t(0, 1), 1, "click", 1.0, "{}"), (2, t(12, 0), 1, "click", 1.0, "{}")],
+        "b1",
+    )
+    run_once("w1")
+    # late arrival: 00:01 is far behind the 12:00-10min watermark → dropped;
+    # 11:58 is within the last open window → counted
+    write_batch(
+        [(3, t(0, 1), 2, "click", 1.0, "{}"), (4, t(11, 58), 2, "click", 1.0, "{}")],
+        "b2",
+    )
+    run_once("w2")
+    # flush remaining open windows by advancing the watermark far ahead
+    write_batch([(5, t(23, 0), 3, "click", 1.0, "{}")], "b3")
+    run_once("w3")
+
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    early_window = int(t(0, 0).replace(tzinfo=dt.timezone.utc).timestamp())
+    noon_window = int(t(11, 50).replace(tzinfo=dt.timezone.utc).timestamp())
+    # event 1 counted before watermark passed; late event 3 NOT added
+    assert got.get((early_window, "click")) == 1
+    # event 4 arrived within watermark → counted
+    assert got.get((noon_window, "click")) == 1
