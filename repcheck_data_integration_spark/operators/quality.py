@@ -117,6 +117,96 @@ def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pk.unionByName(domain).unionByName(rng).unionByName(fk)
 
 
+BIN_W = 5000.0
+
+
+@register(
+    "dq_histogram",
+    oracle=f"""
+    SELECT CAST(floor(l_extendedprice / {BIN_W}) AS BIGINT) AS bin,
+           CAST(CAST(floor(l_extendedprice / {BIN_W}) AS BIGINT) * {BIN_W}
+                AS DOUBLE) AS bin_lo,
+           count(*) AS n,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def dq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram in one hash aggregation — the profiling
+    primitive for range partitioning decisions and skew detection. The bin
+    id is a pure projection so the aggregate gets full map-side partial
+    combine; min/max per bin are exact (no summation, no rounding)."""
+    li = load(spark, sf_dir, "lineitem")
+    b = F.floor(F.col("l_extendedprice") / BIN_W).cast("long")
+    return li.groupBy(
+        b.alias("bin"), (b * BIN_W).alias("bin_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "dq_outliers_mad",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        FROM lineitem GROUP BY l_returnflag),
+    mad AS (
+        SELECT l.l_returnflag,
+               quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+        FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+        GROUP BY l.l_returnflag)
+    SELECT l.l_returnflag,
+           floor(m.med * 10000.0 + 0.5) / 10000.0 AS median_price,
+           floor(d.mad * 10000.0 + 0.5) / 10000.0 AS mad_price,
+           CAST(count(*) FILTER (
+               WHERE abs(l.l_extendedprice - m.med) > 3.0 * d.mad) AS BIGINT)
+               AS n_outliers
+    FROM lineitem l
+    JOIN med m ON l.l_returnflag = m.l_returnflag
+    JOIN mad d ON l.l_returnflag = d.l_returnflag
+    GROUP BY 1, 2, 3
+    """,
+)
+def dq_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median absolute deviation, then
+    count of points beyond 3×MAD. Two exact-percentile aggregations plus a
+    counting pass — all three shuffle on the same group key, so Spark
+    reuses the partitioning. Exact interpolated percentiles match DuckDB's
+    quantile_cont bit-for-bit (same linear interpolation on sorted
+    doubles); the 3×MAD comparison therefore agrees too."""
+    from .dedup import stable_round4
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+    )
+    with_med = li.join(med, "l_returnflag")
+    mad = with_med.groupBy("l_returnflag").agg(
+        F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5))
+        .alias("mad")
+    )
+    return (
+        with_med.join(mad, "l_returnflag")
+        .groupBy(
+            "l_returnflag",
+            stable_round4(F.col("med")).alias("median_price"),
+            stable_round4(F.col("mad")).alias("mad_price"),
+        )
+        .agg(
+            F.count_if(
+                F.abs(F.col("l_extendedprice") - F.col("med"))
+                > 3.0 * F.col("mad")
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+
+
 @register(
     "sample_deterministic",
     oracle="""

@@ -192,3 +192,102 @@ def sim_search_dot_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round4(sq).alias("sq_norm"),
         stable_round4(F.sqrt(sq)).alias("l2_norm"),
     )
+
+
+@register(
+    "ml_kmeans_refine",
+    oracle=f"""
+    WITH pos AS (
+        SELECT label, i AS pos, embedding[i] AS v
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+    cent AS (
+        SELECT label, pos,
+               sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))
+                   * 1.0 / 1000000 / count(*) AS m
+        FROM pos GROUP BY label, pos),
+    centlist AS (
+        SELECT label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY label),
+    ac AS (
+        SELECT e.vec_id, e.embedding, c.label, c.centroid,
+               {sql_cosine('e.embedding', 'c.centroid')} AS cos
+        FROM embeddings e, centlist c),
+    assign AS (
+        SELECT vec_id, embedding, label AS cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, label) AS rn
+            FROM ac) WHERE rn = 1),
+    npos AS (
+        SELECT cluster, i AS pos, embedding[i] AS v
+        FROM assign, unnest(generate_series(1, len(embedding))) AS u(i)),
+    ncent AS (
+        SELECT cluster, pos,
+               sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))
+                   * 1.0 / 1000000 / count(*) AS m
+        FROM npos GROUP BY cluster, pos),
+    ncentlist AS (
+        SELECT cluster, list(m ORDER BY pos) AS ncentroid
+        FROM ncent GROUP BY cluster),
+    members AS (SELECT cluster, count(*) AS n_members FROM assign
+                GROUP BY cluster)
+    SELECT m.cluster, CAST(m.n_members AS BIGINT) AS n_members,
+           {sql_stable_round4(
+               "sqrt(" + "list_aggregate(list_transform("
+               "generate_series(1, len(n.ncentroid)),"
+               " i -> n.ncentroid[i]::DOUBLE * n.ncentroid[i]::DOUBLE),"
+               " 'sum')" + ")")} AS centroid_l2,
+           {sql_stable_round4(sql_cosine('o.centroid', 'n.ncentroid'))}
+               AS drift_cos
+    FROM members m
+    JOIN ncentlist n ON n.cluster = m.cluster
+    JOIN centlist o ON o.label = m.cluster
+    """,
+)
+def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means, fully deterministic and therefore
+    oracle-checkable — the pattern that makes ITERATIVE algorithms safe on
+    this engine: (1) seed the codebook with the exact-mean label centroids
+    (cell_centroids), (2) assign every vector to its nearest centroid by
+    cosine (ties broken by label), (3) recompute centroids as exact
+    scaled-integer element-wise means. Reports per cluster: member count,
+    new-centroid L2 norm, and cosine drift between old and new centroid
+    (1.0 = converged). Each iteration is one broadcast join + two hash
+    aggregations — the loop-until-converged driver repeats this plan, and
+    at 100 TB the codebook stays broadcast-sized (k × dim) while the data
+    never re-shuffles."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = cell_centroids(e)
+    ac = e.select("vec_id", "embedding").join(F.broadcast(cents))
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("label"))
+    assign = (
+        ac.select(
+            "vec_id",
+            "embedding",
+            "label",
+            cosine(F.col("embedding"), F.col("centroid")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("label").alias("cluster"))
+    )
+    ncents = cell_centroids(
+        assign.select(F.col("cluster").alias("label"), "embedding")
+    ).select(F.col("label").alias("cluster"), F.col("centroid").alias("ncentroid"))
+    members = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    nc = F.col("ncentroid")
+    return (
+        members.join(ncents, "cluster")
+        .join(
+            F.broadcast(cents).select(
+                F.col("label").alias("cluster"), F.col("centroid")
+            ),
+            "cluster",
+        )
+        .select(
+            "cluster",
+            "n_members",
+            stable_round4(F.sqrt(dot_double(nc, nc))).alias("centroid_l2"),
+            stable_round4(cosine(F.col("centroid"), nc)).alias("drift_cos"),
+        )
+    )

@@ -228,3 +228,78 @@ def snk_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim, upd, key="c_custkey", effective_col="eff",
         compare_cols=["c_mktsegment"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed interval range join
+# ---------------------------------------------------------------------------
+
+BUCKET_SECS = 7 * 86400  # one-week join buckets
+
+
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``start_ts <= point_ts <= end_ts`` — WITHOUT the naive cross-join a
+    theta-join degenerates to. Both sides get a coarse time-bucket key
+    (intervals explode to one row per overlapped bucket, points to exactly
+    one), the join becomes an equi-join on the bucket + an exact range
+    refinement, and each qualifying (point, interval) pair appears exactly
+    once because the point lives in a single bucket.
+
+    This is the 1-D sibling of the spatial grid join
+    (operators/spatial.py): shuffle cost scales with interval length /
+    bucket width, not |points| × |intervals|. Pick ``BUCKET_SECS`` ≈ the
+    typical interval length so most intervals expand to 1-2 buckets.
+    """
+    bucket = lambda c: F.floor(F.unix_timestamp(F.col(c)) / BUCKET_SECS)  # noqa: E731
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(F.sequence(bucket(start_ts), bucket(end_ts))),
+    )
+    pb = points.withColumn("__bucket", bucket(point_ts))
+    return pb.join(ib, "__bucket").filter(
+        F.col(point_ts).between(F.col(start_ts), F.col(end_ts))
+    ).drop("__bucket")
+
+
+@register(
+    "join_range_interval",
+    oracle="""
+    WITH iv AS (
+        SELECT o_orderkey AS interval_id, o_orderdate AS start_ts,
+               o_orderdate + (o_orderkey % 30) * INTERVAL 1 DAY AS end_ts
+        FROM orders WHERE o_orderkey % 97 = 0)
+    SELECT iv.interval_id, iv.start_ts, iv.end_ts,
+           count(*) AS n_points
+    FROM iv JOIN lineitem l ON l.l_shipdate BETWEEN iv.start_ts AND iv.end_ts
+    GROUP BY 1, 2, 3
+    """,
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-join demo: ship events counted into sparse variable-length
+    order windows. The oracle states the plain theta range join; the
+    engine runs the bucketed equi-join form (intervals here span 0-29
+    days, so each expands to at most 5 weekly buckets)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    iv = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("interval_id"),
+        F.col("o_orderdate").alias("start_ts"),
+        (
+            F.col("o_orderdate")
+            + F.expr("make_dt_interval(CAST(o_orderkey % 30 AS INT))")
+        ).alias("end_ts"),
+    )
+    pts = li.select(F.col("l_shipdate").alias("pt_ts"))
+    joined = interval_point_join(
+        pts, iv, point_ts="pt_ts", start_ts="start_ts", end_ts="end_ts"
+    )
+    return joined.groupBy("interval_id", "start_ts", "end_ts").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )

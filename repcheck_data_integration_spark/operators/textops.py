@@ -1,0 +1,254 @@
+"""Corpus-level text operators for training-data pipelines (round 2).
+
+Reference seed: the text-cleanup regexes at
+/root/reference/scripts/ai/summarize_bills_federal.py:67-82 (regex
+normalization before LLM consumption) — generalized to the standard
+pre-training corpus passes: PII redaction, repetition signals, TF-IDF
+term weighting, vocabulary statistics.
+
+Scale notes (the 100 TB shapes):
+- per-document ops (pii_redact) are single-scan, shuffle-free, fully
+  codegen'd native expressions;
+- corpus ops (repetition, tfidf, vocab) explode to one row per token
+  OCCURRENCE and immediately hash-aggregate to (doc, term) — the partial
+  aggregation happens map-side, so the shuffle carries the *distinct*
+  doc-term pairs (Zipf-compressed), not the raw token stream;
+- the document-frequency join shuffles on term, the natural key; the
+  scalar corpus size joins in via broadcast.
+
+Every regex sticks to the syntax subset where Java regex (Spark) and RE2
+(DuckDB) agree; DuckDB's regexp_replace needs the explicit 'g' flag where
+Spark is global by default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+from .dedup import TOKEN_RE, sql_stable_round4, stable_round4, tokens
+
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               text || ' contact u' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                    || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS raw
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           md5(regexp_replace(regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5,
+           CAST(length(regexp_replace(regexp_replace(raw, '{EMAIL_RE}',
+                                                     '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g')) AS BIGINT)
+               AS redacted_len
+    FROM s
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: find-and-mask emails and phone numbers with
+    native regexp_replace (single scan, no shuffle, no UDF). The fixture
+    text is synthetic word salad, so deterministic fake PII derived from
+    doc_id is appended first — the redaction then has real matches to
+    count and mask on both engines."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or "),
+        (F.col("doc_id") % 900 + 100).cast("string"),
+        F.lit("-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+def term_counts(d: DataFrame) -> DataFrame:
+    """(doc_id, tok, cnt) — one row per DISTINCT doc-term pair. The explode
+    emits the raw occurrence stream but partial hash aggregation collapses
+    it map-side before the shuffle."""
+    return (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_TERM_COUNTS = f"""
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok"""
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH tc AS ({SQL_TERM_COUNTS}),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, tok) AS rn
+        FROM tc),
+    a AS (
+        SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_distinct
+        FROM tc GROUP BY doc_id)
+    SELECT a.doc_id,
+           CAST(a.n_tokens AS BIGINT) AS n_tokens,
+           CAST(a.n_distinct AS BIGINT) AS n_distinct,
+           {sql_stable_round4('a.n_distinct * 1.0 / a.n_tokens')}
+               AS distinct_ratio,
+           r.tok AS top_token,
+           CAST(r.cnt AS BIGINT) AS top_count,
+           {sql_stable_round4('r.cnt * 1.0 / a.n_tokens')} AS top_share
+    FROM a JOIN r ON a.doc_id = r.doc_id AND r.rn = 1
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (the Gopher-style quality filters): distinct-token
+    ratio and most-frequent-token share per document. Both reduce from the
+    (doc, term) count relation in ONE more aggregation — the argmax is a
+    min(struct(-cnt, tok)) single-agg, not a second window pass, so the
+    whole operator is explode → two hash aggregations. Docs with zero
+    tokens vanish (explode of an empty array), matching the SQL unnest."""
+    tc = term_counts(load(spark, sf_dir, "documents"))
+    top = F.min(
+        F.struct((-F.col("cnt")).alias("negc"), F.col("tok").alias("tok"))
+    )
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        top.alias("top"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        stable_round4(F.col("n_distinct") * 1.0 / F.col("n_tokens")).alias(
+            "distinct_ratio"
+        ),
+        F.col("top.tok").alias("top_token"),
+        (-F.col("top.negc")).cast("long").alias("top_count"),
+        stable_round4(-F.col("top.negc") * 1.0 / F.col("n_tokens")).alias(
+            "top_share"
+        ),
+    )
+
+
+TFIDF_TOP = 3
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH tc AS ({SQL_TERM_COUNTS}),
+    df AS (SELECT tok, count(*) AS doc_freq FROM tc GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    s AS (
+        SELECT tc.doc_id, tc.tok AS term,
+               {sql_stable_round4(
+                   'tc.cnt * ln((n.n_docs + 1.0) / (df.doc_freq + 1.0))')}
+                   AS tfidf
+        FROM tc JOIN df ON tc.tok = df.tok CROSS JOIN n)
+    SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM s)
+    WHERE rn <= {TFIDF_TOP}
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-{TFIDF_TOP} terms per document: tf from the (doc, term)
+    counts, df from one more aggregation of the same relation, idf =
+    ln((N+1)/(df+1)) with the corpus size broadcast in as a 1-row frame.
+    Ranking happens on the stable-rounded score on BOTH engines so rank
+    and emitted value can never disagree. The df join shuffles on term —
+    the natural co-location key for inverted-index workloads."""
+    d = load(spark, sf_dir, "documents")
+    tc = term_counts(d)
+    df = tc.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tc.join(df, "tok")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            stable_round4(
+                F.col("cnt")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0))
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP)
+        .select("doc_id", "term", "tfidf", F.col("rn").cast("int").alias("rk"))
+    )
+
+
+VOCAB_TOP = 100
+
+
+@register(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH tc AS ({SQL_TERM_COUNTS}),
+    v AS (
+        SELECT tok AS term, sum(cnt) AS total_count, count(*) AS doc_freq
+        FROM tc GROUP BY tok)
+    SELECT CAST(rn AS INT) AS rank, term,
+           CAST(total_count AS BIGINT) AS total_count,
+           CAST(doc_freq AS BIGINT) AS doc_freq
+    FROM (SELECT *, row_number() OVER (ORDER BY total_count DESC, term) AS rn
+          FROM v)
+    WHERE rn <= {VOCAB_TOP}
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-{VOCAB_TOP} terms by total
+    occurrence count (vocabulary pruning / tokenizer-training feed). The
+    global top-k window runs over the already-aggregated vocabulary — a
+    Zipf-compressed relation orders of magnitude smaller than the corpus —
+    so the single-partition final sort is over term counts, never rows.
+    At 100 TB scale swap the window for a TakeOrderedAndProject (orderBy +
+    limit) if the vocabulary itself outgrows one partition."""
+    tc = term_counts(load(spark, sf_dir, "documents"))
+    v = tc.groupBy(F.col("tok").alias("term")).agg(
+        F.sum("cnt").alias("total_count"), F.count(F.lit(1)).alias("doc_freq")
+    )
+    w = W.orderBy(F.col("total_count").desc(), F.col("term"))
+    return (
+        v.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= VOCAB_TOP)
+        .select(
+            F.col("rn").cast("int").alias("rank"),
+            "term",
+            F.col("total_count").cast("long").alias("total_count"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+        )
+    )

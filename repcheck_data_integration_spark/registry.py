@@ -57,6 +57,7 @@ def load_all_modules() -> None:
         quality,
         temporal,
         graph,
+        textops,
     )
     from .functions import scalar_queries  # noqa: F401
     from .sources import file_sources  # noqa: F401

@@ -80,3 +80,37 @@ def test_scd2_new_changed_unchanged(spark):
     # exactly one current row per live key
     cur = out.filter("is_current").groupBy("id").count().collect()
     assert all(r["count"] == 1 for r in cur)
+
+
+def test_interval_point_join_edges(spark):
+    """Boundary inclusion (start and end are both IN), bucket-spanning
+    intervals, and points outside every interval."""
+    from repcheck_data_integration_spark.operators.temporal import (
+        interval_point_join,
+    )
+
+    iv = spark.createDataFrame(
+        [
+            # 20-day interval: spans ~4 weekly buckets
+            ("long", ts("2024-01-01T00:00:00"), ts("2024-01-21T00:00:00")),
+            # zero-length interval: only an exact-timestamp point matches
+            ("point", ts("2024-02-01T12:00:00"), ts("2024-02-01T12:00:00")),
+        ],
+        ["interval_id", "s", "e"],
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T00:00:00")),   # == start → in
+            (2, ts("2024-01-21T00:00:00")),   # == end → in (inclusive)
+            (3, ts("2024-01-10T05:00:00")),   # mid → in
+            (4, ts("2024-01-21T00:00:01")),   # 1s past end → out
+            (5, ts("2024-02-01T12:00:00")),   # matches the zero-length one
+            (6, ts("2025-06-06T00:00:00")),   # matches nothing
+        ],
+        ["pid", "t"],
+    )
+    out = interval_point_join(pts, iv, point_ts="t", start_ts="s", end_ts="e")
+    got = sorted((r["pid"], r["interval_id"]) for r in out.collect())
+    assert got == [(1, "long"), (2, "long"), (3, "long"), (5, "point")]
+    # each qualifying pair appears exactly once despite the bucket explode
+    assert len(got) == len(set(got))

@@ -1,0 +1,68 @@
+"""Unit tests for the corpus text operators (textops.py) on hand-built
+documents where the expected statistics are known by inspection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from repcheck_data_integration_spark.operators.textops import (
+    EMAIL_RE,
+    PHONE_RE,
+    term_counts,
+)
+
+
+def test_term_counts_collapses_occurrences(spark):
+    d = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y"), (3, "")], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["tok"]): r["cnt"] for r in term_counts(d).collect()
+    }
+    assert got == {(1, "a"): 3, (1, "b"): 1, (2, "x"): 1, (2, "y"): 1}
+    # doc 3 (no tokens) emits nothing — matches the SQL unnest semantics
+
+
+def test_pii_regexes_mask_and_count(spark):
+    df = spark.createDataFrame(
+        [("reach me at bob.smith+x@mail-host.co or 415-555-0199 now",)],
+        ["s"],
+    )
+    out = df.select(
+        F.regexp_count("s", F.lit(EMAIL_RE)).alias("e"),
+        F.regexp_count("s", F.lit(PHONE_RE)).alias("p"),
+        F.regexp_replace(
+            F.regexp_replace("s", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("red"),
+    ).collect()[0]
+    assert (out["e"], out["p"]) == (1, 1)
+    assert out["red"] == "reach me at <EMAIL> or <PHONE> now"
+
+
+def test_repetition_stats_known_doc(spark, monkeypatch):
+    from repcheck_data_integration_spark.operators import textops
+
+    d = spark.createDataFrame(
+        [(7, "w w w w z q")], ["doc_id", "text"]
+    )  # 6 tokens, 3 distinct, top 'w'x4
+    monkeypatch.setattr(
+        "repcheck_data_integration_spark.operators.textops.load",
+        lambda spark, sf, name: d,
+    )
+    row = textops.text_repetition_stats(spark, "unused").collect()[0]
+    assert row["n_tokens"] == 6 and row["n_distinct"] == 3
+    assert row["top_token"] == "w" and row["top_count"] == 4
+    assert row["distinct_ratio"] == 0.5
+    assert abs(row["top_share"] - 0.6667) < 1e-9
+
+
+def test_repetition_top_token_tiebreak(spark, monkeypatch):
+    from repcheck_data_integration_spark.operators import textops
+
+    d = spark.createDataFrame([(1, "b a b a")], ["doc_id", "text"])
+    monkeypatch.setattr(
+        "repcheck_data_integration_spark.operators.textops.load",
+        lambda spark, sf, name: d,
+    )
+    row = textops.text_repetition_stats(spark, "unused").collect()[0]
+    assert row["top_token"] == "a"  # equal counts → lexicographically first
