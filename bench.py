@@ -37,6 +37,10 @@ HEADLINE = [
     "snk_scd2",
     "win_grouped_zscore",
     "agg_stats_moments",
+    "text_tfidf_topterms",
+    "join_range_interval",
+    "ml_kmeans_refine",
+    "stream_stream_join",
     "pipeline_enrich_merge",
 ]
 

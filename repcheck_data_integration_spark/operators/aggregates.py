@@ -158,6 +158,23 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_percentile")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles — the one-pass mergeable
+    sketch that replaces exact sort-based percentiles at 100 TB. rows-only
+    (sketch cut points are engine-specific); relative-error vs the exact
+    agg_percentile asserted in tests/test_operators.py."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
+            "approx_median_price"
+        ),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(1000)).alias(
+            "approx_p90_price"
+        ),
+    )
+
+
 @register(
     "agg_percentile",
     oracle="""

@@ -25,7 +25,14 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
-from .dedup import cosine, dot_double, sql_cosine, sql_stable_round4, stable_round4
+from .dedup import (
+    SQL_DOT,
+    cosine,
+    dot_double,
+    sql_cosine,
+    sql_stable_round4,
+    stable_round4,
+)
 
 TOP_K = 10
 N_QUERIES = 5  # vec_id < 5 are the probe vectors
@@ -290,4 +297,155 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round4(F.sqrt(dot_double(nc, nc))).alias("centroid_l2"),
             stable_round4(cosine(F.col("centroid"), nc)).alias("drift_cos"),
         )
+    )
+
+
+LSH_PLANES = 6
+LSH_BAND_BITS = 3  # 2 bands × 3 sign bits: candidates share ANY band
+EMB_DIM = 64
+
+_SQL_W = (
+    "list_transform(generate_series(1, {dim}), i -> "
+    "((CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || '_' "
+    "|| CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000) / 1000.0)"
+).format(dim=EMB_DIM)
+
+
+@register(
+    "sim_search_lsh",
+    oracle=f"""
+    WITH planes AS (
+        SELECT h, {_SQL_W} AS w
+        FROM generate_series(0, {LSH_PLANES - 1}) t(h)),
+    bits AS (
+        SELECT e.vec_id, p.h,
+               CASE WHEN {SQL_DOT.format(a='e.embedding', b='p.w')} >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM embeddings e, planes p),
+    bands AS (
+        SELECT vec_id, h // {LSH_BAND_BITS} AS band,
+               sum(bit * (1 << (h % {LSH_BAND_BITS}))) AS band_val
+        FROM bits GROUP BY vec_id, h // {LSH_BAND_BITS}),
+    pairs AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+        FROM bands q
+        JOIN bands c ON c.band = q.band AND c.band_val = q.band_val
+                    AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT p.query_id, p.cand_id,
+               {sql_cosine('eq.embedding', 'ec.embedding')} AS cos
+        FROM pairs p
+        JOIN embeddings eq ON eq.vec_id = p.query_id
+        JOIN embeddings ec ON ec.vec_id = p.cand_id)
+    SELECT query_id, cand_id, {sql_stable_round4('cos')} AS cosine_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN, banded like MinHash-LSH dedup: 6 sign
+    bits over md5-derived pseudo-random hyperplanes, split into 2 bands of
+    3 bits; a corpus vector is a candidate when it matches the query in
+    ANY band (OR-of-ANDs amplification), then exact cosine reranks. The
+    hyperplane weights are deterministic rationals
+    ((md5-hash % 2001 - 1000)/1000), so — like the IVF codebook — the
+    whole approximate path hash-matches the oracle. Scale shape: signature
+    computation is rows × planes (one groupBy on (vec, band)); the
+    candidate join is an equi-join on (band, band_val) — O(bucket size),
+    never O(n²)."""
+    e = load(spark, sf_dir, "embeddings")
+    planes = spark.range(LSH_PLANES).select(
+        F.col("id").cast("int").alias("h"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(EMB_DIM)),
+            lambda i: (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("_", F.col("id"), i)), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2001
+                )
+                - 1000
+            )
+            / 1000.0,
+        ).alias("w"),
+    )
+    bits = (
+        e.select("vec_id", "embedding")
+        .join(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "h",
+            F.when(dot_double(F.col("embedding"), F.col("w")) >= 0, 1)
+            .otherwise(0)
+            .alias("bit"),
+        )
+    )
+    bands = bits.groupBy(
+        "vec_id", F.expr(f"h div {LSH_BAND_BITS}").alias("band")
+    ).agg(
+        F.sum(F.col("bit") * F.expr(f"shiftleft(1, h % {LSH_BAND_BITS})"))
+        .alias("band_val")
+    )
+    qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "band_val"
+    )
+    pairs = (
+        bands.join(F.broadcast(qb), ["band", "band_val"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .distinct()
+    )
+    eq = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    ec = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        pairs.join(F.broadcast(eq), "query_id")
+        .join(ec, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id", "cand_id", stable_round4(F.col("cos")).alias("cosine_sim")
+        )
+    )
+
+
+@register(
+    "emb_normalize",
+    oracle=f"""
+    SELECT vec_id,
+           {sql_stable_round4('sqrt(' + SQL_SQ + ')')} AS l2_norm,
+           list_transform(
+               generate_series(1, len(embedding)),
+               i -> floor(embedding[i]::DOUBLE / sqrt({SQL_SQ})
+                          * 10000.0 + 0.5) / 10000.0) AS unit_vec
+    FROM embeddings
+    """,
+)
+def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize the embedding column (the prerequisite for cosine =
+    dot): per-row array math, shuffle-free, with the norm as a sequential
+    double fold. Elements stable-rounded for the cross-engine hash."""
+    e = load(spark, sf_dir, "embeddings")
+    sq = dot_double(F.col("embedding"), F.col("embedding"))
+    return e.select(
+        "vec_id",
+        stable_round4(F.sqrt(sq)).alias("l2_norm"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") / F.sqrt(sq) * 10000.0 + 0.5)
+            / 10000.0,
+        ).alias("unit_vec"),
     )

@@ -84,3 +84,48 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered demo queries (oracle-backed): the levers as first-class ops
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ..registry import register  # noqa: E402
+from ..tables import load  # noqa: E402
+from .aggregates import SQL_SCALED  # noqa: E402
+
+
+@register(
+    "skew_salted_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(CAST(sum({SQL_SCALED.format(x='l_quantity')}) AS DOUBLE)
+                / 100.0 AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation as a registered op: 3 grouping keys
+    over 600k rows is EXACTLY the hot-key shape (each key lands on one
+    reducer un-salted). The oracle is the plain single-phase aggregate —
+    algebraic aggregates are salt-invariant, which the hash-match proves.
+    Sums ride the scaled-integer path so both phases stay exact."""
+    li = load(spark, sf_dir, "lineitem")
+    scaled = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    out = salted_agg(
+        li.select("l_returnflag", "l_quantity"),
+        keys=["l_returnflag"],
+        aggs={
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "sq": (F.sum(scaled.cast("decimal(38,0)")), F.sum("sq")),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (F.col("sq").cast("double") / 100.0).alias("sum_qty"),
+    )

@@ -58,7 +58,8 @@ def load_all_modules() -> None:
         temporal,
         graph,
         textops,
+        skew,
     )
     from .functions import scalar_queries  # noqa: F401
-    from .sources import file_sources  # noqa: F401
+    from .sources import file_sources, pyds  # noqa: F401
     from .streaming import batch_windows  # noqa: F401

@@ -303,3 +303,67 @@ def write_jdbc_upsert(
         raise NotImplementedError(
             f"JDBC sink needs a reachable server (url={url})"
         ) from e
+
+
+@register(
+    "src_orc_roundtrip",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+    FROM documents
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → scan roundtrip: the second columnar format Spark ships a
+    vectorized reader for (engine-native, same pushdown/pruning surface as
+    parquet). The fixture documents are hashed before writing so the
+    roundtrip proves payload fidelity without bulk text compare."""
+    d = _fixture_dir(sf_dir, "orc")
+    if not _done(d):
+        (
+            load(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                F.md5("text").alias("text_md5"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            .write.mode("overwrite")
+            .orc(d)
+        )
+        _mark_done(d)
+    return spark.read.orc(d).select(
+        "doc_id", "text_md5", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "src_text_scan",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def src_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source (spark.read.text): one opaque line per row,
+    parsed with native split — the shape of log-file and raw-dump ingest.
+    Lines are written as 'doc_id|md5(text)' (hex is delimiter-safe)."""
+    d = _fixture_dir(sf_dir, "text")
+    if not _done(d):
+        (
+            load(spark, sf_dir, "documents")
+            .select(
+                F.concat_ws(
+                    "|", F.col("doc_id").cast("string"), F.md5("text")
+                ).alias("value")
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(d)
+        )
+        _mark_done(d)
+    parts = F.split(F.col("value"), "\\|")
+    return spark.read.text(os.path.join(d, "*.txt")).select(
+        F.element_at(parts, 1).cast("long").alias("doc_id"),
+        F.element_at(parts, 2).alias("text_md5"),
+    )

@@ -144,3 +144,29 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id", "event_type").agg(
         F.min("event_id").alias("first_event_id")
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM events c JOIN events v
+      ON v.user_id = c.user_id AND v.event_type = 'view'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 5 MINUTE
+    WHERE c.event_type = 'click'
+    """,
+)
+def stream_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join in batch form: every click paired with
+    the same user's views from the preceding 5 minutes. The SAME builder
+    (stream_ops.click_view_interval_join) runs live with watermarks on both
+    sides — bounded state via the time-bound join condition; the live
+    parity test is tests/test_streaming.py."""
+    from .stream_ops import click_view_interval_join
+
+    e = load(spark, sf_dir, "events")
+    return click_view_interval_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "view"),
+    )

@@ -156,3 +156,36 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def click_view_interval_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    watermark: str = "10 minutes",
+    horizon_expr: str = "INTERVAL 5 MINUTES",
+) -> DataFrame:
+    """Stream-stream inner join: each click pairs with every same-user view
+    in the preceding `horizon`. Both sides carry watermarks and the join
+    condition time-bounds click_ts relative to view_ts, so Spark can expire
+    buffered state — the canonical bounded-state stream-stream join. Works
+    identically on batch frames (used by the batch-oracle twin)."""
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        v = v.withWatermark("view_ts", watermark)
+    return c.join(
+        v,
+        F.expr(
+            "user_id = v_user AND click_ts >= view_ts"
+            f" AND click_ts <= view_ts + {horizon_expr}"
+        ),
+    ).select("user_id", "click_id", "click_ts", "view_id", "view_ts")

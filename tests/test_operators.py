@@ -169,3 +169,24 @@ def test_connected_components_known_clusters(spark):
     }
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                     20: 20, 21: 20, 22: 20}
+
+
+def test_approx_percentile_bounded_error(spark):
+    """GK sketch percentiles stay within 2% relative error of the exact
+    sort-based percentiles at sf0.001."""
+    from repcheck_data_integration_spark.operators.aggregates import (
+        agg_approx_percentile,
+        agg_percentile,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["l_returnflag"]: r for r in agg_percentile(spark, sf).collect()}
+    approx = {
+        r["l_returnflag"]: r for r in agg_approx_percentile(spark, sf).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        assert abs(approx[k]["approx_median_price"] - exact[k]["median_price"]) \
+            <= 0.02 * exact[k]["median_price"]
+        assert abs(approx[k]["approx_p90_price"] - exact[k]["p90_price"]) \
+            <= 0.02 * exact[k]["p90_price"]

@@ -25,3 +25,26 @@ def test_ivf_recall_vs_bruteforce(spark):
     # every approx hit must be a real neighbor of its query (subset of the
     # per-query exact candidate scoring, checked via score ordering in the op)
     assert {q for q, _ in approx} == {q for q, _ in exact}
+
+
+def test_lsh_recall_and_precision(spark):
+    from repcheck_data_integration_spark.operators.similarity import (
+        sim_search_lsh,
+    )
+
+    exact = {
+        (r["query_id"], r["cand_id"]) for r in sim_search_topk(spark, SF).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"]) for r in sim_search_lsh(spark, SF).collect()
+    }
+    assert approx, "lsh returned nothing"
+    # single-band sign-LSH over random 64-dim data: demand a sane floor,
+    # not near-1 recall (multi-probe / multi-band is the recall lever)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.1, f"recall {recall}"
+    # determinism: a second run hash-matches the first
+    again = {
+        (r["query_id"], r["cand_id"]) for r in sim_search_lsh(spark, SF).collect()
+    }
+    assert approx == again

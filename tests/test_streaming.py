@@ -178,3 +178,29 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert got.get((early_window, "click")) == 1
     # event 4 arrived within watermark → counted
     assert got.get((noon_window, "click")) == 1
+
+
+def test_stream_stream_join_matches_batch(spark, events_stream_dir):
+    """Live watermarked stream-stream interval join == batch twin."""
+    from repcheck_data_integration_spark.streaming.batch_windows import (
+        stream_stream_join_batch,
+    )
+
+    stream = stream_ops.read_events_stream(spark, events_stream_dir)
+    joined = stream_ops.click_view_interval_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "view"),
+    )
+    q = stream_ops.run_to_memory(joined, "ssj_out")
+    got = {
+        (r["click_id"], r["view_id"])
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    expected = {
+        (r["click_id"], r["view_id"])
+        for r in stream_stream_join_batch(spark, SF).collect()
+    }
+    # availableNow drains everything; inner join emits matched pairs as
+    # both sides arrive — the full batch result must be reproduced.
+    assert got == expected and len(got) > 0
+    q.stop()
