@@ -189,3 +189,64 @@ def click_view_interval_join(
             f" AND click_ts <= view_ts + {horizon_expr}"
         ),
     ).select("user_id", "click_id", "click_ts", "view_id", "view_ts")
+
+
+def user_stats_tws(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on Spark 4's transformWithStateInPandas —
+    the successor API to applyInPandasWithState: explicit typed state
+    handles (ValueState here), init/close lifecycle, and timer support.
+    Maintains per-user (n_events, total_value, max_value) across
+    micro-batches and emits the updated row for each user per batch.
+    State is O(users); at 100 TB the key space shards across executors
+    and RocksDB-backed state stores hold the per-key rows.
+
+    Requires the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass) and the protobuf
+    package (the TWS state-server protocol) — the live parity test
+    skips where protobuf is absent."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n long, total double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, mx = (
+                self._state.get() if self._state.exists() else (0, 0.0, float("-inf"))
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "max_value": [round(mx, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserStats(),
+            outputStructType=(
+                "user_id long, n_events long, total_value double,"
+                " max_value double"
+            ),
+            outputMode="Append",
+            timeMode="None",
+        )
+    )

@@ -204,3 +204,47 @@ def test_stream_stream_join_matches_batch(spark, events_stream_dir):
     # both sides arrive — the full batch result must be reproduced.
     assert got == expected and len(got) > 0
     q.stop()
+
+
+def test_transform_with_state_matches_batch(spark, events_stream_dir):
+    """transformWithStateInPandas running per-user stats: the final emitted
+    row per user equals the batch aggregate. The TWS state protocol rides
+    protobuf, which this container lacks — skip (not fail) there; the
+    operator itself is pure API calls and runs wherever protobuf exists."""
+    pytest.importorskip("google.protobuf")
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_ops.read_events_stream(spark, events_stream_dir)
+        q = stream_ops.run_to_memory(stream_ops.user_stats_tws(stream), "tws_out")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    # last emission per user wins (one emission per batch the user appears in)
+    rows = spark.sql(
+        "SELECT user_id, n_events, total_value, max_value FROM tws_out"
+    ).collect()
+    latest = {}
+    for r in rows:  # memory sink preserves batch order; later rows overwrite
+        latest[r["user_id"]] = (r["n_events"], r["total_value"], r["max_value"])
+    expected = {
+        r["user_id"]: (r["n"], r["tot"], r["mx"])
+        for r in load(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("tot"),
+            F.round(F.max("value"), 2).alias("mx"),
+        )
+        .collect()
+    }
+    assert latest.keys() == expected.keys()
+    mismatch = {u: (latest[u], expected[u]) for u in expected if latest[u] != expected[u]}
+    assert not mismatch, dict(list(mismatch.items())[:3])
+    q.stop()
