@@ -288,3 +288,40 @@ def fn_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_", F.col("o_orderkey").cast("string"), F.col("o_custkey").cast("string")
     )
     return o.select("o_orderkey", uuid5(name).alias("uuid5_id"))
+
+
+@register(
+    "fn_map_pack",
+    oracle="""
+    WITH m AS (
+        SELECT n_nationkey,
+               map(['nation_key', 'region_key'],
+                   [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)])
+                   AS kv
+        FROM nation)
+    SELECT n_nationkey,
+           list_sort(map_keys(kv)) AS keys_sorted,
+           map_values(kv) AS vals_in_order,
+           CAST(cardinality(kv) AS INT) AS n_entries
+    FROM m
+    """,
+)
+def fn_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface (SURVEY §2.7 fn_case_when mentions
+    create_map dispatch): construct a map, extract keys (sorted for the
+    order-insensitive hash), values in insertion order, and cardinality.
+    Maps serialize engine-specifically, so the comparison decomposes the
+    map back into deterministic arrays."""
+    n = load(spark, sf_dir, "nation")
+    kv = F.create_map(
+        F.lit("nation_key"),
+        F.col("n_nationkey").cast("long"),
+        F.lit("region_key"),
+        F.col("n_regionkey").cast("long"),
+    )
+    return n.select(
+        "n_nationkey",
+        F.sort_array(F.map_keys(kv)).alias("keys_sorted"),
+        F.map_values(kv).alias("vals_in_order"),
+        F.size(kv).cast("int").alias("n_entries"),
+    )

@@ -150,3 +150,58 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         decode, schema="doc_id long, width int, height int, n_pixels int"
     )
+
+
+RESIZE_TARGET = 64
+
+
+def fake_resize(w: int, h: int, target: int = RESIZE_TARGET) -> tuple[int, int]:
+    """Aspect-preserving fit-to-width resize in pure integer math (so both
+    engines agree bit-for-bit): out_w = target, out_h = max(1, h*target//w).
+    Swap-in point for a real PIL Image.resize."""
+    return target, max(1, h * target // w)
+
+
+@register(
+    "mm_resize_stub",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               16 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 240
+                   AS width,
+               16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) % 240
+                   AS height
+        FROM documents)
+    SELECT doc_id, width, height,
+           {RESIZE_TARGET} AS out_width,
+           CAST(greatest(1, height * {RESIZE_TARGET} // width) AS INTEGER)
+               AS out_height
+    FROM dims
+    """,
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over mapInPandas: decode (fake kernel) → integer
+    aspect-preserving resize → new dims. Same batch shape a real
+    PIL/ffmpeg kernel would use; fully oracle-checkable because both the
+    fake decode and the resize are deterministic integer math."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [fake_decode_meta(t.encode("utf-8")) for t in pdf["text"]]
+            outs = [fake_resize(w, h) for w, h in metas]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
+                    "out_width": [o[0] for o in outs],
+                    "out_height": [o[1] for o in outs],
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        resize,
+        schema="doc_id long, width int, height int, out_width int,"
+        " out_height int",
+    )

@@ -252,3 +252,102 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_freq").cast("long").alias("doc_freq"),
         )
     )
+
+
+@register(
+    "pipeline_corpus_curation_v2",
+    oracle=f"""
+    WITH tc AS ({SQL_TERM_COUNTS}),
+    rep AS (
+        SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_distinct,
+               max(cnt) AS top_cnt
+        FROM tc GROUP BY doc_id),
+    kept AS (
+        SELECT doc_id FROM rep
+        WHERE n_tokens BETWEEN 20 AND 1000
+          AND n_distinct * 1.0 / n_tokens >= 0.1
+          AND top_cnt * 1.0 / n_tokens <= 0.5),
+    df AS (SELECT tok, count(*) AS doc_freq FROM tc GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    best AS (
+        SELECT doc_id, tok AS top_term, tfidf AS top_tfidf FROM (
+            SELECT tc.doc_id, tc.tok,
+                   {sql_stable_round4(
+                       'tc.cnt * ln((n.n_docs + 1.0) / (df.doc_freq + 1.0))')}
+                       AS tfidf,
+                   row_number() OVER (
+                       PARTITION BY tc.doc_id
+                       ORDER BY {sql_stable_round4(
+                           'tc.cnt * ln((n.n_docs + 1.0) / (df.doc_freq + 1.0))'
+                       )} DESC, tc.tok) AS rn
+            FROM tc JOIN df ON tc.tok = df.tok CROSS JOIN n
+            WHERE tc.doc_id IN (SELECT doc_id FROM kept))
+        WHERE rn = 1),
+    canonical AS (
+        SELECT d.doc_id, md5(d.text) AS content_hash,
+               min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS canon
+        FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM kept))
+    SELECT c.doc_id, c.content_hash, b.top_term, b.top_tfidf
+    FROM canonical c JOIN best b ON b.doc_id = c.doc_id
+    WHERE c.doc_id = c.canon
+    """,
+)
+def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 curation flow in ONE composed plan, this time driven off the
+    (doc, term) count relation: repetition gates (length bounds,
+    distinct-token floor, top-token-share ceiling — the Gopher filters) →
+    TF-IDF top keyword per surviving doc → exact-dedup canonicalization.
+    The term-count aggregation is shared by the gate AND the keyword
+    stages (computed once, reused twice in the DAG); shuffles: tc groupBy,
+    df groupBy on term, the per-doc keyword window, and the content-hash
+    window — each on its natural key."""
+    d = load(spark, sf_dir, "documents")
+    tc = term_counts(d)
+    rep = tc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    kept = rep.filter(
+        F.col("n_tokens").between(20, 1000)
+        & (F.col("n_distinct") * 1.0 / F.col("n_tokens") >= 0.1)
+        & (F.col("top_cnt") * 1.0 / F.col("n_tokens") <= 0.5)
+    ).select("doc_id")
+    df = tc.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tc.join(kept, "doc_id", "left_semi")
+        .join(df, "tok")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("tok"),
+            stable_round4(
+                F.col("cnt")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0))
+            ).alias("tfidf"),
+        )
+    )
+    wbest = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("tok").alias("top_term"),
+            F.col("tfidf").alias("top_tfidf"),
+        )
+    )
+    canon = (
+        d.join(kept, "doc_id", "left_semi")
+        .select("doc_id", F.md5("text").alias("content_hash"))
+        .withColumn(
+            "canon", F.min("doc_id").over(W.partitionBy("content_hash"))
+        )
+    )
+    return (
+        canon.filter(F.col("doc_id") == F.col("canon"))
+        .select("doc_id", "content_hash")
+        .join(best, "doc_id")
+    )

@@ -262,3 +262,38 @@ def win_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_nationkey").applyInPandas(
         zscore, schema="c_custkey long, c_nationkey int, zscore double"
     )
+
+
+@register(
+    "win_distribution",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           CAST(ntile(4) OVER w AS INT) AS bal_quartile,
+           floor(percent_rank() OVER w * 10000.0 + 0.5) / 10000.0
+               AS bal_pct_rank,
+           floor(cume_dist() OVER w * 10000.0 + 0.5) / 10000.0
+               AS bal_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native extension: distribution window family (ntile /
+    percent_rank / cume_dist). The ordering carries a full tie-break
+    (acctbal DESC, custkey) because ntile assigns by ROW position — without
+    it, equal balances would land in different quartiles per engine. The
+    rational ranks are stable-rounded for the cross-engine hash."""
+    from .dedup import stable_round4
+
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(4).over(w).cast("int").alias("bal_quartile"),
+        stable_round4(F.percent_rank().over(w)).alias("bal_pct_rank"),
+        stable_round4(F.cume_dist().over(w)).alias("bal_cume_dist"),
+    )
