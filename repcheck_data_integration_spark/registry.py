@@ -39,7 +39,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
-    from .plans import tpch, tpch_more, tpch_rest  # noqa: F401
+    from .plans import tpch, tpch_more, tpch_rest, tpch_final  # noqa: F401
     from .operators import (  # noqa: F401
         filters,
         joins,
