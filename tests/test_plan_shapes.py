@@ -83,3 +83,47 @@ def test_fuzzy_resolution_blocked_not_cartesian(spark):
 def test_hot_paths_use_codegen(spark, name):
     # "[codegen id : n]" markers appear in the AQE-final formatted plan
     assert "codegen id" in plan(spark, name, execute=True)
+
+
+def test_tfidf_partial_aggregation_and_term_shuffle(spark):
+    """term_counts must partial-aggregate map-side (the shuffle carries
+    distinct doc-term pairs, not the token stream)."""
+    p = plan(spark, "text_tfidf_topterms")
+    assert p.count("HashAggregate") >= 4  # partial+final for tc and df
+    # only deliberate tiny-broadcast cross product is the 1-row corpus size
+    # (tree lines say "BroadcastNestedLoopJoin Inner"; detail lines don't)
+    assert p.count("BroadcastNestedLoopJoin Inner") <= 1
+
+
+def test_range_interval_join_is_equi_join(spark):
+    """The bucketed range join must run as a hash equi-join on the bucket
+    key — never a nested-loop theta join."""
+    p = plan(spark, "join_range_interval")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p  # some hash join variant on __bucket
+
+
+def test_q21_exists_chain_no_cartesian(spark):
+    """EXISTS/NOT-EXISTS compile to semi/anti hash joins over the
+    aggregated (order, supplier) relation."""
+    p = plan(spark, "tpch_q21_waiting_supplier")
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_lsh_candidates_via_band_equi_join(spark):
+    """The LSH candidate join keys on (band, band_val) — a hash join, with
+    the only cross product being the 6 broadcast hyperplanes."""
+    p = plan(spark, "sim_search_lsh")
+    assert "CartesianProduct" not in p
+    # the 6-hyperplane broadcast cross appears once per signature branch
+    # (query side + candidate side duplicate the subtree)
+    assert p.count("BroadcastNestedLoopJoin Inner") <= 2
+
+
+def test_q10_take_ordered(spark):
+    """orderBy+limit top-20 must compile to TakeOrderedAndProject, not a
+    global sort."""
+    p = plan(spark, "tpch_q10_returned_items")
+    assert "TakeOrderedAndProject" in p
