@@ -170,3 +170,29 @@ def stream_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "click"),
         e.filter(F.col("event_type") == "view"),
     )
+
+
+@register(
+    "stream_rollup_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous hourly rollup's batch twin: what the incrementally
+    maintained table (stream_ops.stream_hourly_rollup) must equal no matter
+    how the stream was batched — scaled-integer sums make the equality
+    exact across any batch split. Incremental==batch parity over multiple
+    micro-batches is asserted live in tests/test_streaming.py."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "value_cents"
+        ),
+    )

@@ -250,3 +250,81 @@ def user_stats_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def stream_hourly_rollup(
+    events: DataFrame, target_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Continuous-aggregate maintenance (the hypertable rollup pattern):
+    each micro-batch's per-(hour, event_type) partial counts/sums merge
+    ADDITIVELY into a parquet rollup table — old + delta, not
+    last-writer-wins — so the rollup equals the batch aggregate no matter
+    how the stream was chopped into batches. Sums ride scaled integers:
+    across arbitrary batch boundaries, double addition would drift,
+    integer addition cannot. Daily (or any coarser) rollups re-aggregate
+    the hourly table (see daily_from_hourly) instead of rescanning the
+    fact stream — the compositional-reaggregation property tested in
+    operators/graph.py applies."""
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = batch.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        if os.path.exists(target_path):
+            prev = spark.read.parquet(target_path).select(
+                "hour",
+                "event_type",
+                F.col("n_events").alias("p_n"),
+                F.col("value_cents").alias("p_v"),
+            )
+            merged = (
+                delta.join(prev, ["hour", "event_type"], "full_outer")
+                .select(
+                    "hour",
+                    "event_type",
+                    (
+                        F.coalesce(F.col("n_events"), F.lit(0))
+                        + F.coalesce(F.col("p_n"), F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce(F.col("value_cents"), F.lit(0))
+                        + F.coalesce(F.col("p_v"), F.lit(0))
+                    ).alias("value_cents"),
+                )
+            )
+        else:
+            merged = delta
+        tmp = target_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def daily_from_hourly(spark: SparkSession, hourly_path: str) -> DataFrame:
+    """Coarser rollup from the maintained hourly aggregate — never rescans
+    the raw stream. Counts and scaled sums are algebraic, so this equals
+    the direct daily aggregate exactly."""
+    return (
+        spark.read.parquet(hourly_path)
+        .groupBy(
+            F.date_trunc("day", "hour").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )

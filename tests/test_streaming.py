@@ -248,3 +248,56 @@ def test_transform_with_state_matches_batch(spark, events_stream_dir):
     mismatch = {u: (latest[u], expected[u]) for u in expected if latest[u] != expected[u]}
     assert not mismatch, dict(list(mismatch.items())[:3])
     q.stop()
+
+
+def test_hourly_rollup_incremental_equals_batch(spark, tmp_path):
+    """Continuous hourly rollup maintained across MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 over a 4-file copy) equals the one-shot batch
+    aggregate; the daily re-rollup equals the direct daily aggregate."""
+    src = str(tmp_path / "events4")
+    load(spark, SF, "events").repartition(4).write.mode("overwrite").parquet(src)
+    target = str(tmp_path / "hourly")
+    chk = str(tmp_path / "chk")
+
+    stream = (
+        spark.readStream.schema(stream_ops.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    q = stream_ops.stream_hourly_rollup(stream, target, chk)
+    q.awaitTermination()
+    # >1 micro-batch actually exercised the additive merge path
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 2
+
+    hourly = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(target).collect()
+    }
+    expected = {
+        (r["hour"], r["event_type"]): (r["n"], r["v"])
+        for r in load(spark, SF, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v"),
+        )
+        .collect()
+    }
+    assert hourly == expected
+
+    daily = {
+        (r["day"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in stream_ops.daily_from_hourly(spark, target).collect()
+    }
+    direct = {
+        (r["day"], r["event_type"]): (r["n"], r["v"])
+        for r in load(spark, SF, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v"),
+        )
+        .collect()
+    }
+    assert daily == direct
