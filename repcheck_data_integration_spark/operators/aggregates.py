@@ -274,3 +274,29 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round4(stddev).alias("qty_stddev_pop"),
         stable_round4(corr).alias("qty_price_corr"),
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native extension: explicit GROUPING SETS (the general form
+    rollup/cube specialize). One Expand + one aggregate — each input row
+    fans out to its grouping-set combinations map-side, the shuffle stays
+    a single pass."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )

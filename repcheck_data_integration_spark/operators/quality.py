@@ -230,3 +230,55 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     )
     return o.filter(bucket < 10).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+STRATA_PCT = {"R": 50, "A": 10, "N": 5}  # per-returnflag sampling rates
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
+                               || CAST(l_linenumber AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100
+          < CASE l_returnflag WHEN 'R' THEN {STRATA_PCT['R']}
+                              WHEN 'A' THEN {STRATA_PCT['A']}
+                              ELSE {STRATA_PCT['N']} END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED sampling: per-stratum rates (upsample the
+    rare 'R' class, downsample the common ones — the class-balance pass a
+    training pipeline runs) with the same md5-bucket mechanism as
+    sample_deterministic, so the selection is engine- and
+    parallelism-independent. Spark's sampleBy() is RNG-based and can never
+    reproduce across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = (
+        F.when(F.col("l_returnflag") == "R", STRATA_PCT["R"])
+        .when(F.col("l_returnflag") == "A", STRATA_PCT["A"])
+        .otherwise(STRATA_PCT["N"])
+    )
+    return li.filter(bucket < rate).select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
