@@ -76,7 +76,14 @@ def cell_centroids(e: DataFrame) -> DataFrame:
     """Element-wise mean embedding per cell (label) — one explode + groupBy,
     the distributed equivalent of a coarse-quantizer codebook. Means are
     exact scaled-integer sums (order-independent), so the codebook — and
-    therefore the whole IVF search — is deterministic and oracle-checkable."""
+    therefore the whole IVF search — is deterministic and oracle-checkable.
+
+    Formulation note (measured): posexplode + two-level agg beats a single
+    groupBy with 64 per-dimension sum aggregates here — the wide-agg form
+    exceeds the whole-stage-codegen field budget and falls back to
+    interpreted evaluation (2× slower end-to-end at sf0.1), while both
+    shuffle the same (labels × dims) volume thanks to map-side partial
+    aggregation."""
     pos = e.select(
         "label", F.posexplode("embedding").alias("pos", "v")
     )

@@ -188,7 +188,9 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     and emitted value can never disagree. The df join shuffles on term —
     the natural co-location key for inverted-index workloads."""
     d = load(spark, sf_dir, "documents")
-    tc = term_counts(d)
+    # tc feeds both the tf side and the document-frequency aggregate —
+    # persist so the explode+agg subtree runs once, not per consumer
+    tc = term_counts(d).persist()
     df = tc.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -303,7 +305,9 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     df groupBy on term, the per-doc keyword window, and the content-hash
     window — each on its natural key."""
     d = load(spark, sf_dir, "documents")
-    tc = term_counts(d)
+    # tc feeds the repetition gates, the df aggregate AND the keyword
+    # scoring — one persist, three consumers
+    tc = term_counts(d).persist()
     rep = tc.groupBy("doc_id").agg(
         F.sum("cnt").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_distinct"),
