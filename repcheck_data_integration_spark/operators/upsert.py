@@ -59,14 +59,27 @@ def merge_upsert(
     assert set(source.columns) >= set(cols), "source must cover target columns"
     # null merge keys can never match in a join (NULL != NULL), so a null-key
     # row would silently duplicate instead of update — hard fail like the
-    # reference's PK constraint would (SURVEY §7 'must handle null-key')
-    null_keys = source.filter(
+    # reference's PK constraint would (SURVEY §7 'must handle null-key').
+    # The guard is IN-PLAN (assert_true woven into the first key column, so
+    # it can't be pruned): it fires on the first bad row during the normal
+    # scan instead of costing a whole extra eager pass over the source —
+    # at 100 TB the old count()-based check doubled the source read.
+    null_pred = (
         F.greatest(*[F.col(k).isNull() for k in keys])
         if len(keys) > 1
         else F.col(keys[0]).isNull()
-    ).count()
-    if null_keys:
-        raise ValueError(f"{null_keys} source rows with NULL merge key {keys}")
+    )
+    k0 = keys[0]
+    guarded = F.when(
+        F.assert_true(
+            ~F.coalesce(null_pred, F.lit(True)),
+            f"source row with NULL merge key {list(keys)}",
+        ).isNull(),
+        F.col(k0),
+    ).alias(k0)
+    source = source.select(
+        *[guarded if c == k0 else F.col(c) for c in source.columns]
+    )
     order = [F.col(c).desc() for c in version_cols] or [F.col(k) for k in keys]
     # dedup before projecting so version columns are still visible
     src = dedup_last_writer(source, keys, order).select(*cols)

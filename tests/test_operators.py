@@ -151,7 +151,10 @@ def test_merge_upsert_rejects_null_keys(spark):
 
     target = spark.createDataFrame([("a", 1)], ["id", "val"])
     source = spark.createDataFrame([(None, 2), ("b", 3)], ["id", "val"])
-    with pytest.raises(ValueError, match="NULL merge key"):
+    # the guard is in-plan (assert_true), so it surfaces at action time as
+    # a Spark runtime error carrying the guard message — no extra eager
+    # pass over the source
+    with pytest.raises(Exception, match="NULL merge key"):
         merge_upsert(target, source, keys=["id"], preserve=()).collect()
 
 
