@@ -367,3 +367,74 @@ def src_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(parts, 1).cast("long").alias("doc_id"),
         F.element_at(parts, 2).alias("text_md5"),
     )
+
+
+@register(
+    "src_xml_dir_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def src_xml_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source (new engine surface in Spark 4): one document per
+    file with repeated row tags, distributed parse with an explicit schema
+    — the shape of legacy-feed ingest the reference's per-file readers
+    (people_federal.py:85-94 YAML loop) would take for XML."""
+    d = _fixture_dir(sf_dir, "xml_dir")
+    if not _done(d):
+        os.makedirs(d, exist_ok=True)
+        rows = load(spark, sf_dir, "nation").collect()
+        half = len(rows) // 2
+        for i, chunk in enumerate((rows[:half], rows[half:])):
+            parts = [
+                "<nation>"
+                f"<n_nationkey>{r['n_nationkey']}</n_nationkey>"
+                f"<n_name>{r['n_name']}</n_name>"
+                f"<n_regionkey>{r['n_regionkey']}</n_regionkey>"
+                "</nation>"
+                for r in chunk
+            ]
+            with open(os.path.join(d, f"nations_{i}.xml"), "w") as f:
+                f.write("<nations>" + "".join(parts) + "</nations>")
+        _mark_done(d)
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(schema)
+        .load(d)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+PART_YEAR = 1996
+
+
+@register(
+    "src_partitioned_scan",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(year(o_orderdate) AS INT) AS o_year
+    FROM orders WHERE year(o_orderdate) = {PART_YEAR}
+    """,
+)
+def src_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout (dir-per-year) + partition-pruned
+    read: the year filter binds to the PARTITION column, so only that
+    year's directory is listed and scanned — at 100 TB this is the
+    difference between touching one partition and the whole table
+    (PartitionFilters in the plan; layout-level pruning also asserted in
+    tests/test_scale_levers.py)."""
+    d = _fixture_dir(sf_dir, "orders_by_year")
+    if not _done(d):
+        (
+            load(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate").cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(d)
+        )
+        _mark_done(d)
+    return (
+        spark.read.parquet(d)
+        .filter(F.col("o_year") == PART_YEAR)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_year")
+    )

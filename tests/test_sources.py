@@ -111,3 +111,54 @@ def test_csv_json_roundtrip_nasty_strings(spark, tmp_path):
             back = [(i, s or None) for i, s in back]
             expected = [(i, s or None) for i, s in expected]
         assert back == expected, fmt
+
+
+def test_malformed_json_permissive_vs_failfast(spark, tmp_path):
+    """Engine error-handling surface: PERMISSIVE mode quarantines corrupt
+    records into _corrupt_record (the dead-letter pattern for 100 TB
+    ingest, where one bad row must not kill a 6-hour job); FAILFAST
+    surfaces them as hard errors (the reference's fail-fast preference)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 3, "v": "also ok"}\n'
+    )
+    schema = "id long, v string, _corrupt_record string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["id"] for r in good} == {1, 3}
+    assert len(bad) == 1 and "{this is not json}" in bad[0]["_corrupt_record"]
+
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        (
+            spark.read.schema("id long, v string")
+            .option("mode", "FAILFAST")
+            .json(str(p))
+            .collect()
+        )
+
+
+def test_malformed_csv_permissive_nulls(spark, tmp_path):
+    """CSV with a type-mismatched cell: PERMISSIVE yields null for the bad
+    cell instead of failing the scan."""
+    p = tmp_path / "mixed.csv"
+    p.write_text("id,val\n1,10.5\n2,not_a_number\n3,7.25\n")
+    df = (
+        spark.read.option("header", True)
+        .schema("id long, val double")
+        .option("mode", "PERMISSIVE")
+        .csv(str(p))
+    )
+    got = {r["id"]: r["val"] for r in df.collect()}
+    assert got[1] == 10.5 and got[3] == 7.25 and got[2] is None
