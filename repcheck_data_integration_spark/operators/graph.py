@@ -122,3 +122,97 @@ def agg_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("sum_scaled") / 100.0).cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank in exact integer fixed-point arithmetic
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000  # ranks carried as millionths
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as a rational
+
+
+def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (doubled) customer↔supplier edges with string node ids —
+    doubling gives every node outdegree ≥ 1, so there is no dangling-mass
+    term to redistribute."""
+    e = _edges(spark, sf_dir)
+    fwd = e.select(
+        F.concat(F.lit("c"), F.col("cust").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("supp").cast("string")).alias("dst"),
+    )
+    return fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def pagerank(spark: SparkSession, sf_dir: str, iterations: int = 2) -> DataFrame:
+    """PageRank with ALL arithmetic in scaled integers: contributions are
+    ``rank div outdegree`` (integer division), the damped update is
+    ``150000 + (85 * Σcontrib) div 100``. Floating-point PageRank is
+    order-dependent under parallel summation; the integer fixed-point form
+    is bit-identical at any partitioning — which is what makes an
+    ITERATIVE algorithm oracle-checkable (the SQL twin unrolls the same
+    iterations as CTEs). Each iteration is one join + one aggregation,
+    shuffling on the destination node — the natural bucketing key."""
+    edges = _pr_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(PR_SCALE).alias("r"))
+    ed = edges.join(deg, "src")
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr("r div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(PR_SCALE * 15 // 100)
+                + F.expr(f"({PR_DAMP_NUM} * contrib) div {PR_DAMP_DEN}")
+            ).alias("r"),
+        )
+    return ranks.select("node", F.col("r").cast("long").alias("rank_scaled"))
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH e0 AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (
+        SELECT 'c' || CAST(cust AS VARCHAR) AS src,
+               's' || CAST(supp AS VARCHAR) AS dst FROM e0
+        UNION ALL
+        SELECT 's' || CAST(supp AS VARCHAR), 'c' || CAST(cust AS VARCHAR)
+        FROM e0),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),
+    c1 AS (
+        SELECT e.dst AS node, sum(r0.r // d.outdeg) AS contrib
+        FROM edges e
+        JOIN deg d ON d.src = e.src
+        JOIN r0 ON r0.node = e.src
+        GROUP BY e.dst),
+    r1 AS (SELECT node,
+                  {PR_SCALE * 15 // 100} + ({PR_DAMP_NUM} * contrib)
+                      // {PR_DAMP_DEN} AS r
+           FROM c1),
+    c2 AS (
+        SELECT e.dst AS node, sum(r1.r // d.outdeg) AS contrib
+        FROM edges e
+        JOIN deg d ON d.src = e.src
+        JOIN r1 ON r1.node = e.src
+        GROUP BY e.dst)
+    SELECT node,
+           CAST({PR_SCALE * 15 // 100} + ({PR_DAMP_NUM} * contrib)
+                // {PR_DAMP_DEN} AS BIGINT) AS rank_scaled
+    FROM c2
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two PageRank iterations over the purchase graph, integer-exact (see
+    pagerank()); the oracle unrolls the identical iterations as CTEs. The
+    N-iteration driver loop is the library function, exercised further in
+    tests/test_operators.py."""
+    return pagerank(spark, sf_dir, iterations=2)

@@ -193,3 +193,32 @@ def test_approx_percentile_bounded_error(spark):
             <= 0.02 * exact[k]["median_price"]
         assert abs(approx[k]["approx_p90_price"] - exact[k]["p90_price"]) \
             <= 0.02 * exact[k]["p90_price"]
+
+
+def test_pagerank_properties(spark):
+    """Integer fixed-point PageRank: determinism across runs, rank mass
+    roughly conserved (damping leaks a bounded amount to the 0.15 floor),
+    and high-degree suppliers outrank low-degree ones."""
+    from repcheck_data_integration_spark.operators.graph import pagerank
+
+    sf = "/root/testdata/sf0.001"
+    r5a = {r["node"]: r["rank_scaled"] for r in pagerank(spark, sf, 5).collect()}
+    r5b = {r["node"]: r["rank_scaled"] for r in pagerank(spark, sf, 5).collect()}
+    assert r5a == r5b  # bit-identical across runs at any partitioning
+    # every node keeps at least the random-jump floor
+    assert min(r5a.values()) >= 150_000
+    # supplier ranks track degree: the max-degree supplier beats the median
+    from repcheck_data_integration_spark.operators.graph import _pr_edges
+
+    deg = {
+        r["src"]: r["outdeg"]
+        for r in _pr_edges(spark, sf)
+        .groupBy("src")
+        .count()
+        .withColumnRenamed("count", "outdeg")
+        .collect()
+        if r["src"].startswith("s")
+    }
+    top_supp = max(deg, key=lambda k: (deg[k], k))
+    supp_ranks = sorted(v for k, v in r5a.items() if k.startswith("s"))
+    assert r5a[top_supp] >= supp_ranks[len(supp_ranks) // 2]
