@@ -274,3 +274,103 @@ def join_spatial_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "c_custkey")
         .orderBy("n_nationkey", "c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-radius KNN join (grid-bucketed nearest neighbors)
+# ---------------------------------------------------------------------------
+
+KNN_K = 3
+KNN_RADIUS = 5.0  # cell size == radius → 3×3 neighborhood is EXACT
+
+SQL_POINTS = """
+    pts AS (
+        SELECT c_custkey AS id,
+               CAST(c_custkey % 97 AS DOUBLE) + 1.0 AS x,
+               CAST((c_custkey * 7) % 89 AS DOUBLE) + 1.0 AS y
+        FROM customer)
+"""
+
+
+@register(
+    "join_spatial_knn",
+    oracle=f"""
+    WITH {SQL_POINTS},
+    probes AS (SELECT * FROM pts WHERE id % 50 = 0),
+    scored AS (
+        SELECT p.id AS probe_id, c.id AS cand_id,
+               (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) AS dist2
+        FROM probes p JOIN pts c ON c.id <> p.id)
+    SELECT probe_id, cand_id, dist2
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY dist2, cand_id) AS rn
+          FROM scored WHERE dist2 <= {KNN_RADIUS * KNN_RADIUS})
+    WHERE rn <= {KNN_K}
+    """,
+)
+def join_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius K-nearest-neighbor join: for each probe point, the
+    {KNN_K} nearest points within radius {KNN_RADIUS} (zip-centroid
+    points). Grid-bucketed: with cell size == radius, every point within R
+    of a probe lies in the probe's 3×3 cell neighborhood, so expanding the
+    probe side 9× and equi-joining on the cell is EXACTLY the
+    bounded-radius KNN — no expanding-search loop, no missed neighbors.
+    The oracle brute-forces all pairs; squared distances are single
+    products/sums of integer-valued doubles, so exact. Scale shape: probe
+    replication ×9, one hash join on the cell key, per-probe top-k window —
+    O(points-per-cell), never O(n²)."""
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 97).cast("double") + 1.0).alias("x"),
+        (((F.col("c_custkey") * 7) % 89).cast("double") + 1.0).alias("y"),
+    )
+    cell = lambda v: F.floor(v / KNN_RADIUS).cast("long")  # noqa: E731
+    cands = pts.select(
+        F.col("id").alias("cand_id"),
+        F.col("x").alias("cx"),
+        F.col("y").alias("cy"),
+        cell(F.col("x")).alias("gx"),
+        cell(F.col("y")).alias("gy"),
+    )
+    neighborhood = F.flatten(
+        F.transform(
+            F.sequence(F.lit(-1), F.lit(1)),
+            lambda dx: F.transform(
+                F.sequence(F.lit(-1), F.lit(1)),
+                lambda dy: F.struct(
+                    (cell(F.col("x")) + dx).alias("gx"),
+                    (cell(F.col("y")) + dy).alias("gy"),
+                ),
+            ),
+        )
+    )
+    probes = (
+        pts.filter(F.col("id") % 50 == 0)
+        .select(
+            F.col("id").alias("probe_id"),
+            F.col("x").alias("px"),
+            F.col("y").alias("py"),
+            F.explode(neighborhood).alias("__cell"),
+        )
+        .select(
+            "probe_id", "px", "py",
+            F.col("__cell.gx").alias("gx"),
+            F.col("__cell.gy").alias("gy"),
+        )
+    )
+    dist2 = (F.col("px") - F.col("cx")) * (F.col("px") - F.col("cx")) + (
+        F.col("py") - F.col("cy")
+    ) * (F.col("py") - F.col("cy"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("probe_id").orderBy("dist2", "cand_id")
+    return (
+        probes.join(cands, ["gx", "gy"])
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .select("probe_id", "cand_id", dist2.alias("dist2"))
+        .filter(F.col("dist2") <= KNN_RADIUS * KNN_RADIUS)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("probe_id", "cand_id", "dist2")
+    )
