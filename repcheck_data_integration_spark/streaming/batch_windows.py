@@ -196,3 +196,93 @@ def stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents"
         ),
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM events GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND s1.t1 IS NOT NULL AND e.ts > s1.t1
+        GROUP BY e.user_id),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s1 WHERE t1 IS NOT NULL) AS n_view,
+           (SELECT count(*) FROM s2) AS n_click_after_view,
+           (SELECT count(*) FROM s3) AS n_purchase_after_click
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase, strictly ordered
+    per user): each stage is a conditional-min aggregate joined back to
+    gate the next — three aggregations on the SAME user_id key, so the
+    shuffle partitioning is reused across stages. The classic
+    event-sequence operator none of the window builtins express directly."""
+    e = load(spark, sf_dir, "events")
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1.filter(F.col("t1").isNotNull()), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.filter(F.col("t1").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_view")
+    )
+    n2 = s2.agg(F.count(F.lit(1)).alias("n_click_after_view"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+    return n1.join(n2).join(n3)
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+        FROM events GROUP BY user_id)
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day,
+                          date_trunc('day', e.ts)) AS BIGINT) AS day_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, activity
+    counted per day-offset — first-seen is one aggregate, the matrix one
+    more join + aggregate (distinct users per cell). Both shuffles key on
+    user_id/cohort keys; at 100 TB the distinct-count switches to an HLL
+    sketch (agg_approx_distinct) without changing the plan shape."""
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        e.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
