@@ -456,3 +456,42 @@ def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0,
         ).alias("unit_vec"),
     )
+
+
+@register(
+    "emb_quantize_int8",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id, embedding,
+               list_aggregate(list_transform(
+                   generate_series(1, len(embedding)),
+                   i -> abs(embedding[i]::DOUBLE)), 'max') AS max_abs
+        FROM embeddings)
+    SELECT vec_id,
+           {sql_stable_round4('max_abs')} AS max_abs,
+           list_transform(
+               generate_series(1, len(embedding)),
+               i -> CAST(floor(embedding[i]::DOUBLE * (127.0 / max_abs)
+                               + 0.5) AS INTEGER)) AS q8
+    FROM m
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (the storage/bandwidth
+    compression step before large-scale ANN): scale = 127/max|x|, elements
+    stable-rounded to integers so both engines emit identical codes.
+    Shuffle-free single scan; the max-abs fold is per-row array math."""
+    e = load(spark, sf_dir, "embeddings")
+    max_abs = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    return e.select(
+        "vec_id",
+        stable_round4(max_abs).alias("max_abs"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * (127.0 / max_abs) + 0.5
+            ).cast("int"),
+        ).alias("q8"),
+    )

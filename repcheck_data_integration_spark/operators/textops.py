@@ -355,3 +355,56 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "content_hash")
         .join(best, "doc_id")
     )
+
+
+@register(
+    "text_unigram_xent",
+    oracle=f"""
+    WITH tc AS ({SQL_TERM_COUNTS}),
+    corpus AS (
+        SELECT tok, sum(cnt) AS ccount FROM tc GROUP BY tok),
+    total AS (SELECT sum(ccount) AS ctotal FROM corpus),
+    per_doc AS (
+        SELECT tc.doc_id,
+               sum(tc.cnt) AS n_tokens,
+               sum(tc.cnt * ln(CAST(c.ccount AS DOUBLE) / t.ctotal))
+                   AS ll
+        FROM tc JOIN corpus c ON c.tok = tc.tok CROSS JOIN total t
+        GROUP BY tc.doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           {sql_stable_round4('-ll / n_tokens')} AS cross_entropy
+    FROM per_doc
+    """,
+)
+def text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy per document against the corpus language model
+    (the perplexity-filtering signal of CCNet-style pipelines, with the
+    corpus itself as the LM): H(d) = -Σ tf·ln(p(term)) / |d|. One more
+    join over the shared (doc, term) relation — corpus probabilities are
+    the vocab aggregate, the total is a broadcast scalar. The log-sum runs
+    per doc-term pair then aggregates; exactness note: ln values are
+    IEEE-identical across engines, and the sum order inside each doc group
+    could differ — but each doc has ≤ vocabulary-size distinct terms whose
+    sum is far below the 4-decimal rounding granularity's sensitivity
+    (verified by the oracle hash)."""
+    d = load(spark, sf_dir, "documents")
+    tc = term_counts(d).persist()
+    corpus = tc.groupBy("tok").agg(F.sum("cnt").alias("ccount"))
+    total = corpus.agg(F.sum("ccount").alias("ctotal"))
+    per_doc = (
+        tc.join(corpus, "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(
+                F.col("cnt")
+                * F.log(F.col("ccount").cast("double") / F.col("ctotal"))
+            ).alias("ll"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        stable_round4(-F.col("ll") / F.col("n_tokens")).alias("cross_entropy"),
+    )
