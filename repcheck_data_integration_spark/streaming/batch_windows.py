@@ -286,3 +286,62 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "win_session_features",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                        > {SESSION_GAP_S}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sessions AS (
+        SELECT *, sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+               AS duration_s,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_event_types,
+           CAST(count(*) = 1 AS BOOLEAN) AS is_bounce
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def win_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level feature extraction (gaps-and-islands sessionization +
+    per-session aggregates): duration, event count, type diversity, bounce
+    flag — the feature block behind engagement/retention models. One
+    window pass assigns session ids (running sum of gap breaks), one hash
+    aggregation computes the features; both shuffle on user_id only."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        > SESSION_GAP_S
+    )
+    sessions = e.withColumn(
+        "session_id",
+        F.sum(F.when(gap, 1).otherwise(0)).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.floor(F.unix_timestamp(F.min("ts"))).cast("long").alias("session_start"),
+        (
+            F.floor(F.unix_timestamp(F.max("ts")))
+            - F.floor(F.unix_timestamp(F.min("ts")))
+        )
+        .cast("long")
+        .alias("duration_s"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        (F.count(F.lit(1)) == 1).alias("is_bounce"),
+    )

@@ -127,3 +127,29 @@ def test_q10_take_ordered(spark):
     global sort."""
     p = plan(spark, "tpch_q10_returned_items")
     assert "TakeOrderedAndProject" in p
+
+
+def test_fact_fact_join_is_smj_when_too_big_to_broadcast(spark):
+    """Fact⋈fact joins must degrade to a shuffle-based join on the key
+    (sort-merge or shuffled-hash), NEVER nested-loop, when neither side
+    fits the broadcast threshold. Probed by disabling auto-broadcast."""
+    from repcheck_data_integration_spark.tables import load
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load(spark, SF, "lineitem")
+        o = load(spark, SF, "orders")
+        df = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        jvm = spark._jvm
+        p = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
