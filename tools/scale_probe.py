@@ -51,6 +51,9 @@ PROBES = [
     "text_repetition_stats",
     "join_range_interval",
     "stream_stream_join",
+    "graph_pagerank",
+    "join_spatial_knn",
+    "events_cohort_retention",
     "pipeline_enrich_merge",
 ]
 
