@@ -303,3 +303,72 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("interval_id", "start_ts", "end_ts").agg(
         F.count(F.lit(1)).alias("n_points")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-spine gap filling (hypertable time_bucket_gapfill + locf)
+# ---------------------------------------------------------------------------
+
+SPINE_USERS = 5  # user_id < 5 keeps the demo spine small; shape is general
+
+
+@register(
+    "ts_gap_fill",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS t0,
+               CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS t1
+        FROM events),
+    spine AS (
+        SELECT u.user_id, s.slot
+        FROM (SELECT DISTINCT user_id FROM events
+              WHERE user_id < {SPINE_USERS}) u,
+             (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot
+              FROM bounds) s)
+    SELECT sp.user_id, sp.slot,
+           (SELECT e.value FROM events e
+            WHERE e.user_id = sp.user_id AND e.ts <= sp.slot
+            ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS filled_value
+    FROM spine sp
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap filling with last-observation-carried-forward (the
+    time_bucket_gapfill + locf pair of time-series stores): build the
+    dense hourly spine (users × hours — generated, never scanned), then
+    forward-fill each empty slot from the user's latest event at-or-before
+    it. The fill is the SAME union+window as-of machinery as join_asof —
+    one shuffle on user_id, no correlated per-slot lookups (the oracle
+    states it as the correlated form). Slots before a user's first event
+    stay NULL, exactly like the SQL."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    users = (
+        e.filter(F.col("user_id") < SPINE_USERS).select("user_id").distinct()
+    )
+    spine = users.join(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 HOUR")
+            )
+        ).alias("slot"),
+    )
+    refs = e.filter(F.col("user_id") < SPINE_USERS).select(
+        "user_id", "ts", "value", F.col("event_id").alias("__probe_tie")
+    )
+    out = asof_join(
+        spine.withColumn("__probe_tie", F.lit(None).cast("long")),
+        refs,
+        by="user_id",
+        left_ts="slot",
+        right_ts="ts",
+        value_cols=["value"],
+        tie_col="__probe_tie",
+    )
+    return out.select(
+        "user_id", "slot", F.col("asof_value").alias("filled_value")
+    )
