@@ -202,3 +202,89 @@ def join_fuzzy_wratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_entities(
         probes, cands, block_keys=["block"], scorer=wratio_scorer
     )
+
+
+def token_sort_norm(col) -> F.Column:
+    """Token-sort normal form: lowercase, tokenize, sort, re-join — the
+    canonicalization behind thefuzz's token_sort_ratio (word order stops
+    mattering; edit distance then compares the normal forms)."""
+    from .dedup import tokens
+
+    return F.array_join(F.array_sort(tokens(F.lower(col))), " ")
+
+
+SQL_TOKEN_SORT = (
+    "array_to_string(list_sort(regexp_extract_all(lower({c}), '[a-z0-9]+')),"
+    " ' ')"
+)
+
+
+@register(
+    "join_fuzzy_tokensort",
+    oracle=f"""
+    WITH probes AS (
+        SELECT p_partkey AS probe_id, p_brand AS block,
+               CASE WHEN p_partkey % 2 = 1
+                    THEN regexp_extract(p_name, '[a-z0-9]+$') || ' ' ||
+                         regexp_extract(p_name, '^[a-z0-9]+')
+                    ELSE p_name END AS pname
+        FROM part),
+    cands AS (
+        SELECT p_partkey AS cand_id, p_brand AS block, p_name AS cname
+        FROM part),
+    scored AS (
+        SELECT p.probe_id, c.cand_id,
+               {sql_stable_round4(
+                   "1.0 - levenshtein(" + SQL_TOKEN_SORT.format(c="p.pname")
+                   + ", " + SQL_TOKEN_SORT.format(c="c.cname") + ")"
+                   " / greatest(length(" + SQL_TOKEN_SORT.format(c="p.pname")
+                   + "), length(" + SQL_TOKEN_SORT.format(c="c.cname")
+                   + "), 1)")} AS score
+        FROM probes p JOIN cands c ON p.block = c.block)
+    SELECT probe_id, cand_id AS matched_id, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY score DESC, cand_id) AS rn
+          FROM scored WHERE score >= {DEFAULT_THRESHOLD})
+    WHERE rn = 1
+    """,
+)
+def join_fuzzy_tokensort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sort-ratio resolution: odd part names get their WORDS swapped
+    ('small ring' → 'ring small'), which plain levenshtein scores poorly
+    but the token-sort normal form maps straight back to the original.
+    Same blocked-join + top-1-window plan as join_fuzzy_topk with a
+    different native scorer — the scorer is a Column→Column function, so
+    swapping it costs nothing in plan shape."""
+    p = load(spark, sf_dir, "part")
+    probes = p.select(
+        F.col("p_partkey").alias("probe_id"),
+        F.col("p_brand").alias("block"),
+        F.when(
+            F.col("p_partkey") % 2 == 1,
+            F.concat_ws(
+                " ",
+                F.regexp_extract("p_name", "[a-z0-9]+$", 0),
+                F.regexp_extract("p_name", "^[a-z0-9]+", 0),
+            ),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("pname"),
+    )
+    cands = p.select(
+        F.col("p_partkey").alias("cand_id"),
+        F.col("p_brand").alias("block"),
+        F.col("p_name").alias("cname"),
+    )
+    na, nb = token_sort_norm(F.col("pname")), token_sort_norm(F.col("cname"))
+    score = 1.0 - F.levenshtein(na, nb) / F.greatest(
+        F.length(na), F.length(nb), F.lit(1)
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("cand_id"))
+    return (
+        probes.join(cands, "block")
+        .select("probe_id", "cand_id", stable_round4(score).alias("score"))
+        .filter(F.col("score") >= DEFAULT_THRESHOLD)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", F.col("cand_id").alias("matched_id"), "score")
+    )

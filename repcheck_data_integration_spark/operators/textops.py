@@ -408,3 +408,34 @@ def text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         stable_round4(-F.col("ll") / F.col("n_tokens")).alias("cross_entropy"),
     )
+
+
+N_HASH_FEATURES = 16
+
+
+@register(
+    "text_feature_hash",
+    oracle=f"""
+    WITH tc AS ({SQL_TERM_COUNTS})
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+               % {N_HASH_FEATURES} AS bucket,
+           CAST(sum(cnt) AS BIGINT) AS n
+    FROM tc GROUP BY 1, 2
+    """,
+)
+def text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): token counts folded into
+    {N_HASH_FEATURES} md5-bucketed dimensions — the fixed-width
+    bag-of-words featurizer that needs no vocabulary broadcast, so the
+    feature space never grows with the corpus. Long form (doc, bucket, n);
+    pivot to a dense vector at the consumer if needed. Same md5-rational
+    trick as the LSH hyperplanes keeps both engines identical."""
+    tc = term_counts(load(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % N_HASH_FEATURES
+    )
+    return tc.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
