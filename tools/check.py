@@ -61,7 +61,10 @@ def main(names):
 
     registry.load_all_modules()
     todo = names or sorted(registry.QUERIES)
-    spark = get_spark("check", shuffle_partitions=8)
+    spark = get_spark(
+        "check",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CHECK_PARTS", "8")),
+    )
 
     con = duckdb.connect()
     for t in TABLES:
