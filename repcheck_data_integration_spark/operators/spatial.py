@@ -374,3 +374,64 @@ def join_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KNN_K)
         .select("probe_id", "cand_id", "dist2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key (bit-interleaved multi-dimensional clustering)
+# ---------------------------------------------------------------------------
+
+Z_BITS = 8  # 8 bits per dimension → 16-bit morton code
+
+
+def _spread_sql(v: str) -> str:
+    """DuckDB: spread the low Z_BITS bits of v to even positions."""
+    return " + ".join(
+        f"(((({v}) // {1 << b}) % 2) * {1 << (2 * b)})" for b in range(Z_BITS)
+    )
+
+
+def zorder_key(x, y) -> F.Column:
+    """Morton / Z-order key: interleave the low Z_BITS bits of two grid
+    coordinates. Rows sorted (or range-partitioned) by this key cluster
+    2-D-nearby data into the same files, so min/max column statistics
+    prune BOTH dimensions — the layout lever behind multi-column data
+    skipping. Pure integer shifts, bit-identical on every engine."""
+    parts = []
+    for b in range(Z_BITS):
+        bit_x = (x / (1 << b)).cast("long") % 2
+        bit_y = (y / (1 << b)).cast("long") % 2
+        parts.append(bit_x * (1 << (2 * b)) + bit_y * (1 << (2 * b + 1)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+@register(
+    "fn_zorder_key",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               c_custkey % 97 AS gx,
+               (c_custkey * 7) % 89 AS gy
+        FROM customer)
+    SELECT id, CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+           CAST({_spread_sql('gx')} + 2 * ({_spread_sql('gy')}) AS BIGINT)
+               AS zkey
+    FROM pts
+    """,
+)
+def fn_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order key over the zip-centroid grid coordinates — the write-side
+    twin of the grid read path: `df.repartitionByRange(F.col('zkey'))
+    .sortWithinPartitions('zkey').write...` lays files out so bbox
+    predicates on EITHER dimension prune parquet row groups."""
+    c = load(spark, sf_dir, "customer")
+    gx = (F.col("c_custkey") % 97).cast("long")
+    gy = ((F.col("c_custkey") * 7) % 89).cast("long")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        gx.alias("gx"),
+        gy.alias("gy"),
+        zorder_key(gx, gy).cast("long").alias("zkey"),
+    )

@@ -53,3 +53,24 @@ def test_multi_format_timestamp(spark):
         ).collect()
     ]
     assert out[0] is not None and out[1] is not None and out[2] is None
+
+
+def test_zorder_key_is_morton_code(spark):
+    """zkey must equal the reference bit-interleaving (x bits at even
+    positions, y bits at odd)."""
+    from repcheck_data_integration_spark.operators.spatial import zorder_key
+    from pyspark.sql import functions as F
+
+    def morton(x, y, bits=8):
+        out = 0
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    pairs = [(0, 0), (1, 0), (0, 1), (3, 5), (96, 88), (255, 255)]
+    df = spark.createDataFrame(pairs, ["x", "y"]).select(
+        "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+    )
+    got = {(r["x"], r["y"]): r["z"] for r in df.collect()}
+    assert got == {(x, y): morton(x, y) for x, y in pairs}

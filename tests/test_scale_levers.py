@@ -153,3 +153,38 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime bloom-filter pruning: a selective dim-side filter must inject
+    a bloom filter onto the fact side of a shuffle join (the runtime
+    row-group skipping lever for fact⋈filtered-dim at 100 TB — the
+    application-side threshold is production-sized, so it's zeroed here)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:1500]
+        # and the filtered join still returns the right rows
+        n_direct = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert df.count() == n_direct
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
