@@ -7,7 +7,7 @@ hash-comparable regardless of partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -299,4 +299,62 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                                 (l_returnflag, l_linestatus))
         """
+    )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_orderkey) AS BIGINT) AS key_and,
+           CAST(bit_or(l_linenumber) AS BIGINT) AS line_or,
+           CAST(bit_xor(l_orderkey) AS BIGINT) AS key_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and/or/xor) — order-independent by algebra,
+    so exact at any parallelism; the flag-set/bitmap building blocks."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_orderkey").cast("long").alias("key_and"),
+        F.bit_or("l_linenumber").cast("long").alias("line_or"),
+        F.bit_xor("l_orderkey").cast("long").alias("key_xor"),
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_quantity, count(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_quantity)
+    SELECT l_returnflag, l_quantity AS mode_qty, CAST(cnt AS BIGINT) AS n
+    FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                       ORDER BY cnt DESC, l_quantity) AS rn
+          FROM c)
+    WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode per group (most frequent value, smallest-value
+    tie-break): two hash aggregations + a tiny window — native mode()
+    leaves ties unspecified in both engines, so the engine spells out the
+    tie-break instead (same single-agg min(struct) trick as
+    text_repetition_stats would also work)."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("cnt").cast("long").alias("n"),
+        )
     )

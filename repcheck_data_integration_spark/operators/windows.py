@@ -297,3 +297,40 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round4(F.percent_rank().over(w)).alias("bal_pct_rank"),
         stable_round4(F.cume_dist().over(w)).alias("bal_cume_dist"),
     )
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           floor(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) * 10000.0 + 0.5)
+               / 10000.0 AS mov_avg_10,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_in_frame
+    FROM events
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window: trailing 10-row moving average per user (the
+    rowsBetween form running_sum doesn't exercise). The frame holds ≤10
+    doubles so the avg is a short fixed-order sum — identical across
+    engines at round-4 granularity; full (ts, event_id) tie-break pins the
+    frame contents themselves."""
+    from .dedup import stable_round4
+
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        stable_round4(F.avg("value").over(w)).alias("mov_avg_10"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_frame"),
+    )
