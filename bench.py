@@ -45,6 +45,14 @@ HEADLINE = [
 ]
 
 
+def drain(df) -> None:
+    """Fully materialize every output column JVM-side. A bare .count() lets
+    Catalyst prune the final projections (pure-map queries would be timed
+    without evaluating their expressions); the noop sink evaluates every
+    row and column with no Python/driver transfer."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     registry.load_all_modules()
     names = [n for n in HEADLINE if n in registry.QUERIES]
@@ -57,7 +65,7 @@ def main() -> None:
     warm_sf = "/root/testdata/sf0.001"
     for name in names:
         try:
-            registry.QUERIES[name](spark, warm_sf).count()
+            drain(registry.QUERIES[name](spark, warm_sf))
         except Exception as e:  # warmup must never fail the bench
             print(f"# warmup {name} skipped: {e}", file=sys.stderr)
 
@@ -65,9 +73,9 @@ def main() -> None:
     for name in names:
         t0 = time.time()
         df = registry.QUERIES[name](spark, SF_DIR)
-        n = df.count()
+        drain(df)
         per_query[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {per_query[name]}s", file=sys.stderr)
+        print(f"# {name}: drained in {per_query[name]}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -156,9 +156,9 @@ def fn_case_try_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
            json_extract_string(substr('~' || props, 2), '$.k') AS pseudo_ref_k,
-           to_json({'t': event_type,
+           CAST(to_json({'t': event_type,
                     'k': CAST(json_extract_string(props, '$.k') AS BIGINT)})
-               AS packed_json,
+               AS VARCHAR) AS packed_json,
            ({'t': event_type,
              'k': CAST(json_extract_string(props, '$.k') AS BIGINT)}).t
                AS nested_field

@@ -447,7 +447,13 @@ def connected_components(
 
     This is the step that turns pairwise dedup output into canonical
     groups (keep min-id per component, drop the rest). Iterative → no SQL
-    oracle; invariants are unit-tested on known cluster shapes."""
+    oracle; invariants are unit-tested on known cluster shapes.
+
+    Per-iteration labels are localCheckpoint-ed (not merely persisted):
+    persist caches the data but the logical plan still deepens every
+    round — analysis cost and the failure-recompute chain grow with the
+    iteration count. The eager checkpoint truncates lineage so round N's
+    plan is one join deep regardless of N (same hygiene as pagerank)."""
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -475,7 +481,7 @@ def connected_components(
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

@@ -152,25 +152,35 @@ def pagerank(spark: SparkSession, sf_dir: str, iterations: int = 2) -> DataFrame
     is bit-identical at any partitioning — which is what makes an
     ITERATIVE algorithm oracle-checkable (the SQL twin unrolls the same
     iterations as CTEs). Each iteration is one join + one aggregation,
-    shuffling on the destination node — the natural bucketing key."""
+    shuffling on the destination node — the natural bucketing key.
+
+    Lineage hygiene for N iterations: ``ed`` (edges⋈deg) is consumed by
+    EVERY iteration's join, so it is persisted once instead of being
+    re-derived N times; ``ranks`` is localCheckpoint-ed per iteration,
+    which truncates the logical plan — without it the lineage (and the
+    optimizer's work, and the recompute-on-failure cost) grows linearly
+    with N, the classic iterative-algorithm scale-killer."""
     edges = _pr_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = deg.select(F.col("src").alias("node"), F.lit(PR_SCALE).alias("r"))
-    ed = edges.join(deg, "src")
-    for _ in range(iterations):
-        contrib = (
-            ed.join(ranks, ed.src == ranks.node)
-            .select("dst", F.expr("r div outdeg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = contrib.select(
-            F.col("dst").alias("node"),
-            (
-                F.lit(PR_SCALE * 15 // 100)
-                + F.expr(f"({PR_DAMP_NUM} * contrib) div {PR_DAMP_DEN}")
-            ).alias("r"),
-        )
+    ed = edges.join(deg, "src").persist()
+    try:
+        for _ in range(iterations):
+            contrib = (
+                ed.join(ranks, ed.src == ranks.node)
+                .select("dst", F.expr("r div outdeg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            ranks = contrib.select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(PR_SCALE * 15 // 100)
+                    + F.expr(f"({PR_DAMP_NUM} * contrib) div {PR_DAMP_DEN}")
+                ).alias("r"),
+            ).localCheckpoint(eager=True)
+    finally:
+        ed.unpersist()
     return ranks.select("node", F.col("r").cast("long").alias("rank_scaled"))
 
 

@@ -446,15 +446,24 @@ def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot): per-row array math, shuffle-free, with the norm as a sequential
     double fold. Elements stable-rounded for the cross-engine hash."""
     e = load(spark, sf_dir, "embeddings")
+    # Project the norm as a concrete attribute FIRST: a non-trivial
+    # expression referenced inside a higher-order-function lambda is inlined
+    # per element (the d-element fold would re-run for each of the d
+    # outputs — O(d²) per row). As a projected column it evaluates once.
     sq = dot_double(F.col("embedding"), F.col("embedding"))
-    return e.select(
-        "vec_id",
-        stable_round4(F.sqrt(sq)).alias("l2_norm"),
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") / F.sqrt(sq) * 10000.0 + 0.5)
-            / 10000.0,
-        ).alias("unit_vec"),
+    return (
+        e.select("vec_id", "embedding", F.sqrt(sq).alias("_norm"))
+        .select(
+            "vec_id",
+            stable_round4(F.col("_norm")).alias("l2_norm"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") / F.col("_norm") * 10000.0 + 0.5
+                )
+                / 10000.0,
+            ).alias("unit_vec"),
+        )
     )
 
 
@@ -482,16 +491,22 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable-rounded to integers so both engines emit identical codes.
     Shuffle-free single scan; the max-abs fold is per-row array math."""
     e = load(spark, sf_dir, "embeddings")
+    # max_abs projected as a concrete column before the transform lambda —
+    # referenced inline it would be re-evaluated per element (O(d²)/row),
+    # the CLAUDE.md higher-order-function inlining trap.
     max_abs = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
     )
-    return e.select(
-        "vec_id",
-        stable_round4(max_abs).alias("max_abs"),
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(
-                x.cast("double") * (127.0 / max_abs) + 0.5
-            ).cast("int"),
-        ).alias("q8"),
+    return (
+        e.select("vec_id", "embedding", max_abs.alias("_max_abs"))
+        .select(
+            "vec_id",
+            stable_round4(F.col("_max_abs")).alias("max_abs"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") * (127.0 / F.col("_max_abs")) + 0.5
+                ).cast("int"),
+            ).alias("q8"),
+        )
     )

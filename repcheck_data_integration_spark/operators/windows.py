@@ -235,11 +235,45 @@ def win_asof_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map pandas op (applyInPandas — the per-group DataFrame-in/
-    DataFrame-out surface, SURVEY §2.8): per-nation z-score of account
-    balance. The kernel does its sums on scaled Python ints (exact,
-    order-independent) so the result hash-matches the SQL oracle — the
-    pattern for putting *numeric* Python kernels under oracle checks."""
+    """Per-nation z-score of account balance as a native two-phase plan:
+    (1) groupBy exact scaled-integer sums (count / Σv / Σv² — partial
+    map-side combine, the shuffle carries 25 tiny rows), (2) broadcast the
+    moment table back onto customer. The big table is never shuffled and
+    nothing leaves the JVM — unlike the former applyInPandas version, which
+    materialized each whole nation group in one pandas frame (billions of
+    rows per group at 100×, executor OOM). Same oracle; the pandas kernel
+    survives as the rows-only §2.8 demo `win_grouped_zscore_pandas_demo`."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_c"),
+    )
+    m = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bal_c").alias("s1"),
+        F.sum(F.col("bal_c") * F.col("bal_c")).alias("s2"),
+    )
+    mean = F.col("s1") * 1.0 / F.col("n")
+    var = F.greatest(
+        F.col("s2") * 1.0 / F.col("n") - mean * mean, F.lit(1e-12)
+    )
+    return (
+        c.join(F.broadcast(m), "c_nationkey")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            (F.floor((F.col("bal_c") - mean) / F.sqrt(var) * 10000.0 + 0.5)
+             / 10000.0).alias("zscore"),
+        )
+    )
+
+
+@register("win_grouped_zscore_pandas_demo")
+def win_grouped_zscore_pandas_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas demo (applyInPandas — the per-group DataFrame-in/
+    DataFrame-out surface, SURVEY §2.8): the exact-scaled-int z-score kernel.
+    Rows-only by design: correct and hash-identical to `win_grouped_zscore`
+    (asserted in tests), but applyInPandas materializes each whole group in
+    one pandas frame — a demo of the API, not the plan to run at 100 TB."""
     import math
 
     import pandas as pd

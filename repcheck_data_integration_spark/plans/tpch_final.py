@@ -81,38 +81,49 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH pv AS (
         SELECT l.l_partkey,
-               {sql_exact_sum('l.l_quantity * p.p_retailprice')} AS part_value
+               CAST(sum(CAST(round((l.l_quantity * p.p_retailprice) * 100, 0)
+                             AS BIGINT)) AS BIGINT) AS pv_c
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
         GROUP BY l.l_partkey),
-    total AS (SELECT sum(part_value) AS tv FROM pv)
-    SELECT pv.l_partkey, pv.part_value
+    total AS (SELECT CAST(sum(pv_c) AS BIGINT) AS tv_c FROM pv)
+    SELECT pv.l_partkey, CAST(pv_c / 100.0 AS DOUBLE) AS part_value
     FROM pv, total
-    WHERE pv.part_value > total.tv * 0.0005
+    WHERE CAST(pv_c AS DOUBLE) > CAST(tv_c AS DOUBLE) * 0.0005
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 shape: per-part shipped value, keeping parts above a FRACTION of
     the grand total — the scalar total re-aggregates the grouped relation
     (tiny) and broadcasts back as a 1-row frame; no second scan of the
-    fact. part_value is already exact (2-decimal), so the re-sum and the
-    fraction compare are engine-identical."""
+    fact. Both the per-part value AND the grand total stay in scaled
+    integer cents until the very end (a float re-sum of part_value would be
+    order/partition-dependent and could flip the borderline threshold
+    compare across engines); the fraction compare is int-exact cast to
+    double once, identically on both sides."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     pv = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey")
         .agg(
-            exact_sum(F.col("l_quantity") * F.col("p_retailprice")).alias(
-                "part_value"
-            )
+            F.sum(
+                F.round(
+                    (F.col("l_quantity") * F.col("p_retailprice")) * 100, 0
+                ).cast("long")
+            ).alias("pv_c")
         )
     )
-    total = pv.agg(F.sum("part_value").alias("tv"))
+    total = pv.agg(F.sum("pv_c").alias("tv_c"))
     return (
         pv.join(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("tv") * 0.0005)
-        .select("l_partkey", "part_value")
+        .filter(
+            F.col("pv_c").cast("double") > F.col("tv_c").cast("double") * 0.0005
+        )
+        .select(
+            "l_partkey",
+            (F.col("pv_c") / 100.0).cast("double").alias("part_value"),
+        )
     )
 
 

@@ -177,7 +177,8 @@ def stream_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS hour, event_type,
            count(*) AS n_events,
-           sum(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS value_cents
     FROM events GROUP BY 1, 2
     """,
 )
@@ -323,8 +324,12 @@ def win_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Fractional-seconds gap, matching the oracle's epoch(ts): the fixture
+    # timestamps carry sub-second fractions, and unix_timestamp() FLOORS to
+    # whole seconds — a gap of e.g. 300.8s would floor to 300 and not break
+    # the session while epoch() would, so hash parity held only by luck.
     gap = (
-        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
         > SESSION_GAP_S
     )
     sessions = e.withColumn(

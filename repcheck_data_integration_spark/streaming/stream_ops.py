@@ -264,10 +264,48 @@ def stream_hourly_rollup(
     integer addition cannot. Daily (or any coarser) rollups re-aggregate
     the hourly table (see daily_from_hourly) instead of rescanning the
     fact stream — the compositional-reaggregation property tested in
-    operators/graph.py applies."""
+    operators/graph.py applies.
+
+    Exactly-once under retries: foreachBatch gives at-least-once delivery —
+    a micro-batch that fails between the target write and the checkpoint
+    commit is REPLAYED with the same epoch_id, and a naive additive merge
+    would apply its delta twice. The merge is made idempotent by stamping
+    the applied epoch into the rollup's physical layout: each epoch writes
+    a fresh version directory ``<target>.versions/epoch=<id>`` and then
+    atomically repoints the ``target_path`` symlink (os.replace of a
+    symlink is atomic on POSIX — a crash leaves either the old or the new
+    rollup, never a partial one, and no stale .tmp). A replayed epoch whose
+    id ≤ the symlink's current epoch is skipped outright."""
+    return (
+        events.writeStream.foreachBatch(make_hourly_merge_batch(target_path))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def rollup_applied_epoch(target_path: str) -> int:
+    """Last epoch applied to the rollup at ``target_path`` (-1 if none).
+    The symlink's target name carries the epoch — the marker and the data
+    commit in the same atomic rename, so they can never disagree."""
+    if os.path.islink(target_path):
+        base = os.path.basename(os.readlink(target_path))
+        if base.startswith("epoch="):
+            return int(base.split("=", 1)[1])
+    return -1
+
+
+def make_hourly_merge_batch(target_path: str):
+    """Build the idempotent foreachBatch merge for ``stream_hourly_rollup``
+    (module-level so tests can drive epoch replays directly)."""
+    import shutil
+
+    versions_root = target_path + ".versions"
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
+        if epoch_id <= rollup_applied_epoch(target_path):
+            return  # replayed epoch, delta already in the rollup: skip
         delta = batch.groupBy(
             F.date_trunc("hour", "ts").alias("hour"),
             "event_type",
@@ -301,16 +339,22 @@ def stream_hourly_rollup(
             )
         else:
             merged = delta
-        tmp = target_path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        ver_dir = os.path.join(versions_root, f"epoch={epoch_id:020d}")
+        merged.write.mode("overwrite").parquet(ver_dir)
+        if os.path.exists(target_path) and not os.path.islink(target_path):
+            shutil.rmtree(target_path)  # migrate a legacy plain-dir rollup
+        tmp_link = target_path + ".lnk"
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(ver_dir, tmp_link)
+        os.replace(tmp_link, target_path)  # atomic swap = commit point
+        for old in os.listdir(versions_root):  # GC superseded versions
+            if old.startswith("epoch=") and old != f"epoch={epoch_id:020d}":
+                shutil.rmtree(
+                    os.path.join(versions_root, old), ignore_errors=True
+                )
 
-    return (
-        events.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return merge_batch
 
 
 def daily_from_hourly(spark: SparkSession, hourly_path: str) -> DataFrame:

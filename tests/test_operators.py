@@ -222,3 +222,52 @@ def test_pagerank_properties(spark):
     top_supp = max(deg, key=lambda k: (deg[k], k))
     supp_ranks = sorted(v for k, v in r5a.items() if k.startswith("s"))
     assert r5a[top_supp] >= supp_ranks[len(supp_ranks) // 2]
+
+
+def test_grouped_zscore_pandas_demo_matches_native(spark):
+    """The rows-only applyInPandas demo must stay value-identical to the
+    registered native two-phase plan (same exact scaled-int moments)."""
+    from repcheck_data_integration_spark import registry
+
+    registry.load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    native = {
+        (r["c_custkey"], r["c_nationkey"], r["zscore"])
+        for r in registry.QUERIES["win_grouped_zscore"](spark, sf).collect()
+    }
+    demo = {
+        (r["c_custkey"], r["c_nationkey"], r["zscore"])
+        for r in registry.QUERIES["win_grouped_zscore_pandas_demo"](
+            spark, sf
+        ).collect()
+    }
+    assert native == demo and len(native) > 0
+
+
+def test_iterative_ops_truncate_lineage(spark):
+    """Lineage hygiene for iterative algorithms: after N iterations the
+    returned plan must be CONSTANT-depth (the per-iteration localCheckpoint
+    truncates it) — without that, analysis cost and the failure-recompute
+    chain grow with N, the iterative-op scale-killer."""
+    from repcheck_data_integration_spark.operators.dedup import (
+        connected_components,
+    )
+    from repcheck_data_integration_spark.operators.graph import pagerank
+
+    sf = "/root/testdata/sf0.001"
+
+    def analyzed(df) -> str:
+        return df._jdf.queryExecution().analyzed().toString()
+
+    p2, p8 = analyzed(pagerank(spark, sf, 2)), analyzed(pagerank(spark, sf, 8))
+    # the final plan reads the checkpointed RDD — no join chain N deep
+    assert "Join" not in p8
+    assert p8.count("\n") == p2.count("\n")  # depth independent of N
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc1", "doc2"]
+    )
+    comp = connected_components(pairs)
+    assert "Join" not in analyzed(comp)
+    got = {r["node"]: r["component"] for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

@@ -153,3 +153,15 @@ def test_fact_fact_join_is_smj_when_too_big_to_broadcast(spark):
         assert "CartesianProduct" not in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_grouped_zscore_is_native_two_phase(spark):
+    """win_grouped_zscore must run entirely JVM-side: partial+final moment
+    aggregation and a broadcast join back — no Python-eval node anywhere
+    (the applyInPandas formulation lives on only as the rows-only demo)."""
+    p = plan(spark, "win_grouped_zscore")
+    for py_node in ("FlatMapGroupsInPandas", "ArrowEvalPython",
+                    "BatchEvalPython", "MapInPandas"):
+        assert py_node not in p
+    assert p.count("HashAggregate") >= 2  # partial + final moments
+    assert "BroadcastHashJoin" in p      # moment table broadcast back

@@ -301,3 +301,52 @@ def test_hourly_rollup_incremental_equals_batch(spark, tmp_path):
         .collect()
     }
     assert daily == direct
+
+
+def test_hourly_rollup_replay_is_idempotent(spark, tmp_path):
+    """At-least-once replay safety: re-applying a micro-batch with an
+    already-committed epoch_id must be a no-op (the additive merge would
+    otherwise double-count), and the epoch marker must ride the atomic
+    symlink swap. Simulates the crash-between-write-and-checkpoint retry
+    by calling the foreachBatch function directly with repeated epochs."""
+    target = str(tmp_path / "hourly")
+    merge = stream_ops.make_hourly_merge_batch(target)
+    events = load(spark, SF, "events")
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    b1 = events.filter(F.col("event_id") % 2 == 1)
+
+    merge(b0, 0)
+    assert stream_ops.rollup_applied_epoch(target) == 0
+    once = sorted(map(tuple, spark.read.parquet(target).collect()))
+
+    merge(b0, 0)  # replay of epoch 0 → must not double-apply
+    assert sorted(map(tuple, spark.read.parquet(target).collect())) == once
+
+    merge(b1, 1)
+    assert stream_ops.rollup_applied_epoch(target) == 1
+    after1 = sorted(map(tuple, spark.read.parquet(target).collect()))
+    merge(b1, 1)  # replay of epoch 1 likewise
+    merge(b0, 0)  # stale epoch replayed out of order likewise
+    assert sorted(map(tuple, spark.read.parquet(target).collect())) == after1
+
+    # the merged rollup equals the one-shot batch aggregate
+    expected = sorted(
+        map(
+            tuple,
+            events.groupBy(
+                F.date_trunc("hour", "ts").alias("hour"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                    "value_cents"
+                ),
+            )
+            .collect(),
+        )
+    )
+    assert after1 == expected
+    # no stale tmp artifacts; exactly one live version dir remains
+    assert not os.path.exists(target + ".tmp")
+    vers = [d for d in os.listdir(target + ".versions") if d.startswith("epoch=")]
+    assert len(vers) == 1

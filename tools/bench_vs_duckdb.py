@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
-from bench import HEADLINE  # noqa: E402
+from bench import HEADLINE, drain  # noqa: E402
 from repcheck_data_integration_spark import registry  # noqa: E402
 from repcheck_data_integration_spark.session import get_spark  # noqa: E402
 
@@ -67,13 +67,16 @@ def main() -> None:
     warm_sf = "/root/testdata/sf0.001"
     for name in names:
         try:
-            registry.QUERIES[name](spark, warm_sf).count()
+            drain(registry.QUERIES[name](spark, warm_sf))
         except Exception as e:
             print(f"# warmup {name} skipped: {e}", file=sys.stderr)
     sparkt: dict[str, float] = {}
     for name in names:
         t0 = time.time()
-        registry.QUERIES[name](spark, sf_dir).count()
+        # noop-sink drain (not .count()): DuckDB's fetchall materializes
+        # every value, so the Spark side must evaluate every projected
+        # column too or projection-heavy ratios flatter Spark.
+        drain(registry.QUERIES[name](spark, sf_dir))
         sparkt[name] = round(time.time() - t0, 3)
     spark.stop()
 

@@ -5,10 +5,13 @@ Usage:
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/check.py
 
 For each query: run the Spark plan and the DuckDB oracle, compare
-row-count, schema (normalized type names), and an order-insensitive value
-hash (columns sorted by name, rows sorted, floats normalized). Strict float
-equality is asserted after round(9) normalization — if this passes, any
-reasonable driver hash also passes.
+row-count, schema (normalized type names), TYPE FAMILIES (strict: DuckDB
+HUGEINT/DECIMAL are NOT interchangeable with BIGINT — a driver that hashes
+through pandas/Arrow sees sum(CASE…) as HUGEINT→float64 and the hash flips,
+which is exactly how tpch_q12 failed in round 2), and an order-insensitive
+value hash (columns sorted by name, rows sorted, floats normalized). Strict
+float equality is asserted after round(9) normalization — if this passes,
+any reasonable driver hash also passes.
 """
 
 from __future__ import annotations
@@ -55,6 +58,105 @@ def canon_rows(cols, rows):
     return [c for c in sorted(cols)], out
 
 
+def spark_family(dt) -> str:
+    """Canonical type family for a Spark DataType."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "i"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "f"
+    if isinstance(dt, T.DecimalType):
+        return "dec"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_family(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return f"map<{spark_family(dt.keyType)},{spark_family(dt.valueType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(
+            f"{f.name.lower()}:{spark_family(f.dataType)}" for f in dt.fields
+        )
+        return f"struct<{inner}>"
+    return str(dt)
+
+
+_DUCK_FAMILIES = {
+    "TINYINT": "i", "SMALLINT": "i", "INTEGER": "i", "BIGINT": "i",
+    "UTINYINT": "i", "USMALLINT": "i", "UINTEGER": "i", "UBIGINT": "i",
+    # HUGEINT deliberately NOT "i": the driver's hash flips on it.
+    "HUGEINT": "hugeint", "UHUGEINT": "hugeint",
+    "FLOAT": "f", "DOUBLE": "f",
+    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date", "BLOB": "bytes",
+    "TIMESTAMP": "ts", "TIMESTAMP_S": "ts", "TIMESTAMP_MS": "ts",
+    "TIMESTAMP_NS": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+    "INTERVAL": "interval", "UUID": "str",
+}
+
+
+def duck_family(type_str: str) -> str:
+    """Canonical type family for a DuckDB logical type string."""
+    s = str(type_str).strip()
+    if s.endswith("[]"):
+        return f"list<{duck_family(s[:-2])}>"
+    up = s.upper()
+    if up in _DUCK_FAMILIES:
+        return _DUCK_FAMILIES[up]
+    if up.startswith("DECIMAL"):
+        return "dec"
+    if up.startswith("STRUCT(") and s.endswith(")"):
+        # split top-level "name TYPE" pairs on commas at depth 0
+        inner, parts, depth, cur = s[7:-1], [], 0, ""
+        for ch in inner:
+            if ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                depth += ch in "(<["
+                depth -= ch in ")>]"
+                cur += ch
+        parts.append(cur)
+        fields = []
+        for p in parts:
+            nm, _, ty = p.strip().partition(" ")
+            nm = nm.strip('"').lower()
+            fields.append(f"{nm}:{duck_family(ty)}")
+        return f"struct<{','.join(fields)}>"
+    if up.startswith("MAP(") and s.endswith(")"):
+        inner, depth, cur, parts = s[4:-1], 0, "", []
+        for ch in inner:
+            if ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                depth += ch in "(<["
+                depth -= ch in ")>]"
+                cur += ch
+        parts.append(cur)
+        return f"map<{duck_family(parts[0])},{duck_family(parts[1])}>"
+    return up
+
+
+def type_mismatches(scols, sschema, dcols, dtypes):
+    """Strict per-column family compare (matched by lowercase name)."""
+    sfam = {f.name.lower(): spark_family(f.dataType) for f in sschema.fields}
+    dfam = {c.lower(): duck_family(t) for c, t in zip(dcols, dtypes)}
+    bad = []
+    for col in sorted(set(sfam) & set(dfam)):
+        if sfam[col] != dfam[col]:
+            bad.append(f"{col}: spark={sfam[col]} duckdb={dfam[col]}")
+    return bad
+
+
 def main(names):
     from repcheck_data_integration_spark import registry
     from repcheck_data_integration_spark.session import get_spark
@@ -94,6 +196,7 @@ def main(names):
         try:
             rel = con.sql(registry.ORACLE[name])
             dcols = list(rel.columns)
+            dtypes = list(rel.types)
             drows = rel.fetchall()
         except Exception as e:
             print(f"[FAIL] {name}: duckdb error: {e}")
@@ -107,6 +210,10 @@ def main(names):
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
             ok = False
             msgs.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        tbad = type_mismatches(scols, sdf.schema, dcols, dtypes)
+        if tbad:
+            ok = False
+            msgs.append("type families: " + "; ".join(tbad))
         if ok:
             _, s_canon = canon_rows(scols, srows)
             _, d_canon = canon_rows(dcols, drows)
