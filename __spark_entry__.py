@@ -24,9 +24,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2, flagship
+    operators first (the driver samples a prefix)."""
     registry.load_all_modules()
-    return dict(registry.QUERIES)
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

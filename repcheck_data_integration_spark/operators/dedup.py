@@ -507,3 +507,95 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("canonical_doc_id")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing span fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+WINNOW_GRAM = 3   # word 3-grams, same shingle unit as MinHash above
+WINNOW_WIN = 4    # guarantee: any WINNOW_WIN-gram span shares a fingerprint
+
+
+@register(
+    "dedup_winnowing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+        FROM documents),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' '
+                                        || t[i+2]), 1, 8)) AS BIGINT) AS h
+        FROM toks, LATERAL unnest(
+            generate_series(1, greatest(len(t) - {WINNOW_GRAM - 1}, 0))
+        ) u(i)),
+    winnowed AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN {WINNOW_WIN - 1} PRECEDING
+                            AND CURRENT ROW) AS fp
+        FROM grams)
+    SELECT DISTINCT doc_id, fp
+    FROM winnowed WHERE pos >= {WINNOW_WIN}
+    """,
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints — the span-level near-dup /
+    plagiarism primitive (local algorithm: pick the MIN k-gram hash in
+    every sliding window of {WINNOW_WIN}, so any shared span of
+    ≥ win+gram-1 words between two documents is GUARANTEED to share a
+    fingerprint; the reference has no span-level dedup — engine extension
+    alongside MinHash whole-doc similarity).
+
+    Spark shape: tokenize → positional gram hashes (posexplode) → one
+    window pass (rolling min over {WINNOW_WIN} rows, partitioned by doc —
+    the only shuffle) → distinct. The emitted set is the VALUE set of
+    window minima, which needs no argmin position tie-break, so both
+    engines agree bit-for-bit on md5-derived integer hashes. Matching docs
+    = an equi-join on fp (bucket join, same scale shape as the LSH band
+    join)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("t"))
+    k = F.size("t") - (WINNOW_GRAM - 1)
+    grams = (
+        toks.filter(k >= WINNOW_WIN)  # too short to fill one window: no fp
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    " ",
+                                    F.element_at(F.col("t"), i),
+                                    F.element_at(F.col("t"), i + 1),
+                                    F.element_at(F.col("t"), i + 2),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                )
+            ).alias("pos0", "h"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_WIN - 1), W.currentRow)
+    )
+    return (
+        grams.select(
+            "doc_id", "pos", F.min("h").over(win).alias("fp")
+        )
+        .filter(F.col("pos") >= WINNOW_WIN)
+        .select("doc_id", "fp")
+        .distinct()
+    )

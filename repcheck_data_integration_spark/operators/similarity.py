@@ -364,6 +364,16 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join is an equi-join on (band, band_val) — O(bucket size),
     never O(n²)."""
     e = load(spark, sf_dir, "embeddings")
+    bands = _lsh_bands(spark, e)
+    qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "band_val"
+    )
+    return _lsh_rerank(e, bands, qb)
+
+
+def _lsh_bands(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """(vec_id, band, band_val) sign-LSH banded signatures — shared by the
+    single-probe and multi-probe ANN variants."""
     planes = spark.range(LSH_PLANES).select(
         F.col("id").cast("int").alias("h"),
         F.transform(
@@ -395,15 +405,17 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bit"),
         )
     )
-    bands = bits.groupBy(
+    return bits.groupBy(
         "vec_id", F.expr(f"h div {LSH_BAND_BITS}").alias("band")
     ).agg(
         F.sum(F.col("bit") * F.expr(f"shiftleft(1, h % {LSH_BAND_BITS})"))
         .alias("band_val")
     )
-    qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "band", "band_val"
-    )
+
+
+def _lsh_rerank(e: DataFrame, bands: DataFrame, qb: DataFrame) -> DataFrame:
+    """Bucket equi-join on (band, band_val) against the (possibly
+    multi-probe-expanded) query signatures, then exact-cosine rerank."""
     pairs = (
         bands.join(F.broadcast(qb), ["band", "band_val"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -427,6 +439,78 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "cand_id", stable_round4(F.col("cos")).alias("cosine_sim")
         )
     )
+
+
+@register(
+    "sim_search_lsh_multiprobe",
+    oracle=f"""
+    WITH planes AS (
+        SELECT h, {_SQL_W} AS w
+        FROM generate_series(0, {LSH_PLANES - 1}) t(h)),
+    bits AS (
+        SELECT e.vec_id, p.h,
+               CASE WHEN {SQL_DOT.format(a='e.embedding', b='p.w')} >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM embeddings e, planes p),
+    bands AS (
+        SELECT vec_id, h // {LSH_BAND_BITS} AS band,
+               sum(bit * (1 << (h % {LSH_BAND_BITS}))) AS band_val
+        FROM bits GROUP BY vec_id, h // {LSH_BAND_BITS}),
+    probes AS (
+        SELECT vec_id AS query_id, band,
+               xor(band_val, f) AS band_val
+        FROM bands, LATERAL unnest(
+            {[0] + [1 << b for b in range(LSH_BAND_BITS)]}) u(f)
+        WHERE vec_id < {N_QUERIES}),
+    pairs AS (
+        SELECT DISTINCT p.query_id, c.vec_id AS cand_id
+        FROM probes p
+        JOIN bands c ON c.band = p.band AND c.band_val = p.band_val
+                    AND c.vec_id <> p.query_id),
+    scored AS (
+        SELECT p.query_id, p.cand_id,
+               {sql_cosine('eq.embedding', 'ec.embedding')} AS cos
+        FROM pairs p
+        JOIN embeddings eq ON eq.vec_id = p.query_id
+        JOIN embeddings ec ON ec.vec_id = p.cand_id)
+    SELECT query_id, cand_id, {sql_stable_round4('cos')} AS cosine_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def sim_search_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH — the recall lever that does NOT cost a bigger
+    index: each query probes its own bucket PLUS the {LSH_BAND_BITS}
+    buckets at Hamming distance 1 per band (one sign bit flipped), the
+    buckets a near-neighbor most likely fell into. Candidates are a strict
+    superset of sim_search_lsh's at (1 + bits)× probe cost and ZERO extra
+    index size — the standard trade against doubling the plane count.
+    Same bucket equi-join shape: the probe expansion is a 4-row explode on
+    the QUERY side only (tiny), the corpus index is untouched, so the scale
+    behavior is identical to the single-probe plan. Recall-vs-exact is
+    asserted ≥ single-probe in tests/test_similarity.py."""
+    e = load(spark, sf_dir, "embeddings")
+    bands = _lsh_bands(spark, e)
+    flips = F.array(
+        F.lit(0), *[F.lit(1 << b) for b in range(LSH_BAND_BITS)]
+    )
+    qb = (
+        bands.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "band",
+            F.explode(flips).alias("f"),
+            F.col("band_val"),
+        )
+        .select(
+            "query_id",
+            "band",
+            F.expr("band_val ^ f").alias("band_val"),
+        )
+    )
+    return _lsh_rerank(e, bands, qb)
 
 
 @register(

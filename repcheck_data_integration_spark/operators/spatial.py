@@ -87,9 +87,17 @@ def bbox_grid_join(
 
 # -- exact refine: pure-python point-in-polygon / segment intersection ------
 
-def _ring_from_geojson(geom: dict) -> list[tuple[float, float]]:
+def _polys_from_geojson(geom: dict) -> list[list[list[tuple[float, float]]]]:
+    """GeoJSON → list of polygon parts, each part a list of rings
+    (ring 0 = exterior, rest = holes). Accepts Polygon and MultiPolygon."""
+
+    def rings(poly) -> list[list[tuple[float, float]]]:
+        return [[(float(x), float(y)) for x, y in ring] for ring in poly]
+
     if geom["type"] == "Polygon":
-        return [(float(x), float(y)) for x, y in geom["coordinates"][0]]
+        return [rings(geom["coordinates"])]
+    if geom["type"] == "MultiPolygon":
+        return [rings(poly) for poly in geom["coordinates"]]
     raise ValueError(f"unsupported geometry {geom['type']}")
 
 
@@ -105,6 +113,19 @@ def _point_in_ring(x: float, y: float, ring: list[tuple[float, float]]) -> bool:
             if x < xi:
                 inside = not inside
     return inside
+
+
+def _point_in_poly(
+    x: float, y: float, rings: list[list[tuple[float, float]]]
+) -> bool:
+    """Point in a polygon-with-holes: even-odd parity over ALL rings —
+    inside the exterior XOR inside a hole = inside the material region
+    (correct for any non-crossing hole nesting)."""
+    parity = False
+    for ring in rings:
+        if _point_in_ring(x, y, ring):
+            parity = not parity
+    return parity
 
 
 def _segments_intersect(p1, p2, p3, p4) -> bool:
@@ -133,18 +154,38 @@ def _segments_intersect(p1, p2, p3, p4) -> bool:
     )
 
 
+def _parts_intersect(p1, p2) -> bool:
+    """One polygon part (exterior + holes) vs another.
+
+    1. Any edge of any ring crossing any edge of the other's rings means
+       the boundaries touch → intersect.
+    2. With NO crossings, each connected ring lies entirely within one
+       face of the other polygon's arrangement (material / hole /
+       outside), so a single representative vertex of each EXTERIOR ring
+       decides containment — tested hole-aware via even-odd parity, which
+       correctly reports a geometry sitting wholly inside a hole (donut
+       case) as NOT intersecting."""
+    for r1 in p1:
+        for r2 in p2:
+            for i in range(len(r1) - 1):
+                for j in range(len(r2) - 1):
+                    if _segments_intersect(r1[i], r1[i + 1], r2[j], r2[j + 1]):
+                        return True
+    return _point_in_poly(*p2[0][0], p1) or _point_in_poly(*p1[0][0], p2)
+
+
 def polygons_intersect(g1: str, g2: str) -> bool:
-    """ST_Intersects for GeoJSON Polygons (exteriors): edge crossing or
-    containment either way. Pure Python, deterministic — the refine kernel
-    (zip_code_overlap.py:36 pushes this into PostGIS; here it runs
-    distributed in a pandas_udf after the bbox prefilter)."""
-    r1 = _ring_from_geojson(json.loads(g1))
-    r2 = _ring_from_geojson(json.loads(g2))
-    for i in range(len(r1) - 1):
-        for j in range(len(r2) - 1):
-            if _segments_intersect(r1[i], r1[i + 1], r2[j], r2[j + 1]):
+    """ST_Intersects for GeoJSON Polygon AND MultiPolygon, with holes:
+    edge crossing or hole-aware containment either way; multi-part
+    geometries intersect iff any part pair does. Pure Python,
+    deterministic — the reference pushes this predicate into PostGIS
+    (zip_code_overlap.py:33-38, fully general geometry there); here it
+    runs distributed in a pandas_udf after the bbox prefilter."""
+    for p1 in _polys_from_geojson(json.loads(g1)):
+        for p2 in _polys_from_geojson(json.loads(g2)):
+            if _parts_intersect(p1, p2):
                 return True
-    return _point_in_ring(*r2[0], r1) or _point_in_ring(*r1[0], r2)
+    return False
 
 
 @F.pandas_udf(T.BooleanType())

@@ -439,3 +439,60 @@ def text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tc.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.sum("cnt").cast("long").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (the context-window step of an LLM ingest pipeline)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 600   # characters per chunk
+CHUNK_STEP = 400   # stride → 200-char overlap between adjacent chunks
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    SELECT doc_id, i AS chunk_idx,
+           CAST(i * {CHUNK_STEP} + 1 AS BIGINT) AS chunk_start,
+           CAST(length(substr(text, i * {CHUNK_STEP} + 1, {CHUNK_SIZE}))
+                AS BIGINT) AS chunk_len,
+           md5(substr(text, i * {CHUNK_STEP} + 1, {CHUNK_SIZE})) AS chunk_md5
+    FROM documents, LATERAL unnest(
+        generate_series(0, greatest(length(text) - 1, 0) // {CHUNK_STEP})
+    ) u(i)
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size character chunks per document — the unit an
+    LLM ingest pipeline embeds/indexes (reference summarize path truncates
+    to one window, summarize_bills_federal.py:23-65; chunking is its
+    scale-out). {CHUNK_SIZE}-char windows every {CHUNK_STEP} chars, so
+    consecutive chunks share {CHUNK_SIZE - CHUNK_STEP} chars of context;
+    chunk ids are (doc_id, chunk_idx) — deterministic and re-derivable.
+
+    Pure per-row array math: sequence + explode + substring, shuffle-free,
+    and the chunk payload leaves the plan as md5 so the oracle compare
+    stays cheap. Both engines substring by CHARACTER on the same UTF-8
+    text, so hashes match bit-for-bit. A token-budgeted variant swaps the
+    char window for the token positions of text_token_count."""
+    d = load(spark, sf_dir, "documents")
+    n_last = F.expr(f"greatest(length(text) - 1, 0) div {CHUNK_STEP}")
+    chunk = F.expr(
+        f"substr(text, chunk_idx * {CHUNK_STEP} + 1, {CHUNK_SIZE})"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * CHUNK_STEP + 1).cast("long").alias(
+                "chunk_start"
+            ),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )

@@ -28,3 +28,23 @@ def test_flagship_runs_at_smoke_sf(spark, sf_dir):
     out = df.collect()
     assert len(out) <= 10
     assert set(df.columns) == {"o_orderkey", "revenue", "o_orderdate", "o_orderpriority"}
+
+
+def test_driver_prefix_covers_flagships():
+    """The driver oracle-checks the FIRST 50 queries() entries; the prefix
+    must cover the LLM-pipeline north stars, not just TPC-H."""
+    import __spark_entry__ as m
+
+    first50 = list(m.queries())[:50]
+    for flagship in (
+        "dedup_minhash_lsh",
+        "sim_search_ivf",
+        "text_tfidf_topterms",
+        "pipeline_corpus_curation",
+        "llm_summarize",
+        "mm_binary_meta",
+        "join_fuzzy_topk",
+        "stream_rollup_hourly",
+        "graph_pagerank",
+    ):
+        assert flagship in first50, flagship

@@ -48,3 +48,37 @@ def test_lsh_recall_and_precision(spark):
         (r["query_id"], r["cand_id"]) for r in sim_search_lsh(spark, SF).collect()
     }
     assert approx == again
+
+
+def test_multiprobe_lsh_recall_at_least_single_probe(spark):
+    """Multi-probe LSH must (a) generate a candidate SUPERSET of the
+    single-probe index — same buckets plus Hamming-1 neighbors — and (b)
+    never lose recall@k vs the exact brute-force top-k."""
+    from repcheck_data_integration_spark import registry
+
+    registry.load_all_modules()
+    sf = "/root/testdata/sf0.001"
+
+    def topk(name):
+        out = {}
+        for r in registry.QUERIES[name](spark, sf).collect():
+            out.setdefault(r["query_id"], set()).add(r["cand_id"])
+        return out
+
+    exact = topk("sim_search_topk")
+    single = topk("sim_search_lsh")
+    multi = topk("sim_search_lsh_multiprobe")
+
+    def recall(approx):
+        hits = sum(
+            len(approx.get(q, set()) & exact[q]) for q in exact
+        )
+        total = sum(len(v) for v in exact.values())
+        return hits / total
+
+    r_single, r_multi = recall(single), recall(multi)
+    assert r_multi >= r_single
+    # the probe expansion must actually widen the result set somewhere
+    n_single = sum(len(v) for v in single.values())
+    n_multi = sum(len(v) for v in multi.values())
+    assert n_multi >= n_single

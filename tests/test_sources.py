@@ -162,3 +162,98 @@ def test_malformed_csv_permissive_nulls(spark, tmp_path):
     )
     got = {r["id"]: r["val"] for r in df.collect()}
     assert got[1] == 10.5 and got[3] == 7.25 and got[2] is None
+
+
+# --- snk_jdbc: the keyed-upsert database sink, exercised as far as the
+# container allows (stdlib sqlite3 as the embedded ON CONFLICT target) ---
+
+
+def test_upsert_sql_matches_reference_shape():
+    """database.py:52-73: insert all columns, ON CONFLICT update every
+    non-key column EXCEPT created_at (:68 pops it from the update set)."""
+    from repcheck_data_integration_spark.sources.jdbc_sink import upsert_sql
+
+    sql = upsert_sql(
+        "people", ["id", "name", "updated_at", "created_at"], keys=["id"]
+    )
+    assert sql == (
+        "INSERT INTO people (id, name, updated_at, created_at) "
+        "VALUES (%s, %s, %s, %s) "
+        "ON CONFLICT (id) DO UPDATE SET "
+        "name = EXCLUDED.name, updated_at = EXCLUDED.updated_at"
+    )
+    # composite key + nothing updatable -> DO NOTHING form
+    assert upsert_sql(
+        "t", ["a", "b", "created_at"], keys=["a", "b"]
+    ).endswith("ON CONFLICT (a, b) DO NOTHING")
+    import pytest
+
+    with pytest.raises(ValueError):
+        upsert_sql("t", ["a"], keys=["missing"])
+
+
+def test_executemany_batching():
+    """Rows drain in bounded batches — 5 rows at batch_size=2 means 3
+    executemany round-trips, never one unbounded list."""
+    from repcheck_data_integration_spark.sources.jdbc_sink import (
+        executemany_batched,
+    )
+
+    calls = []
+
+    class Cur:
+        def executemany(self, sql, batch):
+            calls.append(len(batch))
+
+    n = executemany_batched(Cur(), "sql", [(i,) for i in range(5)], 2)
+    assert n == 5 and calls == [2, 2, 1]
+
+
+def test_dbapi_upsert_into_sqlite(spark, tmp_path):
+    """End-to-end keyed upsert against the embedded sqlite target: update
+    rows win on conflict, created_at survives the update (reference
+    database.py:68), new keys insert."""
+    import sqlite3
+
+    from repcheck_data_integration_spark.sources.jdbc_sink import (
+        write_dbapi_upsert,
+    )
+
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE people "
+            "(id INTEGER PRIMARY KEY, name TEXT, created_at TEXT)"
+        )
+        conn.execute(
+            "INSERT INTO people VALUES (1, 'old', '2020-01-01')"
+        )
+        conn.commit()
+
+    df = spark.createDataFrame(
+        [(1, "new", "2024-06-01"), (2, "ins", "2024-06-01")],
+        ["id", "name", "created_at"],
+    ).coalesce(1)  # single sqlite file: serialize partitions
+
+    def conn_factory(path=db):
+        import sqlite3 as s
+
+        c = s.connect(path, timeout=30)
+        return c
+
+    write_dbapi_upsert(
+        df, conn_factory, "people", keys=["id"], dialect="sqlite",
+        batch_size=1,
+    )
+
+    with sqlite3.connect(db) as conn:
+        got = {
+            r[0]: (r[1], r[2])
+            for r in conn.execute(
+                "SELECT id, name, created_at FROM people"
+            )
+        }
+    assert got == {
+        1: ("new", "2020-01-01"),   # updated, created_at preserved
+        2: ("ins", "2024-06-01"),   # inserted with its own created_at
+    }
