@@ -42,6 +42,9 @@ HEADLINE = [
     "ml_kmeans_refine",
     "stream_stream_join",
     "pipeline_enrich_merge",
+    "dedup_winnowing_pairs",
+    "text_chunk_windows",
+    "sim_search_lsh_multiprobe",
 ]
 
 

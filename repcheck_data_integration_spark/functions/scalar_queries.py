@@ -325,3 +325,44 @@ def fn_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_values(kv).alias("vals_in_order"),
         F.size(kv).cast("int").alias("n_entries"),
     )
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' || lang || '/'
+                   || CAST(doc_id AS VARCHAR) || '?ref=' || source AS url
+        FROM documents)
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query
+    FROM urls
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (the scrape-ingest kernel: the reference fetches
+    census/openstates URLs, e.g. zip_codes.py / bills_federal.py source
+    URLs): scheme/host/path/query. The HOST comes from Spark's native
+    ``parse_url`` (JVM java.net.URI — the built-in the engine exposes);
+    scheme/path/query use explicit regexes stated identically in the
+    oracle, and the host hash-match proves parse_url and the regex agree
+    on well-formed URLs — the cheap cross-validation that catches regex
+    drift."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?ref="), F.col("source"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.regexp_extract(url, r"^([a-z]+)://", 1).alias("scheme"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.regexp_extract(url, r"^[a-z]+://[^/?#]+(/[^?#]*)", 1).alias("path"),
+        F.regexp_extract(url, r"\?([^#]*)", 1).alias("query"),
+    )

@@ -358,3 +358,29 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("long").alias("n"),
         )
     )
+
+
+@register("agg_hll_rollup")
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Datasketches-HLL rollup — the RE-AGGREGATABLE form of
+    approximate distinct (approx_count_distinct gives a number you cannot
+    roll up further; a sketch column you can). Daily per-type sketches of
+    distinct users union into per-type totals WITHOUT rescanning events —
+    the same maintained-rollup pattern as stream_hourly_rollup, for the
+    one aggregate that is not plainly additive. HLL union is register-max,
+    so estimate(union of daily sketches) == estimate(one global sketch)
+    EXACTLY (asserted in tests, not just within tolerance). rows-only:
+    sketch estimates are engine-specific by construction."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )

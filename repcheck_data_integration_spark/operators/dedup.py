@@ -599,3 +599,68 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+WINNOW_MAX_DF = 50   # fps in more docs are boilerplate — dropped pre-join
+WINNOW_MIN_SHARED = 2
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+        FROM documents),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' '
+                                        || t[i+2]), 1, 8)) AS BIGINT) AS h
+        FROM toks, LATERAL unnest(
+            generate_series(1, greatest(len(t) - {WINNOW_GRAM - 1}, 0))
+        ) u(i)),
+    winnowed AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN {WINNOW_WIN - 1} PRECEDING
+                            AND CURRENT ROW) AS fp
+        FROM grams),
+    fps AS (SELECT DISTINCT doc_id, fp
+            FROM winnowed WHERE pos >= {WINNOW_WIN}),
+    live AS (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING count(*) BETWEEN 2 AND {WINNOW_MAX_DF})
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(count(*) AS BIGINT) AS n_shared_fps
+    FROM fps a JOIN live USING (fp) JOIN fps b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sharing document pairs from the winnowing fingerprints: an
+    equi-join on fp (the LSH-band-join shape), counting shared
+    fingerprints per pair. Two guards keep it scale-safe: fingerprints in
+    > {WINNOW_MAX_DF} docs are dropped before the join (boilerplate spans
+    — headers, licenses — create quadratic hot buckets and carry no
+    dedup signal; the standard stop-fingerprint filter), and pairs must
+    share ≥ {WINNOW_MIN_SHARED} fps. Cost ∝ colliding pairs after the
+    frequency cap, never O(n²)."""
+    # the fingerprint subtree feeds three consumers (df-cap, both join
+    # sides) → persist once, same policy as the minhash shingle subtree
+    fps = dedup_winnowing(spark, sf_dir).persist()
+    live = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df").between(2, WINNOW_MAX_DF))
+        .select("fp")
+    )
+    a = fps.join(live, "fp").select("fp", F.col("doc_id").alias("doc1"))
+    b = fps.select("fp", F.col("doc_id").alias("doc2"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
+    )

@@ -129,3 +129,38 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         (F.col("sq").cast("double") / 100.0).alias("sum_qty"),
     )
+
+
+@register(
+    "skew_salted_join",
+    oracle=f"""
+    SELECT e.event_type, n.n_name,
+           count(*) AS n_events,
+           CAST(CAST(sum({SQL_SCALED.format(x='e.value')}) AS DOUBLE)
+                / 100.0 AS DOUBLE) AS sum_value
+    FROM events e JOIN nation n ON (e.user_id % 25) = n.n_nationkey
+    GROUP BY e.event_type, n.n_name
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted broadcast join as a registered op: the fact side's join key
+    (user bucket) is hot — 10k events collapse onto 25 keys — so the big
+    side is salted and the 25-row dim is replicated across all 16 salts
+    before the (key, salt) equi-join. Join output is salt-invariant (the
+    salt never leaves the join), which the hash-match against the plain
+    join oracle proves. Downstream aggregate stays on the scaled-integer
+    path."""
+    e = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 25).alias("n_nationkey"),
+        "event_type",
+        "value",
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_broadcast_join(e, n, key="n_nationkey", n_salts=16)
+    scaled = F.round(F.col("value") * 100, 0).cast("long")
+    return joined.groupBy("event_type", "n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(scaled.cast("decimal(38,0)")).cast("double") / 100.0
+        ).alias("sum_value"),
+    )

@@ -129,9 +129,15 @@ def scd2_apply(
     Changed/new keys close the current row at the update's effective time
     and open a new current row; unchanged keys pass through untouched.
     """
+    # Column-RENAMED update side (no DataFrame aliases): alias-qualified
+    # resolution breaks when scd2_apply is CHAINED — the second fold's dim
+    # already contains a join with the same alias names in its lineage
+    # (ambiguous-attribute AnalysisException). Unique physical names make
+    # the fold safely composable: scd2_apply(scd2_apply(dim, b0), b1) is
+    # exactly the multi-epoch incremental path (streaming/stream_ops.py).
     upd = updates.select(
-        F.col(key),
-        *[F.col(c) for c in compare_cols],
+        F.col(key).alias("__u_key"),
+        *[F.col(c).alias(f"__u_{c}") for c in compare_cols],
         F.col(effective_col).alias("__eff"),
     )
     cur = dim.filter(F.col("is_current"))
@@ -139,21 +145,21 @@ def scd2_apply(
 
     changed_cond = F.lit(False)
     for c in compare_cols:
-        changed_cond = changed_cond | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
+        changed_cond = changed_cond | ~F.col(c).eqNullSafe(F.col(f"__u_{c}"))
 
-    joined = cur.alias("cur").join(upd.alias("upd"), key, "full_outer")
+    joined = cur.join(upd, F.col(key) == F.col("__u_key"), "full_outer")
     # rows whose current version survives (no update, or identical update)
     untouched = joined.filter(
         F.col("__eff").isNull() | ~changed_cond
-    ).select(*[F.col(f"cur.{c}") for c in dim.columns])
+    ).select(*dim.columns)
     # close the superseded versions
     closed = (
         joined.filter(F.col("__eff").isNotNull() & changed_cond)
-        .filter(F.col("cur.valid_from").isNotNull())
+        .filter(F.col("valid_from").isNotNull())
         .select(
-            F.col(f"cur.{key}").alias(key),
-            *[F.col(f"cur.{c}").alias(c) for c in compare_cols],
-            F.col("cur.valid_from").alias("valid_from"),
+            F.col(key),
+            *[F.col(c) for c in compare_cols],
+            "valid_from",
             F.col("__eff").alias("valid_to"),
             F.lit(False).alias("is_current"),
         )
@@ -162,8 +168,8 @@ def scd2_apply(
     opened = (
         joined.filter(F.col("__eff").isNotNull() & changed_cond)
         .select(
-            F.coalesce(F.col(f"upd.{key}"), F.col(f"cur.{key}")).alias(key),
-            *[F.col(f"upd.{c}").alias(c) for c in compare_cols],
+            F.coalesce(F.col("__u_key"), F.col(key)).alias(key),
+            *[F.col(f"__u_{c}").alias(c) for c in compare_cols],
             F.col("__eff").alias("valid_from"),
             F.lit(HIGH_DATE).cast("timestamp").alias("valid_to"),
             F.lit(True).alias("is_current"),
@@ -371,4 +377,105 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "user_id", "slot", F.col("asof_value").alias("filled_value")
+    )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH probes AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_id % 10 = 0),
+    refs AS (
+        SELECT event_id AS ref_event_id, user_id, ts, value
+        FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           (SELECT r.value FROM refs r
+            WHERE r.user_id = p.user_id AND r.ts >= p.ts
+            ORDER BY r.ts ASC, r.ref_event_id ASC LIMIT 1) AS next_value
+    FROM probes p
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'): each
+    probe finds the user's EARLIEST click at-or-after its timestamp. Runs
+    through the same union-window machinery by negating the time axis
+    (epoch seconds × -1) — min(ts ≥ probe) in real time is max(-ts ≤
+    -probe) in negated time — and negating the tie column so equal-ts
+    rights resolve to the LOWEST event id, exactly the oracle's ASC/ASC
+    top-1. Same single shuffle on the key, no correlated lookup."""
+    e = load(spark, sf_dir, "events")
+    neg_ts = (-F.col("ts").cast("double")).alias("__nts")
+    probes = e.filter(F.col("event_id") % 10 == 0).select(
+        "event_id", "user_id", "ts", neg_ts,
+        (-F.col("event_id")).alias("__probe_tie"),
+    )
+    refs = e.filter(F.col("event_type") == "click").select(
+        "user_id", neg_ts, "value",
+        (-F.col("event_id")).alias("__probe_tie"),
+    )
+    out = asof_join(
+        probes,
+        refs,
+        by="user_id",
+        left_ts="__nts",
+        right_ts="__nts",
+        value_cols=["value"],
+        tie_col="__probe_tie",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("asof_value").alias("next_value")
+    )
+
+
+ASOF_TOL_S = 3600  # accept backward matches at most one hour old
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH probes AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_id % 10 = 0),
+    refs AS (
+        SELECT event_id AS ref_event_id, user_id, ts, value
+        FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           (SELECT r.value FROM refs r
+            WHERE r.user_id = p.user_id AND r.ts <= p.ts
+              AND r.ts >= p.ts - INTERVAL {ASOF_TOL_S} SECOND
+            ORDER BY r.ts DESC, r.ref_event_id DESC LIMIT 1) AS asof_value
+    FROM probes p
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (merge_asof's ``tolerance=``): the
+    latest click at-or-before the probe counts only when it is at most
+    {ASOF_TOL_S}s old — staler state is NULL, the standard guard against
+    joining against a sensor/price last heard from hours ago. The carried
+    reference timestamp rides the same window pass as the value (one extra
+    carried column, zero extra shuffles); the bound is applied as a plain
+    projection afterwards."""
+    e = load(spark, sf_dir, "events")
+    probes = e.filter(F.col("event_id") % 10 == 0).select(
+        "event_id", "user_id", "ts", F.col("event_id").alias("__probe_tie")
+    )
+    refs = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", F.col("event_id").alias("__probe_tie")
+    )
+    out = asof_join(
+        probes,
+        refs,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value", "ts"],
+        tie_col="__probe_tie",
+    )
+    fresh = (
+        F.col("asof_ts").cast("double")
+        >= F.col("ts").cast("double") - ASOF_TOL_S
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("asof_value")).alias("asof_value"),
     )

@@ -295,12 +295,32 @@ def rollup_applied_epoch(target_path: str) -> int:
     return -1
 
 
-def make_hourly_merge_batch(target_path: str):
-    """Build the idempotent foreachBatch merge for ``stream_hourly_rollup``
-    (module-level so tests can drive epoch replays directly)."""
+def commit_epoch_version(target_path: str, epoch_id: int, df: DataFrame) -> None:
+    """Write ``df`` as the new state of ``target_path``, stamped with
+    ``epoch_id``: parquet into a fresh version dir, atomic symlink swap
+    (the commit point — a crash leaves old or new state, never partial),
+    GC of superseded versions. Shared by every foreachBatch maintainer
+    that needs idempotent replay (rollup, SCD2)."""
     import shutil
 
     versions_root = target_path + ".versions"
+    ver_dir = os.path.join(versions_root, f"epoch={epoch_id:020d}")
+    df.write.mode("overwrite").parquet(ver_dir)
+    if os.path.exists(target_path) and not os.path.islink(target_path):
+        shutil.rmtree(target_path)  # migrate a legacy plain-dir target
+    tmp_link = target_path + ".lnk"
+    if os.path.lexists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(ver_dir, tmp_link)
+    os.replace(tmp_link, target_path)  # atomic swap = commit point
+    for old in os.listdir(versions_root):
+        if old.startswith("epoch=") and old != f"epoch={epoch_id:020d}":
+            shutil.rmtree(os.path.join(versions_root, old), ignore_errors=True)
+
+
+def make_hourly_merge_batch(target_path: str):
+    """Build the idempotent foreachBatch merge for ``stream_hourly_rollup``
+    (module-level so tests can drive epoch replays directly)."""
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -339,22 +359,75 @@ def make_hourly_merge_batch(target_path: str):
             )
         else:
             merged = delta
-        ver_dir = os.path.join(versions_root, f"epoch={epoch_id:020d}")
-        merged.write.mode("overwrite").parquet(ver_dir)
-        if os.path.exists(target_path) and not os.path.islink(target_path):
-            shutil.rmtree(target_path)  # migrate a legacy plain-dir rollup
-        tmp_link = target_path + ".lnk"
-        if os.path.lexists(tmp_link):
-            os.remove(tmp_link)
-        os.symlink(ver_dir, tmp_link)
-        os.replace(tmp_link, target_path)  # atomic swap = commit point
-        for old in os.listdir(versions_root):  # GC superseded versions
-            if old.startswith("epoch=") and old != f"epoch={epoch_id:020d}":
-                shutil.rmtree(
-                    os.path.join(versions_root, old), ignore_errors=True
-                )
+        commit_epoch_version(target_path, epoch_id, merged)
 
     return merge_batch
+
+
+def make_scd2_merge_batch(
+    target_path: str,
+    key: str,
+    effective_col: str,
+    compare_cols: list[str],
+):
+    """Idempotent foreachBatch maintainer for an SCD2 dimension: each
+    micro-batch of keyed updates folds into the versioned dimension with
+    the SAME ``scd2_apply`` the batch operator uses (operators/temporal.py)
+    — incremental maintenance equals re-running batch SCD2 over the update
+    stream in epoch order, asserted in tests. Replay-safe via the shared
+    epoch-stamped commit (skip epochs ≤ the symlink's)."""
+    from ..operators.temporal import scd2_apply
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        if epoch_id <= rollup_applied_epoch(target_path):
+            return  # replayed epoch already folded in
+        spark = batch.sparkSession
+        dim = spark.read.parquet(target_path)
+        # one update per key per epoch: micro-batch semantics keep the
+        # LATEST effective state (intermediate same-batch states are
+        # skipped, like any snapshot-based CDC fold); deterministic
+        # tie-break through the compare columns
+        w = W.partitionBy(key).orderBy(
+            F.col(effective_col).desc(),
+            *[F.col(c).desc_nulls_last() for c in compare_cols],
+        )
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        new_dim = scd2_apply(
+            dim, latest, key=key, effective_col=effective_col,
+            compare_cols=compare_cols,
+        )
+        commit_epoch_version(target_path, epoch_id, new_dim)
+
+    return merge_batch
+
+
+def stream_scd2(
+    updates: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    key: str,
+    effective_col: str,
+    compare_cols: list[str],
+) -> StreamingQuery:
+    """Continuous SCD2 dimension maintenance: the seed dimension must
+    already sit at ``target_path`` (plain parquet dir or a previous run's
+    symlink); each micro-batch of updates closes/opens versions
+    incrementally — the streaming twin of snk_scd2, no dimension rescan
+    beyond the current state."""
+    return (
+        updates.writeStream.foreachBatch(
+            make_scd2_merge_batch(target_path, key, effective_col, compare_cols)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def daily_from_hourly(spark: SparkSession, hourly_path: str) -> DataFrame:

@@ -392,3 +392,38 @@ def test_polygons_intersect_holes_and_multiparts():
     )
     assert not polygons_intersect(mp_holed, in_hole)
     assert polygons_intersect(mp_holed, in_material)
+
+
+def test_hll_rollup_union_is_lossless_and_bounded(spark):
+    """HLL union is register-max: rolling up daily sketches must equal the
+    one-shot global sketch EXACTLY, and stay within 5% of exact distinct."""
+    from repcheck_data_integration_spark.operators.aggregates import (
+        agg_hll_rollup,
+    )
+    from repcheck_data_integration_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    via_daily = {
+        r["event_type"]: r["approx_users"]
+        for r in agg_hll_rollup(spark, sf).collect()
+    }
+    e = load(spark, sf, "events")
+    direct = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .cast("long")
+            .alias("n")
+        )
+        .collect()
+    }
+    assert via_daily == direct  # union-of-sketches == sketch-of-union
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k in exact:
+        assert abs(via_daily[k] - exact[k]) <= 0.05 * exact[k]

@@ -350,3 +350,76 @@ def test_hourly_rollup_replay_is_idempotent(spark, tmp_path):
     assert not os.path.exists(target + ".tmp")
     vers = [d for d in os.listdir(target + ".versions") if d.startswith("epoch=")]
     assert len(vers) == 1
+
+
+def test_stream_scd2_incremental_equals_batch(spark, tmp_path):
+    """Continuous SCD2 maintenance over two micro-batches of updates must
+    equal folding the same updates with batch scd2_apply in epoch order;
+    replaying an epoch must not re-close/re-open versions."""
+    import datetime as dt
+
+    from repcheck_data_integration_spark.operators.temporal import scd2_apply
+
+    HIGH = dt.datetime(9999, 12, 31)
+    t0 = dt.datetime(2020, 1, 1)
+    seed_rows = [
+        (k, seg, t0, HIGH, True)
+        for k, seg in [(1, "A"), (2, "A"), (3, "B"), (4, "C")]
+    ]
+    cols = ["id", "seg", "valid_from", "valid_to", "is_current"]
+    target = str(tmp_path / "dim")
+    spark.createDataFrame(seed_rows, cols).coalesce(1).write.parquet(target)
+
+    e1, e2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    b0 = spark.createDataFrame(
+        [(1, "X", e1), (3, "B", e1)], ["id", "seg", "eff"]  # 3 unchanged
+    )
+    b1 = spark.createDataFrame(
+        [(1, "Y", e2), (5, "N", e2)], ["id", "seg", "eff"]  # re-change + new
+    )
+
+    merge = stream_ops.make_scd2_merge_batch(
+        target, key="id", effective_col="eff", compare_cols=["seg"]
+    )
+    merge(b0, 0)
+    merge(b0, 0)  # replay: no duplicate versions
+    merge(b1, 1)
+    merge(b1, 1)
+    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+
+    expected_df = scd2_apply(
+        scd2_apply(
+            spark.createDataFrame(seed_rows, cols), b0,
+            key="id", effective_col="eff", compare_cols=["seg"],
+        ),
+        b1, key="id", effective_col="eff", compare_cols=["seg"],
+    )
+    assert got == sorted(map(tuple, expected_df.collect()))
+    # id=1 history: A closed at e1, X closed at e2, Y current
+    hist1 = sorted(
+        (r[1], r[2], r[3], r[4]) for r in got if r[0] == 1
+    )
+    assert ("A", t0, e1, False) in hist1
+    assert ("X", e1, e2, False) in hist1
+    assert ("Y", e2, HIGH, True) in hist1
+    # live stream path over the same updates lands the same state
+    src = str(tmp_path / "updates")
+    b0.coalesce(1).write.mode("overwrite").parquet(src)
+    target2 = str(tmp_path / "dim2")
+    spark.createDataFrame(seed_rows, cols).coalesce(1).write.parquet(target2)
+    stream = (
+        spark.readStream.schema("id long, seg string, eff timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ops.stream_scd2(
+        stream, target2, str(tmp_path / "chk2"),
+        key="id", effective_col="eff", compare_cols=["seg"],
+    )
+    q.awaitTermination()
+    got_live = sorted(map(tuple, spark.read.parquet(target2).collect()))
+    one_fold = scd2_apply(
+        spark.createDataFrame(seed_rows, cols), b0,
+        key="id", effective_col="eff", compare_cols=["seg"],
+    )
+    assert got_live == sorted(map(tuple, one_fold.collect()))
