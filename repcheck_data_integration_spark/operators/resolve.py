@@ -311,3 +311,105 @@ def join_fuzzy_tokensort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("probe_id", F.col("cand_id").alias("matched_id"), "score")
     )
+
+
+@register(
+    "join_fuzzy_multipass",
+    oracle=f"""
+    WITH probes0 AS (
+        SELECT s_suppkey AS probe_id, s_nationkey AS block,
+               CASE WHEN s_suppkey % 3 = 1
+                    THEN lower(substr(s_name, 1, length(s_name) - 1))
+                    WHEN s_suppkey % 3 = 2
+                    THEN lower(substr(s_name, 2))
+                    ELSE s_name END AS pname
+        FROM supplier),
+    probes AS (
+        SELECT *, substr(lower(pname), 15, 3) AS b_head,
+               substr(lower(pname), length(pname) - 2, 3) AS b_tail
+        FROM probes0),
+    cands AS (
+        SELECT s_suppkey AS cand_id, s_nationkey AS block, s_name AS cname,
+               substr(lower(s_name), 15, 3) AS b_head,
+               substr(lower(s_name), length(s_name) - 2, 3) AS b_tail
+        FROM supplier),
+    pairs AS (
+        SELECT DISTINCT probe_id, pname, cand_id, cname FROM (
+            SELECT p.probe_id, p.pname, c.cand_id, c.cname
+            FROM probes p JOIN cands c
+              ON p.block = c.block AND p.b_head = c.b_head
+            UNION ALL
+            SELECT p.probe_id, p.pname, c.cand_id, c.cname
+            FROM probes p JOIN cands c
+              ON p.block = c.block AND p.b_tail = c.b_tail)),
+    scored AS (
+        SELECT probe_id, cand_id,
+               {sql_stable_round4(
+                   "1.0 - levenshtein(lower(pname), lower(cname))"
+                   " / greatest(length(lower(pname)), length(lower(cname)), 1)")}
+                   AS score
+        FROM pairs)
+    SELECT probe_id, cand_id AS matched_id, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY score DESC, cand_id) AS rn
+          FROM scored WHERE score >= {DEFAULT_THRESHOLD})
+    WHERE rn = 1
+    """,
+)
+def join_fuzzy_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PASS blocking — the recall answer when a single band key
+    cannot survive every edit class: probes are mangled at the TAIL
+    (suppkey%3==1: last char dropped) or at the HEAD (%3==2: first char
+    dropped), and each pass blocks on a window anchored at the OPPOSITE
+    end (head-anchored chars 15-17 survive tail edits; tail-anchored last
+    3 chars survive head edits). Candidate pairs are the UNION of the two
+    blocked equi-joins, deduped before scoring — a single edit can break
+    at most one pass, so recall holds while each pass keeps its bounded
+    bucket cardinality. This is the production ER pattern (union of
+    blocking predicates); adding a pass costs one more equi-join, never a
+    cross join."""
+    s = load(spark, sf_dir, "supplier")
+    probes = (
+        s.select(
+            F.col("s_suppkey").alias("probe_id"),
+            F.col("s_nationkey").alias("block"),
+            F.when(
+                F.col("s_suppkey") % 3 == 1,
+                F.lower(F.expr("substr(s_name, 1, length(s_name) - 1)")),
+            )
+            .when(
+                F.col("s_suppkey") % 3 == 2,
+                F.lower(F.expr("substr(s_name, 2)")),
+            )
+            .otherwise(F.col("s_name"))
+            .alias("pname"),
+        )
+        .withColumn("b_head", F.substring(F.lower(F.col("pname")), 15, 3))
+        .withColumn(
+            "b_tail",
+            F.expr("substr(lower(pname), length(pname) - 2, 3)"),
+        )
+    )
+    cands = s.select(
+        F.col("s_suppkey").alias("cand_id"),
+        F.col("s_nationkey").alias("block"),
+        F.col("s_name").alias("cname"),
+        F.substring(F.lower(F.col("s_name")), 15, 3).alias("b_head"),
+        F.expr("substr(lower(s_name), length(s_name) - 2, 3)").alias("b_tail"),
+    )
+    p1 = probes.join(cands, ["block", "b_head"]).select(
+        "probe_id", "pname", "cand_id", "cname"
+    )
+    p2 = probes.join(cands, ["block", "b_tail"]).select(
+        "probe_id", "pname", "cand_id", "cname"
+    )
+    pairs = p1.unionByName(p2).distinct()
+    score = stable_round4(levenshtein_ratio(F.col("pname"), F.col("cname")))
+    w = W.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("cand_id"))
+    return (
+        pairs.select("probe_id", "cand_id", score.alias("score"))
+        .filter(F.col("score") >= DEFAULT_THRESHOLD)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", F.col("cand_id").alias("matched_id"), "score")
+    )

@@ -496,3 +496,129 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_md5"),
         )
     )
+
+
+INGEST_MIN_CHARS = 200
+INGEST_MAX_CHARS = 20000
+INGEST_MIN_TOKENS = 30
+
+
+@register(
+    "pipeline_llm_ingest",
+    oracle=f"""
+    WITH gated AS (
+        SELECT doc_id, text, lang
+        FROM documents
+        WHERE length(text) BETWEEN {INGEST_MIN_CHARS} AND {INGEST_MAX_CHARS}
+          AND len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              >= {INGEST_MIN_TOKENS}),
+    canon AS (
+        SELECT doc_id, text, lang,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+        FROM gated),
+    kept AS (
+        SELECT doc_id, text, lang FROM canon WHERE doc_id = canonical_id)
+    SELECT doc_id, lang, i AS chunk_idx,
+           md5(substr(text, i * {CHUNK_STEP} + 1, {CHUNK_SIZE})) AS chunk_md5,
+           CAST(len(regexp_extract_all(
+                lower(substr(text, i * {CHUNK_STEP} + 1, {CHUNK_SIZE})),
+                '[a-z0-9]+')) AS BIGINT) AS n_chunk_tokens
+    FROM kept, LATERAL unnest(
+        generate_series(0, greatest(length(text) - 1, 0) // {CHUNK_STEP})
+    ) u(i)
+    """,
+)
+def pipeline_llm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM ingest as ONE declarative DAG — the composition a
+    training-data run executes per corpus drop: quality gates (length +
+    token floor, pushed to the scan) → exact dedup (canonical-id window,
+    the single content-hash shuffle) → overlapping chunk windows with
+    per-chunk token counts (per-row explode, no further shuffle). Chunks
+    are what the embedding/indexing stage consumes; at 100 TB the same
+    plan runs with the dedup window swapped for the MinHash pair join and
+    the chunk payload written to the feature store instead of hashed.
+    Catalyst fuses the gates into the parquet scan and the whole
+    post-shuffle tail into one codegen stage."""
+    d = load(spark, sf_dir, "documents")
+    gated = d.filter(
+        F.length("text").between(INGEST_MIN_CHARS, INGEST_MAX_CHARS)
+        & (F.size(tokens(F.lower(F.col("text")))) >= INGEST_MIN_TOKENS)
+    ).select("doc_id", "text", "lang")
+    kept = (
+        gated.withColumn(
+            "__canon", F.min("doc_id").over(W.partitionBy(F.md5("text")))
+        )
+        .filter(F.col("doc_id") == F.col("__canon"))
+        .drop("__canon")
+    )
+    n_last = F.expr(f"greatest(length(text) - 1, 0) div {CHUNK_STEP}")
+    chunk = F.expr(f"substr(text, chunk_idx * {CHUNK_STEP} + 1, {CHUNK_SIZE})")
+    return (
+        kept.select(
+            "doc_id",
+            "lang",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "chunk_idx",
+            F.md5(chunk).alias("chunk_md5"),
+            F.size(tokens(F.lower(chunk))).cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
+TOKCHUNK_SIZE = 120   # tokens per chunk (the context-budget unit)
+TOKCHUNK_STEP = 90    # stride → 30-token overlap
+
+
+@register(
+    "text_chunk_tokens",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents),
+    idx AS (
+        SELECT doc_id, t, i
+        FROM toks, LATERAL unnest(
+            generate_series(0, greatest(len(t) - 1, 0) // {TOKCHUNK_STEP})
+        ) u(i))
+    SELECT doc_id, i AS chunk_idx,
+           CAST(len(t[i * {TOKCHUNK_STEP} + 1 :
+                     i * {TOKCHUNK_STEP} + {TOKCHUNK_SIZE}]) AS BIGINT)
+               AS n_tokens,
+           md5(array_to_string(
+               t[i * {TOKCHUNK_STEP} + 1 :
+                 i * {TOKCHUNK_STEP} + {TOKCHUNK_SIZE}], ' ')) AS chunk_md5
+    FROM idx
+    """,
+)
+def text_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-budgeted chunking — the variant an embedding model with a
+    context limit actually needs (char windows over-/under-fill by up to
+    the longest-word factor): {TOKCHUNK_SIZE}-token windows every
+    {TOKCHUNK_STEP} tokens over the normalized token stream. Same
+    shuffle-free explode shape as text_chunk_windows; the tokenizer runs
+    once per doc (materialized token-array column, NOT re-lexed per chunk
+    — the CLAUDE.md HOF-inlining trap applies to slices too)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("t"))
+    n_last = F.expr(f"greatest(size(t) - 1, 0) div {TOKCHUNK_STEP}")
+    sl = F.expr(
+        f"slice(t, chunk_idx * {TOKCHUNK_STEP} + 1, {TOKCHUNK_SIZE})"
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(sl).cast("long").alias("n_tokens"),
+            F.md5(F.array_join(sl, " ")).alias("chunk_md5"),
+        )
+    )
