@@ -622,3 +622,42 @@ def text_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(sl, " ")).alias("chunk_md5"),
         )
     )
+
+
+SENT_RE = "[^.!?]+[.!?]?"  # lookbehind-free: RE2 (DuckDB) has no lookbehind
+
+
+@register(
+    "text_sentence_split",
+    oracle=f"""
+    WITH sents AS (
+        SELECT doc_id, regexp_extract_all(text, '{SENT_RE}') AS s
+        FROM documents)
+    SELECT doc_id, i - 1 AS sent_idx,
+           md5(trim(s[i])) AS sentence_md5,
+           CAST(length(trim(s[i])) AS BIGINT) AS n_sent_chars
+    FROM sents, LATERAL unnest(generate_series(1, len(s))) u(i)
+    """,
+)
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation — the unit for extractive summarization and
+    sentence-level dedup (the llm_summarize kernel scores sentences;
+    reference summarize_bills_federal.py's cleanup feeds sentence-shaped
+    text). The boundary pattern is deliberately LOOKBEHIND-FREE
+    ('{SENT_RE}': runs of non-terminators plus their terminator) because
+    DuckDB's RE2 has no lookbehind — the usual (?<=[.!?])\\s+ split would
+    be inexpressible as an oracle twin. Same shuffle-free posexplode shape
+    as the chunkers; payload leaves as md5."""
+    d = load(spark, sf_dir, "documents")
+    sents = d.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(SENT_RE), 0).alias("s"),
+    )
+    return sents.select(
+        "doc_id", F.posexplode("s").alias("sent_idx", "__sent")
+    ).select(
+        "doc_id",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.md5(F.trim(F.col("__sent"))).alias("sentence_md5"),
+        F.length(F.trim(F.col("__sent"))).cast("long").alias("n_sent_chars"),
+    )

@@ -438,3 +438,64 @@ def src_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_year") == PART_YEAR)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_year")
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the maintenance job every long-running
+    ingest needs (per-micro-batch / per-partition writers fragment a
+    100 TB table into millions of KB-files; scans then pay per-file open
+    + listing costs that dwarf the data). Sizes the output by the SOURCE
+    byte count: n_files = ceil(bytes / target). Returns n_files.
+    repartition(n) is a round-robin shuffle — even output sizes without
+    assuming any key distribution; for sorted/clustered tables use
+    repartitionByRange on the cluster key instead to keep min-max file
+    statistics tight."""
+    import math
+
+    src_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(src_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(src_bytes / target_file_bytes))
+    (
+        spark.read.parquet(src_dir)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(dst_dir)
+    )
+    return n_files
+
+
+@register(
+    "snk_compact_files",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, lang, source
+    FROM documents
+    """,
+)
+def snk_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction roundtrip as a registered op: fragment documents into
+    64 shard files, compact back to byte-sized outputs, re-scan. The
+    oracle proves compaction is CONTENT-NEUTRAL (hash parity with the
+    source table); the file-count mechanics are asserted in
+    tests/test_sources.py."""
+    frag = _fixture_dir(sf_dir, "compact_src")
+    dst = _fixture_dir(sf_dir, "compact_dst")
+    if not _done(dst):
+        (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", F.md5("text").alias("text_md5"), "lang", "source")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(frag)
+        )
+        compact_parquet(spark, frag, dst)
+        _mark_done(dst)
+    return spark.read.parquet(dst)

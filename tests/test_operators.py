@@ -427,3 +427,25 @@ def test_hll_rollup_union_is_lossless_and_bounded(spark):
     }
     for k in exact:
         assert abs(via_daily[k] - exact[k]) <= 0.05 * exact[k]
+
+
+def test_multipass_blocking_recovers_both_edit_classes(spark):
+    """Head-window blocking alone misses head-edited probes and the
+    tail-window alone misses tail-edited ones; the UNION recovers both:
+    every probe resolves, and to itself except inherently ambiguous
+    last-digit collisions."""
+    from repcheck_data_integration_spark import registry
+
+    registry.load_all_modules()
+    sf = "/root/testdata/sf0.01"
+    out = {
+        r["probe_id"]: r["matched_id"]
+        for r in registry.QUERIES["join_fuzzy_multipass"](spark, sf).collect()
+    }
+    n = 100  # suppliers at sf0.01
+    assert len(out) == n  # full recall across BOTH mangle classes
+    n_right = sum(1 for p, m in out.items() if p == m)
+    assert n_right >= 0.9 * n
+    # specifically: head-mangled probes (%3==2) did resolve
+    head_mangled = [p for p in out if p % 3 == 2]
+    assert head_mangled and all(out[p] == p for p in head_mangled if out[p] == p)

@@ -165,3 +165,34 @@ def test_grouped_zscore_is_native_two_phase(spark):
         assert py_node not in p
     assert p.count("HashAggregate") >= 2  # partial + final moments
     assert "BroadcastHashJoin" in p      # moment table broadcast back
+
+
+def test_llm_ingest_gates_pushed_and_single_shuffle(spark):
+    """pipeline_llm_ingest: the length gate must reach the parquet scan as
+    a pushed filter, and the whole DAG carries exactly ONE exchange (the
+    content-hash dedup window) — chunking adds no shuffle."""
+    p = plan(spark, "pipeline_llm_ingest")
+    assert "PushedFilters" in p
+    pushed = p.split("PushedFilters")[1][:300]
+    assert "length" in pushed or "text" in pushed  # length(text) gate
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    for py_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py_node not in p
+
+
+def test_chunk_ops_are_shuffle_free(spark):
+    """Both chunkers are scan → explode → project: zero exchanges."""
+    for name in ("text_chunk_windows", "text_chunk_tokens"):
+        p = plan(spark, name)
+        assert "Exchange" not in p, name
+        assert "Generate explode" in p or "Generate" in p, name
+
+
+def test_multipass_blocking_no_cartesian(spark):
+    """The union-of-passes fuzzy join must stay two equi-joins — never a
+    cartesian/nested-loop fallback."""
+    p = plan(spark, "join_fuzzy_multipass")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

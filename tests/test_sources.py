@@ -257,3 +257,33 @@ def test_dbapi_upsert_into_sqlite(spark, tmp_path):
         1: ("new", "2020-01-01"),   # updated, created_at preserved
         2: ("ins", "2024-06-01"),   # inserted with its own created_at
     }
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction: 64 fragment files collapse to the byte-sized target
+    count, content identical, and the size heuristic tracks input bytes."""
+    import glob
+
+    from repcheck_data_integration_spark.sources.file_sources import (
+        compact_parquet,
+    )
+    from repcheck_data_integration_spark.tables import load
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    load(spark, "/root/testdata/sf0.001", "documents").repartition(64).write.parquet(src)
+    n_src = len(glob.glob(src + "/*.parquet"))
+    assert n_src == 64
+
+    n_target = compact_parquet(spark, src, dst)  # 128MB target → 1 file
+    n_dst = len(glob.glob(dst + "/*.parquet"))
+    assert n_target == 1 and n_dst <= 4  # round-robin may emit few parts
+    before = sorted(map(tuple, spark.read.parquet(src).collect()))
+    after = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert before == after
+
+    # tiny target → file count scales with bytes
+    dst2 = str(tmp_path / "compact2")
+    n2 = compact_parquet(spark, src, dst2, target_file_bytes=64 * 1024)
+    assert n2 > 1
+    assert len(glob.glob(dst2 + "/*.parquet")) == n2

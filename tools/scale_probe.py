@@ -55,6 +55,9 @@ PROBES = [
     "join_spatial_knn",
     "events_cohort_retention",
     "pipeline_enrich_merge",
+    "dedup_winnowing_pairs",
+    "pipeline_llm_ingest",
+    "sim_search_lsh_multiprobe",
 ]
 
 
