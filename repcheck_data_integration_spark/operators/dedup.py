@@ -664,3 +664,74 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
     )
+
+
+BENCH_MOD = 50  # doc_id % 50 == 0 → held-out "benchmark" proxy set
+CONTAM_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_contamination_ngrams",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {SQL_SHINGLES} AS sh FROM documents),
+    s AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+    bench AS (
+        SELECT DISTINCT g FROM s, unnest(s.sh) u(g)
+        WHERE doc_id % {BENCH_MOD} = 0),
+    corpus_g AS (
+        SELECT doc_id, len(sh) AS n_grams, g
+        FROM s, unnest(s.sh) u(g)
+        WHERE doc_id % {BENCH_MOD} <> 0),
+    hits AS (
+        SELECT doc_id, n_grams, count(b.g) AS n_overlap
+        FROM corpus_g LEFT JOIN bench b ON corpus_g.g = b.g
+        GROUP BY doc_id, n_grams)
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           {sql_stable_round4('n_overlap * 1.0 / n_grams')}
+               AS contamination_ratio,
+           n_overlap * 1.0 / n_grams >= {CONTAM_THRESHOLD} AS contaminated
+    FROM hits
+    """,
+)
+def dedup_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the fraction of its
+    distinct word n-grams that appear anywhere in a held-out benchmark set
+    (here the ``doc_id % 50 == 0`` slice as the eval-set proxy; production
+    uses the actual benchmark suite and 8-13-grams — the GPT-3 appendix-C /
+    PaLM-style overlap filter). Docs over the threshold are flagged for
+    removal so eval numbers aren't inflated by memorized test data.
+
+    Scale shape: the benchmark side is TINY by construction (eval suites
+    are MBs, the corpus is the 100 TB side), so the distinct benchmark
+    n-gram set is broadcast and the corpus stays put — explode → broadcast
+    LEFT join → per-doc count, ONE scan of the corpus, no shuffle of
+    document text, zero-hit docs kept by the left join. Reference seed:
+    the text-cleanup path summarize_bills_federal.py:67-82 (same shingle
+    machinery as dedup_minhash_lsh)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = (
+        with_shingles(docs.filter(F.col("doc_id") % BENCH_MOD == 0))
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    ex = (
+        with_shingles(docs.filter(F.col("doc_id") % BENCH_MOD != 0))
+        .select("doc_id", F.size("sh").alias("n_grams"), F.explode("sh").alias("g"))
+    )
+    ratio = F.col("n_overlap") * 1.0 / F.col("n_grams")
+    return (
+        ex.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("__hit").alias("n_overlap"))
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            stable_round4(ratio).alias("contamination_ratio"),
+            (ratio >= CONTAM_THRESHOLD).alias("contaminated"),
+        )
+    )

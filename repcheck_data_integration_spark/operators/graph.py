@@ -65,6 +65,12 @@ def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers (co-purchase similarity). One self-join on the hop node +
     hash aggregate — the same explode-join shape as the n-gram jaccard
     verify, because 2-hop counting IS set intersection by another name."""
+    return _copurchase_pairs(spark, sf_dir)
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cust1 < cust2, n_shared_suppliers ≥ 30) — the projected unipartite
+    similarity graph over the bipartite purchase edges."""
     e = _edges(spark, sf_dir)
     a, b = e.alias("a"), e.alias("b")
     return (
@@ -78,6 +84,64 @@ def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared_suppliers"))
         .filter(F.col("n_shared_suppliers") >= 30)
+    )
+
+
+SQL_PAIRS = """
+    edges AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    p AS (
+        SELECT a.cust AS c1, b.cust AS c2
+        FROM edges a JOIN edges b
+          ON a.supp = b.supp AND a.cust < b.cust
+        GROUP BY 1, 2 HAVING count(*) >= 30)
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {SQL_PAIRS},
+    tri AS (
+        SELECT e1.c1 AS a, e1.c2 AS b, e2.c2 AS c
+        FROM p e1
+        JOIN p e2 ON e1.c2 = e2.c1
+        JOIN p e3 ON e3.c1 = e1.c1 AND e3.c2 = e2.c2),
+    nodes AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the co-purchase similarity
+    graph — the clustering-cohesion metric community detection starts
+    from. Standard distributed shape (the MapReduce 'node-iterator'
+    algorithm): edges are oriented low→high ONCE (cust1 < cust2 from the
+    pair builder), so each triangle {a<b<c} is found exactly once by
+    joining (a,b)⋈(b,c) and probing (a,c) — two equi-joins, no direction
+    dedup, no cartesian. At 100 TB orient edges by (degree, id) instead of
+    raw id so high-degree hubs anchor few wedges (the classic skew fix);
+    the pair graph is persisted because all three join legs read it."""
+    p = _copurchase_pairs(spark, sf_dir).select("cust1", "cust2").persist()
+    return triangles_per_node(p)
+
+
+def triangles_per_node(p: DataFrame) -> DataFrame:
+    """Per-node triangle counts from an ORIENTED edge list (cust1 < cust2,
+    each undirected edge exactly once). Two equi-joins: wedge (a,b)+(b,c)
+    closed by probing (a,c)."""
+    e1 = p.select(F.col("cust1").alias("a"), F.col("cust2").alias("b"))
+    e2 = p.select(F.col("cust1").alias("b"), F.col("cust2").alias("c"))
+    e3 = p.select(F.col("cust1").alias("a"), F.col("cust2").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
 
 

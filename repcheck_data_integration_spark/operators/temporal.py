@@ -479,3 +479,69 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.when(fresh, F.col("asof_value")).alias("asof_value"),
     )
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH r AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, value,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events)
+    SELECT event_type, hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0
+                AS DOUBLE) AS volume
+    FROM r GROUP BY event_type, hour
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream to hourly OHLC bars per event_type —
+    the canonical time-series resample (metrics rollups, market bars).
+    Open/close are SELECTIONS of raw values under a total order
+    (ts, event_id — event_id breaks equal-timestamp ties), never
+    arithmetic, so they're engine-exact; volume sums scaled-integer cents
+    (functions/exact.py rule). Plan: ONE shuffle — both row_numbers share
+    a window partition equal to the groupBy key, so the aggregate reuses
+    the window's hash partitioning (asserted in test_plan_shapes)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    # partition the windows by the MATERIALIZED hour attribute (not the
+    # date_trunc expression) so the downstream groupBy on the same
+    # attributes reuses the window's hash partitioning — one exchange,
+    # verified in test_plan_shapes.
+    wp = W.partitionBy("event_type", "hour")
+    rn_a = F.row_number().over(wp.orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+    rn_d = F.row_number().over(wp.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+    r = e.select(
+        "event_type",
+        "hour",
+        "value",
+        rn_a.alias("rn_a"),
+        rn_d.alias("rn_d"),
+    )
+    return r.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+        .cast("double")
+        .alias("volume"),
+    )

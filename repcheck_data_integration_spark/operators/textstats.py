@@ -196,3 +196,169 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.slice(hs, 1, 3), "")).alias("fingerprint"),
         F.size(hs).cast("long").alias("n_distinct_tokens"),
     )
+
+
+@register(
+    "text_gopher_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               regexp_extract_all(text, '[a-z0-9]+') AS toks
+        FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE length(array_to_string(toks, '')) * 1.0 / len(toks)
+               END AS mean_word_len,
+               len(regexp_extract_all(text, '#|\\.\\.\\.')) * 1.0
+                   / greatest(len(toks), 1) AS symbol_ratio,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                         * 1.0 / len(toks)
+               END AS frac_alpha_words,
+               len(list_distinct(list_filter(toks, x -> x IN {{sw}})))
+                   AS n_stopwords_distinct
+        FROM t)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           {{r4_mean}} AS mean_word_len,
+           {{r4_sym}} AS symbol_ratio,
+           {{r4_alpha}} AS frac_alpha_words,
+           CAST(n_stopwords_distinct AS BIGINT) AS n_stopwords_distinct,
+           (n_words BETWEEN 10 AND 1000) AND mean_word_len BETWEEN 2 AND 12
+               AND symbol_ratio < 0.1 AND frac_alpha_words >= 0.7
+               AND n_stopwords_distinct >= 2 AS passes,
+           concat_ws(',',
+               CASE WHEN NOT (n_words BETWEEN 10 AND 1000) THEN 'word_count' END,
+               CASE WHEN NOT (mean_word_len BETWEEN 2 AND 12) THEN 'mean_word_len' END,
+               CASE WHEN NOT (symbol_ratio < 0.1) THEN 'symbol_ratio' END,
+               CASE WHEN NOT (frac_alpha_words >= 0.7) THEN 'alpha_words' END,
+               CASE WHEN NOT (n_stopwords_distinct >= 2) THEN 'stopwords' END
+           ) AS fail_reasons
+    FROM m
+    """.format(
+        sw=_SW_SQL,
+        r4_mean=sql_stable_round4("mean_word_len"),
+        r4_sym=sql_stable_round4("symbol_ratio"),
+        r4_alpha=sql_stable_round4("frac_alpha_words"),
+    ),
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021, table A1 — public
+    paper): named pass/fail gates on word count, mean word length,
+    symbol-to-word ratio (# and ellipses), alphabetic-word fraction and
+    distinct-stopword presence, with the bounds scaled to the fixture's
+    short synthetic docs (production: 50..100k words). Unlike
+    text_quality_score (a blended score), this emits each gate verdict
+    plus a 'fail_reasons' audit string — the form curation pipelines log
+    so dropped-document rates are attributable per rule. All native
+    expressions; concat_ws skips NULL CASE arms identically in both
+    engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    d = d.select("doc_id", "text", toks.alias("__toks"))
+    n = F.size("__toks")
+    mean_len = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.length(F.array_join("__toks", "")) * 1.0 / n
+    )
+    sym = (
+        F.size(F.regexp_extract_all("text", F.lit(r"#|\.\.\."), 0))
+        * 1.0
+        / F.greatest(n, F.lit(1))
+    )
+    alpha = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter("__toks", lambda x: x.rlike("[a-z]"))) * 1.0 / n
+    )
+    nsw = F.size(
+        F.array_distinct(F.filter("__toks", lambda x: x.isin(*STOPWORDS)))
+    )
+    m = d.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        alpha.alias("frac_alpha_words"),
+        nsw.alias("n_stopwords_distinct"),
+    )
+    ok_words = F.col("n_words").between(10, 1000)
+    ok_mean = F.col("mean_word_len").between(2, 12)
+    ok_sym = F.col("symbol_ratio") < 0.1
+    ok_alpha = F.col("frac_alpha_words") >= 0.7
+    ok_stop = F.col("n_stopwords_distinct") >= 2
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        stable_round4(F.col("mean_word_len")).alias("mean_word_len"),
+        stable_round4(F.col("symbol_ratio")).alias("symbol_ratio"),
+        stable_round4(F.col("frac_alpha_words")).alias("frac_alpha_words"),
+        F.col("n_stopwords_distinct").cast("long").alias("n_stopwords_distinct"),
+        (ok_words & ok_mean & ok_sym & ok_alpha & ok_stop).alias("passes"),
+        F.concat_ws(
+            ",",
+            F.when(~ok_words, "word_count"),
+            F.when(~ok_mean, "mean_word_len"),
+            F.when(~ok_sym, "symbol_ratio"),
+            F.when(~ok_alpha, "alpha_words"),
+            F.when(~ok_stop, "stopwords"),
+        ).alias("fail_reasons"),
+    )
+
+
+@register(
+    "text_html_strip",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               '<p id="' || CAST(doc_id AS VARCHAR) || '"><b>' || text ||
+               '</b><br/>&amp; from ' || source || '</p>' AS html
+        FROM documents),
+    s AS (
+        SELECT doc_id,
+               len(regexp_extract_all(html, '<[^>]*>')) AS n_tags,
+               replace(replace(replace(replace(replace(
+                   regexp_replace(html, '<[^>]*>', '', 'g'),
+                   '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&nbsp;', ' ') AS stripped
+        FROM h)
+    SELECT doc_id, CAST(n_tags AS BIGINT) AS n_tags,
+           md5(stripped) AS stripped_md5,
+           CAST(length(stripped) AS BIGINT) AS n_chars_stripped
+    FROM s
+    """,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-strip + entity-decode — the first transform every web-crawl
+    ingest applies (the boilerplate-removal precursor). The fixture corpus
+    is plain text, so the markup is SYNTHESIZED deterministically in-query
+    (same concat on both engines) and then stripped: the parity check
+    covers the actual strip/decode chain, not a no-op. Tag removal is one
+    global regex; entities decode via a fixed replace chain (order
+    matters: &amp; first would corrupt double-encoded text in real crawls
+    — production uses a proper entity table, same plan shape). Pure
+    projection: no shuffle, no UDF."""
+    d = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<p id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><b>'),
+        F.col("text"),
+        F.lit("</b><br/>&amp; from "),
+        F.col("source"),
+        F.lit("</p>"),
+    )
+    d = d.select("doc_id", html.alias("__html"))
+    stripped = F.regexp_replace("__html", "<[^>]*>", "")
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&nbsp;", " "),
+    ):
+        stripped = F.replace(stripped, F.lit(ent), F.lit(ch))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("__html", F.lit("<[^>]*>"), 0))
+        .cast("long")
+        .alias("n_tags"),
+        F.md5(stripped).alias("stripped_md5"),
+        F.length(stripped).cast("long").alias("n_chars_stripped"),
+    )

@@ -55,7 +55,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_winnowing",
-    "dedup_components",
+    "dedup_contamination_ngrams",
     "sim_search_topk",
     "sim_search_ivf",
     "sim_search_lsh",

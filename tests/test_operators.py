@@ -449,3 +449,41 @@ def test_multipass_blocking_recovers_both_edit_classes(spark):
     # specifically: head-mangled probes (%3==2) did resolve
     head_mangled = [p for p in out if p % 3 == 2]
     assert head_mangled and all(out[p] == p for p in head_mangled if out[p] == p)
+
+
+def test_triangles_per_node_known_graph(spark):
+    """K4 plus a pendant edge: K4 has C(4,3)=4 triangles, every K4 node
+    sits in exactly 3; the pendant node sits in none and must be absent."""
+    from repcheck_data_integration_spark.operators.graph import triangles_per_node
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    p = spark.createDataFrame(k4 + [(4, 5)], ["cust1", "cust2"])
+    out = {r["node"]: r["n_triangles"] for r in triangles_per_node(p).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_gopher_filter_attributes_failures(spark, tmp_path):
+    """Each gate failure is named in fail_reasons; a fluent doc passes
+    with an empty reasons string."""
+    from repcheck_data_integration_spark import registry
+
+    registry.load_all_modules()
+    good = "the quick brown fox jumps over a lazy dog of the north and east wind in town"
+    short = "too short"
+    symbols = "the # spark # of # a # plan # and # scan # in # join # the # end # now"
+    numeric = " ".join(str(n) for n in range(20)) + " the of"
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, numeric)],
+        ["doc_id", "text"],
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["text_gopher_filter"](spark, str(tmp_path)).collect()
+    }
+    assert out[1]["passes"] and out[1]["fail_reasons"] == ""
+    assert not out[2]["passes"] and "word_count" in out[2]["fail_reasons"]
+    assert not out[3]["passes"] and "symbol_ratio" in out[3]["fail_reasons"]
+    assert not out[4]["passes"] and "alpha_words" in out[4]["fail_reasons"]

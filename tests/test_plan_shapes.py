@@ -196,3 +196,37 @@ def test_multipass_blocking_no_cartesian(spark):
     p = plan(spark, "join_fuzzy_multipass")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ohlc_single_exchange_no_python(spark):
+    """ts_resample_ohlc: the two row_number windows and the final OHLC
+    aggregate all share ONE hash partitioning on (event_type, hour) —
+    materializing hour as an attribute before the window is what lets the
+    groupBy reuse the exchange."""
+    import re
+
+    p = plan(spark, "ts_resample_ohlc")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    for py_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py_node not in p
+
+
+def test_contamination_benchmark_side_broadcast(spark):
+    """dedup_contamination_ngrams: the benchmark n-gram set must build a
+    broadcast (the corpus side stays put — at 100 TB shuffling corpus
+    text would be the bottleneck), and the corpus text is scanned once."""
+    p = plan(spark, "dedup_contamination_ngrams")
+    import re
+
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # one corpus-side scan + one benchmark-side scan of documents, no more
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2
+
+
+def test_triangle_join_is_equi(spark):
+    """Triangle closure must stay hash equi-joins; a nested-loop fallback
+    would be quadratic in the pair graph."""
+    p = plan(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
