@@ -1,0 +1,372 @@
+"""Training-corpus assembly operators: split / cap / mix / pack.
+
+The reference stops at ingest+cleanup (scripts/ai/summarize_bills_federal.py
+is its closest thing to a corpus pipeline); a 100 TB pretraining pipeline
+additionally needs the corpus-ASSEMBLY stage — deterministic train/valid/
+test splits, per-domain downsampling caps, temperature-scaled mixture
+weights (the mT5/PaLM sampling rule, public papers), and concat-and-chop
+sequence packing (how documents become fixed-length training rows).
+
+All four are engine-exact: selection is by md5-bucket (never rand()), token
+counts are integers, packing is pure integer window arithmetic, and the one
+float surface (temperature weights) goes through stable_round4. Scale
+shapes: split is a zero-shuffle projection; cap and pack shuffle ONCE on
+the domain key (shard-local packing is embarrassingly parallel); mix
+aggregates to |domains| rows then broadcasts the totals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..registry import register
+from ..tables import load
+from .dedup import sql_stable_round4, stable_round4
+
+#: word-token regex shared with textstats (same on both engines)
+TOK_RE = "[a-z0-9]+"
+
+SPLIT_PCT = (90, 5)  # train < 90, valid < 95, else test
+DOMAIN_CAP = 15  # max docs kept per source
+MIX_ALPHA = 0.3  # temperature exponent (w ∝ share^alpha)
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+def hash_bucket(col, mod: int):
+    """Deterministic uniform bucket in [0, mod) from md5 of a string column
+    — the cross-engine substitute for rand() (same mechanism as
+    sample_deterministic, quality.py:228)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % mod
+    )
+
+
+def sql_hash_bucket(expr: str, mod: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT) % {mod}"
+    )
+
+
+@register(
+    "split_train_valid_test",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST({sql_hash_bucket("CAST(doc_id AS VARCHAR)", 100)} AS BIGINT)
+               AS bucket,
+           CASE WHEN {sql_hash_bucket("CAST(doc_id AS VARCHAR)", 100)}
+                     < {SPLIT_PCT[0]} THEN 'train'
+                WHEN {sql_hash_bucket("CAST(doc_id AS VARCHAR)", 100)}
+                     < {SPLIT_PCT[0] + SPLIT_PCT[1]} THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(len(regexp_extract_all(text, '{TOK_RE}')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+    """,
+)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/valid/test assignment by md5-bucket of the
+    document id. Hash-of-key (not rand(), not row position) is the only
+    split that survives reprocessing: re-running on a grown corpus keeps
+    every previously-assigned document in its split, so eval sets never
+    silently absorb training data. Zero-shuffle projection — at 100 TB the
+    split costs one scan, and the assignment composes with any downstream
+    filter/join because it's a pure function of doc_id."""
+    d = load(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id").cast("string"), 100)
+    return d.select(
+        "doc_id",
+        "source",
+        b.alias("bucket"),
+        F.when(b < SPLIT_PCT[0], "train")
+        .when(b < SPLIT_PCT[0] + SPLIT_PCT[1], "valid")
+        .otherwise("test")
+        .alias("split"),
+        F.size(F.regexp_extract_all("text", F.lit(TOK_RE), 0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+@register(
+    "sample_domain_cap",
+    oracle=f"""
+    SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {sql_hash_bucket("CAST(doc_id AS VARCHAR)", 1000000)},
+                            doc_id) AS sample_rank
+        FROM documents) r
+    WHERE sample_rank <= {DOMAIN_CAP}
+    """,
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain downsampling cap: keep at most DOMAIN_CAP documents per
+    source, chosen by md5-hash order (a deterministic uniform sample of
+    each over-represented domain — how curation reins in the crawl's
+    mega-domains without touching rare ones). One shuffle on source.
+    100 TB note: for caps where a single domain exceeds executor memory,
+    pre-thin with a bucket filter at ~2× the expected rate first (same
+    hash), then rank the survivors — the rank window then sorts a bounded
+    set per domain; the two-phase version composes from this same op."""
+    d = load(spark, sf_dir, "documents")
+    h = hash_bucket(F.col("doc_id").cast("string"), 1_000_000)
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    )
+    return (
+        d.select("doc_id", "source", rk.alias("sample_rank"))
+        .filter(F.col("sample_rank") <= DOMAIN_CAP)
+        .select("doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank"))
+    )
+
+
+@register(
+    "mix_temperature_weights",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               count(*) AS n_docs,
+               sum(len(regexp_extract_all(text, '{TOK_RE}'))) AS n_tokens
+        FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_tokens) AS tot_tokens FROM per_source),
+    w AS (
+        SELECT source, n_docs, n_tokens,
+               n_tokens * 1.0 / tot_tokens AS token_share,
+               power(n_tokens * 1.0 / tot_tokens, {MIX_ALPHA}) AS w_raw
+        FROM per_source, tot)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           {sql_stable_round4("token_share")} AS token_share,
+           {sql_stable_round4("w_raw / sum(w_raw) OVER ()")} AS mix_weight,
+           {sql_stable_round4("(w_raw / sum(w_raw) OVER ()) / token_share")}
+               AS oversample_factor
+    FROM w
+    """,
+)
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per domain: w_i ∝ share_i^alpha
+    (alpha=0.3 — the mT5/PaLM multilingual sampling rule from the public
+    papers), normalized, plus the oversample factor each domain needs
+    relative to natural sampling. Token counts are exact integers; the two
+    pow/normalize floats go through stable_round4 so both engines' libm
+    doubles hash identically. Scale shape: the corpus collapses to
+    |domains| rows in ONE partial+final aggregation; the normalizing
+    window runs over those few rows, never over the corpus."""
+    d = load(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(TOK_RE), 0)))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    tot = W.partitionBy()
+    share = F.col("n_tokens") * 1.0 / F.sum("n_tokens").over(tot)
+    w_raw = F.pow(share, MIX_ALPHA)
+    weight = w_raw / F.sum(w_raw).over(tot)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        stable_round4(share).alias("token_share"),
+        stable_round4(weight).alias("mix_weight"),
+        stable_round4(weight / share).alias("oversample_factor"),
+    )
+
+
+@register(
+    "pack_token_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(text, '{TOK_RE}')) AS n_tokens
+        FROM documents),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM t)
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           -- // is DuckDB floor division; bare / would be FLOAT division
+           -- and CAST rounds-to-nearest, not floors
+           CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS seq_first,
+           CAST(CASE WHEN n_tokens = 0 THEN cum_before // {PACK_BUDGET}
+                     ELSE (cum_before + n_tokens - 1) // {PACK_BUDGET} END
+                AS BIGINT) AS seq_last,
+           CAST(CASE WHEN n_tokens = 0 THEN 1
+                     ELSE (cum_before + n_tokens - 1) // {PACK_BUDGET}
+                          - cum_before // {PACK_BUDGET} + 1 END
+                AS BIGINT) AS n_seqs_spanned,
+           CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS offset_in_seq
+    FROM c
+    """,
+)
+def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing: within each source shard, documents
+    are concatenated in doc_id order and chopped into PACK_BUDGET-token
+    training sequences (the GPT-style packing that wastes no pad tokens;
+    documents may span sequence boundaries). Emits, per document, which
+    packed sequence it starts in / ends in, how many it spans, and its
+    token offset in the first one — pure integer window arithmetic, so
+    both engines agree bit-for-bit. Scale shape: ONE shuffle on the shard
+    key and a per-shard sort; shards pack independently (exactly how a
+    1000-executor packing job runs), and the cumulative sum never
+    materializes the concatenated text — only offsets move."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(TOK_RE), 0)).alias("n_tokens"),
+    )
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(
+            W.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    c = t.select("doc_id", "source", "n_tokens", cum_before.alias("cum_before"))
+    first = F.floor(F.col("cum_before") / PACK_BUDGET)
+    last = F.when(F.col("n_tokens") == 0, first).otherwise(
+        F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / PACK_BUDGET)
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        first.cast("long").alias("seq_first"),
+        last.cast("long").alias("seq_last"),
+        F.when(F.col("n_tokens") == 0, F.lit(1))
+        .otherwise(last - first + 1)
+        .cast("long")
+        .alias("n_seqs_spanned"),
+        (F.col("cum_before") % PACK_BUDGET).cast("long").alias("offset_in_seq"),
+    )
+
+
+# --- flagship composition: the full corpus-assembly DAG -------------------
+
+PIPE_MIN_TOKENS = 10
+PIPE_MAX_TOKENS = 1000
+PIPE_MIN_ALPHA = 0.7
+PIPE_MIN_STOPWORDS = 2
+
+
+def _pipe_sql() -> str:
+    from .textstats import _SW_SQL
+
+    b = sql_hash_bucket("CAST(doc_id AS VARCHAR)", 100)
+    return f"""
+    WITH gated AS (
+        SELECT doc_id, source, text,
+               regexp_extract_all(text, '{TOK_RE}') AS toks
+        FROM documents
+        WHERE len(regexp_extract_all(text, '{TOK_RE}'))
+              BETWEEN {PIPE_MIN_TOKENS} AND {PIPE_MAX_TOKENS}),
+    ok AS (
+        SELECT doc_id, source, text, len(toks) AS n_tokens
+        FROM gated
+        WHERE len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+              * 1.0 / len(toks) >= {PIPE_MIN_ALPHA}
+          AND len(list_distinct(list_filter(toks, x -> x IN {_SW_SQL})))
+              >= {PIPE_MIN_STOPWORDS}),
+    canon AS (
+        SELECT doc_id, source, n_tokens,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+        FROM ok),
+    kept AS (
+        SELECT doc_id, source, n_tokens,
+               CASE WHEN {b} < {SPLIT_PCT[0]} THEN 'train'
+                    WHEN {b} < {SPLIT_PCT[0] + SPLIT_PCT[1]} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM canon WHERE doc_id = canonical_id),
+    packed AS (
+        SELECT doc_id, source, split, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source, split ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM kept)
+    SELECT doc_id, source, split,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS seq_idx,
+           CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS offset_in_seq
+    FROM packed
+    """
+
+
+@register("pipeline_pretrain_corpus", oracle=_pipe_sql())
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-assembly run as ONE declarative DAG: quality gates
+    (token bounds pushed toward the scan, alpha-fraction and stopword
+    gates — the Gopher rules) → exact dedup keeping the lowest doc_id per
+    content hash → deterministic 90/5/5 split → concat-and-chop packing
+    per (source, split) shard, so no packed sequence ever mixes splits.
+    This is the composition every pretraining drop executes; expressed as
+    one plan, Catalyst shares the token-array projection across the gates
+    and fuses the post-shuffle tails. Exactly TWO exchanges at any scale:
+    the content-hash window and the shard-pack window — nothing else
+    shuffles, and both keys are high-cardinality (no skew pile-up)."""
+    from .textstats import STOPWORDS
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(TOK_RE), 0)
+    g = d.select("doc_id", "source", "text", toks.alias("__toks")).filter(
+        F.size("__toks").between(PIPE_MIN_TOKENS, PIPE_MAX_TOKENS)
+    )
+    n = F.size("__toks")
+    alpha_ok = (
+        F.size(F.filter("__toks", lambda x: x.rlike("[a-z]"))) * 1.0 / n
+        >= PIPE_MIN_ALPHA
+    )
+    stop_ok = (
+        F.size(F.array_distinct(F.filter("__toks", lambda x: x.isin(*STOPWORDS))))
+        >= PIPE_MIN_STOPWORDS
+    )
+    ok = g.filter(alpha_ok & stop_ok).select(
+        "doc_id", "source", "text", n.alias("n_tokens")
+    )
+    kept = (
+        ok.withColumn(
+            "__canon", F.min("doc_id").over(W.partitionBy(F.md5("text")))
+        )
+        .filter(F.col("doc_id") == F.col("__canon"))
+        .drop("__canon", "text")
+    )
+    b = hash_bucket(F.col("doc_id").cast("string"), 100)
+    kept = kept.withColumn(
+        "split",
+        F.when(b < SPLIT_PCT[0], "train")
+        .when(b < SPLIT_PCT[0] + SPLIT_PCT[1], "valid")
+        .otherwise("test"),
+    )
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(
+            W.partitionBy("source", "split")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return kept.select(
+        "doc_id",
+        "source",
+        "split",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        cum_before.alias("__cum"),
+    ).select(
+        "doc_id",
+        "source",
+        "split",
+        "n_tokens",
+        F.floor(F.col("__cum") / PACK_BUDGET).cast("long").alias("seq_idx"),
+        (F.col("__cum") % PACK_BUDGET).cast("long").alias("offset_in_seq"),
+    )

@@ -594,3 +594,86 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q8"),
         )
     )
+
+
+# --- Achlioptas ±1 random projection (JL dimensionality reduction) --------
+
+RP_K = 16  # output dims (64 → 16)
+RP_D = 64  # input embedding dims
+
+
+def _rp_signs() -> list[list[int]]:
+    """Deterministic ±1 projection matrix from md5 — Achlioptas (2001)
+    database-friendly random projections: entries in {±1} satisfy the JL
+    lemma with the same distortion bounds as Gaussians, and make the
+    projection EXACT integer arithmetic (no float matmul to disagree
+    across engines). The matrix is a pure function of (j, i), so every
+    executor regenerates it locally — nothing to broadcast."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp_{j}_{i}".encode()).hexdigest()[0], 16) < 8
+            else -1
+            for i in range(RP_D)
+        ]
+        for j in range(RP_K)
+    ]
+
+
+RP_SIGNS = _rp_signs()
+
+
+def _rp_sql_cols() -> str:
+    cols = []
+    for j in range(RP_K):
+        terms = " + ".join(
+            f"q[{i + 1}]" if s > 0 else f"(-q[{i + 1}])"
+            for i, s in enumerate(RP_SIGNS[j])
+        )
+        cols.append(f"CAST(({terms}) AS BIGINT) / 10000.0 AS rp_{j:02d}")
+    return ",\n           ".join(cols)
+
+
+@register(
+    "emb_random_projection",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5)
+                             AS BIGINT)) AS q
+        FROM embeddings)
+    SELECT vec_id,
+           {_rp_sql_cols()}
+    FROM q
+    """,
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64→16 with a ±1 sign
+    matrix (Achlioptas 2001, public paper) — the pre-ANN compression that
+    cuts index memory 4× while approximately preserving pairwise
+    distances (asserted in tests/test_similarity.py). Embeddings are
+    scaled to exact integers (floor(x·1e4+0.5), the stable_round4
+    mechanism) so each output coordinate is an integer dot product —
+    bit-identical on every engine and partitioning, unlike a float GEMM.
+    Shuffle-free single scan; per-row cost is K·D integer ops inside two
+    array HOFs (the scaled array is projected ONCE as a concrete column —
+    the CLAUDE.md lambda-inlining trap). At 100 TB with float tolerance,
+    swap the kernel for a broadcast float32 matrix + mapInPandas numpy
+    GEMM (Arrow-batched); the plan shape — scan, project, no exchange —
+    is unchanged."""
+    e = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 10000.0 + F.lit(0.5)).cast("long"),
+    )
+    d = e.select("vec_id", q.alias("__q"))
+    out = []
+    for j in range(RP_K):
+        s_arr = F.array(*[F.lit(s) for s in RP_SIGNS[j]])
+        prod = F.zip_with("__q", s_arr, lambda a, b: a * b)
+        acc = F.aggregate(prod, F.lit(0).cast("long"), lambda a, x: a + x)
+        out.append((acc / 10000.0).cast("double").alias(f"rp_{j:02d}"))
+    return d.select("vec_id", *out)

@@ -72,8 +72,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_tfidf_topterms",
     "text_vocab_topk",
     "text_unigram_xent",
-    "text_feature_hash",
-    "text_chunk_windows",
+    "pack_token_sequences",
+    "split_train_valid_test",
     "pipeline_corpus_curation",
     "pipeline_corpus_curation_v2",
     "llm_summarize",
@@ -129,6 +129,7 @@ def load_all_modules() -> None:
         graph,
         textops,
         skew,
+        sampling,
     )
     from .functions import scalar_queries  # noqa: F401
     from .sources import file_sources, pyds  # noqa: F401

@@ -487,3 +487,81 @@ def test_gopher_filter_attributes_failures(spark, tmp_path):
     assert not out[2]["passes"] and "word_count" in out[2]["fail_reasons"]
     assert not out[3]["passes"] and "symbol_ratio" in out[3]["fail_reasons"]
     assert not out[4]["passes"] and "alpha_words" in out[4]["fail_reasons"]
+
+
+def test_split_assignment_deterministic_and_sized(spark):
+    """90/5/5 hash split: fractions near nominal at 500 docs, and the
+    assignment is a pure function of doc_id — rerunning yields the
+    identical relation (the reprocessing-safety property)."""
+    from repcheck_data_integration_spark import registry
+
+    registry.load_all_modules()
+    q = registry.QUERIES["split_train_valid_test"]
+    a = {r["doc_id"]: r["split"] for r in q(spark, "/root/testdata/sf0.01").collect()}
+    b = {r["doc_id"]: r["split"] for r in q(spark, "/root/testdata/sf0.01").collect()}
+    assert a == b and len(a) == 500
+    n_train = sum(1 for s in a.values() if s == "train")
+    n_valid = sum(1 for s in a.values() if s == "valid")
+    n_test = sum(1 for s in a.values() if s == "test")
+    assert 400 <= n_train <= 490 and n_valid >= 5 and n_test >= 5
+
+
+def test_domain_cap_enforced_per_source(spark):
+    """Every source capped at DOMAIN_CAP; ranks are 1..cap with no gaps
+    (row_number, not rank — ties impossible on (hash, doc_id))."""
+    from repcheck_data_integration_spark import registry
+    from repcheck_data_integration_spark.operators.sampling import DOMAIN_CAP
+
+    registry.load_all_modules()
+    rows = registry.QUERIES["sample_domain_cap"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(r["sample_rank"])
+    assert len(per) == 20
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, DOMAIN_CAP + 1))
+
+
+def test_pack_token_sequences_invariants(spark):
+    """Packing bookkeeping is self-consistent per shard: offsets < budget,
+    spans ≥ 1, and each doc's start offset equals the running token total
+    of its predecessors (recomputed independently in Python)."""
+    from repcheck_data_integration_spark import registry
+    from repcheck_data_integration_spark.operators.sampling import PACK_BUDGET
+
+    registry.load_all_modules()
+    rows = registry.QUERIES["pack_token_sequences"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for rs in by_src.values():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert 0 <= r["offset_in_seq"] < PACK_BUDGET
+            assert r["seq_first"] == cum // PACK_BUDGET
+            assert r["n_seqs_spanned"] == r["seq_last"] - r["seq_first"] + 1 >= 1
+            cum += r["n_tokens"]
+
+
+def test_mix_weights_normalized_and_flattening(spark):
+    """Temperature weights sum to 1 and compress the distribution: every
+    below-natural-share domain is oversampled (factor > 1) and every
+    above-share domain undersampled — the point of alpha < 1."""
+    from repcheck_data_integration_spark import registry
+
+    registry.load_all_modules()
+    rows = registry.QUERIES["mix_temperature_weights"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-3
+    mean_share = sum(r["token_share"] for r in rows) / len(rows)
+    for r in rows:
+        if r["token_share"] < mean_share * 0.98:
+            assert r["oversample_factor"] > 1.0
+        if r["token_share"] > mean_share * 1.02:
+            assert r["oversample_factor"] < 1.0

@@ -230,3 +230,43 @@ def test_triangle_join_is_equi(spark):
     p = plan(spark, "graph_triangle_count")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_split_is_zero_shuffle_scan(spark):
+    """split_train_valid_test: pure projection — no exchange, no Python,
+    and only doc_id/source/text are read."""
+    p = plan(spark, "split_train_valid_test")
+    assert "Exchange" not in p
+    for py_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py_node not in p
+    assert "n_chars" not in p.split("ReadSchema")[1][:300]
+
+
+def test_pack_single_shard_exchange(spark):
+    """pack_token_sequences: exactly one hash exchange (the shard key) —
+    shard-local packing, no global sort."""
+    import re
+
+    p = plan(spark, "pack_token_sequences")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_random_projection_shuffle_free(spark):
+    """emb_random_projection: scan → project, nothing else."""
+    p = plan(spark, "emb_random_projection")
+    assert "Exchange" not in p
+    for py_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py_node not in p
+
+
+def test_pretrain_pipeline_two_exchanges(spark):
+    """pipeline_pretrain_corpus: the whole gates→dedup→split→pack DAG
+    shuffles exactly twice (content-hash window, shard-pack window) and
+    keeps the gates native (no Python eval)."""
+    import re
+
+    p = plan(spark, "pipeline_pretrain_corpus")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    for py_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py_node not in p

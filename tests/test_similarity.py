@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from repcheck_data_integration_spark.operators.similarity import (
     sim_search_ivf,
     sim_search_topk,
@@ -82,3 +84,51 @@ def test_multiprobe_lsh_recall_at_least_single_probe(spark):
     n_single = sum(len(v) for v in single.values())
     n_multi = sum(len(v) for v in multi.values())
     assert n_multi >= n_single
+
+
+def test_random_projection_matches_numpy_exactly(spark):
+    """The ±1 projection is integer-exact: recompute rp_j for 20 vectors in
+    numpy int64 and require bit equality, then sanity-check the JL
+    property — projected pairwise sq-distances correlate with the
+    originals."""
+    import math
+
+    import numpy as np
+
+    from repcheck_data_integration_spark import registry
+    from repcheck_data_integration_spark.operators.similarity import RP_SIGNS
+
+    registry.load_all_modules()
+    df = registry.QUERIES["emb_random_projection"](spark, "/root/testdata/sf0.01")
+    out = {r["vec_id"]: r for r in df.filter(F.col("vec_id") < 20).collect()}
+    src = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .filter(F.col("vec_id") < 20)
+        .collect()
+    }
+    S = np.array(RP_SIGNS, dtype=np.int64)  # K x D
+    P = {}
+    for vid, emb in src.items():
+        q = np.floor(np.array(emb, dtype=np.float64) * 10000.0 + 0.5).astype(np.int64)
+        proj = (S @ q) / 10000.0
+        P[vid] = proj
+        for j in range(len(RP_SIGNS)):
+            assert out[vid][f"rp_{j:02d}"] == proj[j]
+    # JL sanity: for ±1 entries E[||S(x-y)||²] = K·||x-y||², so projected
+    # pairwise sq-distances cluster around K× the originals. (Distance
+    # CORRELATION is the wrong metric here — these synthetic embeddings
+    # have concentrated pairwise distances, so their spread is noise.)
+    K = len(RP_SIGNS)
+    ids = sorted(P)
+    ratios = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            d_hi = sum((x - y) ** 2 for x, y in zip(src[a], src[b]))
+            d_lo = float(((P[a] - P[b]) ** 2).sum())
+            ratios.append(d_lo / d_hi)
+    mean_ratio = sum(ratios) / len(ratios)
+    assert K * 0.7 < mean_ratio < K * 1.3
+    assert all(K / 4 < r < K * 4 for r in ratios)
+    assert math.isfinite(mean_ratio)
