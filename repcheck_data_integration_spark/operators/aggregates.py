@@ -384,3 +384,94 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="""
+    WITH z AS (
+        SELECT CAST(round(l_quantity * 100, 0) AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p,
+               CAST(round(l_discount * 100, 0) AS BIGINT) AS d
+        FROM lineitem),
+    s AS (
+        SELECT count(*) AS n,
+               sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+               sum(q*q) AS sqq, sum(p*p) AS spp, sum(d*d) AS sdd,
+               sum(q*p) AS sqp, sum(q*d) AS sqd, sum(p*d) AS spd
+        FROM z)
+    SELECT pair, CAST(n AS BIGINT) AS n,
+           floor(corr_val * 10000.0 + 0.5) / 10000.0 AS corr
+    FROM (
+        SELECT n, 'quantity_extendedprice' AS pair,
+               CAST(n*sqp - sq*sp AS DOUBLE)
+               / sqrt(CAST(n*sqq - sq*sq AS DOUBLE)
+                      * CAST(n*spp - sp*sp AS DOUBLE)) AS corr_val
+        FROM s
+        UNION ALL
+        SELECT n, 'quantity_discount',
+               CAST(n*sqd - sq*sd AS DOUBLE)
+               / sqrt(CAST(n*sqq - sq*sq AS DOUBLE)
+                      * CAST(n*sdd - sd*sd AS DOUBLE))
+        FROM s
+        UNION ALL
+        SELECT n, 'extendedprice_discount',
+               CAST(n*spd - sp*sd AS DOUBLE)
+               / sqrt(CAST(n*spp - sp*sp AS DOUBLE)
+                      * CAST(n*sdd - sd*sd AS DOUBLE))
+        FROM s)
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over the lineitem measures with
+    ORDER-INDEPENDENT arithmetic: F.corr/covar stream doubles and differ
+    per partitioning, so every moment (Σx, Σx², Σxy) is summed as exact
+    scaled integers (DECIMAL(38,0) on Spark ≡ HUGEINT on DuckDB), and the
+    float division happens ONCE on the exact sums. Correlation is
+    scale-invariant, so the ×100 fixed-point scaling cancels. One scan,
+    one partial+final aggregate to a single row, then a zero-shuffle
+    stack to the 3 pair rows — at 100 TB this is the cheapest possible
+    shape (the same single pass computes any number of pairs). The two
+    variance terms are cast to double BEFORE multiplying: their exact
+    product can exceed 38 digits, and both engines must round at the
+    same point for hash parity."""
+    li = load(spark, sf_dir, "lineitem")
+    z = li.select(
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = z.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("q"))).alias("sq"),
+        F.sum(dec(F.col("p"))).alias("sp"),
+        F.sum(dec(F.col("d"))).alias("sd"),
+        F.sum(dec(F.col("q") * F.col("q"))).alias("sqq"),
+        F.sum(dec(F.col("p") * F.col("p"))).alias("spp"),
+        F.sum(dec(F.col("d") * F.col("d"))).alias("sdd"),
+        F.sum(dec(F.col("q") * F.col("p"))).alias("sqp"),
+        F.sum(dec(F.col("q") * F.col("d"))).alias("sqd"),
+        F.sum(dec(F.col("p") * F.col("d"))).alias("spd"),
+    )
+
+    def corr(sxy: str, sx: str, sy: str, sxx: str, syy: str):
+        n = F.col("n")
+        num = (n * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+        vx = (n * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
+        vy = (n * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
+        c = num / F.sqrt(vx * vy)
+        return F.floor(c * 10000.0 + 0.5) / 10000.0
+
+    wide = s.select(
+        F.col("n").cast("long").alias("n"),
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("c_qp"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("c_qd"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("c_pd"),
+    )
+    return wide.selectExpr(
+        "stack(3, 'quantity_extendedprice', c_qp,"
+        " 'quantity_discount', c_qd,"
+        " 'extendedprice_discount', c_pd) AS (pair, corr)",
+        "n",
+    ).select("pair", "n", "corr")

