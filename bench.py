@@ -45,6 +45,10 @@ HEADLINE = [
     "dedup_winnowing_pairs",
     "text_chunk_windows",
     "sim_search_lsh_multiprobe",
+    "dedup_contamination_ngrams",
+    "pack_token_sequences",
+    "pipeline_pretrain_corpus",
+    "agg_corr_matrix",
 ]
 
 

@@ -707,20 +707,25 @@ def dedup_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the benchmark side is TINY by construction (eval suites
     are MBs, the corpus is the 100 TB side), so the distinct benchmark
     n-gram set is broadcast and the corpus stays put — explode → broadcast
-    LEFT join → per-doc count, ONE scan of the corpus, no shuffle of
-    document text, zero-hit docs kept by the left join. Reference seed:
+    LEFT join → per-doc count, no shuffle of document text, zero-hit docs
+    kept by the left join. The shingle frame is computed ONCE and
+    persisted before the bench/corpus branch: without the persist
+    barrier, explode's inferred ``size(sh) > 0`` filter is pushed below
+    the shingle projection and re-evaluates the whole shingle expression
+    per row at the scan (measured 18s → 1.5s at sf0.1 — the CLAUDE.md
+    pushdown trap via InferFiltersFromGenerate). Reference seed:
     the text-cleanup path summarize_bills_federal.py:67-82 (same shingle
     machinery as dedup_minhash_lsh)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = with_shingles(docs).select("doc_id", "sh").persist()
     bench = (
-        with_shingles(docs.filter(F.col("doc_id") % BENCH_MOD == 0))
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0)
         .select(F.explode("sh").alias("g"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    ex = (
-        with_shingles(docs.filter(F.col("doc_id") % BENCH_MOD != 0))
-        .select("doc_id", F.size("sh").alias("n_grams"), F.explode("sh").alias("g"))
+    ex = sh.filter(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id", F.size("sh").alias("n_grams"), F.explode("sh").alias("g")
     )
     ratio = F.col("n_overlap") * 1.0 / F.col("n_grams")
     return (

@@ -677,3 +677,49 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc = F.aggregate(prod, F.lit(0).cast("long"), lambda a, x: a + x)
         out.append((acc / 10000.0).cast("double").alias(f"rp_{j:02d}"))
     return d.select("vec_id", *out)
+
+
+def _recall_oracle() -> str:
+    from ..registry import ORACLE
+
+    # the two already-registered oracle texts become CTE subqueries —
+    # DuckDB allows a nested WITH inside a CTE body, so the composition
+    # is literal reuse, not a re-derivation that could drift
+    return f"""
+    WITH bf AS ({ORACLE["sim_search_topk"]}),
+    ap AS ({ORACLE["sim_search_ivf"]})
+    SELECT bf.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(ap.cand_id) AS BIGINT) AS n_overlap,
+           {sql_stable_round4('count(ap.cand_id) * 1.0 / count(*)')}
+               AS recall_at_k
+    FROM bf LEFT JOIN ap USING (query_id, cand_id)
+    GROUP BY bf.query_id
+    """
+
+
+@register("sim_search_recall_report", oracle=_recall_oracle())
+def sim_search_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN observability: per-query recall@k of the IVF index against the
+    brute-force ground truth — the metric every ANN deployment tracks to
+    decide when to re-train the codebook or raise n_probe. Composes the
+    two registered ops (no re-derivation) with a left join on the result
+    keys; at 100 TB you run it on a hash-sampled query slice
+    (sample_deterministic composes in front) since ground truth is the
+    expensive side — the report plan itself only joins two k-row-per-query
+    relations."""
+    bf = sim_search_topk(spark, sf_dir).select("query_id", "cand_id")
+    ap = sim_search_ivf(spark, sf_dir).select(
+        "query_id", "cand_id", F.lit(1).alias("__hit")
+    )
+    return (
+        bf.join(ap, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("__hit").cast("long").alias("n_overlap"),
+            stable_round4(F.count("__hit") * 1.0 / F.count(F.lit(1))).alias(
+                "recall_at_k"
+            ),
+        )
+    )

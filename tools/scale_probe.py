@@ -58,6 +58,10 @@ PROBES = [
     "dedup_winnowing_pairs",
     "pipeline_llm_ingest",
     "sim_search_lsh_multiprobe",
+    "dedup_contamination_ngrams",
+    "pack_token_sequences",
+    "pipeline_pretrain_corpus",
+    "graph_triangle_count",
 ]
 
 
