@@ -47,31 +47,50 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAIR_MIN_QTY = 45     # "high-volume" purchase edge gate
+PAIR_MIN_SHARED = 3   # shared hv-suppliers for a similarity edge
+
+
 @register(
     "graph_two_hop",
-    oracle="""
+    oracle=f"""
     WITH edges AS (
         SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= {PAIR_MIN_QTY})
     SELECT a.cust AS cust1, b.cust AS cust2,
            count(*) AS n_shared_suppliers
     FROM edges a JOIN edges b ON a.supp = b.supp AND a.cust < b.cust
     GROUP BY a.cust, b.cust
-    HAVING count(*) >= 30
+    HAVING count(*) >= {PAIR_MIN_SHARED}
     """,
 )
 def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-hop traversal: customer pairs connected through ≥30 shared
-    suppliers (co-purchase similarity). One self-join on the hop node +
-    hash aggregate — the same explode-join shape as the n-gram jaccard
-    verify, because 2-hop counting IS set intersection by another name."""
+    """2-hop traversal: customer pairs connected through ≥{PAIR_MIN_SHARED}
+    shared HIGH-VOLUME suppliers (co-purchase similarity). One self-join
+    on the hop node + hash aggregate — the same explode-join shape as the
+    n-gram jaccard verify, because 2-hop counting IS set intersection by
+    another name. The quantity gate is the density lever: wedge-join cost
+    is Σ_supp degree², and on the raw bipartite graph (every supplier
+    touching ~half the customers) the 10× probe measured 71s for what the
+    gated graph does in ~2s — dense hop nodes MUST be thinned (gate,
+    degree-cap, or LSH) before any all-pairs projection, at every scale."""
     return _copurchase_pairs(spark, sf_dir)
 
 
 def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(cust1 < cust2, n_shared_suppliers ≥ 30) — the projected unipartite
-    similarity graph over the bipartite purchase edges."""
-    e = _edges(spark, sf_dir)
+    """(cust1 < cust2, n_shared_suppliers ≥ {PAIR_MIN_SHARED}) over
+    high-volume purchase edges — the projected unipartite similarity
+    graph over the (thinned) bipartite purchase edges."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= PAIR_MIN_QTY
+    )
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(
@@ -83,19 +102,20 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.cust").alias("cust1"), F.col("b.cust").alias("cust2")
         )
         .agg(F.count(F.lit(1)).alias("n_shared_suppliers"))
-        .filter(F.col("n_shared_suppliers") >= 30)
+        .filter(F.col("n_shared_suppliers") >= PAIR_MIN_SHARED)
     )
 
 
-SQL_PAIRS = """
+SQL_PAIRS = f"""
     edges AS (
         SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= {PAIR_MIN_QTY}),
     p AS (
         SELECT a.cust AS c1, b.cust AS c2
         FROM edges a JOIN edges b
           ON a.supp = b.supp AND a.cust < b.cust
-        GROUP BY 1, 2 HAVING count(*) >= 30)
+        GROUP BY 1, 2 HAVING count(*) >= {PAIR_MIN_SHARED})
 """
 
 

@@ -661,3 +661,164 @@ def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.trim(F.col("__sent"))).alias("sentence_md5"),
         F.length(F.trim(F.col("__sent"))).cast("long").alias("n_sent_chars"),
     )
+
+
+# --- boilerplate-line removal (CCNet/RefinedWeb-style) --------------------
+
+SEG_TOKENS = 12     # tokens per pseudo-line
+BOILER_MIN_DOCS = 5  # a line in ≥ this many distinct docs is boilerplate
+
+
+@register(
+    "text_boilerplate_lines",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               regexp_extract_all(text, '{TOKEN_RE}') AS toks
+        FROM documents),
+    lines AS (
+        SELECT doc_id, 0 AS pos,
+               'copyright ' || source || ' all rights reserved' AS line
+        FROM t
+        UNION ALL
+        SELECT doc_id, i AS pos,
+               array_to_string(
+                   toks[(i-1) * {SEG_TOKENS} + 1 : i * {SEG_TOKENS}], ' ')
+        FROM t, unnest(generate_series(
+            1, greatest((len(toks) + {SEG_TOKENS} - 1) // {SEG_TOKENS}, 1)
+        )) u(i)),
+    freq AS (
+        SELECT line FROM lines
+        GROUP BY line HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}),
+    flagged AS (
+        SELECT l.doc_id, l.pos, l.line, f.line IS NOT NULL AS is_boiler
+        FROM lines l LEFT JOIN freq f USING (line))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE NOT is_boiler) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(
+               CASE WHEN NOT is_boiler THEN line END, ' | ' ORDER BY pos),
+               '')) AS cleaned_md5
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal, the CCNet/RefinedWeb web-crawl cleanup:
+    any line occurring in ≥{BOILER_MIN_DOCS} distinct documents (nav bars,
+    cookie banners, copyright footers) is dropped corpus-wide; each doc is
+    re-assembled from its surviving lines in order. The fixture corpus has
+    no line structure, so lines are SYNTHESIZED deterministically — a
+    per-source copyright footer (which the op must detect: each occurs in
+    every doc of its source) plus {SEG_TOKENS}-token content segments
+    (which it must keep: they occur once). Scale shape: explode to lines →
+    ONE count-distinct shuffle keyed on the line (the frequency table a
+    100 TB crawl computes anyway) → the tiny frequent set broadcasts back
+    → per-doc ordered re-assembly in one aggregate. Line frequency is the
+    skewed key here (empty/short lines): the count-distinct pre-aggregates
+    per (line, doc) before counting, so no single reducer sees a line's
+    full row stream."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        tokens(F.col("text")).alias("__toks"),
+        F.concat(F.lit("copyright "), F.col("source"), F.lit(" all rights reserved")).alias("__hdr"),
+    )
+    nseg = F.greatest(
+        F.floor((F.size("__toks") + SEG_TOKENS - 1) / SEG_TOKENS), F.lit(1)
+    ).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(1), nseg),
+        lambda i: F.array_join(
+            F.slice("__toks", (i - 1) * SEG_TOKENS + 1, SEG_TOKENS), " "
+        ),
+    )
+    # two consumers (frequency count + flag join) and a Generate above a
+    # non-cheap array expression → persist, or the inferred size()>0
+    # filter re-evaluates the segment build below the projection (the
+    # same InferFiltersFromGenerate trap as dedup_contamination_ngrams)
+    lines = t.select(
+        "doc_id",
+        F.posexplode(F.concat(F.array("__hdr"), segs)).alias("pos", "line"),
+    ).persist()
+    freq = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= BOILER_MIN_DOCS)
+        .select("line", F.lit(True).alias("__boiler"))
+    )
+    flagged = lines.join(F.broadcast(freq), "line", "left").select(
+        "doc_id", "pos", "line", F.coalesce("__boiler", F.lit(False)).alias("is_boiler")
+    )
+    kept_struct = F.when(
+        ~F.col("is_boiler"), F.struct(F.col("pos"), F.col("line"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.count_if(~F.col("is_boiler")).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x.getField("line"),
+                ),
+                " | ",
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
+BPE_TOP_PAIRS = 20
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (
+        SELECT t AS word, count(*) AS freq
+        FROM (SELECT unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS t
+              FROM documents)
+        GROUP BY 1),
+    pairs AS (
+        SELECT word[i : i + 1] AS pair, freq
+        FROM w, unnest(generate_series(1, length(word) - 1)) u(i)
+        WHERE length(word) > 1)
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE-training iteration as a distributed job: adjacent
+    symbol-pair frequencies over the corpus vocabulary, weighted by word
+    frequency — the argmax pair is the first merge rule (Sennrich et al.
+    2016, public paper). Tokenizer training at 100 TB IS this Spark job
+    iterated: the vocabulary aggregate collapses the corpus to |vocab|
+    rows FIRST (the crucial move — pair explosion runs over unique words,
+    not over every token occurrence), then pairs explode ~word-length
+    rows each and re-aggregate. Two shuffles total, both with map-side
+    partial combine; the top-k executes as TakeOrdered, not a global
+    sort. Full tie-break (count desc, pair asc) keeps the merge-rule
+    choice engine-exact."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") > 1)
+    )
+    pairs = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(BPE_TOP_PAIRS)
+    )

@@ -632,3 +632,47 @@ def test_quality_logreg_threshold_consistent(spark):
     assert rows
     for r in rows:
         assert r["keep"] == (r["quality_prob"] >= 0.5)
+
+
+def test_boilerplate_removes_exactly_the_footer(spark):
+    """In the synthesized corpus the ONLY cross-doc-frequent line is each
+    source's copyright footer: every doc loses exactly one line, and the
+    reassembled text hash differs from a no-removal baseline."""
+    from repcheck_data_integration_spark import registry
+
+    registry.load_all_modules()
+    rows = registry.QUERIES["text_boilerplate_lines"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["n_kept"] == r["n_lines"] - 1
+        assert r["n_lines"] >= 2
+
+
+def test_bpe_pair_counts_match_python(spark):
+    """Top adjacent-pair frequencies recomputed with collections.Counter
+    over the same tokenization must agree exactly (count and ordering)."""
+    import re
+    from collections import Counter
+
+    from repcheck_data_integration_spark import registry
+    from repcheck_data_integration_spark.operators.textops import BPE_TOP_PAIRS
+
+    registry.load_all_modules()
+    got = [
+        (r["pair"], r["n_occurrences"])
+        for r in registry.QUERIES["text_bpe_pair_counts"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    wc = Counter()
+    for d in docs:
+        wc.update(re.findall("[a-z0-9]+", d["text"]))
+    pc = Counter()
+    for w, f in wc.items():
+        for i in range(len(w) - 1):
+            pc[w[i : i + 2]] += f
+    want = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_PAIRS]
+    assert got == want
