@@ -475,3 +475,75 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'extendedprice_discount', c_pd) AS (pair, corr)",
         "n",
     ).select("pair", "n", "corr")
+
+
+_LINREG_SLOPE = "(((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)))"
+
+
+@register(
+    "agg_grouped_linreg",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_orderpriority,
+               CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+                   AS x,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+        FROM orders),
+    a AS (
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx
+        FROM g GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n_orders,
+           floor(({_LINREG_SLOPE} / 100.0) * 10000.0 + 0.5) / 10000.0
+               AS slope_dollars_per_day,
+           floor((((sy - ({_LINREG_SLOPE} * sx)) / n) / 100.0) * 10000.0 + 0.5)
+               / 10000.0 AS intercept_dollars
+    FROM a
+    """,
+)
+def agg_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares regression (order value vs order date) from
+    the five classic sufficient statistics — the distributed formulation of
+    regr_slope/regr_intercept that stays deterministic at any partitioning.
+
+    Determinism: x (epoch days) and y (price cents) are integers, so the
+    sums n/Σx/Σy/Σxy/Σx² accumulate exactly — Spark in DECIMAL(38,0)
+    (overflow-checked), DuckDB in HUGEINT — and only the final closed-form
+    slope/intercept arithmetic runs in IEEE doubles with an identical
+    expression tree on both engines. A naive sum(double·double) would be
+    partition-order-dependent and could never hash-match.
+
+    Scale shape: one map-side-combined hash aggregate over orders (5
+    integer accumulators per group), then O(|groups|) scalar math — the
+    same single-shuffle profile as tpch_q1."""
+    o = load(spark, sf_dir, "orders")
+    x = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).cast(
+        "long"
+    )
+    y = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    g = o.select("o_orderpriority", x.alias("x"), y.alias("y"))
+    dec = "decimal(38,0)"
+    a = g.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))
+    intercept = (sy - (slope * sx)) / n
+    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return a.select(
+        "o_orderpriority",
+        "n_orders",
+        r4(slope / 100.0).alias("slope_dollars_per_day"),
+        r4(intercept / 100.0).alias("intercept_dollars"),
+    )

@@ -740,3 +740,71 @@ def dedup_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ratio >= CONTAM_THRESHOLD).alias("contaminated"),
         )
     )
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {SQL_SHINGLES} AS sh FROM documents),
+    shh AS (
+        SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS shh
+        FROM sh WHERE len(sh) > 0),
+    mh AS (
+        SELECT doc_id, sh, {{mins}}
+        FROM shh),
+    bands AS (
+        SELECT doc_id, i - 1 AS band_idx, [{{bands}}][i] AS band_hash
+        FROM mh, unnest(generate_series(1, {N_BANDS})) AS u(i)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id),
+    pairs AS (
+        SELECT doc1, doc2
+        FROM cand JOIN mh x ON cand.doc1 = x.doc_id
+                  JOIN mh y ON cand.doc2 = y.doc_id
+        WHERE {SQL_JACCARD.format(a='x.sh', b='y.sh')} >= {JACCARD_THRESHOLD}),
+    best AS (
+        SELECT doc2, min(doc1) AS min_partner FROM pairs GROUP BY doc2)
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(b.min_partner, d.doc_id))
+               AS canonical_doc_id,
+           d.doc_id = least(d.doc_id, coalesce(b.min_partner, d.doc_id))
+               AS keep
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc2
+    """.format(mins=_minhash_sql(), bands=_bands_sql()),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop decision list from the MinHash-LSH near-dup pairs — the
+    output a curation pipeline actually consumes (reference analogue: the
+    keep-first-on-conflict upsert semantics of database.py:52-73, applied to
+    near-duplicates instead of keys).
+
+    Star canonicalization: every doc maps to the smallest doc_id among
+    itself and its verified near-dup partners (one aggregation over the
+    pair list — ``min(doc1) per doc2`` suffices because pairs are emitted
+    with doc1 < doc2). Longer transitive chains collapse via
+    ``dedup_components``; this 1-hop form is the deterministic,
+    oracle-checkable fast path that already removes every pairwise
+    duplicate (each pair loses its higher id).
+
+    Scale shape: the pair list is the LSH output (candidates ∝ colliding
+    pairs, never n²); the canonical map is one groupBy + one left join on
+    doc_id — two key-partitioned shuffles, no driver materialization."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    best = pairs.groupBy("doc2").agg(F.min("doc1").alias("min_partner"))
+    canon = F.least(
+        F.col("doc_id"), F.coalesce(F.col("min_partner"), F.col("doc_id"))
+    )
+    return (
+        d.select("doc_id")
+        .join(best, d["doc_id"] == best["doc2"], "left")
+        .select(
+            "doc_id",
+            canon.alias("canonical_doc_id"),
+            (F.col("doc_id") == canon).alias("keep"),
+        )
+    )

@@ -370,3 +370,76 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("__cum") / PACK_BUDGET).cast("long").alias("seq_idx"),
         (F.col("__cum") % PACK_BUDGET).cast("long").alias("offset_in_seq"),
     )
+
+
+EPOCH_CAP = 4.0  # max repeats per source (public rule of thumb: ~4 epochs)
+
+
+def _epoch_schedule_oracle() -> str:
+    from ..registry import ORACLE
+
+    hash_ep = sql_hash_bucket("CAST(doc_id AS VARCHAR) || '#ep'", 10000)
+    return f"""
+    WITH w AS ({ORACLE["mix_temperature_weights"]}),
+    sched AS (
+        SELECT source, least(oversample_factor, {EPOCH_CAP}) AS target_repeats
+        FROM w),
+    docs AS (
+        SELECT d.doc_id, d.source,
+               s.target_repeats,
+               floor(s.target_repeats) AS full_epochs,
+               s.target_repeats - floor(s.target_repeats) AS frac
+        FROM documents d JOIN sched s ON d.source = s.source)
+    SELECT doc_id, source, CAST(e AS BIGINT) AS epoch_idx
+    FROM docs, unnest(generate_series(
+             1, CAST(ceil(target_repeats) AS BIGINT))) AS u(e)
+    WHERE e <= full_epochs
+       OR ({hash_ep}) < frac * 10000
+    """
+
+
+@register("mix_epoch_schedule", oracle=_epoch_schedule_oracle())
+def mix_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-expansion of the temperature mixture: turn each source's
+    oversample factor into concrete (doc, epoch) training rows — whole
+    epochs replicate every doc, the fractional last epoch admits a
+    deterministic md5-bucket of docs at the leftover rate (and a factor
+    < 1 degrades to pure subsampling: zero full epochs, one fractional).
+    Repeats are capped at {EPOCH_CAP} epochs (the public multi-epoch
+    scaling rule of thumb).
+
+    Determinism: target_repeats comes from the registered
+    mix_temperature_weights output (stable_round4'd), selection is by
+    md5-bucket salted with '#ep' so it is independent of the train/test
+    split buckets. Scale shape: the schedule is |sources| rows broadcast
+    onto documents; the explode multiplies rows by at most {EPOCH_CAP} —
+    no shuffle at all (hash, sequence, filter are all map-side)."""
+    w = mix_temperature_weights(spark, sf_dir).select(
+        "source",
+        F.least(F.col("oversample_factor"), F.lit(EPOCH_CAP)).alias(
+            "target_repeats"
+        ),
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    j = d.join(F.broadcast(w), "source")
+    full = F.floor(F.col("target_repeats"))
+    frac = F.col("target_repeats") - F.floor(F.col("target_repeats"))
+    ex = j.select(
+        "doc_id",
+        "source",
+        full.alias("full_epochs"),
+        frac.alias("frac"),
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.ceil("target_repeats"))
+        ).alias("e"),
+    )
+    bucket = hash_bucket(
+        F.concat(F.col("doc_id").cast("string"), F.lit("#ep")), 10000
+    )
+    return (
+        ex.filter(
+            (F.col("e") <= F.col("full_epochs"))
+            | (bucket < F.col("frac") * 10000)
+        )
+        .select("doc_id", "source", F.col("e").cast("long").alias("epoch_idx"))
+    )

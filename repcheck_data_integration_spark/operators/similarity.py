@@ -723,3 +723,142 @@ def sim_search_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+N_OUTLIERS = 5
+
+
+@register(
+    "emb_label_outliers",
+    oracle=f"""
+    WITH pos AS (
+        SELECT label, i AS pos, embedding[i] AS v
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+    cent AS (
+        SELECT label, pos,
+               sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))
+                   * 1.0 / 1000000 / count(*) AS m
+        FROM pos GROUP BY label, pos),
+    centlist AS (
+        SELECT label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY label),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               {sql_cosine('e.embedding', 'c.centroid')} AS cos
+        FROM embeddings e JOIN centlist c ON e.label = c.label)
+    SELECT vec_id, label, {sql_stable_round4('cos')} AS centroid_cos
+    FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                       ORDER BY cos ASC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {N_OUTLIERS}
+    """,
+)
+def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier report: the {N_OUTLIERS} vectors farthest (lowest
+    cosine) from their own cluster centroid, per cluster — the screening
+    step a curation pipeline runs to surface mislabeled / off-distribution
+    documents before training.
+
+    Reuses the exact-integer codebook (cell_centroids) so the centroids —
+    and therefore every cosine — are bit-deterministic; ranking ties break
+    on vec_id. Scale shape: the codebook is |cells|×dim (tiny → broadcast
+    join, no shuffle of the embedding table beyond the centroid groupBy);
+    scoring is a per-row array fold; the top-k window partitions by label
+    so ranking distributes across cells."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = cell_centroids(e)
+    scored = e.join(F.broadcast(cents), "label").select(
+        "vec_id",
+        "label",
+        cosine(F.col("embedding"), F.col("centroid")).alias("cos"),
+    )
+    w = W.partitionBy("label").orderBy(F.col("cos").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= N_OUTLIERS)
+        .select(
+            "vec_id",
+            "label",
+            stable_round4(F.col("cos")).alias("centroid_cos"),
+        )
+    )
+
+
+PQ_SUB_DIM = 8  # 64-dim vectors → 8 subspaces × 8 dims
+
+
+@register(
+    "emb_pq_encode",
+    oracle=f"""
+    WITH pos AS (
+        SELECT vec_id, label, i - 1 AS p,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+                   AS vs
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+    cb AS (
+        SELECT label AS code, p,
+               CAST(floor(sum(vs) * 1.0 / count(*) + 0.5) AS BIGINT) AS ms
+        FROM pos GROUP BY label, p),
+    d2 AS (
+        SELECT pos.vec_id, pos.p // {PQ_SUB_DIM} AS sub, cb.code,
+               sum((pos.vs - cb.ms) * (pos.vs - cb.ms)) AS dist
+        FROM pos JOIN cb ON pos.p = cb.p
+        GROUP BY pos.vec_id, pos.p // {PQ_SUB_DIM}, cb.code),
+    best AS (
+        SELECT vec_id, sub, code, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY dist, code) AS rn
+            FROM d2) WHERE rn = 1)
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS pq_code,
+           CAST(sum(dist) AS BIGINT) AS total_err_scaled
+    FROM best GROUP BY vec_id
+    """,
+)
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (the IVF-PQ memory-compression leg of
+    large-scale ANN, public Jégou et al. 2011 construction): split each
+    64-dim vector into {PQ_SUB_DIM}-dim subspaces, snap every subvector to
+    the nearest sub-centroid of a per-label codebook, emit the code string
+    plus total squared quantization error.
+
+    Determinism: element values and centroids are scaled to 1e6 integers,
+    so every distance is an EXACT integer sum — no float accumulation
+    anywhere, ties break on code. Scale shape: the codebook is
+    |codes|×dims rows (tiny → broadcast); encode is explode → broadcast
+    join → two map-side-combined aggregates keyed on (vec_id, sub); the
+    candidate blowup is ×|codes| per element, the standard PQ-encode cost,
+    and never materializes pairwise vector joins."""
+    e = load(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("p", "v")
+    ).select(
+        "vec_id",
+        "label",
+        "p",
+        F.round(F.col("v").cast("double") * 1000000, 0).cast("long").alias("vs"),
+    )
+    cb = pos.groupBy(F.col("label").alias("code"), "p").agg(
+        F.floor(F.sum("vs") * 1.0 / F.count(F.lit(1)) + 0.5)
+        .cast("long")
+        .alias("ms")
+    )
+    diff = F.col("vs") - F.col("ms")
+    d2 = (
+        pos.join(F.broadcast(cb), "p")
+        .groupBy(
+            "vec_id",
+            F.floor(F.col("p") / PQ_SUB_DIM).cast("long").alias("sub"),
+            "code",
+        )
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    w = W.partitionBy("vec_id", "sub").orderBy("dist", "code")
+    best = d2.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    codes = F.transform(
+        F.array_sort(F.collect_list(F.struct("sub", "code"))),
+        lambda s: s["code"].cast("string"),
+    )
+    return best.groupBy("vec_id").agg(
+        F.concat_ws("-", codes).alias("pq_code"),
+        F.sum("dist").cast("long").alias("total_err_scaled"),
+    )

@@ -822,3 +822,93 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
         .limit(BPE_TOP_PAIRS)
     )
+
+
+SQL_BIGRAM_COUNTS = f"""
+        SELECT doc_id, b, count(*) AS cnt
+        FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text, '{TOKEN_RE}') AS toks
+                    FROM documents) t,
+                   unnest(generate_series(1, greatest(len(toks) - 1, 0)))
+                       AS u(i))
+        GROUP BY doc_id, b"""
+
+
+@register(
+    "text_bigram_xent",
+    oracle=f"""
+    WITH dc AS ({SQL_BIGRAM_COUNTS}),
+    corpus AS (SELECT b, sum(cnt) AS cb FROM dc GROUP BY b),
+    pref AS (SELECT split_part(b, ' ', 1) AS w1, sum(cb) AS cw
+             FROM corpus GROUP BY 1),
+    per_doc AS (
+        SELECT dc.doc_id,
+               sum(dc.cnt) AS n_bigrams,
+               sum(dc.cnt * ln(CAST(c.cb AS DOUBLE) / p.cw)) AS ll
+        FROM dc JOIN corpus c ON dc.b = c.b
+                JOIN pref p ON split_part(dc.b, ' ', 1) = p.w1
+        GROUP BY dc.doc_id)
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           {sql_stable_round4('-ll / n_bigrams')} AS bigram_xent
+    FROM per_doc
+    """,
+)
+def text_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document — the second-order companion to
+    text_unigram_xent: H(d) = -Σ c_d(w1w2)·ln( c(w1w2) / c(w1·) ) / |d|,
+    with the corpus itself as the MLE bigram model. A lower score means the
+    document's word ORDER (not just its vocabulary) is typical of the
+    corpus — the stronger fluency/perplexity signal.
+
+    Bigrams keep multiplicity (unlike the distinct shingle sets the dedup
+    family uses), built with the same guarded-sequence construction —
+    Spark's sequence(1,0) counts DOWN, so sub-2-token docs short-circuit
+    to an empty array. Scale shape: one (doc, bigram) aggregate feeding
+    corpus and prefix models (two tiny aggregates of it), joined back by
+    bigram — the same persisted-subtree profile as tfidf. Float note: the
+    per-doc log-sum shares text_unigram_xent's documented rounding-margin
+    rationale."""
+    d = load(spark, sf_dir, "documents")
+    t = F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)
+    bg = F.when(
+        F.size(F.col("toks")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dc = (
+        d.select("doc_id", t.alias("toks"))
+        .select("doc_id", F.explode(bg).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    corpus = dc.groupBy("b").agg(F.sum("cnt").alias("cb"))
+    pref = corpus.groupBy(
+        F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("cb").alias("cw"))
+    per_doc = (
+        dc.join(corpus, "b")
+        .join(
+            pref,
+            F.split_part(F.col("b"), F.lit(" "), F.lit(1)) == F.col("w1"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(
+                F.col("cnt") * F.log(F.col("cb").cast("double") / F.col("cw"))
+            ).alias("ll"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        stable_round4(-F.col("ll") / F.col("n_bigrams")).alias("bigram_xent"),
+    )

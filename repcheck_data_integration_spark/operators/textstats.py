@@ -432,3 +432,106 @@ def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round4(prob).alias("quality_prob"),
         (prob >= 0.5).alias("keep"),
     )
+
+
+@register(
+    "corpus_data_card",
+    oracle="""
+    WITH b AS (
+        SELECT lang,
+               CAST(length(bin(greatest(n_chars, 1))) AS BIGINT) AS len_bucket,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+                   AS toks
+        FROM documents)
+    SELECT lang, len_bucket,
+           count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           floor((count(*) * 1.0 / sum(count(*)) OVER ()) * 10000.0 + 0.5)
+               / 10000.0 AS doc_share
+    FROM b GROUP BY lang, len_bucket
+    """,
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card: per (language × power-of-two length bucket) doc
+    counts, token totals, and corpus share — the summary table a dataset
+    card publishes (datasheet analogue of the reference's per-state report
+    rollups).
+
+    The bucket is ``length(bin(n_chars))`` = floor(log2)+1 computed in exact
+    integer/string semantics — both engines binarize the integer identically,
+    where a float ``log2`` could straddle a ULP on either side of a power of
+    two. One map-side-combined aggregate over documents; the share
+    normalization windows over the tiny (lang × bucket) aggregate (a
+    single-partition window over dozens of rows, not the fact table)."""
+    d = load(spark, sf_dir, "documents")
+    b = d.select(
+        "lang",
+        F.length(F.bin(F.greatest(F.col("n_chars"), F.lit(1)))).cast("long")
+        .alias("len_bucket"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0))
+        .cast("long")
+        .alias("toks"),
+    )
+    g = b.groupBy("lang", "len_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+    )
+    from pyspark.sql import Window as W
+
+    share = F.col("n_docs") * 1.0 / F.sum("n_docs").over(W.partitionBy())
+    return g.select(
+        "lang",
+        "len_bucket",
+        "n_docs",
+        "total_tokens",
+        (F.floor(share * 10000.0 + 0.5) / 10000.0).alias("doc_share"),
+    )
+
+
+TOP_P_KEEP = 0.3  # keep the top 30% by quality, per language
+
+
+def _quality_quantile_oracle() -> str:
+    from ..registry import ORACLE
+
+    pr = ("percent_rank() OVER (PARTITION BY d.lang"
+          " ORDER BY q.quality_score, q.doc_id)")
+    return f"""
+    WITH q AS ({ORACLE["text_quality_score"]})
+    SELECT q.doc_id, d.lang, q.quality_score,
+           {sql_stable_round4(pr)} AS quality_pctile,
+           {pr} >= {1.0 - TOP_P_KEEP} AS keep_top
+    FROM q JOIN documents d ON q.doc_id = d.doc_id
+    """
+
+
+@register("text_quality_quantile", oracle=_quality_quantile_oracle())
+def text_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of the quality score + top-p keep decision,
+    per language — the rank-based form of quality filtering (absolute
+    thresholds don't transfer across languages; percentile cuts do).
+
+    Reuses the registered text_quality_score plan/oracle verbatim as a
+    subquery, joins language back on, and ranks inside each language with
+    a full (score, doc_id) tie-break so percent_rank is single-valued.
+    Scale shape: one shuffle keyed on lang for the rank window — language
+    cardinality is small but each partition only sorts its own language's
+    (score, id) pairs; for a skewed single-language corpus the same op
+    re-keys on (lang, score-band) — documented, not needed at fixture
+    scale."""
+    from pyspark.sql import Window as W
+
+    q = text_quality_score(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = W.partitionBy("lang").orderBy("quality_score", "doc_id")
+    pr = F.percent_rank().over(w)
+    return (
+        q.join(d, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "quality_score",
+            stable_round4(pr).alias("quality_pctile"),
+            (pr >= F.lit(1.0 - TOP_P_KEEP)).alias("keep_top"),
+        )
+    )

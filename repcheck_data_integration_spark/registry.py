@@ -48,7 +48,6 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
-    "pipeline_enrich_merge",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -56,17 +55,19 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_embedding_cosine",
     "dedup_winnowing",
     "dedup_contamination_ngrams",
+    "dedup_keep_canonical",
     "sim_search_topk",
     "sim_search_ivf",
     "sim_search_lsh",
     "sim_search_lsh_multiprobe",
     "emb_normalize",
     "emb_quantize_int8",
+    "emb_label_outliers",
+    "emb_pq_encode",
     "ml_kmeans_refine",
     "text_token_count",
     "text_quality_score",
     "text_lang_id",
-    "text_fingerprint",
     "text_pii_redact",
     "text_repetition_stats",
     "text_tfidf_topterms",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: list[str] = [
     "stream_stream_join",
     "stream_rollup_hourly",
     "graph_pagerank",
-    "agg_stats_moments",
 ]
 
 

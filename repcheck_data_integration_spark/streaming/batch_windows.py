@@ -405,3 +405,53 @@ def stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank_in_window", rk.cast("long"))
         .filter(F.col("rank_in_window") <= TOPK_PER_WINDOW)
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events)
+    SELECT prev_type, event_type AS next_type,
+           count(*) AS n_transitions,
+           floor((count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev_type))
+                 * 10000.0 + 0.5) / 10000.0 AS p_transition
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (clickstream analogue of the reference's per-person vote-history
+    ordering, scripts/bills/vote_matching.py:160-168): lag each user's
+    event stream, count (prev → next) edges, normalize rows to
+    probabilities.
+
+    Scale shape: one shuffle keyed on user_id for the lag window (user
+    sequences are short and hash-spread — no skew), then a hash aggregate
+    on the (prev, next) alphabet, which is tiny (|types|²). The row
+    normalization windows over that tiny aggregate, not the fact table.
+    Tie-break (ts, event_id) makes the sequence — and thus the counts —
+    deterministic under any partitioning."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    g = (
+        s.select("prev_type", F.col("event_type").alias("next_type"))
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = F.sum("n_transitions").over(W.partitionBy("prev_type"))
+    p = F.floor((F.col("n_transitions") * 1.0 / tot) * 10000.0 + 0.5) / 10000.0
+    return g.select(
+        "prev_type", "next_type", "n_transitions", p.alias("p_transition")
+    )

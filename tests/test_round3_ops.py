@@ -1,0 +1,234 @@
+"""Semantic property tests for the round-3 continuation ops (batches that
+added canonicalization, mixture epoching, PQ encoding, quantile cuts, and
+second-order text/stat operators). Engine parity is tools/check.py's job;
+these tests pin the SEMANTICS against independent recomputation (numpy /
+pure python) and internal consistency invariants."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from repcheck_data_integration_spark import registry
+
+registry.load_all_modules()
+
+SF = "/root/testdata/sf0.001"
+SF_MID = "/root/testdata/sf0.01"
+
+
+def test_keep_canonical_drops_every_pair_loser(spark):
+    """Every verified near-dup pair must drop its higher id; canonical ids
+    must themselves be kept and never exceed the doc id."""
+    pairs = registry.QUERIES["dedup_minhash_lsh"](spark, SF).collect()
+    decisions = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["dedup_keep_canonical"](spark, SF).collect()
+    }
+    for p in pairs:
+        assert not decisions[p["doc2"]]["keep"], p
+        assert decisions[p["doc2"]]["canonical_doc_id"] <= p["doc1"]
+    kept = {d for d, r in decisions.items() if r["keep"]}
+    for r in decisions.values():
+        assert r["canonical_doc_id"] <= r["doc_id"]
+        if r["canonical_doc_id"] == r["doc_id"]:
+            assert r["keep"]
+    # at least one doc survives, and fixtures contain real near-dups
+    assert kept and len(kept) < len(decisions) or not pairs
+
+
+def test_markov_transition_rows_normalize(spark):
+    rows = registry.QUERIES["events_markov_transitions"](spark, SF).collect()
+    assert rows
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        assert r["n_transitions"] > 0
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["p_transition"]
+    for prev, total in by_prev.items():
+        # each row is round4'd, so allow |alphabet| * 0.5e-4 slack
+        assert abs(total - 1.0) < 5e-4 * len(rows), (prev, total)
+
+
+def test_grouped_linreg_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    out = {
+        r["o_orderpriority"]: r
+        for r in registry.QUERIES["agg_grouped_linreg"](spark, SF_MID).collect()
+    }
+    orders = (
+        spark.read.parquet(f"{SF_MID}/orders.parquet")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    import datetime
+
+    base = datetime.date(1992, 1, 1)
+    groups: dict[str, list[tuple[int, float]]] = {}
+    for r in orders:
+        d = r["o_orderdate"]
+        day = (d.date() if hasattr(d, "date") else d) - base
+        groups.setdefault(r["o_orderpriority"], []).append(
+            (day.days, r["o_totalprice"])
+        )
+    for prio, xy in groups.items():
+        x = np.array([p[0] for p in xy], dtype=np.float64)
+        y = np.array([p[1] for p in xy], dtype=np.float64)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert out[prio]["n_orders"] == len(xy)
+        assert abs(out[prio]["slope_dollars_per_day"] - slope) < 1e-2
+        assert abs(out[prio]["intercept_dollars"] - intercept) < 5.0
+
+
+def test_data_card_shares_and_buckets(spark):
+    rows = registry.QUERIES["corpus_data_card"](spark, SF).collect()
+    n_docs_total = sum(r["n_docs"] for r in rows)
+    src = spark.read.parquet(f"{SF}/documents.parquet")
+    assert n_docs_total == src.count()
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 5e-4 * len(rows)
+    for r in rows:
+        assert 1 <= r["len_bucket"] <= 64  # bits of a sane doc length
+        assert r["total_tokens"] >= 0
+
+
+def test_label_outliers_are_the_label_minima(spark):
+    """The reported outliers must be exactly the 5 lowest-cosine members of
+    each label under an independent numpy recompute of the exact-integer
+    centroid construction."""
+    import numpy as np
+
+    out: dict[int, list] = {}
+    for r in registry.QUERIES["emb_label_outliers"](spark, SF_MID).collect():
+        out.setdefault(r["label"], []).append(r)
+    emb = (
+        spark.read.parquet(f"{SF_MID}/embeddings.parquet")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    by_label: dict[int, list] = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(r)
+    for label, members in by_label.items():
+        V = np.array([m["embedding"] for m in members], dtype=np.float64)
+        ids = np.array([m["vec_id"] for m in members])
+        scaled = np.floor(V * 1e6 + 0.5).astype(np.int64)
+        cent = (scaled.sum(axis=0) / 1e6) / len(members)
+        cos = (V @ cent) / (np.linalg.norm(V, axis=1) * np.linalg.norm(cent))
+        order = sorted(range(len(ids)), key=lambda i: (cos[i], ids[i]))
+        expect = {int(ids[i]) for i in order[:5]}
+        got = {r["vec_id"] for r in out[label]}
+        assert got == expect, (label, got, expect)
+
+
+def test_quality_quantile_keeps_top_p_per_lang(spark):
+    rows = registry.QUERIES["text_quality_quantile"](spark, SF).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        assert 0.0 <= r["quality_pctile"] <= 1.0
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        kept = [r for r in rs if r["keep_top"]]
+        # percent_rank >= 0.7 keeps ~30% (±1 rank position)
+        assert abs(len(kept) - 0.3 * len(rs)) <= 1 + 0.02 * len(rs), lang
+        worst_kept = min(r["quality_score"] for r in kept)
+        best_dropped = max(
+            (r["quality_score"] for r in rs if not r["keep_top"]), default=-1.0
+        )
+        assert worst_kept >= best_dropped
+
+
+def test_epoch_schedule_multiplicity(spark):
+    sched = registry.QUERIES["mix_epoch_schedule"](spark, SF).collect()
+    weights = {
+        r["source"]: min(r["oversample_factor"], 4.0)
+        for r in registry.QUERIES["mix_temperature_weights"](spark, SF).collect()
+    }
+    per_doc: dict[int, int] = {}
+    doc_source: dict[int, str] = {}
+    for r in sched:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+        doc_source[r["doc_id"]] = r["source"]
+    for doc_id, n in per_doc.items():
+        t = weights[doc_source[doc_id]]
+        assert math.floor(t) <= n <= math.ceil(t), (doc_id, n, t)
+    # epoch indexes are dense from 1
+    for r in sched:
+        assert 1 <= r["epoch_idx"] <= 4
+
+
+def test_pq_encode_matches_numpy(spark):
+    """Recompute the whole PQ pipeline in numpy int64 (exact arithmetic)
+    for every vector at sf0.001 and require identical code strings and
+    error totals."""
+    import numpy as np
+
+    out = {
+        r["vec_id"]: r for r in registry.QUERIES["emb_pq_encode"](spark, SF).collect()
+    }
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    V = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    scaled = np.floor(V * 1e6 + 0.5).astype(np.int64)
+    labels = np.array([r["label"] for r in emb])
+    codes = sorted(set(labels.tolist()))
+    cb = {
+        c: np.floor(
+            scaled[labels == c].sum(axis=0) / (labels == c).sum() + 0.5
+        ).astype(np.int64)
+        for c in codes
+    }
+    n_sub = V.shape[1] // 8
+    for row, vs in zip(emb, scaled):
+        got = out[row["vec_id"]]
+        parts, err = [], 0
+        for s in range(n_sub):
+            sl = slice(8 * s, 8 * (s + 1))
+            dists = [(int(((vs[sl] - cb[c][sl]) ** 2).sum()), c) for c in codes]
+            d, c = min(dists)
+            parts.append(str(c))
+            err += d
+        assert got["pq_code"] == "-".join(parts), row["vec_id"]
+        assert got["total_err_scaled"] == err
+
+
+def test_bigram_xent_matches_python(spark):
+    """Pure-python bigram LM recompute at sf0.001; exact to the round4."""
+    import re
+    from collections import Counter
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    dc: dict[int, Counter] = {}
+    for r in docs:
+        toks = re.findall("[a-z0-9]+", r["text"])
+        bgs = Counter(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+        if bgs:
+            dc[r["doc_id"]] = bgs
+    corpus: Counter = Counter()
+    for c in dc.values():
+        corpus.update(c)
+    pref: Counter = Counter()
+    for b, n in corpus.items():
+        pref[b.split(" ")[0]] += n
+    out = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["text_bigram_xent"](spark, SF).collect()
+    }
+    assert set(out) == set(dc)
+    for doc_id, c in dc.items():
+        n = sum(c.values())
+        ll = sum(
+            cnt * math.log(corpus[b] / pref[b.split(" ")[0]]) for b, cnt in c.items()
+        )
+        expect = math.floor((-ll / n) * 10000.0 + 0.5) / 10000.0
+        assert abs(out[doc_id]["bigram_xent"] - expect) <= 1e-4, doc_id
+        assert out[doc_id]["n_bigrams"] == n
