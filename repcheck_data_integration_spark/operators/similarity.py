@@ -784,52 +784,62 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PQ_SUB_DIM = 8  # 64-dim vectors → 8 subspaces × 8 dims
+PQ_K = 16  # codebook entries per subspace (seeded Lloyd, one step)
+IVFPQ_NPROBE = 3
 
-
-@register(
-    "emb_pq_encode",
-    oracle=f"""
-    WITH pos AS (
+#: (vec_id, label, p, vs): every embedding element as an exact 1e6-scaled
+#: integer — the base relation of the PQ family.
+SQL_PQ_POS = """
         SELECT vec_id, label, i - 1 AS p,
                CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
                    AS vs
-        FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
-    cb AS (
-        SELECT label AS code, p,
-               CAST(floor(sum(vs) * 1.0 / count(*) + 0.5) AS BIGINT) AS ms
-        FROM pos GROUP BY label, p),
-    d2 AS (
-        SELECT pos.vec_id, pos.p // {PQ_SUB_DIM} AS sub, cb.code,
-               sum((pos.vs - cb.ms) * (pos.vs - cb.ms)) AS dist
-        FROM pos JOIN cb ON pos.p = cb.p
-        GROUP BY pos.vec_id, pos.p // {PQ_SUB_DIM}, cb.code),
-    best AS (
-        SELECT vec_id, sub, code, dist FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-                                         ORDER BY dist, code) AS rn
-            FROM d2) WHERE rn = 1)
-    SELECT vec_id,
-           string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS pq_code,
-           CAST(sum(dist) AS BIGINT) AS total_err_scaled
-    FROM best GROUP BY vec_id
-    """,
-)
-def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization encode (the IVF-PQ memory-compression leg of
-    large-scale ANN, public Jégou et al. 2011 construction): split each
-    64-dim vector into {PQ_SUB_DIM}-dim subspaces, snap every subvector to
-    the nearest sub-centroid of a per-label codebook, emit the code string
-    plus total squared quantization error.
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)"""
 
-    Determinism: element values and centroids are scaled to 1e6 integers,
-    so every distance is an EXACT integer sum — no float accumulation
-    anywhere, ties break on code. Scale shape: the codebook is
-    |codes|×dims rows (tiny → broadcast); encode is explode → broadcast
-    join → two map-side-combined aggregates keyed on (vec_id, sub); the
-    candidate blowup is ×|codes| per element, the standard PQ-encode cost,
-    and never materializes pairwise vector joins."""
-    e = load(spark, sf_dir, "embeddings")
-    pos = e.select(
+#: seeded-Lloyd per-subspace codebook: seeds are the subvectors of the
+#: PQ_K smallest vec_ids (deterministic), one assign+recenter step in
+#: exact integer arithmetic. Emits cb(code, p, ms).
+SQL_PQ_CODEBOOK = f"""
+    seedids AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+        FROM embeddings ORDER BY vec_id LIMIT {PQ_K}),
+    seeds AS (
+        SELECT s.code, pos.p, pos.vs AS ss
+        FROM pos JOIN seedids s ON pos.vec_id = s.vec_id),
+    assign0 AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT pos.vec_id, pos.p // {PQ_SUB_DIM} AS sub, seeds.code,
+                   row_number() OVER (
+                       PARTITION BY pos.vec_id, pos.p // {PQ_SUB_DIM}
+                       ORDER BY sum((pos.vs - seeds.ss) * (pos.vs - seeds.ss)),
+                                seeds.code) AS rn
+            FROM pos JOIN seeds ON pos.p = seeds.p
+            GROUP BY pos.vec_id, pos.p // {PQ_SUB_DIM}, seeds.code)
+        WHERE rn = 1),
+    cb AS (
+        SELECT a.code, pos.p,
+               CAST(floor(sum(pos.vs) * 1.0 / count(*) + 0.5) AS BIGINT) AS ms
+        FROM pos JOIN assign0 a
+          ON a.vec_id = pos.vec_id AND a.sub = pos.p // {PQ_SUB_DIM}
+        GROUP BY a.code, pos.p)"""
+
+#: encode every vector against cb: enc(vec_id, sub, code, dist).
+SQL_PQ_ENC = f"""
+    enc AS (
+        SELECT vec_id, sub, code, dist FROM (
+            SELECT pos.vec_id, pos.p // {PQ_SUB_DIM} AS sub, cb.code,
+                   sum((pos.vs - cb.ms) * (pos.vs - cb.ms)) AS dist,
+                   row_number() OVER (
+                       PARTITION BY pos.vec_id, pos.p // {PQ_SUB_DIM}
+                       ORDER BY sum((pos.vs - cb.ms) * (pos.vs - cb.ms)),
+                                cb.code) AS rn
+            FROM pos JOIN cb ON pos.p = cb.p
+            GROUP BY pos.vec_id, pos.p // {PQ_SUB_DIM}, cb.code)
+        WHERE rn = 1)"""
+
+
+def pq_pos(e: DataFrame) -> DataFrame:
+    """Exploded exact-integer element relation (vec_id, label, p, vs)."""
+    return e.select(
         "vec_id", "label", F.posexplode("embedding").alias("p", "v")
     ).select(
         "vec_id",
@@ -837,28 +847,231 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         F.round(F.col("v").cast("double") * 1000000, 0).cast("long").alias("vs"),
     )
-    cb = pos.groupBy(F.col("label").alias("code"), "p").agg(
-        F.floor(F.sum("vs") * 1.0 / F.count(F.lit(1)) + 0.5)
-        .cast("long")
-        .alias("ms")
+
+
+def pq_codebook(e: DataFrame, pos: DataFrame) -> DataFrame:
+    """Per-subspace codebook cb(code, p, ms) via one deterministic Lloyd
+    step: seeds = subvectors of the PQ_K smallest vec_ids, assign every
+    subvector to its nearest seed (exact integer distances, ties to the
+    lower code), then recenter each code as the exact-integer mean of its
+    members. One step is enough to turn arbitrary seeds into spread,
+    data-shaped centroids — and keeps the whole construction
+    oracle-expressible. At 100 TB the codebook trains on a deterministic
+    sample (the seed/assign relations here are already tiny) and the
+    resulting cb is broadcast."""
+    seed_ids = (
+        e.select("vec_id")
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .withColumn("code", F.row_number().over(W.orderBy("vec_id")) - 1)
     )
-    diff = F.col("vs") - F.col("ms")
-    d2 = (
-        pos.join(F.broadcast(cb), "p")
-        .groupBy(
-            "vec_id",
-            F.floor(F.col("p") / PQ_SUB_DIM).cast("long").alias("sub"),
-            "code",
+    seeds = (
+        pos.join(F.broadcast(seed_ids), "vec_id")
+        .select("code", "p", F.col("vs").alias("ss"))
+    )
+    sub = F.floor(F.col("p") / PQ_SUB_DIM).cast("long").alias("sub")
+    wassign = W.partitionBy("vec_id", "sub").orderBy("d0", "code")
+    assign0 = (
+        pos.join(F.broadcast(seeds), "p")
+        .groupBy("vec_id", sub, "code")
+        .agg(
+            F.sum(
+                (F.col("vs") - F.col("ss")) * (F.col("vs") - F.col("ss"))
+            ).alias("d0")
         )
-        .agg(F.sum(diff * diff).alias("dist"))
+        .withColumn("rn", F.row_number().over(wassign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code")
     )
-    w = W.partitionBy("vec_id", "sub").orderBy("dist", "code")
-    best = d2.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        pos.join(
+            assign0,
+            (pos["vec_id"] == assign0["vec_id"])
+            & (F.floor(pos["p"] / PQ_SUB_DIM).cast("long") == assign0["sub"]),
+        )
+        .groupBy("code", "p")
+        .agg(
+            F.floor(F.sum("vs") * 1.0 / F.count(F.lit(1)) + 0.5)
+            .cast("long")
+            .alias("ms")
+        )
+    )
+
+
+def pq_encode(pos: DataFrame, cb: DataFrame) -> DataFrame:
+    """enc(vec_id, sub, code, dist): nearest codebook entry per subvector,
+    exact integer distances, ties to the lower code."""
+    sub = F.floor(F.col("p") / PQ_SUB_DIM).cast("long").alias("sub")
+    diff = F.col("vs") - F.col("ms")
+    wenc = W.partitionBy("vec_id", "sub").orderBy("dist", "code")
+    return (
+        pos.join(F.broadcast(cb), "p")
+        .groupBy("vec_id", sub, "code")
+        .agg(F.sum(diff * diff).alias("dist"))
+        .withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code", "dist")
+    )
+
+
+@register(
+    "emb_pq_encode",
+    oracle=f"""
+    WITH pos AS ({SQL_PQ_POS}),
+    {SQL_PQ_CODEBOOK},
+    {SQL_PQ_ENC}
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS pq_code,
+           CAST(sum(dist) AS BIGINT) AS total_err_scaled
+    FROM enc GROUP BY vec_id
+    """,
+)
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (public Jégou et al. 2011 construction):
+    split each 64-dim vector into {PQ_SUB_DIM}-dim subspaces, snap every
+    subvector to the nearest entry of a per-subspace {PQ_K}-entry codebook
+    (seeded-Lloyd trained, see pq_codebook), emit the code string plus the
+    total squared quantization error.
+
+    Determinism: elements and centroids are 1e6-scaled integers, so every
+    distance is an EXACT integer sum — no float accumulation anywhere;
+    ties break on code. Scale shape: codebook training touches only the
+    seed join (tiny); encode is explode → broadcast join → two
+    map-side-combined aggregates keyed on (vec_id, sub) — the candidate
+    blowup is ×{PQ_K} per element, the standard PQ-encode cost, and never
+    materializes pairwise vector joins."""
+    e = load(spark, sf_dir, "embeddings")
+    pos = pq_pos(e).persist()
+    cb = pq_codebook(e, pos)
+    enc = pq_encode(pos, cb)
     codes = F.transform(
         F.array_sort(F.collect_list(F.struct("sub", "code"))),
         lambda s: s["code"].cast("string"),
     )
-    return best.groupBy("vec_id").agg(
+    return enc.groupBy("vec_id").agg(
         F.concat_ws("-", codes).alias("pq_code"),
         F.sum("dist").cast("long").alias("total_err_scaled"),
+    )
+
+
+@register(
+    "sim_search_ivfpq",
+    oracle=f"""
+    WITH pos AS ({SQL_PQ_POS}),
+    {SQL_PQ_CODEBOOK},
+    {SQL_PQ_ENC},
+    cent AS (
+        SELECT label, p, sum(vs) * 1.0 / 1000000 / count(*) AS m
+        FROM pos GROUP BY label, p),
+    centlist AS (
+        SELECT label, list(m ORDER BY p) AS centroid FROM cent GROUP BY label),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    probed AS (
+        SELECT query_id, label FROM (
+            SELECT q.query_id, c.label,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {sql_cosine('q.q_emb', 'c.centroid')} DESC,
+                                c.label) AS rn
+            FROM q, centlist c) WHERE rn <= {IVFPQ_NPROBE}),
+    lut AS (
+        SELECT qp.vec_id AS query_id, qp.p // {PQ_SUB_DIM} AS sub, cb.code,
+               sum((qp.vs - cb.ms) * (qp.vs - cb.ms)) AS d
+        FROM (SELECT * FROM pos WHERE vec_id < {N_QUERIES}) qp
+        JOIN cb ON qp.p = cb.p
+        GROUP BY qp.vec_id, qp.p // {PQ_SUB_DIM}, cb.code),
+    cand AS (
+        SELECT pr.query_id, e.vec_id AS cand_id, enc.sub, enc.code
+        FROM probed pr
+        JOIN embeddings e ON e.label = pr.label AND e.vec_id <> pr.query_id
+        JOIN enc ON enc.vec_id = e.vec_id),
+    scored AS (
+        SELECT cand.query_id, cand.cand_id, sum(lut.d) AS adc_dist_scaled
+        FROM cand JOIN lut ON lut.query_id = cand.query_id
+                          AND lut.sub = cand.sub AND lut.code = cand.code
+        GROUP BY cand.query_id, cand.cand_id)
+    SELECT query_id, cand_id,
+           CAST(adc_dist_scaled AS BIGINT) AS adc_dist_scaled
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist_scaled, cand_id) AS rn
+          FROM scored) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (Jégou et al. 2011, the standard billion-scale ANN
+    layout): probe the {IVFPQ_NPROBE} closest coarse cells by centroid
+    cosine, then score candidates through their PRODUCT-QUANTIZED codes
+    with an asymmetric distance computation (ADC) — each query builds one
+    {PQ_K}×{PQ_SUB_DIM}-subspace lookup table against the codebook, and
+    each candidate then costs 8 integer lookups + adds instead of a
+    full-vector scan.
+
+    At 100 TB this is the memory-side win over sim_search_ivf: probed
+    candidates are read as 8 small codes (64 bytes of float32 → 8 codes),
+    so the inverted lists stream through the executor cache and the raw
+    vectors are never re-read at query time. All distances are exact
+    scaled-integer sums (same construction as emb_pq_encode), making even
+    the approximate search bit-deterministic. Recall vs exact L2 is
+    asserted in tests/test_round3_ops.py.
+
+    Plan shape: codebook, LUT, and probe list are tiny → broadcast; the
+    only data-sized operations are the encode groupBy (amortizable across
+    all queries — it IS the stored index) and the per-query top-k."""
+    e = load(spark, sf_dir, "embeddings")
+    pos = pq_pos(e).persist()
+    cb = pq_codebook(e, pos).persist()
+    enc = pq_encode(pos, cb)
+    cents = cell_centroids(e)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wprobe = W.partitionBy("query_id").orderBy(
+        F.col("cent_cos").desc(), F.col("label")
+    )
+    probed = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "label",
+            cosine(F.col("q_emb"), F.col("centroid")).alias("cent_cos"),
+        )
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= IVFPQ_NPROBE)
+        .select("query_id", "label")
+    )
+    sub = F.floor(F.col("p") / PQ_SUB_DIM).cast("long").alias("sub")
+    diff = F.col("vs") - F.col("ms")
+    lut = (
+        pos.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "p", "vs")
+        .join(F.broadcast(cb), "p")
+        .groupBy("query_id", sub, "code")
+        .agg(F.sum(diff * diff).alias("d"))
+    )
+    members = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("c_label")
+    )
+    cand = (
+        members.join(
+            F.broadcast(probed),
+            (F.col("c_label") == F.col("label"))
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+        .select("query_id", "cand_id")
+        .join(enc, enc["vec_id"] == F.col("cand_id"))
+        .select("query_id", "cand_id", "sub", "code")
+    )
+    wtop = W.partitionBy("query_id").orderBy("adc_dist_scaled", "cand_id")
+    return (
+        cand.join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("d").alias("adc_dist_scaled"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("adc_dist_scaled").cast("long").alias("adc_dist_scaled"),
+        )
     )

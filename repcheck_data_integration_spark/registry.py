@@ -60,6 +60,7 @@ DRIVER_PRIORITY: list[str] = [
     "sim_search_ivf",
     "sim_search_lsh",
     "sim_search_lsh_multiprobe",
+    "sim_search_ivfpq",
     "emb_normalize",
     "emb_quantize_int8",
     "emb_label_outliers",
@@ -79,7 +80,6 @@ DRIVER_PRIORITY: list[str] = [
     "pipeline_corpus_curation_v2",
     "llm_summarize",
     "mm_binary_meta",
-    "mm_frame_sample",
     "join_fuzzy_topk",
     "join_fuzzy_tokensort",
     "join_spatial",
