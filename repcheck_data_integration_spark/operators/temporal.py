@@ -545,3 +545,85 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("volume"),
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate AS s,
+               l_shipdate + INTERVAL ((CAST(l_quantity AS INT) % 20) + 1) DAY
+                   AS e
+        FROM lineitem)
+    SELECT a.l_orderkey AS o1, a.l_linenumber AS ln1,
+           b.l_orderkey AS o2, b.l_linenumber AS ln2,
+           a.l_partkey AS part,
+           CAST(date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1
+                AS BIGINT) AS overlap_days
+    FROM l a JOIN l b
+      ON a.l_partkey = b.l_partkey
+     AND (a.l_orderkey < b.l_orderkey
+          OR (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join (the general range join, beyond the
+    point-in-interval join_range_interval): pairs of same-part shipments
+    whose transit windows [shipdate, shipdate + transit] intersect —
+    co-shipment conflict detection. Transit is synthesized
+    deterministically from quantity (the slim fixture has no receiptdate).
+
+    Scale shape — the reason this op exists: a naive interval join is
+    per-key quadratic (exactly what the DuckDB oracle does). The Spark
+    plan GRIDS time into months and equi-joins on (partkey, month-cell):
+    each interval lands in ≤2 cells (transit ≤ 21 days), candidate work is
+    ∝ co-located rows per cell, and every overlapping pair is counted
+    exactly once at its REFERENCE CELL — the month of the later start,
+    which both intervals contain by definition of overlap (the same
+    cell-dedup trick as join_spatial). At 100 TB the cell width tracks the
+    interval length so the per-cell population stays bounded; skewed hot
+    months split with AQE skew-join handling."""
+    li = load(spark, sf_dir, "lineitem")
+    transit = (F.col("l_quantity").cast("int") % 20) + 1
+    l = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.col("l_shipdate").alias("s"),
+        F.date_add(F.col("l_shipdate"), transit).alias("e"),
+    )
+    mi = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    cells = l.withColumn("cell", F.explode(F.sequence(mi(F.col("s")), mi(F.col("e")))))
+    a, b = cells.alias("a"), cells.alias("b")
+    pair_lt = (F.col("a.l_orderkey") < F.col("b.l_orderkey")) | (
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+    )
+    later_start = F.greatest(F.col("a.s"), F.col("b.s"))
+    return (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.cell") == F.col("b.cell"))
+            & pair_lt
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .filter(F.col("a.cell") == mi(later_start))
+        .select(
+            F.col("a.l_orderkey").alias("o1"),
+            F.col("a.l_linenumber").alias("ln1"),
+            F.col("b.l_orderkey").alias("o2"),
+            F.col("b.l_linenumber").alias("ln2"),
+            F.col("a.l_partkey").alias("part"),
+            (
+                F.datediff(
+                    F.least(F.col("a.e"), F.col("b.e")), later_start
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+    )

@@ -499,3 +499,45 @@ def snk_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_parquet(spark, frag, dst)
         _mark_done(dst)
     return spark.read.parquet(dst)
+
+
+@register(
+    "snk_partitioned_overwrite",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    WHERE event_type <> (SELECT min(event_type) FROM events)
+       OR event_id % 2 = 0
+    """,
+)
+def snk_partitioned_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the incremental-job sink contract: a
+    re-run that produces data for SOME partitions must replace exactly
+    those partitions and leave every other partition untouched (the
+    table-level analogue of the reference's keyed idempotent re-runs,
+    database.py:52-73).
+
+    Mechanics proven by the roundtrip: full hive-partitioned write, then a
+    second write in partitionOverwriteMode=dynamic containing only the
+    lexicographically-first event_type's even event_ids; the re-scan must
+    show that partition halved and all others intact (the oracle states
+    exactly that final table). With STATIC overwrite (the default) the
+    second write would have dropped every other partition. At 100 TB this
+    is the difference between rewriting one day and clobbering the lake."""
+    out = _fixture_dir(sf_dir, "dynpart_sink")
+    if not _done(out):
+        e = load(spark, sf_dir, "events").select(
+            "event_id", "value", "event_type"
+        )
+        e.write.partitionBy("event_type").mode("overwrite").parquet(out)
+        first = e.agg(F.min("event_type")).first()[0]
+        repl = e.filter(
+            (F.col("event_type") == first) & (F.col("event_id") % 2 == 0)
+        )
+        (
+            repl.write.partitionBy("event_type")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out)
+        )
+        _mark_done(out)
+    return spark.read.parquet(out).select("event_id", "event_type", "value")

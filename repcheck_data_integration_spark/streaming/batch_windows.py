@@ -455,3 +455,56 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "prev_type", "next_type", "n_transitions", p.alias("p_transition")
     )
+
+
+TOPK_PATHS = 20
+
+
+@register(
+    "events_user_paths",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type AS t1,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT path, n_occurrences FROM (
+        SELECT t1 || '>' || t2 || '>' || t3 AS path,
+               count(*) AS n_occurrences,
+               row_number() OVER (ORDER BY count(*) DESC,
+                                  t1 || '>' || t2 || '>' || t3) AS rn
+        FROM s WHERE t3 IS NOT NULL
+        GROUP BY t1 || '>' || t2 || '>' || t3)
+    WHERE rn <= {TOPK_PATHS}
+    """,
+)
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOPK_PATHS} most frequent 3-step event paths across all user
+    sessions — the path-mining companion to events_markov_transitions
+    (paths keep ORDER context the 1-step transition matrix marginalizes
+    away).
+
+    Scale shape: one user-keyed window shuffle builds the trigram rows,
+    then a hash aggregate over the path alphabet (≤ |types|³ keys, tiny,
+    map-side combined); the final top-k ranks that aggregate, never the
+    fact table. Tie-break on the path string keeps the cut deterministic."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    path = F.concat_ws(">", "t1", "t2", "t3")
+    g = s.groupBy(path.alias("path")).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    wr = W.orderBy(F.col("n_occurrences").desc(), F.col("path"))
+    return (
+        g.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOPK_PATHS)
+        .select("path", "n_occurrences")
+    )

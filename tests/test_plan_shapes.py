@@ -289,3 +289,44 @@ def test_stream_topk_preaggregates_before_rank(spark):
     p = plan(spark, "stream_topk_types")
     assert p.count("HashAggregate") >= 2
     assert "Window" in p
+
+
+def test_interval_overlap_is_grid_equi_join(spark):
+    """The interval×interval join must hash-join on (partkey, month-cell),
+    never nested-loop: overlap predicates are post-join filters on an
+    equi-join, so candidate work scales with cell population."""
+    p = plan(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+
+
+def test_ivfpq_broadcasts_codebook_and_lut(spark):
+    """IVF-PQ must broadcast every small relation (codebook, LUT, probe
+    list) — the only allowed non-broadcast joins key on vec_id/query —
+    and must never fall back to cartesian for the scoring join."""
+    p = plan(spark, "sim_search_ivfpq")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_keep_canonical_single_pair_aggregate(spark):
+    """Canonicalization adds exactly one aggregate + one left join over the
+    LSH pair plan — no extra scans of documents beyond the LSH subtree and
+    the id projection."""
+    p = plan(spark, "dedup_keep_canonical")
+    assert "CartesianProduct" not in p
+    # left outer join carries every doc through the decision list
+    assert "LeftOuter" in p or "left_outer" in p.lower()
+
+
+def test_markov_and_paths_aggregate_after_window(spark):
+    """Sequence ops must window on user_id then aggregate the tiny
+    transition/path alphabet — partial aggregation present, no second
+    window over the fact table."""
+    for name in ("events_markov_transitions", "events_user_paths"):
+        p = plan(spark, name)
+        assert "partial" in p.lower() or "HashAggregate" in p, name
+        assert "CartesianProduct" not in p, name

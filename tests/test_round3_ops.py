@@ -279,3 +279,19 @@ def test_bigram_xent_matches_python(spark):
         expect = math.floor((-ll / n) * 10000.0 + 0.5) / 10000.0
         assert abs(out[doc_id]["bigram_xent"] - expect) <= 1e-4, doc_id
         assert out[doc_id]["n_bigrams"] == n
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by a single bridge edge must resolve to two
+    communities labeled by each clique's minimum id."""
+    from repcheck_data_integration_spark.operators.graph import label_propagation
+
+    cliques = []
+    for base in (0, 10):
+        ids = [base + i for i in range(4)]
+        cliques += [(a, b) for a in ids for b in ids if a != b]
+    bridge = [(3, 10), (10, 3)]
+    und = spark.createDataFrame(cliques + bridge, ["v", "n"])
+    out = {r["v"]: r["community"] for r in label_propagation(und, rounds=3).collect()}
+    assert all(out[i] == 0 for i in range(4)), out
+    assert all(out[10 + i] == 10 for i in range(4)), out

@@ -62,6 +62,12 @@ PROBES = [
     "pack_token_sequences",
     "pipeline_pretrain_corpus",
     "graph_triangle_count",
+    "dedup_keep_canonical",
+    "sim_search_ivfpq",
+    "emb_pq_encode",
+    "text_bigram_xent",
+    "mix_epoch_schedule",
+    "events_markov_transitions",
 ]
 
 
