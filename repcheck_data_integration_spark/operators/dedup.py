@@ -808,3 +808,112 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == canon).alias("keep"),
         )
     )
+
+
+@register(
+    "dedup_lsh_calibration",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {SQL_SHINGLES} AS sh FROM documents),
+    shh AS (
+        SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS shh
+        FROM sh WHERE len(sh) > 0),
+    mh AS (
+        SELECT doc_id, sh, {{mins}}
+        FROM shh),
+    bands AS (
+        SELECT doc_id, i - 1 AS band_idx, [{{bands}}][i] AS band_hash
+        FROM mh, unnest(generate_series(1, {N_BANDS})) AS u(i)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id),
+    scored AS (
+        SELECT doc1, doc2,
+               ({{matches}}) / {N_MINHASH}.0 AS est,
+               {SQL_JACCARD.format(a='x.sh', b='y.sh')} AS j
+        FROM cand JOIN mh x ON cand.doc1 = x.doc_id
+                  JOIN mh y ON cand.doc2 = y.doc_id)
+    SELECT doc1, doc2,
+           {sql_stable_round4('est')} AS est_jaccard,
+           {sql_stable_round4('j')} AS exact_jaccard,
+           {sql_stable_round4('abs(est - j)')} AS abs_err
+    FROM scored WHERE j >= {JACCARD_THRESHOLD}
+    """.format(
+        mins=_minhash_sql(),
+        bands=_bands_sql(),
+        matches=" + ".join(
+            f"CASE WHEN x.mh{j} = y.mh{j} THEN 1 ELSE 0 END"
+            for j in range(N_MINHASH)
+        ),
+    ),
+)
+def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration report for the MinHash family (companion to
+    sim_search_recall_report): for every verified near-dup pair, the
+    signature-estimated Jaccard (matching minhash fraction — the estimator
+    a 100 TB pipeline would TRUST instead of re-reading shingle sets), the
+    exact Jaccard, and the absolute error. At scale this is the audit that
+    says whether {N_MINHASH} hashes suffice or the band/row config needs
+    retuning — computed with one extra join over the same persisted
+    minhash relation, no new scans of documents."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        with_shingles(d.select("doc_id", "text")).select("doc_id", "sh").persist()
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.md5("s").alias("h")
+    )
+    mh = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring("h", 1 + 4 * j, 4)).alias(f"mh{j}")
+            for j in range(N_MINHASH)
+        ]
+    )
+    mhs = mh.join(sh, "doc_id")
+    bands = mh.select(
+        "doc_id", F.posexplode(_bands_spark()).alias("band_idx", "band_hash")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    x = mhs.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("sh").alias("sh1"),
+        *[F.col(f"mh{j}").alias(f"x{j}") for j in range(N_MINHASH)],
+    )
+    y = mhs.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("sh").alias("sh2"),
+        *[F.col(f"mh{j}").alias(f"y{j}") for j in range(N_MINHASH)],
+    )
+    matches = sum(
+        F.when(F.col(f"x{j}") == F.col(f"y{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    )
+    scored = (
+        cand.join(x, "doc1")
+        .join(y, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            (matches / float(N_MINHASH)).alias("est"),
+            jaccard(F.col("sh1"), F.col("sh2")).alias("j"),
+        )
+    )
+    return scored.filter(F.col("j") >= JACCARD_THRESHOLD).select(
+        "doc1",
+        "doc2",
+        stable_round4(F.col("est")).alias("est_jaccard"),
+        stable_round4(F.col("j")).alias("exact_jaccard"),
+        stable_round4(F.abs(F.col("est") - F.col("j"))).alias("abs_err"),
+    )
