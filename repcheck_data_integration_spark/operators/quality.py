@@ -282,3 +282,57 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(bucket < rate).select(
         "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
+
+
+DECILES = [i / 10.0 for i in range(1, 10)]
+_DECILES_SQL = "[" + ", ".join(str(q) for q in DECILES) + "]"
+
+
+@register(
+    "dq_distribution_shift",
+    oracle=f"""
+    WITH t AS (
+        SELECT event_type, count(*) AS n_events,
+               quantile_cont(value, {_DECILES_SQL}) AS d
+        FROM events GROUP BY event_type),
+    g AS (SELECT quantile_cont(value, {_DECILES_SQL}) AS d FROM events)
+    SELECT t.event_type, t.n_events,
+           floor(list_aggregate(
+                     list_transform(generate_series(1, {len(DECILES)}),
+                                    i -> abs(t.d[i] - g.d[i])), 'max')
+                 * 10000.0 + 0.5) / 10000.0 AS max_decile_shift
+    FROM t, g
+    """,
+)
+def dq_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift audit: for every event_type, the maximum absolute
+    decile displacement of its value distribution vs the global one — the
+    quantile-vector form of a two-sample drift test (the screening a
+    pipeline runs when a new source/day lands before letting it into the
+    mix). Both engines interpolate percentiles identically (the
+    agg_percentile parity anchor), so the score round4s cleanly.
+
+    Scale shape: one groupBy computing a 9-slot exact quantile vector per
+    type (the 100 TB variant swaps in approx_percentile's one-pass sketch
+    — same relation shape), a scalar global vector broadcast to the tiny
+    per-type aggregate, and a per-row array fold for the max shift."""
+    e = load(spark, sf_dir, "events")
+    qs = F.array(*[F.lit(q) for q in DECILES])
+    t = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.percentile("value", qs).alias("d"),
+    )
+    g = e.agg(F.percentile("value", qs).alias("gd"))
+    shift = F.array_max(
+        F.zip_with(F.col("d"), F.col("gd"), lambda a, b: F.abs(a - b))
+    )
+    return (
+        t.join(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_events",
+            (F.floor(shift * 10000.0 + 0.5) / 10000.0).alias(
+                "max_decile_shift"
+            ),
+        )
+    )
