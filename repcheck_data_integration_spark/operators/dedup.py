@@ -865,12 +865,14 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", F.md5("s").alias("h")
     )
+    # mh feeds both the band explode and both sides of the scoring join —
+    # persist it so the shingle explode + min-aggregate runs once
     mh = ex.groupBy("doc_id").agg(
         *[
             F.min(F.substring("h", 1 + 4 * j, 4)).alias(f"mh{j}")
             for j in range(N_MINHASH)
         ]
-    )
+    ).persist()
     mhs = mh.join(sh, "doc_id")
     bands = mh.select(
         "doc_id", F.posexplode(_bands_spark()).alias("band_idx", "band_hash")
@@ -916,4 +918,52 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round4(F.col("est")).alias("est_jaccard"),
         stable_round4(F.col("j")).alias("exact_jaccard"),
         stable_round4(F.abs(F.col("est") - F.col("j"))).alias("abs_err"),
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS norm_hash,
+               md5(text) AS raw_hash
+        FROM documents),
+    g AS (
+        SELECT norm_hash, min(doc_id) AS canonical_doc_id,
+               count(*) AS n_docs,
+               count(DISTINCT raw_hash) AS n_raw_variants
+        FROM n GROUP BY norm_hash)
+    SELECT n.doc_id, g.canonical_doc_id, g.n_docs, g.n_raw_variants
+    FROM n JOIN g ON n.norm_hash = g.norm_hash
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: hash after lowercase + collapse of
+    every non-alphanumeric run to a single space — catches the trivial
+    variants (case, punctuation, whitespace) that byte-exact dedup_exact
+    misses but that no near-dup machinery should be spent on. Emits only
+    the collapsed groups, with the count of distinct RAW hashes folded in
+    (n_raw_variants > 1 ⇔ normalization did work byte-dedup could not).
+
+    Scale shape: same as dedup_exact — one hash aggregate on the
+    normalized hash plus a join back; the normalization is a per-row
+    projection fused into the scan."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.md5(
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+        )
+    )
+    n = d.select(
+        "doc_id", norm.alias("norm_hash"), F.md5("text").alias("raw_hash")
+    )
+    g = n.groupBy("norm_hash").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("raw_hash").alias("n_raw_variants"),
+    )
+    return n.join(g, "norm_hash").select(
+        "doc_id", "canonical_doc_id", "n_docs", "n_raw_variants"
     )

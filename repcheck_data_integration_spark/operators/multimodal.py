@@ -205,3 +205,87 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, width int, height int, out_width int,"
         " out_height int",
     )
+
+
+PHASH_BANDS = 4  # 4 bands × 4 hex chars of the 16-hex "phash" prefix
+PHASH_MAX_NIBBLE_DIST = 8  # verify: ≤8 differing nibbles of the full hash
+
+
+@register(
+    "mm_phash_bands",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, md5(text) AS ph FROM documents),
+    bands AS (
+        SELECT doc_id, i AS band_idx, substr(ph, (i - 1) * 4 + 1, 4)
+                   AS band_val
+        FROM h, unnest(generate_series(1, {PHASH_BANDS})) AS u(i)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id),
+    verified AS (
+        SELECT doc1, doc2,
+               CAST(len(list_filter(generate_series(1, 32),
+                        i -> substr(x.ph, i, 1) <> substr(y.ph, i, 1)))
+                    AS BIGINT) AS nibble_dist
+        FROM cand JOIN h x ON cand.doc1 = x.doc_id
+                  JOIN h y ON cand.doc2 = y.doc_id)
+    SELECT doc1, doc2, nibble_dist FROM verified
+    WHERE nibble_dist <= {PHASH_MAX_NIBBLE_DIST}
+    """,
+)
+def mm_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection for binary media, banded exactly
+    like MinHash LSH: band the hash prefix → candidate pairs from a band
+    equi-join → verify by nibble-level Hamming distance on the full hash.
+    A real deployment swaps the hash kernel for decode → DCT → 64-bit
+    pHash inside a mapInPandas batch (the container has no image libs —
+    same documented stub boundary as mm_decode_stub); md5 of the payload
+    stands in, which makes exact-duplicate payloads collide on every band
+    and unrelated payloads collide on a band with p=2^-16 — so the verify
+    stage demonstrably rejects the false candidates the bands admit.
+
+    Scale shape: identical to dedup_minhash_lsh — candidates ∝ colliding
+    pairs via a hash join on (band_idx, band_val), never n²; the verify
+    compares two 32-char attributes per candidate row."""
+    d = load(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("ph"))
+    bands = h.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("ph", b * 4 + 1, 4)
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    x = h.select(F.col("doc_id").alias("doc1"), F.col("ph").alias("ph1"))
+    y = h.select(F.col("doc_id").alias("doc2"), F.col("ph").alias("ph2"))
+    nibble_dist = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda i: F.substring(F.col("ph1"), 1, 32).substr(i, F.lit(1))
+            != F.substring(F.col("ph2"), 1, 32).substr(i, F.lit(1)),
+        )
+    ).cast("long")
+    return (
+        cand.join(x, "doc1")
+        .join(y, "doc2")
+        .select("doc1", "doc2", nibble_dist.alias("nibble_dist"))
+        .filter(F.col("nibble_dist") <= PHASH_MAX_NIBBLE_DIST)
+    )

@@ -443,3 +443,44 @@ def mix_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", F.col("e").cast("long").alias("epoch_idx"))
     )
+
+
+@register(
+    "sample_class_balance",
+    oracle=f"""
+    WITH counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    m AS (SELECT min(n) AS min_n FROM counts),
+    ranked AS (
+        SELECT vec_id, label,
+               row_number() OVER (
+                   PARTITION BY label
+                   ORDER BY md5(CAST(vec_id AS VARCHAR) || '#bal'), vec_id)
+                   AS sample_rank
+        FROM embeddings)
+    SELECT vec_id, label, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM ranked, m WHERE sample_rank <= m.min_n
+    """,
+)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based class balancing: downsample every label to the size of
+    the SMALLEST label by taking the first min_n members in deterministic
+    md5-order (salted '#bal' so it is independent of every other sampling
+    op's buckets) — the companion to rate-based sample_stratified when the
+    contract is 'exactly equal class counts' (classifier training,
+    evaluation pools).
+
+    Scale shape: one tiny per-label count aggregate broadcast back, one
+    label-keyed rank window over the fact table, a map-side filter — no
+    driver materialization, reprocessing-stable under any partitioning."""
+    e = load(spark, sf_dir, "embeddings")
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.agg(F.min("n").alias("min_n"))
+    h = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("#bal")))
+    w = W.partitionBy("label").orderBy(h.alias("__h"), F.col("vec_id"))
+    return (
+        e.select("vec_id", "label")
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(m))
+        .filter(F.col("sample_rank") <= F.col("min_n"))
+        .select("vec_id", "label", "sample_rank")
+    )

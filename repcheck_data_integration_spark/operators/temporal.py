@@ -627,3 +627,85 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_days"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH probes AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_id % 10 = 0),
+    refs AS (
+        SELECT event_id AS ref_event_id, user_id, ts, value
+        FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           (SELECT r.value FROM refs r WHERE r.user_id = p.user_id
+            ORDER BY abs(epoch(r.ts) - epoch(p.ts)) ASC,
+                     (r.ts > p.ts) ASC, r.ref_event_id ASC
+            LIMIT 1) AS nearest_value
+    FROM probes p
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest',
+    completing the backward/forward/tolerance family): each probe takes
+    whichever of its latest-backward / earliest-forward click is closer in
+    time, ties to the backward side, then to the lowest event id.
+
+    Runs as the two existing single-shuffle as-of passes (backward, and
+    forward via the negated time axis) carrying the matched ref timestamp
+    alongside the value, then one probe-keyed join picks the closer side —
+    three key-partitioned shuffles total, still no correlated per-row
+    lookups (the oracle's subquery form is the naive statement). Both
+    passes tie-break toward the LOWEST ref event id (tie col = -event_id)
+    so the choice matches the oracle's global ASC ordering."""
+    e = load(spark, sf_dir, "events")
+    tsd = F.col("ts").cast("double")
+    probes = e.filter(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        "user_id",
+        tsd.alias("__tsd"),
+        (-F.col("event_id")).alias("__tie"),
+    )
+    refs = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        tsd.alias("__tsd"),
+        "value",
+        tsd.alias("__rts"),
+        (-F.col("event_id")).alias("__tie"),
+    )
+    back = asof_join(
+        probes, refs, by="user_id", left_ts="__tsd", right_ts="__tsd",
+        value_cols=["value", "__rts"], tie_col="__tie",
+    )
+    probes_f = probes.select(
+        "event_id", "user_id", "__tsd", (-F.col("__tsd")).alias("__nts"), "__tie"
+    )
+    refs_f = refs.select(
+        "user_id", (-F.col("__tsd")).alias("__nts"), "value", "__rts", "__tie"
+    )
+    fwd = asof_join(
+        probes_f, refs_f, by="user_id", left_ts="__nts", right_ts="__nts",
+        value_cols=["value", "__rts"], tie_col="__tie",
+    )
+    b = back.select(
+        "event_id",
+        "user_id",
+        F.col("__tsd").alias("__ptsd"),
+        F.col("asof_value").alias("__bv"),
+        F.col("asof___rts").alias("__brts"),
+    )
+    f = fwd.select(
+        F.col("event_id").alias("__eid_f"),
+        F.col("asof_value").alias("__fv"),
+        F.col("asof___rts").alias("__frts"),
+    )
+    j = b.join(f, b["event_id"] == f["__eid_f"])
+    bdiff = F.col("__ptsd") - F.col("__brts")
+    fdiff = F.col("__frts") - F.col("__ptsd")
+    nearest = (
+        F.when(F.col("__brts").isNull(), F.col("__fv"))
+        .when(F.col("__frts").isNull(), F.col("__bv"))
+        .when(bdiff <= fdiff, F.col("__bv"))
+        .otherwise(F.col("__fv"))
+    )
+    return j.select("event_id", "user_id", nearest.alias("nearest_value"))

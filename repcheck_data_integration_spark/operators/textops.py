@@ -912,3 +912,103 @@ def text_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         stable_round4(-F.col("ll") / F.col("n_bigrams")).alias("bigram_xent"),
     )
+
+
+BPE_N_MERGES = 3
+
+
+def _merge_pair(symbols, a: str, b: str):
+    """Apply merge rule (a,b)→ab to a symbol-array column with a single
+    left-to-right fold (the sequential scan BPE specifies — adjacent
+    repeats merge greedily, a freshly merged symbol never re-merges
+    within the same rule pass)."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES):
+    """Distributed BPE training (Sennrich et al. 2016): the vocabulary
+    aggregate collapses the corpus to (word, freq) FIRST, words become
+    character-symbol arrays, then each round counts adjacent symbol pairs
+    (weighted by word frequency), picks the argmax pair with a full
+    (count desc, pair asc) tie-break, and applies the merge with a
+    per-word fold. Returns (rules, final_symbols_df) where rules is the
+    ordered merge-rule list [(pair_a, pair_b, count), ...].
+
+    Scale notes: pair counting + argmax is one map-side-combined
+    aggregate + a top-1 — the single scalar merge rule is collected to
+    the driver and broadcast back INSIDE the next round's expressions
+    (the same driver-scalar pattern as ml_kmeans_refine's codebook);
+    the symbol table is localCheckpoint'ed per round so the fold chain
+    never deepens the lineage. Corpus size only enters through the
+    one-time vocabulary aggregate — rounds iterate over |vocab| rows."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") > 1)
+    )
+    syms = w.select(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ).alias("symbols"),
+        "freq",
+    ).localCheckpoint(eager=True)
+    rules: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = syms.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("symbols"), 1, F.size("symbols") - 1),
+                    F.slice(F.col("symbols"), 2, F.size("symbols") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(
+                F.col("n").desc(), F.col("p.a").asc(), F.col("p.b").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["p"]["a"], best[0]["p"]["b"], best[0]["n"]
+        rules.append((a, b, int(n)))
+        syms = syms.select(
+            _merge_pair(F.col("symbols"), a, b).alias("symbols"), "freq"
+        ).localCheckpoint(eager=True)
+    return rules, syms
+
+
+@register("text_bpe_train")
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of the iterative BPE trainer: the first
+    {BPE_N_MERGES} merge rules with their pre-merge occurrence counts.
+    Rows-only: each round's argmax is a driver-broadcast scalar feeding
+    the next round's expressions, which a single SQL statement cannot
+    express; parity is pinned against a pure-python reference trainer in
+    tests/test_textops.py."""
+    rules, _ = bpe_train(spark, sf_dir, BPE_N_MERGES)
+    return spark.createDataFrame(
+        [
+            (i + 1, a, b, a + b, n)
+            for i, (a, b, n) in enumerate(rules)
+        ],
+        "merge_rank INT, sym_a STRING, sym_b STRING, merged STRING, n_occurrences BIGINT",
+    )

@@ -295,3 +295,41 @@ def test_label_propagation_two_cliques(spark):
     out = {r["v"]: r["community"] for r in label_propagation(und, rounds=3).collect()}
     assert all(out[i] == 0 for i in range(4)), out
     assert all(out[10 + i] == 10 for i in range(4)), out
+
+
+def test_phash_bands_admit_then_verify_rejects(spark):
+    """With the md5 stand-in hash, unrelated payloads collide on a 16-bit
+    band with p≈2^-16 — at sf0.01 some candidate pairs must appear, and
+    the Hamming verify must reject essentially all of them (md5s of
+    different texts differ in ~30/32 nibbles)."""
+    from pyspark.sql import functions as F
+
+    from repcheck_data_integration_spark.operators.multimodal import (
+        PHASH_BANDS,
+    )
+    from repcheck_data_integration_spark.tables import load
+
+    d = load(spark, SF_MID, "documents")
+    h = d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("ph"))
+    bands = h.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.substring("ph", b * 4 + 1, 4) for b in range(PHASH_BANDS)])
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    n_cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_cand > 0  # bands DO admit candidates on uniform hashes
+    out = registry.QUERIES["mm_phash_bands"](spark, SF_MID)
+    # verify rejects the uniform-hash false positives
+    assert out.count() == 0

@@ -66,3 +66,55 @@ def test_repetition_top_token_tiebreak(spark, monkeypatch):
     )
     row = textops.text_repetition_stats(spark, "unused").collect()[0]
     assert row["top_token"] == "a"  # equal counts → lexicographically first
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed trainer's first 3 merge rules must equal a pure
+    python BPE reference (same tie-break: count desc, pair asc; same
+    greedy left-to-right merge application)."""
+    import re
+    from collections import Counter
+
+    from repcheck_data_integration_spark import registry
+
+    registry.load_all_modules()
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("text")
+        .collect()
+    )
+    freq = Counter()
+    for r in docs:
+        for w in re.findall("[a-z0-9]+", r["text"]):
+            if len(w) > 1:
+                freq[w] += 1
+    syms = {w: list(w) for w in freq}
+    expect = []
+    for _ in range(3):
+        pc = Counter()
+        for w, s in syms.items():
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += freq[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), n = best
+        expect.append((a, b, n))
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    got = [
+        (r["sym_a"], r["sym_b"], r["n_occurrences"])
+        for r in sorted(
+            registry.QUERIES["text_bpe_train"](
+                spark, "/root/testdata/sf0.001"
+            ).collect(),
+            key=lambda r: r["merge_rank"],
+        )
+    ]
+    assert got == expect, (got, expect)
