@@ -366,3 +366,78 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(url, r"^[a-z]+://[^/?#]+(/[^?#]*)", 1).alias("path"),
         F.regexp_extract(url, r"\?([^#]*)", 1).alias("query"),
     )
+
+
+_PI = "3.141592653589793"
+_EARTH_KM = "6371.0088"
+#: reference point the distances are measured from (mid-Atlantic 0,0)
+_GEO_BOX = (-30.0, 30.0, -60.0, 60.0)  # lat_min, lat_max, lon_min, lon_max
+
+
+@register(
+    "fn_geo_pack",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               (c_custkey % 17000) / 100.0 - 85.0 AS lat,
+               (c_custkey % 35900) / 100.0 - 179.5 AS lon
+        FROM customer),
+    d AS (
+        SELECT c_custkey, lat, lon,
+               2 * {_EARTH_KM} * asin(sqrt(
+                   sin((lat * {_PI} / 180) / 2) * sin((lat * {_PI} / 180) / 2)
+                   + cos(lat * {_PI} / 180) * cos(0.0)
+                     * sin((lon * {_PI} / 180) / 2)
+                     * sin((lon * {_PI} / 180) / 2))) AS hav_km
+        FROM pts)
+    SELECT c_custkey,
+           floor(lat * 10000.0 + 0.5) / 10000.0 AS lat,
+           floor(lon * 10000.0 + 0.5) / 10000.0 AS lon,
+           floor(hav_km * 10000.0 + 0.5) / 10000.0 AS hav_km_to_origin,
+           lat BETWEEN {_GEO_BOX[0]} AND {_GEO_BOX[1]}
+               AND lon BETWEEN {_GEO_BOX[2]} AND {_GEO_BOX[3]} AS in_bbox
+    FROM d
+    """,
+)
+def fn_geo_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic scalar kernel pack: haversine great-circle distance to the
+    origin plus a bbox containment flag, over deterministic synthetic
+    coordinates (2-decimal rationals from the customer key — the fixtures
+    carry no geo columns; the reference's geo math lives in PostGIS,
+    zip_code_overlap.py:33-38, and this is the scalar subset an engine
+    without a geo extension still owes its users).
+
+    Cross-engine note: sin/cos/asin differ between the JVM and libm by at
+    most ~1 ULP; the round4 publication threshold is 10 orders of
+    magnitude coarser, so hash parity holds — same argument as every
+    other round4 surface in the repo. Pure per-row projection: no
+    shuffle, fused into the scan."""
+    c = load(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") % 17000) / 100.0 - 85.0
+    lon = (F.col("c_custkey") % 35900) / 100.0 - 179.5
+    pts = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    pi = 3.141592653589793
+    rlat = F.col("lat") * pi / 180
+    rlon = F.col("lon") * pi / 180
+    hav = (
+        2
+        * 6371.0088
+        * F.asin(
+            F.sqrt(
+                F.sin(rlat / 2) * F.sin(rlat / 2)
+                + F.cos(rlat) * F.cos(F.lit(0.0)) * F.sin(rlon / 2) * F.sin(rlon / 2)
+            )
+        )
+    )
+    r4 = lambda col: F.floor(col * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    lo_lat, hi_lat, lo_lon, hi_lon = _GEO_BOX
+    return pts.select(
+        "c_custkey",
+        r4(F.col("lat")).alias("lat"),
+        r4(F.col("lon")).alias("lon"),
+        r4(hav).alias("hav_km_to_origin"),
+        (
+            F.col("lat").between(lo_lat, hi_lat)
+            & F.col("lon").between(lo_lon, hi_lon)
+        ).alias("in_bbox"),
+    )

@@ -508,3 +508,77 @@ def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOPK_PATHS)
         .select("path", "n_occurrences")
     )
+
+
+SPIKE_TRAIL = 3  # trailing hours in the baseline window
+SPIKE_FACTOR = 2.0
+
+
+@register(
+    "events_rate_spike",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+    w AS (
+        SELECT *,
+               avg(n_events) OVER (PARTITION BY event_type ORDER BY hour_start
+                                   ROWS BETWEEN {SPIKE_TRAIL} PRECEDING
+                                            AND 1 PRECEDING) AS trailing_avg
+        FROM h)
+    SELECT event_type, hour_start, n_events,
+           floor(trailing_avg * 10000.0 + 0.5) / 10000.0 AS trailing_avg,
+           floor((n_events / trailing_avg) * 10000.0 + 0.5) / 10000.0
+               AS spike_ratio,
+           n_events >= {SPIKE_FACTOR} * trailing_avg AS is_spike
+    FROM w WHERE trailing_avg IS NOT NULL
+    """,
+)
+def events_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-spike detection: each (event_type, hour) bucket compared to the
+    average of its {SPIKE_TRAIL} preceding PRESENT buckets (a ROWS frame —
+    calendar gaps compress, which is the alerting-friendly behavior for
+    sparse types; ts_gap_fill supplies the spine when calendar frames are
+    wanted). Flag fires at {SPIKE_FACTOR}× the trailing average.
+
+    The trailing average is an integer-count ratio evaluated identically
+    in both engines, so even the boolean cut is engine-exact. Scale shape:
+    the hourly rollup collapses the fact table first (map-side combine);
+    the window runs over |types|×|hours| rows only. The streaming twin is
+    stream_rollup_hourly's incremental maintenance feeding this same
+    window."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    h = (
+        e.groupBy(
+            "event_type",
+            (F.floor(F.col("ts").cast("double") / 3600) * 3600)
+            .cast("long")
+            .alias("hour_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-SPIKE_TRAIL, -1)
+    )
+    ta = F.avg("n_events").over(w)
+    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return (
+        h.withColumn("trailing_avg", ta)
+        .filter(F.col("trailing_avg").isNotNull())
+        .select(
+            "event_type",
+            "hour_start",
+            "n_events",
+            r4(F.col("trailing_avg")).alias("trailing_avg"),
+            r4(F.col("n_events") / F.col("trailing_avg")).alias("spike_ratio"),
+            (F.col("n_events") >= SPIKE_FACTOR * F.col("trailing_avg")).alias(
+                "is_spike"
+            ),
+        )
+    )
