@@ -709,3 +709,54 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("__fv"))
     )
     return j.select("event_id", "user_id", nearest.alias("nearest_value"))
+
+
+@register("join_asof_cogroup_demo")
+def join_asof_cogroup_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fifth §2.8 UDF vehicle — cogrouped applyInPandas: both relations
+    shuffle on the key, each key's pair of pandas frames meets in one
+    Python call, and pandas.merge_asof performs the per-user backward
+    as-of merge. Rows-only by design (a demo of the vehicle — the
+    REGISTERED as-of operator is the native single-shuffle union-window
+    plan, join_asof); hash parity with that native plan is asserted in
+    tests/test_temporal.py, same native-first policy as
+    win_grouped_zscore_pandas_demo.
+
+    Scale note: like every applyInPandas, a whole key group materializes
+    in one pandas frame — fine for per-user event history, a scale-killer
+    for billion-row keys; the native plan has no such cliff, which is why
+    it owns the registration."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events")
+    probes = e.filter(F.col("event_id") % 10 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    refs = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("ref_event_id"), "user_id", "ts", "value"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {"event_id": [], "user_id": [], "asof_value": []}
+            ).astype({"event_id": "int64", "user_id": "int64", "asof_value": "float64"})
+        left = left.sort_values(["ts", "event_id"])
+        if right.empty:
+            out = left[["event_id", "user_id"]].copy()
+            out["asof_value"] = float("nan")
+            return out
+        # equal-ts rights resolve to the HIGHEST ref_event_id (merge_asof
+        # takes the last sorted row), matching the native plan's tie rule
+        right = right.sort_values(["ts", "ref_event_id"])
+        out = pd.merge_asof(
+            left, right[["ts", "value"]], on="ts", direction="backward"
+        )
+        out = out.rename(columns={"value": "asof_value"})
+        return out[["event_id", "user_id", "asof_value"]]
+
+    return (
+        probes.groupBy("user_id")
+        .cogroup(refs.groupBy("user_id"))
+        .applyInPandas(merge, schema="event_id long, user_id long, asof_value double")
+    )

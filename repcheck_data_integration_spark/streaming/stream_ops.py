@@ -445,3 +445,27 @@ def daily_from_hourly(spark: SparkSession, hourly_path: str) -> DataFrame:
             F.sum("value_cents").alias("value_cents"),
         )
     )
+
+
+def session_counts(
+    events: DataFrame, gap_s: int = 300, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked SESSION-window counts per user (append-mode safe): the
+    live form of the registered stream_session_window batch twin — same
+    gap, same (user_id, session_start, n_events) output, so the
+    batch/stream parity test can compare them row-for-row. Session state
+    is bounded by the watermark: a session closes once the watermark
+    passes its gap-extended end, which is exactly when append mode emits
+    it."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_s} seconds").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )

@@ -423,3 +423,30 @@ def test_stream_scd2_incremental_equals_batch(spark, tmp_path):
         key="id", effective_col="eff", compare_cols=["seg"],
     )
     assert got_live == sorted(map(tuple, one_fold.collect()))
+
+
+def test_session_window_live_matches_batch(spark, events_stream_dir):
+    """Live session_window aggregation (append mode, watermark-closed
+    sessions) must agree with the registered batch twin on every emitted
+    session."""
+    from repcheck_data_integration_spark.streaming.batch_windows import (
+        stream_session_window,
+    )
+
+    stream = stream_ops.read_events_stream(spark, events_stream_dir)
+    q = stream_ops.run_to_memory(
+        stream_ops.session_counts(stream), "session_out"
+    )
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM session_out").collect()
+    }
+    expected = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in stream_session_window(spark, SF).collect()
+    }
+    assert got, "stream emitted no closed sessions"
+    for k, v in got.items():
+        assert expected[k] == v, k
+    assert len(got) >= len(expected) * 0.5
+    q.stop()

@@ -114,3 +114,30 @@ def test_interval_point_join_edges(spark):
     assert got == [(1, "long"), (2, "long"), (3, "long"), (5, "point")]
     # each qualifying pair appears exactly once despite the bucket explode
     assert len(got) == len(set(got))
+
+
+def test_asof_cogroup_demo_matches_native(spark):
+    """The cogrouped-applyInPandas as-of demo must reproduce the native
+    union-window plan's result exactly (including equal-ts tie resolution
+    to the highest ref event id and NaN/null for never-matched probes)."""
+    import math
+
+    from repcheck_data_integration_spark import registry
+
+    registry.load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    native = {
+        (r["event_id"], r["user_id"]): r["asof_value"]
+        for r in registry.QUERIES["join_asof"](spark, sf).collect()
+    }
+    demo = {
+        (r["event_id"], r["user_id"]): r["asof_value"]
+        for r in registry.QUERIES["join_asof_cogroup_demo"](spark, sf).collect()
+    }
+    assert set(native) == set(demo)
+    for k, v in native.items():
+        d = demo[k]
+        if v is None:
+            assert d is None or math.isnan(d), k
+        else:
+            assert d == v, k
