@@ -996,6 +996,137 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES):
     return rules, syms
 
 
+@register(
+    "text_bpe_encode1",
+    oracle=f"""
+    WITH w AS (
+        SELECT t AS word, count(*) AS freq
+        FROM (SELECT unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS t
+              FROM documents)
+        GROUP BY 1),
+    best AS (
+        SELECT word[i : i + 1] AS pair
+        FROM w, unnest(generate_series(1, length(word) - 1)) u(i)
+        WHERE length(word) > 1
+        GROUP BY pair
+        ORDER BY sum(freq) DESC, pair
+        LIMIT 1),
+    dw AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS word
+        FROM documents),
+    enc AS (
+        SELECT doc_id,
+               sum(CAST((length(word)
+                         - length(replace(word, (SELECT pair FROM best), '')))
+                        / 2 AS BIGINT)) AS n_merges,
+               sum(length(word)) AS n_chars
+        FROM dw GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(enc.n_chars - enc.n_merges, 0) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(coalesce(enc.n_merges, 0) AS BIGINT) AS n_merges
+    FROM documents d LEFT JOIN enc USING (doc_id)
+    """,
+)
+def text_bpe_encode1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the corpus's own first trained merge rule — the
+    oracle-checkable half of the tokenizer-application story (the 3-rule
+    general form is text_bpe_encode below). The rule is the argmax adjacent
+    char pair (count desc, pair asc tie-break — same as the trainer's round
+    1), collected to the driver and folded back in as a literal, the
+    driver-scalar pattern ml_kmeans_refine uses.
+
+    The key identity that makes single-rule encoding SQL-expressible: for
+    char symbols, greedy left-to-right merging of pair p in a word performs
+    exactly count(non-overlapping occurrences of p) merges — both Spark's
+    ``replace`` and DuckDB's scan leftmost-non-overlapping, and for the
+    repeated-char case (rule aa on "aaaa") both yield floor(run/2), matching
+    the fold. So n_bpe_tokens = n_chars - n_merges, no per-symbol fold
+    needed. Tokenizer lineage: Sennrich et al. 2016 (subword-nmt applies
+    merges with exactly this replace-per-pass); reference token counting at
+    scripts/ai/summarize_bills_federal.py:23-65."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") > 1)
+    )
+    best = (
+        w.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(1)
+        .collect()
+    )
+    pat = F.lit(best[0]["pair"])
+    dw = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    enc = dw.groupBy("doc_id").agg(
+        F.sum(
+            ((F.length("word") - F.length(F.replace(F.col("word"), pat)))
+             / F.lit(2)).cast("long")
+        ).alias("n_merges"),
+        F.sum(F.length("word")).alias("n_chars"),
+    )
+    return d.select("doc_id").join(enc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_chars") - F.col("n_merges"), F.lit(0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.coalesce("n_merges", F.lit(0)).cast("long").alias("n_merges"),
+    )
+
+
+@register("text_bpe_encode")
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE encoding: train {BPE_N_MERGES} rules (bpe_train above),
+    then tokenize every document with them. Rows-only for the same reason
+    as the trainer (driver-iterative rule derivation); exact parity with a
+    pure-python train+encode reference is pinned in tests/test_textops.py.
+
+    Scale shape — the part that matters at 100 TB: merges are applied over
+    the DISTINCT vocabulary (|vocab| rows, Zipf-small), not per token
+    occurrence; documents then join the (word → n_subtokens) map broadcast,
+    so the corpus-sized side does one explode + one broadcast join + one
+    re-aggregate and never touches the fold. This is how production
+    tokenizer counting runs (encode the vocab once, weight by term
+    frequency)."""
+    rules, _ = bpe_train(spark, sf_dir, BPE_N_MERGES)
+    d = load(spark, sf_dir, "documents")
+    dw = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    for a, b, _n in rules:
+        syms = _merge_pair(syms, a, b)
+    vmap = dw.select("word").distinct().select(
+        "word", F.size(syms).alias("n_sub")
+    )
+    enc = (
+        dw.join(F.broadcast(vmap), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sub").alias("n_bpe_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+    return d.select("doc_id").join(enc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+    )
+
+
 @register("text_bpe_train")
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form of the iterative BPE trainer: the first

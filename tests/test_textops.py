@@ -118,3 +118,70 @@ def test_bpe_train_matches_python_reference(spark):
         )
     ]
     assert got == expect, (got, expect)
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """text_bpe_encode's per-document subtoken counts must equal a pure
+    python train(3)+encode reference over every sf0.001 document —
+    including docs whose words never hit a merge rule and empty docs."""
+    import re
+    from collections import Counter
+
+    from repcheck_data_integration_spark import registry
+
+    registry.load_all_modules()
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    freq = Counter()
+    for r in rows:
+        for w in re.findall("[a-z0-9]+", r["text"]):
+            if len(w) > 1:
+                freq[w] += 1
+    syms = {w: list(w) for w in freq}
+    rules = []
+    for _ in range(3):
+        pc = Counter()
+        for w, s in syms.items():
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += freq[w]
+        if not pc:
+            break
+        (a, b), _ = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        rules.append((a, b))
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+
+    def encode_len(word: str) -> int:
+        s = list(word)
+        for a, b in rules:
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            s = out
+        return len(s)
+
+    expect = {
+        r["doc_id"]: sum(
+            encode_len(w) for w in re.findall("[a-z0-9]+", r["text"])
+        )
+        for r in rows
+    }
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in registry.QUERIES["text_bpe_encode"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == expect
