@@ -663,6 +663,65 @@ def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fn_udtf_sentences",
+    oracle=f"""
+    WITH sents AS (
+        SELECT doc_id, regexp_extract_all(text, '{SENT_RE}') AS s
+        FROM documents)
+    SELECT doc_id, i - 1 AS sent_idx,
+           md5(trim(s[i])) AS sentence_md5,
+           CAST(length(trim(s[i])) AS BIGINT) AS n_sent_chars
+    FROM sents, LATERAL unnest(generate_series(1, len(s))) u(i)
+    """,
+)
+def fn_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python USER-DEFINED TABLE FUNCTION (Spark 4 §2.8 vehicle #6, after
+    pandas_udf / mapInPandas / applyInPandas / applyInPandasWithState /
+    cogrouped applyInPandas): one input row expands to N output rows inside
+    a LATERAL join — the API shape for row-expanding python logic (parsers,
+    taggers, per-record generators) that doesn't fit a scalar UDF. The
+    kernel re-implements text_sentence_split's segmentation bit-for-bit
+    (same lookbehind-free regex, md5 of the UTF-8 bytes), so the SAME
+    oracle pins it and the native twin cross-checks in tests.
+
+    Scale note: UDTFs are row-at-a-time python — the SLOW path, kept off
+    hot pipelines deliberately (the native posexplode twin is the
+    production op); this registration exists to cover the API surface with
+    a correctness gate, the same policy as the applyInPandas demos."""
+    import hashlib
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "doc_id bigint, sent_idx bigint, sentence_md5 string, "
+        "n_sent_chars bigint"
+    ))
+    class SentenceSplit:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            for i, s in enumerate(_re.findall(SENT_RE, text or "")):
+                t = s.strip()
+                yield (
+                    doc_id,
+                    i,
+                    hashlib.md5(t.encode("utf-8")).hexdigest(),
+                    len(t),
+                )
+
+    spark.udtf.register("sentence_split_udtf", SentenceSplit)
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__udtf_docs__"
+    )
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.sent_idx, s.sentence_md5, s.n_sent_chars
+        FROM __udtf_docs__ d,
+             LATERAL sentence_split_udtf(d.doc_id, d.text) s
+        """
+    )
+
+
 # --- boilerplate-line removal (CCNet/RefinedWeb-style) --------------------
 
 SEG_TOKENS = 12     # tokens per pseudo-line

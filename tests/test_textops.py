@@ -185,3 +185,21 @@ def test_bpe_encode_matches_python_reference(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_udtf_sentences_is_real_udtf_and_matches_native(spark):
+    """fn_udtf_sentences must execute a python UDTF node (BatchEvalPythonUDTF
+    in the plan — not a rewritten native expression) and agree row-for-row
+    with the native posexplode twin."""
+    from repcheck_data_integration_spark import registry
+
+    registry.load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    u = registry.QUERIES["fn_udtf_sentences"](spark, sf)
+    plan = u._jdf.queryExecution().executedPlan().toString()
+    assert "UDTF" in plan, plan[:500]
+    native = registry.QUERIES["text_sentence_split"](spark, sf)
+    cols = ["doc_id", "sent_idx", "sentence_md5", "n_sent_chars"]
+    assert sorted(map(tuple, u.select(cols).collect())) == sorted(
+        map(tuple, native.select(cols).collect())
+    )
