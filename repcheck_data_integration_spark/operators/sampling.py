@@ -484,3 +484,61 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= F.col("min_n"))
         .select("vec_id", "label", "sample_rank")
     )
+
+
+WEIGHTED_K = 50  # weighted-sample size
+ES_SCALE = 1000  # pre-round scale so stable_round4 keeps ~7 sig. decimals
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, greatest(n_chars, 1) AS w,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wt'),
+                                     1, 8)) AS BIGINT) + 0.5)
+                   / 4294967296.0 AS u
+        FROM documents),
+    keyed AS (
+        SELECT doc_id, CAST(w AS BIGINT) AS weight,
+               {sql_stable_round4(f"{ES_SCALE} * ln(u) / w")} AS es_key
+        FROM s)
+    SELECT doc_id, weight, es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT {WEIGHTED_K}
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    one-pass scheme (Inf. Proc. Letters 2006, public): each row gets key
+    u^(1/w) — equivalently ln(u)/w — with u a deterministic md5-derived
+    uniform ('#wt'-salted, independent of every other sampling op) and
+    w = n_chars, then the global top-k by key IS a w-proportional sample
+    without replacement. The reference has no sampler (single-process
+    full scans); this is the distributed idiom: one projection + one
+    TakeOrdered, no shuffle beyond the top-k reduction, identical result
+    under any partitioning.
+
+    Determinism: the only float surface is ln(); keys go through
+    stable_round4 after a x{ES_SCALE} rescale (keeps ~7 significant
+    digits — rounding absorbs cross-engine libm ulp drift, doc_id breaks
+    the now-astronomically-unlikely residual ties)."""
+    d = load(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#wt"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    keyed = d.select(
+        "doc_id",
+        w.cast("long").alias("weight"),
+        stable_round4(F.lit(ES_SCALE) * F.log(u) / w).alias("es_key"),
+    )
+    return keyed.orderBy(
+        F.col("es_key").desc(), F.col("doc_id")
+    ).limit(WEIGHTED_K)

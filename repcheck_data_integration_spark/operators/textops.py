@@ -1202,3 +1202,77 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "merge_rank INT, sym_a STRING, sym_b STRING, merged STRING, n_occurrences BIGINT",
     )
+
+
+MG_CAPACITY = 200  # Misra–Gries counter budget per partition
+
+
+@register(
+    "agg_heavy_hitters_exact",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS word
+        FROM documents),
+    tot AS (SELECT count(*) AS n FROM t),
+    c AS (SELECT word, count(*) AS cnt FROM t GROUP BY word)
+    SELECT word, CAST(cnt AS BIGINT) AS n_occurrences
+    FROM c, tot
+    WHERE cnt * {MG_CAPACITY} > tot.n
+    ORDER BY n_occurrences DESC, word
+    """,
+)
+def agg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (every token with frequency > n/{MG_CAPACITY})
+    via the sketch-then-verify pattern: phase 1 runs a Misra–Gries summary
+    (capacity {MG_CAPACITY}) per partition over the raw token stream and
+    emits only its surviving candidate set; phase 2 broadcast-SEMI-joins
+    the token stream against the (tiny, deduped) candidates and exact-counts
+    just those. MG theory makes phase 1 lossless for the contract: a word
+    absent from every partition summary has per-partition count
+    <= n_i/(cap+1), so globally <= n/(cap+1) < n/cap — no qualifying word
+    can be missed, which is why the final output is EXACT and the plain
+    GROUP-BY oracle agrees row-for-row.
+
+    Why it matters at 100 TB: the naive plan shuffles the full distinct
+    vocabulary; here the shuffle after the semi-join carries only candidate
+    words (<= cap x partitions), and the MG pass itself is O(1) memory.
+    The same candidates+verify shape backs the fuzzy/LSH dedup families
+    (find cheap superset, verify exactly)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens(F.col("text"))).alias("word"))
+
+    def mg_partition(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < MG_CAPACITY:
+                    counters[w] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield _pd.DataFrame({"word": list(counters.keys())})
+
+    cands = words.mapInPandas(mg_partition, schema="word string").distinct()
+    total = words.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        words.join(F.broadcast(cands), "word", "semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    return (
+        exact.join(F.broadcast(total))
+        .filter(F.col("n_occurrences") * MG_CAPACITY > F.col("n"))
+        .select("word", "n_occurrences")
+        .orderBy(F.col("n_occurrences").desc(), F.col("word"))
+    )

@@ -203,3 +203,34 @@ def test_udtf_sentences_is_real_udtf_and_matches_native(spark):
     assert sorted(map(tuple, u.select(cols).collect())) == sorted(
         map(tuple, native.select(cols).collect())
     )
+
+
+def test_heavy_hitters_exact_on_synthetic_skew(spark, monkeypatch):
+    """MG candidates+verify must return exactly the words above n/cap on a
+    skewed corpus spread over many partitions (forces per-partition MG
+    summaries to merge), matching a brute-force count."""
+    from collections import Counter
+
+    from repcheck_data_integration_spark.operators import textops
+
+    docs = []
+    words = []
+    for i in range(400):
+        w = "hot" if i % 3 == 0 else f"w{i % 150}"
+        docs.append((i, f"{w} filler{i % 97}"))
+        words += [w, f"filler{i % 97}"]
+    d = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(8)
+    monkeypatch.setattr(
+        "repcheck_data_integration_spark.operators.textops.load",
+        lambda spark, sf, name: d,
+    )
+    got = {
+        (r["word"], r["n_occurrences"])
+        for r in textops.agg_heavy_hitters_exact(spark, "unused").collect()
+    }
+    cnt = Counter(words)
+    n = sum(cnt.values())
+    expect = {
+        (w, c) for w, c in cnt.items() if c * textops.MG_CAPACITY > n
+    }
+    assert got == expect and len(expect) > 0
