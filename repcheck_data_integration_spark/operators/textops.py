@@ -1276,3 +1276,139 @@ def agg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "n_occurrences")
         .orderBy(F.col("n_occurrences").desc(), F.col("word"))
     )
+
+
+CMS_DEPTH = 4    # independent hash rows
+CMS_WIDTH = 128  # counters per row — small on purpose so collisions show
+
+
+def _sql_cms_bucket(expr: str, j: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({expr} || '#cms{j}'), 1, 8)) AS BIGINT)"
+        f" % {CMS_WIDTH}"
+    )
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS word
+        FROM documents),
+    cells AS (
+        SELECT j, CASE j
+                   WHEN 0 THEN {_sql_cms_bucket('word', 0)}
+                   WHEN 1 THEN {_sql_cms_bucket('word', 1)}
+                   WHEN 2 THEN {_sql_cms_bucket('word', 2)}
+                   ELSE {_sql_cms_bucket('word', 3)}
+                 END AS bucket,
+               count(*) AS cnt
+        FROM t, unnest(generate_series(0, {CMS_DEPTH - 1})) u(j)
+        GROUP BY 1, 2),
+    exact AS (SELECT word, count(*) AS exact_count FROM t GROUP BY word),
+    top AS (
+        SELECT word, exact_count,
+               row_number() OVER (ORDER BY exact_count DESC, word) AS rn
+        FROM exact),
+    probes AS (
+        SELECT word, exact_count, j,
+               CASE j
+                   WHEN 0 THEN {_sql_cms_bucket('word', 0)}
+                   WHEN 1 THEN {_sql_cms_bucket('word', 1)}
+                   WHEN 2 THEN {_sql_cms_bucket('word', 2)}
+                   ELSE {_sql_cms_bucket('word', 3)}
+               END AS bucket
+        FROM top, unnest(generate_series(0, {CMS_DEPTH - 1})) u(j)
+        WHERE rn <= 20)
+    SELECT p.word, CAST(p.exact_count AS BIGINT) AS exact_count,
+           CAST(min(c.cnt) AS BIGINT) AS cms_estimate,
+           CAST(min(c.cnt) - p.exact_count AS BIGINT) AS overcount
+    FROM probes p JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY p.word, p.exact_count
+    ORDER BY exact_count DESC, word
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) built NATIVELY as a
+    {CMS_DEPTH}x{CMS_WIDTH} additive cell relation: every token increments
+    one md5-derived bucket per hash row, so the 'sketch' is a groupBy whose
+    partial aggregation IS the classic per-partition sketch merge (cells
+    are additive — the distributive-aggregate property in relational
+    clothing, same reason the HLL rollup re-aggregates). Point estimates
+    for the top-20 vocabulary words then take min over the word's
+    {CMS_DEPTH} cells; the CMS one-sided bound (estimate >= exact, always)
+    holds by construction in BOTH engines, and with width {CMS_WIDTH}
+    deliberately small the overcount column actually exercises collisions
+    rather than degenerating to zero.
+
+    Everything is deterministic md5 arithmetic — no JVM sketch binaries to
+    deserialize — so unlike sketch libraries the whole estimate surface is
+    exactly oracle-checkable. At 100 TB the cell relation stays
+    {CMS_DEPTH}x{CMS_WIDTH} rows regardless of corpus size; only the
+    explode factor (x{CMS_DEPTH}) touches the stream, all map-side
+    combined."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens(F.col("text"))).alias("word"))
+
+    def bucket(word_col, j: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(word_col, F.lit(f"#cms{j}"))), 1, 8
+                ),
+                16, 10,
+            ).cast("long")
+            % CMS_WIDTH
+        )
+
+    j_col = F.explode(
+        F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
+    ).alias("j")
+    hashed = words.select("word", j_col)
+    bucketed = hashed.select(
+        "j",
+        F.when(F.col("j") == 0, bucket(F.col("word"), 0))
+        .when(F.col("j") == 1, bucket(F.col("word"), 1))
+        .when(F.col("j") == 2, bucket(F.col("word"), 2))
+        .otherwise(bucket(F.col("word"), 3))
+        .alias("bucket"),
+    )
+    cells = bucketed.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    exact = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    topw = W.orderBy(F.col("exact_count").desc(), F.col("word"))
+    top = (
+        exact.withColumn("rn", F.row_number().over(topw))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    probes = top.select(
+        "word", "exact_count", j_col
+    ).select(
+        "word",
+        "exact_count",
+        "j",
+        F.when(F.col("j") == 0, bucket(F.col("word"), 0))
+        .when(F.col("j") == 1, bucket(F.col("word"), 1))
+        .when(F.col("j") == 2, bucket(F.col("word"), 2))
+        .otherwise(bucket(F.col("word"), 3))
+        .alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("word", "exact_count")
+        .agg(F.min("cnt").alias("est"))
+        .select(
+            "word",
+            F.col("exact_count").cast("long").alias("exact_count"),
+            F.col("est").cast("long").alias("cms_estimate"),
+            (F.col("est") - F.col("exact_count")).cast("long").alias(
+                "overcount"
+            ),
+        )
+        .orderBy(F.col("exact_count").desc(), F.col("word"))
+    )

@@ -173,6 +173,35 @@ def stream_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_left_outer",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 5 MINUTE
+    """,
+)
+def stream_stream_left_outer_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Left-outer stream-stream interval join in batch form: every click,
+    paired with preceding-5-minute views where they exist, null-view
+    otherwise. The SAME builder (stream_ops.click_view_left_outer_join)
+    runs live, where the null rows are emitted only after watermark expiry
+    — that deferred-emission path is pinned against this batch form in
+    tests/test_streaming.py."""
+    from .stream_ops import click_view_left_outer_join
+
+    e = load(spark, sf_dir, "events")
+    return click_view_left_outer_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "view"),
+    )
+
+
+@register(
     "stream_rollup_hourly",
     oracle="""
     SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -191,6 +191,43 @@ def click_view_interval_join(
     ).select("user_id", "click_id", "click_ts", "view_id", "view_ts")
 
 
+def click_view_left_outer_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    watermark: str = "10 minutes",
+    horizon_expr: str = "INTERVAL 5 MINUTES",
+) -> DataFrame:
+    """LEFT-OUTER stream-stream join: clicks WITH a same-user view in the
+    preceding horizon pair up immediately; clicks WITHOUT one emit a
+    null-view row only once the watermark passes the click's join window
+    (Spark must prove no matching view can still arrive before it may emit
+    the null). Same bounded-state mechanics as the inner form above — the
+    outer side adds the deferred null-emission path, which is the part the
+    live parity test pins. Identical builder runs on batch frames for the
+    oracle twin."""
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        v = v.withWatermark("view_ts", watermark)
+    return c.join(
+        v,
+        F.expr(
+            "user_id = v_user AND click_ts >= view_ts"
+            f" AND click_ts <= view_ts + {horizon_expr}"
+        ),
+        "leftOuter",
+    ).select("user_id", "click_id", "click_ts", "view_id", "view_ts")
+
+
 def user_stats_tws(events: DataFrame) -> DataFrame:
     """Custom stateful operator on Spark 4's transformWithStateInPandas —
     the successor API to applyInPandasWithState: explicit typed state

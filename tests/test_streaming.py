@@ -450,3 +450,80 @@ def test_session_window_live_matches_batch(spark, events_stream_dir):
         assert expected[k] == v, k
     assert len(got) >= len(expected) * 0.5
     q.stop()
+
+
+def test_stream_stream_left_outer_matches_batch(spark, tmp_path):
+    """Left-outer stream-stream join live: matched clicks emit promptly;
+    unmatched clicks emit their null-view row only after the watermark
+    passes their join window. After a far-future flush event advances the
+    watermark, the live output must equal the batch builder over the same
+    source — including every null row."""
+    import datetime as dt
+
+    src = str(tmp_path / "lo_src")
+    ckpt = str(tmp_path / "lo_ckpt")
+    out = str(tmp_path / "lo_out")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = stream_ops.read_events_stream(spark, src)
+        q = (
+            stream_ops.click_view_left_outer_join(
+                stream.filter(F.col("event_type") == "click"),
+                stream.filter(F.col("event_type") == "view"),
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    write_batch(
+        [
+            (1, t(9, 0), 1, "view", 1.0, "{}"),
+            (2, t(9, 3), 1, "click", 1.0, "{}"),   # matches view 1
+            (3, t(9, 30), 2, "click", 1.0, "{}"),  # no view -> null row
+            (4, t(9, 40), 1, "click", 1.0, "{}"),  # view expired -> null row
+        ]
+    )
+    run_once()
+    # flush BOTH streams: the global watermark is the min over the click-
+    # and view-side watermark nodes, and each only advances on events its
+    # own filtered stream sees — a view-only flush leaves the click-side
+    # watermark (hence eviction) stuck. The flush click itself becomes a
+    # buffered unmatched row that never expires, so flush user 9 is
+    # excluded from the comparison.
+    write_batch(
+        [
+            (99, t(23, 0), 9, "view", 1.0, "{}"),
+            (100, t(23, 0), 9, "click", 1.0, "{}"),
+        ]
+    )
+    run_once()
+    run_once()  # no-data restart: lets the advanced watermark evict state
+
+    live = {
+        (r["user_id"], r["click_id"], r["view_id"])
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] != 9
+    }
+    e = spark.read.parquet(src)
+    batch = {
+        (r["user_id"], r["click_id"], r["view_id"])
+        for r in stream_ops.click_view_left_outer_join(
+            e.filter(F.col("event_type") == "click"),
+            e.filter(F.col("event_type") == "view"),
+        ).collect()
+        if r["user_id"] != 9
+    }
+    assert (1, 2, 1) in batch and (2, 3, None) in batch
+    assert live == batch
