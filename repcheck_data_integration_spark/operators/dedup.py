@@ -967,3 +967,105 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.join(g, "norm_hash").select(
         "doc_id", "canonical_doc_id", "n_docs", "n_raw_variants"
     )
+
+
+# --- URL-canonicalization dedup (CommonCrawl-style) -----------------------
+
+#: tracking params stripped by canonicalization; the retained param is id
+_URL_CANON_SQL = """
+        SELECT doc_id,
+               'HTTPS://' ||
+               CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+                   || '.Example.com'
+                   || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+                   || '/page/' || CAST(doc_id % 40 AS VARCHAR)
+                   || CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN '?utm_source=feed&id='
+                           ELSE '?id=' END
+                   || CAST(doc_id % 40 AS VARCHAR)
+                   || CASE WHEN doc_id % 5 = 0 THEN '&utm_campaign=x'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN '#section-2'
+                           ELSE '' END AS url
+        FROM documents"""
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH urls AS ({_URL_CANON_SQL}),
+    canon AS (
+        SELECT doc_id, url,
+               'https://'
+               || lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1))
+               || regexp_replace(
+                      regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1),
+                      '/$', '')
+               || '?id=' || regexp_extract(url, '[?&]id=([0-9]+)', 1)
+                   AS canonical_url
+        FROM urls)
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup pass of a web-scrape
+    corpus (CommonCrawl practice; the reference's scrape entry points,
+    e.g. bills_federal.py source URLs, face the same aliasing): the same
+    page arrives as case-varied hosts, explicit default ports, trailing
+    slashes, utm_*/tracking params and fragments. Deterministic messy
+    variants are synthesized per doc (each aliasing axis keyed off doc_id
+    residues; the /page/<doc_id%40> path forces genuine cross-doc
+    collisions), canonicalized with the standard rules — lowercase host,
+    drop :443, strip trailing slash, keep only the identifying param,
+    drop fragment — and exact-deduped keep-lowest-id per canonical URL.
+
+    Scale: one projection + one groupBy on the canonical string — the
+    same single-shuffle shape as dedup_exact, because after
+    canonicalization URL dedup IS exact dedup."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.upper(F.col("source"))
+        ).otherwise(F.col("source")),
+        F.lit(".Example.com"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed&id=")
+        ).otherwise(F.lit("?id=")),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("&utm_campaign=x")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#section-2")).otherwise(
+            F.lit("")
+        ),
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract(url, "^[A-Za-z]+://([^/:?#]+)", 1)),
+        F.regexp_replace(
+            F.regexp_extract(url, "^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1),
+            "/$", "",
+        ),
+        F.lit("?id="),
+        F.regexp_extract(url, "[?&]id=([0-9]+)", 1),
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )

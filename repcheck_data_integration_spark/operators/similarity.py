@@ -1075,3 +1075,58 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("adc_dist_scaled").cast("long").alias("adc_dist_scaled"),
         )
     )
+
+
+MRL_DIM = 16  # retained prefix dims (Matryoshka truncation)
+
+_SQL_SQ16 = (
+    f"list_aggregate(list_transform(generate_series(1, {MRL_DIM}),"
+    " i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), 'sum')"
+)
+
+
+@register(
+    "emb_matryoshka_truncate",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id, embedding, sqrt({_SQL_SQ16}) AS norm16
+        FROM embeddings)
+    SELECT vec_id,
+           {sql_stable_round4('norm16')} AS norm16,
+           list_transform(
+               generate_series(1, {MRL_DIM}),
+               i -> floor(embedding[i]::DOUBLE / norm16 * 10000.0 + 0.5)
+                    / 10000.0) AS mrl_vec
+    FROM m
+    """,
+)
+def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation (Kusupati et al. 2022, public): keep the first
+    {MRL_DIM} dims of each embedding and re-unit-normalize — the cheap
+    low-rank representation MRL-trained models expose for coarse
+    retrieval tiers (pairs with sim_search_ivf as its candidate stage).
+    Pure per-row projection, shuffle-free; the prefix norm is projected
+    as a concrete column BEFORE the element lambda references it (the
+    HOF-inlining trap emb_normalize documents), elements stable-rounded
+    for the cross-engine hash."""
+    e = load(spark, sf_dir, "embeddings")
+    pre = F.slice(F.col("embedding"), 1, MRL_DIM)
+    sq = F.aggregate(
+        pre,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return (
+        e.select("vec_id", pre.alias("_pre"), F.sqrt(sq).alias("_n16"))
+        .select(
+            "vec_id",
+            stable_round4(F.col("_n16")).alias("norm16"),
+            F.transform(
+                F.col("_pre"),
+                lambda x: F.floor(
+                    x.cast("double") / F.col("_n16") * 10000.0 + 0.5
+                )
+                / 10000.0,
+            ).alias("mrl_vec"),
+        )
+    )
