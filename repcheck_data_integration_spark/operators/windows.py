@@ -368,3 +368,78 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round4(F.avg("value").over(w)).alias("mov_avg_10"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_in_frame"),
     )
+
+
+EWMA_ALPHA_NUM, EWMA_ALPHA_DEN = 1, 4  # alpha = 0.25, decay = 0.75 (exact)
+EWMA_LAGS = 8  # trailing terms (current row + 7 lags)
+
+
+def _ewma_weight(i: int) -> float:
+    """(1 - alpha)^i with alpha = {EWMA_ALPHA_NUM}/{EWMA_ALPHA_DEN}: 0.75 is
+    exactly representable in binary and its powers stay exact for i < 70,
+    so both engines compute bit-identical weights."""
+    return (1.0 - EWMA_ALPHA_NUM / EWMA_ALPHA_DEN) ** i
+
+
+def _sql_ewma_terms() -> tuple[str, str]:
+    num = " + ".join(
+        f"coalesce({_ewma_weight(i)!r} * lag(value, {i}) OVER w, 0.0)"
+        for i in range(EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {i}) OVER w IS NULL THEN 0.0"
+        f" ELSE {_ewma_weight(i)!r} END"
+        for i in range(EWMA_LAGS)
+    )
+    return num, den
+
+
+def _ewma_oracle() -> str:
+    num, den = _sql_ewma_terms()
+    from .dedup import sql_stable_round4
+
+    return f"""
+    SELECT event_id, user_id,
+           {sql_stable_round4(f'({num}) / ({den})')} AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@register("win_ewma_trailing", oracle=_ewma_oracle())
+def win_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponentially-weighted moving average per user — the
+    standard drift/monitoring smoother, truncated to {EWMA_LAGS} terms so
+    it is expressible as a finite lag-chain instead of a sequential
+    recursion (the infinite-history EWMA needs stateful iteration; the
+    truncated tail weight 0.75^8 ≈ 0.1 is the documented approximation).
+    Built as EXPLICIT lag() columns, not collect_list-over-frame:
+    collect_list's frame order is not a documented guarantee, lag() with a
+    full (ts, event_id) ORDER BY is — same determinism rule as every other
+    window here. Weights are exact binary rationals and both engines
+    evaluate the same left-associated sum, so the quotient agrees
+    bit-for-bit before the final stable_round4.
+
+    Scale: one window = one shuffle on user_id (high cardinality, low
+    skew); the lag chain is a single pass over each partition — no
+    self-joins, no per-row arrays."""
+    from .dedup import stable_round4
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for i in range(EWMA_LAGS):
+        term = F.coalesce(
+            F.lit(_ewma_weight(i)) * F.lag("value", i).over(w), F.lit(0.0)
+        )
+        dterm = F.when(
+            F.lag("value", i).over(w).isNull(), F.lit(0.0)
+        ).otherwise(F.lit(_ewma_weight(i)))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return e.select(
+        "event_id",
+        "user_id",
+        stable_round4(num / den).alias("ewma"),
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..registry import register
 from ..tables import load
@@ -610,4 +611,89 @@ def events_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_spike"
             ),
         )
+    )
+
+
+CUSUM_H_CENTS = 2000  # drift alarm threshold: 20.00 sustained above mean
+
+
+@register(
+    "events_cusum_drift",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_id, ts, user_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events),
+    u AS (
+        SELECT user_id, sum(cents) AS sum_cents, count(*) AS n_u
+        FROM v GROUP BY user_id),
+    d AS (
+        SELECT v.event_id, v.ts, v.user_id, u.n_u,
+               v.cents * u.n_u - u.sum_cents AS dev
+        FROM v JOIN u USING (user_id)),
+    pr AS (
+        SELECT event_id, ts, user_id, n_u,
+               sum(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS pref
+        FROM d),
+    p AS (
+        SELECT event_id, ts, user_id, n_u, pref,
+               min(pref) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS pref_min
+        FROM pr)
+    SELECT event_id, user_id,
+           CAST(pref - pref_min AS BIGINT) AS cusum_scaled,
+           floor((pref - pref_min) * 1.0 / (100.0 * n_u) * 10000.0 + 0.5)
+               / 10000.0 AS cusum,
+           pref - pref_min > {CUSUM_H_CENTS} * n_u AS drift_alarm
+    FROM p
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user (Page 1954, public): flags
+    sustained upward shift of event value vs the user's own mean. The
+    textbook recursion S_t = max(0, S_t-1 + x_t - k) is sequential — but
+    it has an exact PREFIX-SUM identity: S_t = P_t - min_prefix(P_t) with
+    P = cumsum(x - k), which turns the recursion into two stacked window
+    frames, fully native and parallel within each user partition.
+
+    Exactness is the repo's money rule taken further: with k = the user
+    mean, deviations are kept in CENTS x n_u scale (dev = cents*n - sum),
+    so cumsum, prefix-min, and the n_u-scaled alarm compare are all
+    INTEGER arithmetic — no float drift anywhere; the readable 'cusum'
+    column descales once, through the same floor-round both engines share.
+    Scale: one tiny per-user aggregate broadcast back + one window shuffle
+    on user_id — the events_rate_spike profile."""
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_id", "ts", "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    u = v.groupBy("user_id").agg(
+        F.sum("cents").alias("sum_cents"), F.count(F.lit(1)).alias("n_u")
+    )
+    d = v.join(F.broadcast(u), "user_id").select(
+        "event_id", "ts", "user_id", "n_u",
+        (F.col("cents") * F.col("n_u") - F.col("sum_cents")).alias("dev"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pref = F.sum("dev").over(w)
+    p = d.select(
+        "event_id", "user_id", "n_u",
+        pref.alias("pref"), F.min(pref).over(w).alias("pref_min")
+    )
+    s = F.col("pref") - F.col("pref_min")
+    return p.select(
+        "event_id",
+        "user_id",
+        s.cast("long").alias("cusum_scaled"),
+        (
+            F.floor(s * 1.0 / (100.0 * F.col("n_u")) * 10000.0 + 0.5)
+            / 10000.0
+        ).alias("cusum"),
+        (s > CUSUM_H_CENTS * F.col("n_u")).alias("drift_alarm"),
     )
