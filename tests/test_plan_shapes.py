@@ -330,3 +330,48 @@ def test_markov_and_paths_aggregate_after_window(spark):
         p = plan(spark, name)
         assert "partial" in p.lower() or "HashAggregate" in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_url_canonical_single_exchange(spark):
+    """URL dedup must be projection → one hash aggregate (canonical key
+    shuffle) — no joins, no second scan: after canonicalization it IS
+    exact dedup."""
+    p = plan(spark, "dedup_url_canonical")
+    assert "Join" not in p
+    # exactly one hash exchange (partial+final agg); the only other
+    # exchange is the final presentation sort's range partitioning
+    assert p.count("hashpartitioning(") == 1
+
+
+def test_matryoshka_shuffle_free(spark):
+    """MRL truncation is a pure per-row projection: no exchange at all."""
+    p = plan(spark, "emb_matryoshka_truncate")
+    assert "Exchange" not in p.replace("rangepartitioning", "")
+
+
+def test_cusum_one_window_plus_broadcast(spark):
+    """CUSUM: per-user stats join back via BROADCAST (never a shuffled
+    fact-fact join) and the stacked prefix frames share ONE user_id sort —
+    two Window nodes, no second sort of the fact table."""
+    p = plan(spark, "events_cusum_drift")
+    assert "BroadcastHashJoin" in p
+    assert p.count("Window") >= 1
+    assert "CartesianProduct" not in p
+
+
+def test_heavy_hitters_semi_join_broadcasts_candidates(spark):
+    """The exact-verify pass must broadcast the MG candidate set into a
+    LeftSemi hash join — the full-vocabulary shuffle is the thing the
+    operator exists to avoid."""
+    p = plan(spark, "agg_heavy_hitters_exact")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_ewma_single_window_pass(spark):
+    """The 8-term lag chain must collapse into ONE Window node over one
+    user_id sort — per-lag Window nodes would mean 8 passes."""
+    p = plan(spark, "win_ewma_trailing")
+    # one Window NODE in the tree ("windowspecdefinition" strings inside
+    # its argument list don't count) over a single user_id exchange
+    assert p.count("+- Window") == 1
+    assert p.count("hashpartitioning(") == 1
