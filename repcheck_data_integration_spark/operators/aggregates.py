@@ -547,3 +547,71 @@ def agg_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(slope / 100.0).alias("slope_dollars_per_day"),
         r4(intercept / 100.0).alias("intercept_dollars"),
     )
+
+
+MB_TOP = 100  # co-purchase pairs reported
+
+
+@register(
+    "agg_copurchase_pairs",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part1, b.l_partkey AS part2
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    counted AS (
+        SELECT part1, part2, count(*) AS n_orders
+        FROM pairs GROUP BY part1, part2),
+    ranked AS (
+        SELECT part1, part2, n_orders,
+               row_number() OVER (ORDER BY n_orders DESC, part1, part2)
+                   AS rk
+        FROM counted)
+    SELECT CAST(rk AS INT) AS rk, part1, part2,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM ranked WHERE rk <= {MB_TOP}
+    """,
+)
+def agg_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-{MB_TOP} part pairs bought in
+    the same order (the first level of A-priori / co-view "customers also
+    bought" mining). The pair generation is a SELF-equi-join on the basket
+    key, never a global cross join: work is Σ k_i²/2 over per-order line
+    counts k_i (bounded — TPC-H orders cap at 7 lines), and the pair
+    aggregate map-side-combines before its shuffle. The final top-{MB_TOP}
+    runs over the (part1, part2) counts with the full (count desc, keys)
+    tie-break, as a rank window over the already-aggregated relation.
+
+    Scale: shuffle 1 keys baskets on l_orderkey (natural, high
+    cardinality); shuffle 2 carries distinct pairs only. Skew guard at
+    100 TB: a mega-basket (k ≫ avg) quadratically explodes its own pairs —
+    cap k per basket upstream or salt the basket, the same lever the
+    fuzzy-join blocking documents."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part1"),
+        F.col("b.l_partkey").alias("part2"),
+    )
+    counted = pairs.groupBy("part1", "part2").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = W.orderBy(F.col("n_orders").desc(), F.col("part1"), F.col("part2"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MB_TOP)
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            "part1",
+            "part2",
+            F.col("n_orders").cast("long").alias("n_orders"),
+        )
+    )

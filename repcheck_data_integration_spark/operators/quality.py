@@ -336,3 +336,54 @@ def dq_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dq_benford_digits",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n) AS total FROM c)
+    SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+           floor(c.n * 1.0 / t.total * 10000.0 + 0.5) / 10000.0
+               AS observed_share,
+           floor(log10(1.0 + 1.0 / c.digit) * 10000.0 + 0.5) / 10000.0
+               AS benford_share
+    FROM c, t
+    ORDER BY c.digit
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit on order totals — the classic
+    fabricated-data / unit-mix smell test for a monetary column (an honest
+    price population tracks log10(1+1/d); a synthesized-uniform one shows
+    up flat, which the fixture data indeed does — the point is the audit
+    runs, not that TPC-H passes it). First digit is taken from the CENTS
+    integer (money rule: never stringify a float — '1.0E4'-style
+    scientific rendering would hand back garbage digits and differs
+    between engines). One 9-row aggregate + a broadcast scalar total;
+    shares and the log10 references go through the shared floor-round."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        1, 1,
+    ).cast("long")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    return (
+        c.join(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            (F.floor(F.col("n") * 1.0 / F.col("total") * 10000.0 + 0.5)
+             / 10000.0).alias("observed_share"),
+            (F.floor(F.log10(1.0 + 1.0 / F.col("digit")) * 10000.0 + 0.5)
+             / 10000.0).alias("benford_share"),
+        )
+        .orderBy("digit")
+    )
