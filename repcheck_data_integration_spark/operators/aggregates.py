@@ -615,3 +615,153 @@ def agg_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders").cast("long").alias("n_orders"),
         )
     )
+
+
+_VC = "CAST(round(value * 100, 0) AS BIGINT)"
+
+
+@register(
+    "agg_ab_ttest",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum({_VC}) AS DOUBLE) AS sx,
+               CAST(sum({_VC} * {_VC}) AS DOUBLE) AS sx2
+        FROM events
+        WHERE event_type IN ('click', 'view')
+        GROUP BY event_type),
+    w AS (
+        SELECT max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+               max(CASE WHEN event_type = 'click' THEN sx END) AS sx1,
+               max(CASE WHEN event_type = 'click' THEN sx2 END) AS sx21,
+               max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+               max(CASE WHEN event_type = 'view' THEN sx END) AS sx2_,
+               max(CASE WHEN event_type = 'view' THEN sx2 END) AS sx22
+        FROM s)
+    SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view,
+           floor(sx1 / n1 / 100.0 * 10000.0 + 0.5) / 10000.0
+               AS mean_click,
+           floor(sx2_ / n2 / 100.0 * 10000.0 + 0.5) / 10000.0 AS mean_view,
+           floor((sx1 / n1 - sx2_ / n2)
+                 / sqrt((sx21 - sx1 * sx1 / n1) / (n1 - 1) / n1
+                        + (sx22 - sx2_ * sx2_ / n2) / (n2 - 1) / n2)
+                 * 10000.0 + 0.5) / 10000.0 AS welch_t
+    FROM w
+    """,
+)
+def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B comparison of event value between two arms (click vs view) via
+    the Welch t statistic — the experiment-analysis primitive, computed
+    from EXACT scaled-integer moments per arm (the agg_stats_moments
+    machinery) and then a single pivot to one row, so the float formula
+    runs once on identical inputs in both engines. Degrees-of-freedom /
+    p-value lookup is a driver-side scalar (special functions aren't a
+    distributed concern) and is deliberately out of the relational
+    contract. Scale: one partial+final aggregate over the fact table, a
+    2-row pivot — nothing else."""
+    from .dedup import stable_round4
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    vc = F.round(F.col("value") * 100, 0).cast("long").cast("decimal(38,0)")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vc).cast("double").alias("sx"),
+        F.sum(vc * vc).cast("double").alias("sx2"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("sx2"))).alias("sx21"),
+        F.max(F.when(F.col("event_type") == "view", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == "view", F.col("sx"))).alias("sx2_"),
+        F.max(F.when(F.col("event_type") == "view", F.col("sx2"))).alias("sx22"),
+    )
+    m1 = F.col("sx1") / F.col("n1")
+    m2 = F.col("sx2_") / F.col("n2")
+    var1 = (F.col("sx21") - F.col("sx1") * F.col("sx1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    var2 = (F.col("sx22") - F.col("sx2_") * F.col("sx2_") / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    t = (m1 - m2) / F.sqrt(var1 / F.col("n1") + var2 / F.col("n2"))
+    return w.select(
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_view"),
+        stable_round4(m1 / 100.0).alias("mean_click"),
+        stable_round4(m2 / 100.0).alias("mean_view"),
+        stable_round4(t).alias("welch_t"),
+    )
+
+
+RFM_ASOF = "1998-12-01"  # recency anchor (TPC-H dataset end)
+
+
+@register(
+    "agg_rfm_scores",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         DATE '{RFM_ASOF}') AS recency_days,
+               count(*) AS frequency,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey),
+    scored AS (
+        SELECT *,
+               ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+               ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+                   AS m_score
+        FROM base)
+    SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           CAST(monetary_cents AS BIGINT) AS monetary_cents,
+           CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_cell
+    FROM scored
+    """,
+)
+def agg_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring (recency / frequency / monetary quintiles) —
+    the classic segmentation op, run as one customer aggregate plus three
+    ntile windows. Every window carries (metric, o_custkey) full
+    tie-breaks: ntile boundary assignment is order-dependent, so without
+    the key tie-break equal metrics would land in different quintiles
+    across engines/partitionings. Monetary stays in integer cents.
+    Scale: aggregate shuffles on o_custkey; the three global ntiles sort
+    the |customers| aggregate (not the fact table) — swap to percent_rank
+    bucketing if the customer dimension itself outgrows a sort."""
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ASOF).cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    r = F.ntile(5).over(W.orderBy(F.col("recency_days").asc(), F.col("o_custkey")))
+    f = F.ntile(5).over(W.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+    m = F.ntile(5).over(
+        W.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey"))
+    )
+    return base.select(
+        "o_custkey",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        F.col("monetary_cents").cast("long").alias("monetary_cents"),
+        r.cast("int").alias("r_score"),
+        f.cast("int").alias("f_score"),
+        m.cast("int").alias("m_score"),
+    ).withColumn(
+        "rfm_cell",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int"),
+    )
