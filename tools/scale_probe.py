@@ -68,6 +68,15 @@ PROBES = [
     "text_bigram_xent",
     "mix_epoch_schedule",
     "events_markov_transitions",
+    # round-3 continuation ops with non-trivial scale shapes
+    "agg_heavy_hitters_exact",
+    "agg_copurchase_pairs",
+    "agg_count_min_sketch",
+    "llm_pdf_extract",
+    "events_cusum_drift",
+    "win_ewma_trailing",
+    "text_bpe_encode",
+    "sample_weighted",
 ]
 
 
