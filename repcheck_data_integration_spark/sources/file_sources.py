@@ -541,3 +541,34 @@ def snk_partitioned_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _mark_done(out)
     return spark.read.parquet(out).select("event_id", "event_type", "value")
+
+
+@register(
+    "src_orc_scan",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+    FROM documents
+    """,
+)
+def src_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink roundtrip: documents written once as ORC (zlib,
+    Spark's built-in writer — no external package), re-read and reduced to
+    md5 digests. The oracle proves the columnar roundtrip is
+    content-neutral vs the parquet original — same contract as
+    snk_compact_files. ORC matters as the interchange column format of the
+    Hive/Trino world; predicate pushdown and column pruning work on the
+    ORC scan exactly as on parquet (Spark's OrcFileFormat implements the
+    same datasource filters API), so every plan property the parquet tests
+    pin carries over."""
+    d = _fixture_dir(sf_dir, "orc_docs")
+    if not _done(d):
+        os.makedirs(d, exist_ok=True)
+        load(spark, sf_dir, "documents").write.mode("overwrite").orc(d)
+        _mark_done(d)
+    return spark.read.orc(d).select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "lang",
+        "source",
+        "n_chars",
+    )

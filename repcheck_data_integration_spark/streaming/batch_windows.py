@@ -697,3 +697,86 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cusum"),
         (s > CUSUM_H_CENTS * F.col("n_u")).alias("drift_alarm"),
     )
+
+
+ATTR_WINDOW_S = 1800  # attribution lookback: 30 minutes
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_id, ts, user_id, event_type,
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN struct_pack(t_ts := ts, t_id := event_id,
+                                     t_type := event_type)
+               END AS touch
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')),
+    lastt AS (
+        SELECT event_id, ts, user_id, event_type,
+               last_value(touch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS lt
+        FROM tagged)
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN lt.t_ts IS NOT NULL
+                     AND epoch(ts) - epoch(lt.t_ts) <= {ATTR_WINDOW_S}
+                THEN lt.t_id END AS touch_id,
+           CASE WHEN lt.t_ts IS NOT NULL
+                     AND epoch(ts) - epoch(lt.t_ts) <= {ATTR_WINDOW_S}
+                THEN lt.t_type ELSE 'organic' END AS touch_type,
+           CASE WHEN lt.t_ts IS NOT NULL
+                     AND epoch(ts) - epoch(lt.t_ts) <= {ATTR_WINDOW_S}
+                THEN CAST(floor(epoch(ts) - epoch(lt.t_ts)) AS BIGINT)
+           END AS touch_age_s
+    FROM lastt WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the same
+    user's most recent click/view within a {ATTR_WINDOW_S}s lookback, else
+    'organic'. Single-pass shape: tag touches as a nullable struct, one
+    (user_id) window takes last-ignore-nulls over the strictly-preceding
+    frame (1 PRECEDING — a touch at the purchase's own timestamp but a
+    later event_id must NOT attribute, and the tie-break makes that
+    deterministic), then the lookback cutoff filters stale touches.
+    Fractional-epoch age (the win_session_features lesson: unix_timestamp
+    floors, epoch() doesn't) floored once at the end.
+
+    Scale: ONE window shuffle on user_id for the whole op — the as-of
+    union+window machinery (operators/temporal.py) specialized to the
+    same-table case; no self-join, no range join."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.struct(
+            F.col("ts").alias("t_ts"),
+            F.col("event_id").alias("t_id"),
+            F.col("event_type").alias("t_type"),
+        ),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    lt = e.select(
+        "event_id", "ts", "user_id", "event_type", touch.alias("touch")
+    ).withColumn("lt", F.last("touch", ignorenulls=True).over(w))
+    age = F.col("ts").cast("double") - F.col("lt.t_ts").cast("double")
+    ok = F.col("lt.t_ts").isNotNull() & (age <= ATTR_WINDOW_S)
+    return lt.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(ok, F.col("lt.t_id")).alias("touch_id"),
+        F.when(ok, F.col("lt.t_type")).otherwise(F.lit("organic")).alias(
+            "touch_type"
+        ),
+        F.when(ok, F.floor(age).cast("long")).alias("touch_age_s"),
+    )
