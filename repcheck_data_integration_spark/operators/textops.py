@@ -1364,9 +1364,19 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     j_col = F.explode(
         F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
     ).alias("j")
-    hashed = words.select("word", j_col)
+
+    # The token stream is scanned ONCE, into the exact vocabulary counts;
+    # the sketch cells then aggregate the (tiny, Zipf-compressed) vocab —
+    # cell cnt = Σ exact_count over colliding words, identical arithmetic
+    # to incrementing per occurrence (additivity), at vocab cost. The 10x
+    # probe dropped from 13.9s to the re-aggregation floor after this.
+    exact = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    ).persist()
+    hashed = exact.select("word", "exact_count", j_col)
     bucketed = hashed.select(
         "j",
+        "exact_count",
         F.when(F.col("j") == 0, bucket(F.col("word"), 0))
         .when(F.col("j") == 1, bucket(F.col("word"), 1))
         .when(F.col("j") == 2, bucket(F.col("word"), 2))
@@ -1374,11 +1384,7 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
     )
     cells = bucketed.groupBy("j", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-
-    exact = words.groupBy("word").agg(
-        F.count(F.lit(1)).alias("exact_count")
+        F.sum("exact_count").alias("cnt")
     )
     topw = W.orderBy(F.col("exact_count").desc(), F.col("word"))
     top = (
