@@ -441,3 +441,52 @@ def fn_geo_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("lon").between(lo_lon, hi_lon)
         ).alias("in_bbox"),
     )
+
+
+@register(
+    "fn_variant_pack",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           'OBJECT<k: BIGINT>' AS props_vtype,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS seq1,
+           '{"k":' || json_extract_string(props, '$.k')
+               || ',"seq":[' || CAST(CAST(json_extract_string(props, '$.k')
+                                          AS BIGINT) % 3 AS VARCHAR)
+               || ',' || CAST(CAST(json_extract_string(props, '$.k')
+                                   AS BIGINT) % 5 AS VARCHAR)
+               || ']}' AS packed_variant_json
+    FROM events
+    """,
+)
+def fn_variant_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface (the open-format semi-structured type that
+    replaces string-JSON hot paths — binary-encoded, typed access without
+    re-parsing): parse_json on the props column, typed variant_get
+    extraction, schema_of_variant inference (pinned against the literal
+    the oracle expects — any drift in inference breaks the hash), a typed
+    array element pulled out of a CONSTRUCTED variant, and the to_json
+    roundtrip of that construction (field names chosen in lexicographic
+    order so key-ordering conventions can't differ). DuckDB has no
+    variant; its JSON functions are the semantic oracle.
+
+    Scale: per-row kernels, shuffle-free; at 100 TB the win of variant
+    over get_json_object is single-parse binary access — the same reason
+    the reference keeps JSONB in Postgres (models.py:84-97) instead of
+    text."""
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    built = F.concat(
+        F.lit('{"k":'), k.cast("string"),
+        F.lit(',"seq":['), (k % 3).cast("string"),
+        F.lit(","), (k % 5).cast("string"), F.lit("]}"),
+    )
+    bv = F.parse_json(built)
+    return e.select(
+        "event_id",
+        k.alias("k_val"),
+        F.schema_of_variant(v).alias("props_vtype"),
+        F.variant_get(bv, "$.seq[1]", "bigint").alias("seq1"),
+        F.to_json(bv).alias("packed_variant_json"),
+    )

@@ -535,3 +535,50 @@ def text_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pr >= F.lit(1.0 - TOP_P_KEEP)).alias("keep_top"),
         )
     )
+
+
+@register("text_compression_ratio")
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (the RedPajama-2 / FineWeb family
+    of corpus signals; gzip-ability separates natural prose from
+    boilerplate and token-salad): raw UTF-8 byte length vs zlib-level-6
+    deflate length, as an Arrow-batched pandas_udf over stdlib zlib.
+    Rows-only: no SQL engine exposes deflate, and the byte count depends
+    on the DEFLATE encoder — but it is deterministic for a fixed zlib
+    (CPython bundles the same zlib everywhere), which the known-text unit
+    tests pin (repetitive text < 0.3, high-entropy text ~1.0).
+
+    Scale: pure map, shuffle-free, Arrow transfer both ways; the python
+    kernel is bytes-in/ints-out so batch size, not row width, bounds
+    memory — the same profile as the multimodal decode stubs."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: the module's postponed annotations (PEP 563) would
+    # reach pandas_udf as unresolvable strings
+    @pandas_udf("struct<n_bytes: long, n_deflate: long>")
+    def deflate_len(texts):
+        raw = texts.fillna("").map(lambda t: t.encode("utf-8"))
+        return pd.DataFrame(
+            {
+                "n_bytes": raw.map(len),
+                "n_deflate": raw.map(lambda b: len(zlib.compress(b, 6))),
+            }
+        )
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", deflate_len(F.col("text")).alias("z"))
+        .select(
+            "doc_id",
+            F.col("z.n_bytes").alias("n_bytes"),
+            F.col("z.n_deflate").alias("n_deflate"),
+            stable_round4(
+                F.when(F.col("z.n_bytes") == 0, F.lit(0.0)).otherwise(
+                    F.col("z.n_deflate") * 1.0 / F.col("z.n_bytes")
+                )
+            ).alias("compression_ratio"),
+        )
+    )

@@ -234,3 +234,37 @@ def test_heavy_hitters_exact_on_synthetic_skew(spark, monkeypatch):
         (w, c) for w, c in cnt.items() if c * textops.MG_CAPACITY > n
     }
     assert got == expect and len(expect) > 0
+
+
+def test_compression_ratio_separates_repetition(spark, monkeypatch):
+    """zlib-ratio signal: repetitive text deflates hard, high-entropy text
+    doesn't; ratios must be reproducible exactly for fixed input (CPython's
+    bundled zlib is deterministic at a given level)."""
+    import random
+
+    from repcheck_data_integration_spark.operators import textstats
+
+    rng = random.Random(7)
+    noisy = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789 ")
+                    for _ in range(2000))
+    d = spark.createDataFrame(
+        [(1, "spam ham " * 250), (2, noisy), (3, "")],
+        ["doc_id", "text"],
+    )
+    monkeypatch.setattr(
+        "repcheck_data_integration_spark.operators.textstats.load",
+        lambda spark, sf, name: d,
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.text_compression_ratio(spark, "unused").collect()
+    }
+    assert rows[1]["compression_ratio"] < 0.05
+    assert rows[2]["compression_ratio"] > 0.6
+    assert rows[3]["n_bytes"] == 0 and rows[3]["compression_ratio"] == 0.0
+    # determinism: re-running yields identical deflate byte counts
+    again = {
+        r["doc_id"]: r["n_deflate"]
+        for r in textstats.text_compression_ratio(spark, "unused").collect()
+    }
+    assert again == {k: v["n_deflate"] for k, v in rows.items()}
