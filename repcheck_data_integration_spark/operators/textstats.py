@@ -582,3 +582,63 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression_ratio"),
         )
     )
+
+
+@register(
+    "fn_arrow_bytes_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_utf8_bytes,
+           CAST(length(regexp_replace(text, '[^\x00-\x7f]', '', 'g'))
+                AS BIGINT) AS n_ascii_chars,
+           CAST(length(text) AS BIGINT) AS n_chars_arrow
+    FROM documents
+    """,
+)
+def fn_arrow_bytes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — §2.8 vehicle #7 (after pandas_udf, mapInPandas,
+    applyInPandas, applyInPandasWithState, cogrouped applyInPandas, and
+    the python UDTF): RecordBatches flow straight from the JVM into
+    pyarrow.compute kernels with NO pandas materialization — the
+    zero-copy path for columnar python logic (and the shape Arrow-native
+    libraries like polars plug into). Kernels here: UTF-8 byte length,
+    ASCII-only char count (via ascii classification), codepoint length —
+    each cross-checked by a DuckDB string-function oracle.
+
+    Scale: shuffle-free map; vs mapInPandas this skips the
+    Arrow→pandas→Arrow conversions entirely, which at 100 TB is the
+    difference between memory-bandwidth-bound and allocation-bound python
+    stages."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it):
+        for rb in it:
+            t = rb.column(rb.schema.get_field_index("text"))
+            raw = pc.binary_length(pc.cast(t, pa.binary()))
+            # ascii chars = chars whose codepoint < 128: strip non-ascii
+            # by replacing them with '' via regex on the utf8 type
+            ascii_only = pc.replace_substring_regex(
+                t, pattern=r"[^\x00-\x7f]", replacement=""
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("doc_id")),
+                    pc.cast(raw, pa.int64()),
+                    pc.cast(pc.utf8_length(ascii_only), pa.int64()),
+                    pc.cast(pc.utf8_length(t), pa.int64()),
+                ],
+                names=[
+                    "doc_id", "n_utf8_bytes", "n_ascii_chars",
+                    "n_chars_arrow",
+                ],
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        batches,
+        schema=(
+            "doc_id long, n_utf8_bytes long, n_ascii_chars long,"
+            " n_chars_arrow long"
+        ),
+    )
