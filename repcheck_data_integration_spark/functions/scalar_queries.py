@@ -490,3 +490,104 @@ def fn_variant_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(bv, "$.seq[1]", "bigint").alias("seq1"),
         F.to_json(bv).alias("packed_variant_json"),
     )
+
+
+@register(
+    "fn_recursive_cte_depth",
+    oracle="""
+    WITH RECURSIVE walk(doc_id, depth) AS (
+        SELECT doc_id, 0 FROM documents WHERE doc_id < 2
+        UNION ALL
+        SELECT d.doc_id, w.depth + 1
+        FROM documents d JOIN walk w ON d.doc_id // 2 = w.doc_id
+        WHERE d.doc_id >= 2)
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM walk GROUP BY depth ORDER BY depth
+    """,
+)
+def fn_recursive_cte_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (landed in Spark 4 — the last big ANSI gap vs
+    classical warehouses): walk the implicit binary-tree hierarchy
+    parent(doc) = doc div 2 from the roots down, emitting per-depth
+    population. The reference's division hierarchies (state → county →
+    tract OCD ids, scripts/census/*) are exactly this closure shape; the
+    synthetic doc-id tree keeps it oracle-checkable without new fixtures.
+
+    Scale: each recursion level is one equi-join of the frontier against
+    the (pruned) id projection — Spark executes it as iterative joins
+    under one plan; depth is log2(N) for this tree, and the frontier is
+    the only growing state. DuckDB runs the identical recursive form
+    (// is its integer division; Spark's is div)."""
+    load(spark, sf_dir, "documents").select("doc_id").createOrReplaceTempView(
+        "__rec_docs__"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(doc_id, depth) AS (
+            SELECT doc_id, 0 FROM __rec_docs__ WHERE doc_id < 2
+            UNION ALL
+            SELECT d.doc_id, w.depth + 1
+            FROM __rec_docs__ d JOIN walk w ON d.doc_id div 2 = w.doc_id
+            WHERE d.doc_id >= 2)
+        SELECT depth, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS min_id,
+               CAST(max(doc_id) AS BIGINT) AS max_id
+        FROM walk GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+@register(
+    "fn_collation_group",
+    oracle="""
+    WITH mixed AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                    WHEN doc_id % 3 = 1 THEN source
+                    ELSE upper(substr(source, 1, 1)) || substr(source, 2)
+               END AS source_mixed
+        FROM documents)
+    SELECT lower(source_mixed) AS source_ci,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(source_mixed) AS min_variant
+    FROM mixed
+    GROUP BY lower(source_mixed)
+    ORDER BY source_ci
+    """,
+)
+def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): group case-VARIANT
+    source strings under UTF8_LCASE collation — the engine's native
+    case-insensitive equality, not a lower() rewrite (the grouping key
+    retains its original case; lower() is applied only to NAME the group
+    in the output, matching the oracle's key). Binary min() picks the
+    deterministic representative (uppercase variants sort first in both
+    engines). Deterministic mixed-casing is synthesized per doc_id
+    residue, same pattern as the URL/PII synthesizers."""
+    d = load(spark, sf_dir, "documents")
+    mixed = (
+        F.when(F.col("doc_id") % 3 == 0, F.upper(F.col("source")))
+        .when(F.col("doc_id") % 3 == 1, F.col("source"))
+        .otherwise(
+            F.concat(
+                F.upper(F.substring(F.col("source"), 1, 1)),
+                F.expr("substring(source, 2)"),
+            )
+        )
+    )
+    m = d.select(F.col("doc_id"), mixed.alias("source_mixed"))
+    return (
+        m.groupBy(F.collate(F.col("source_mixed"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(F.col("source_mixed").cast("string")).alias("min_variant"),
+        )
+        .select(
+            F.lower(F.col("k").cast("string")).alias("source_ci"),
+            "n_docs",
+            "min_variant",
+        )
+        .orderBy("source_ci")
+    )
