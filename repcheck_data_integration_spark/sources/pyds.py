@@ -82,3 +82,61 @@ def src_pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     unused — the source is synthetic by design."""
     _ensure_registered(spark)
     return spark.read.format("synthetic_range").load()
+
+
+# --- streaming python data source (Spark 4 SimpleDataSourceStreamReader) --
+
+TICKS_PER_BATCH = 100
+
+
+def _make_tick_reader():
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class SyntheticTickStreamReader(SimpleDataSourceStreamReader):
+        """Offset-based deterministic tick stream: each micro-batch emits
+        the next TICKS_PER_BATCH ids. Implements the
+        SimpleDataSourceStreamReader contract — initialOffset /
+        read(start) -> (rows, nextOffset) / readBetweenOffsets for replay
+        after restart (commit/stop inherit the base defaults) — exactly
+        the shape of a paginated API poller or cursor-tailing CDC reader
+        (the distributed, checkpointable form of the reference's
+        driver-side fetch loops, scripts/census/zip_codes.py:20-45)."""
+
+        def initialOffset(self):
+            return {"next": 0}
+
+        def _rows(self, start: int, end: int):
+            return iter(
+                [
+                    (i, f"tick-{i % 7}", float(i % 13))
+                    for i in range(start, end)
+                ]
+            )
+
+        def read(self, start):
+            s = start["next"]
+            e = s + TICKS_PER_BATCH
+            return self._rows(s, e), {"next": e}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["next"], end["next"])
+
+    return SyntheticTickStreamReader
+
+
+def make_tick_source():
+    """Build the DataSource class lazily (import-safe if the API moves)."""
+    from pyspark.sql.datasource import DataSource
+
+    class SyntheticTickSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_ticks"
+
+        def schema(self):
+            return "tick_id BIGINT, label STRING, value DOUBLE"
+
+        def simpleStreamReader(self, schema):
+            return _make_tick_reader()()
+
+    return SyntheticTickSource
