@@ -765,3 +765,39 @@ def agg_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
         .cast("int"),
     )
+
+
+@register(
+    "agg_pandas_api_counts",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_pandas_api_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas API on Spark as a query-authoring surface (the fourth, after
+    DataFrame, SQL, and the python-eval vehicles): a pandas
+    groupby-size-sort chain that COMPILES TO THE SAME CATALYST PLAN as the
+    native groupBy — no driver materialization, no Arrow transfer; only
+    the API dialect differs. index_col is pinned on read and to_spark so
+    pandas-on-Spark doesn't attach its sequential default index (a
+    window-over-everything at scale — the one real trap of this API).
+    Registered so a pandas-fluent user of the engine has a checked
+    on-ramp; everything else in the repo stays native-DataFrame."""
+    import os as _os
+
+    import pyspark.pandas as ps
+
+    pdf = ps.read_parquet(
+        _os.path.join(sf_dir, "orders.parquet"), index_col="o_orderkey"
+    )
+    out = (
+        pdf.groupby("o_orderpriority")
+        .size()
+        .sort_index()
+        .to_frame("n_orders")
+        .reset_index()
+    )
+    return out.to_spark(index_col="__idx").drop("__idx").select(
+        "o_orderpriority", F.col("n_orders").cast("long").alias("n_orders")
+    )

@@ -188,3 +188,34 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_observation_metrics_inline(spark):
+    """df.observe + Observation: data-quality metrics (row count, null
+    count, exact cents sum) ride the SAME job as the real action — no
+    second scan. The lever for 100 TB pipelines that want per-batch DQ
+    numbers without doubling I/O."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from repcheck_data_integration_spark.tables import load
+
+    o = load(spark, "/root/testdata/sf0.001", "orders")
+    obs = Observation("dq")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "cents"
+        ),
+    )
+    # one real action; metrics materialize as a side effect
+    n_direct = observed.count()
+    m = obs.get
+    assert m["n_rows"] == n_direct
+    assert m["null_cust"] == 0
+    expected_cents = o.select(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+    ).first()[0]
+    assert m["cents"] == expected_cents
