@@ -51,7 +51,12 @@ def pdf_from_text(text: str, wrap: int = 80) -> bytes:
     Flate-compressed. Layout mirrors what simple generators emit: one BT/ET
     block, ``Td`` to the origin, ``T*`` per subsequent line."""
     lines: list[bytes] = []
-    for src_line in text.split("\n"):
+    for raw_line in text.split("\n"):
+        # latin-1 projection BEFORE wrapping, so dropped codepoints can't
+        # shorten chunks — the roundtrip contract is project-then-wrap
+        src_line = raw_line.encode("latin-1", errors="ignore").decode(
+            "latin-1"
+        )
         if not src_line:
             lines.append(b"")
             continue

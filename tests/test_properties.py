@@ -100,3 +100,31 @@ def test_uuid5_matches_stdlib_on_arbitrary_text(spark, names):
     }
     for n in names:
         assert got[n] == str(uuid.uuid5(uuid.NAMESPACE_OID, n))
+
+
+# --- pdf writer/extractor roundtrip under arbitrary text ------------------
+
+# pure-python kernel: no JVM per example, so examples can be generous
+PDF_SETTINGS = settings(max_examples=120, deadline=None)
+
+
+@PDF_SETTINGS
+@given(text=st.text(max_size=400), wrap=st.integers(4, 120))
+def test_pdf_roundtrip_property(text, wrap):
+    """For ARBITRARY unicode text and wrap widths: extract(write(text)) ==
+    the latin-1 projection hard-wrapped with empties dropped — the exact
+    contract llm_pdf_extract leans on. Exercises escape handling,
+    parenthesis nesting, control bytes, and CR/LF payloads the
+    example-based tests can't enumerate."""
+    from repcheck_data_integration_spark.sources.pdftext import (
+        extract_pdf_text,
+        pdf_from_text,
+    )
+
+    got = extract_pdf_text(pdf_from_text(text, wrap=wrap))
+    proj = text.encode("latin-1", errors="ignore").decode("latin-1")
+    lines = []
+    for ln in proj.split("\n"):
+        for off in range(0, max(len(ln), 1), wrap):
+            lines.append(ln[off : off + wrap])
+    assert got == "\n".join(ln for ln in lines if ln)
