@@ -760,3 +760,85 @@ def join_asof_cogroup_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(refs.groupBy("user_id"))
         .applyInPandas(merge, schema="event_id long, user_id long, asof_value double")
     )
+
+
+@register(
+    "join_pit_scd2",
+    oracle=f"""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment,
+               TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+               CASE WHEN c_custkey % 5 = 0
+                    THEN TIMESTAMP '2025-06-01 00:00:00'
+                    ELSE TIMESTAMP '{HIGH_DATE}' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'PIVOTED' AS c_mktsegment,
+               TIMESTAMP '2025-06-01 00:00:00' AS valid_from,
+               TIMESTAMP '{HIGH_DATE}' AS valid_to
+        FROM customer WHERE c_custkey % 5 = 0),
+    facts AS (
+        SELECT o_orderkey, o_custkey,
+               TIMESTAMP '2025-01-01 00:00:00'
+                   + INTERVAL (o_orderkey % 365) DAY AS fact_ts
+        FROM orders)
+    SELECT f.o_orderkey, f.o_custkey, f.fact_ts,
+           d.c_mktsegment AS segment_at_fact
+    FROM facts f JOIN dim d
+      ON d.c_custkey = f.o_custkey
+     AND f.fact_ts >= d.valid_from AND f.fact_ts < d.valid_to
+    """,
+)
+def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against the SCD2 dimension (the consumer side of
+    snk_scd2, and the feature-store correctness primitive: a fact must see
+    the dimension AS OF its own timestamp, never today's row — the classic
+    training-serving leakage bug). Versioned dim = baseline interval plus
+    the post-2025-06-01 'PIVOTED' version for every 5th customer; fact
+    timestamps synthesized to straddle the boundary, so both versions are
+    actually selected.
+
+    Plan shape: an EQUI-join on the customer key with the interval bounds
+    as residual filters — correct because SCD2 guarantees few,
+    non-overlapping versions per key (candidates per fact = its key's
+    version count, bounded), so no time-bucketing is needed; contrast
+    join_range_interval, which buckets because its intervals share no
+    equality key. [valid_from, valid_to) half-open semantics make the
+    version choice unique at the boundary instant."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    base = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.lit("2025-06-01 00:00:00").cast("timestamp"),
+        )
+        .otherwise(F.lit(HIGH_DATE).cast("timestamp"))
+        .alias("valid_to"),
+    )
+    pivoted = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("PIVOTED").alias("c_mktsegment"),
+        F.lit("2025-06-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(HIGH_DATE).cast("timestamp").alias("valid_to"),
+    )
+    dim = base.unionByName(pivoted)
+    facts = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "TIMESTAMP '2025-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, o_orderkey % 365, 0, 0, 0)"
+        ).alias("fact_ts"),
+    )
+    return facts.join(
+        dim,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("fact_ts") >= F.col("valid_from"))
+        & (F.col("fact_ts") < F.col("valid_to")),
+    ).select(
+        "o_orderkey", "o_custkey", "fact_ts",
+        F.col("c_mktsegment").alias("segment_at_fact"),
+    )
