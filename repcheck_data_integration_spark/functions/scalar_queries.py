@@ -591,3 +591,51 @@ def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_ci")
     )
+
+
+@register(
+    "fn_try_arith_pack",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                     = 0 THEN NULL
+                ELSE value / (CAST(json_extract_string(props, '$.k')
+                                   AS BIGINT) % 10) END AS safe_div,
+           TRY_CAST('x' || CAST(event_id % 3 AS VARCHAR) AS BIGINT)
+               AS bad_cast,
+           TRY_CAST(CASE WHEN event_id % 2 = 0
+                         THEN CAST(event_id AS VARCHAR)
+                         ELSE 'n/a' END AS BIGINT) AS half_cast,
+           9223372036854775807 + CASE WHEN false THEN 1 ELSE 0 END
+               AS max_long
+    FROM events
+    """,
+)
+def fn_try_arith_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic (Spark 4 runs ANSI ON by default —
+    division by zero / overflow / bad casts now THROW, the warehouse
+    behavior; the reference's python ETL silently wrapped or None'd):
+    try_divide (NULL instead of DIVIDE_BY_ZERO), try_cast on malformed
+    strings, and a constant-folded boundary value proving longs are
+    exact to the last bit across engines. The mixed-validity half_cast
+    column is the realistic ingest case — numeric ids arriving as text
+    with sentinel garbage."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        F.try_divide(F.col("value"), k % 10).alias("safe_div"),
+        F.try_to_number(
+            F.concat(F.lit("x"), (F.col("event_id") % 3).cast("string")),
+            F.lit("999"),
+        ).cast("long").alias("bad_cast"),
+        F.when(
+            F.col("event_id") % 2 == 0, F.col("event_id").cast("string")
+        )
+        .otherwise(F.lit("n/a"))
+        .try_cast("long")
+        .alias("half_cast"),
+        (F.lit(9223372036854775807).cast("long")).alias("max_long"),
+    )

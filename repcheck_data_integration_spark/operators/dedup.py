@@ -991,6 +991,48 @@ _URL_CANON_SQL = """
         FROM documents"""
 
 
+def synth_messy_url():
+    """Deterministic messy URL variant per doc (case/port/slash/utm/
+    fragment axes keyed off doc_id residues; /page/<doc_id%40> forces
+    cross-doc collisions). Mirrors _URL_CANON_SQL exactly."""
+    return F.concat(
+        F.lit("HTTPS://"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.upper(F.col("source"))
+        ).otherwise(F.col("source")),
+        F.lit(".Example.com"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed&id=")
+        ).otherwise(F.lit("?id=")),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("&utm_campaign=x")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#section-2")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def canonical_url_col(url):
+    """Canonicalize: lowercase host, drop port, strip trailing slash and
+    fragment, keep only the identifying param."""
+    return F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract(url, "^[A-Za-z]+://([^/:?#]+)", 1)),
+        F.regexp_replace(
+            F.regexp_extract(url, "^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1),
+            "/$", "",
+        ),
+        F.lit("?id="),
+        F.regexp_extract(url, "[?&]id=([0-9]+)", 1),
+    )
+
+
 @register(
     "dedup_url_canonical",
     oracle=f"""
@@ -1029,37 +1071,7 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     same single-shuffle shape as dedup_exact, because after
     canonicalization URL dedup IS exact dedup."""
     d = load(spark, sf_dir, "documents")
-    url = F.concat(
-        F.lit("HTTPS://"),
-        F.when(
-            F.col("doc_id") % 2 == 0, F.upper(F.col("source"))
-        ).otherwise(F.col("source")),
-        F.lit(".Example.com"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
-        F.lit("/page/"),
-        (F.col("doc_id") % 40).cast("string"),
-        F.when(F.col("doc_id") % 2 == 1, F.lit("/")).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed&id=")
-        ).otherwise(F.lit("?id=")),
-        (F.col("doc_id") % 40).cast("string"),
-        F.when(F.col("doc_id") % 5 == 0, F.lit("&utm_campaign=x")).otherwise(
-            F.lit("")
-        ),
-        F.when(F.col("doc_id") % 7 == 0, F.lit("#section-2")).otherwise(
-            F.lit("")
-        ),
-    )
-    canonical = F.concat(
-        F.lit("https://"),
-        F.lower(F.regexp_extract(url, "^[A-Za-z]+://([^/:?#]+)", 1)),
-        F.regexp_replace(
-            F.regexp_extract(url, "^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1),
-            "/$", "",
-        ),
-        F.lit("?id="),
-        F.regexp_extract(url, "[?&]id=([0-9]+)", 1),
-    )
+    canonical = canonical_url_col(synth_messy_url())
     return (
         d.select("doc_id", canonical.alias("canonical_url"))
         .groupBy("canonical_url")

@@ -542,3 +542,91 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.orderBy(
         F.col("es_key").desc(), F.col("doc_id")
     ).limit(WEIGHTED_K)
+
+
+def _web_pipe_sql() -> str:
+    from .dedup import _URL_CANON_SQL
+
+    b = sql_hash_bucket("CAST(doc_id AS VARCHAR)", 100)
+    return f"""
+    WITH urls AS ({_URL_CANON_SQL}),
+    canon AS (
+        SELECT doc_id,
+               'https://'
+               || lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1))
+               || regexp_replace(
+                      regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1),
+                      '/$', '')
+               || '?id=' || regexp_extract(url, '[?&]id=([0-9]+)', 1)
+                   AS curl
+        FROM urls),
+    url_keep AS (
+        SELECT min(doc_id) AS doc_id FROM canon GROUP BY curl),
+    gated AS (
+        SELECT d.doc_id, d.text,
+               len(regexp_extract_all(d.text, '[a-z0-9]+')) AS n_tokens
+        FROM documents d JOIN url_keep USING (doc_id)
+        WHERE len(regexp_extract_all(d.text, '[a-z0-9]+'))
+                  BETWEEN 20 AND 1000),
+    deduped AS (
+        SELECT doc_id, n_tokens, md5(text) AS content_hash,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+        FROM gated)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, content_hash,
+           CASE WHEN {b} < {SPLIT_PCT[0]} THEN 'train'
+                WHEN {b} < {SPLIT_PCT[0] + SPLIT_PCT[1]} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM deduped WHERE doc_id = canon_id
+    """
+
+
+@register("pipeline_web_corpus", oracle=_web_pipe_sql())
+def pipeline_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-scrape curation pipeline in ONE DAG — the CommonCrawl order of
+    operations: URL-canonicalization dedup FIRST (cheapest key, kills
+    refetch aliases before any text is touched), then token-count quality
+    gates, then content exact-dedup, then the reprocessing-stable
+    train/valid/test split. Composes dedup_url_canonical +
+    text gates + dedup_exact + split_train_valid_test as subtrees of one
+    plan: Catalyst pushes the url keep-list semi-join below the text
+    tokenization, so gated token counting runs only on url-unique docs.
+
+    Scale: shuffles are (canonical_url) group, (content_hash) window, and
+    the broadcast-back of the url keep-list — each on a natural key; the
+    split is a zero-shuffle projection."""
+    from pyspark.sql import Window as PW
+
+    from .dedup import canonical_url_col, synth_messy_url
+
+    d = load(spark, sf_dir, "documents")
+    curl = canonical_url_col(synth_messy_url())
+    url_keep = (
+        d.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    toks = F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)
+    gated = (
+        d.join(url_keep, "doc_id", "semi")
+        .select("doc_id", "text", F.size(toks).alias("n_tokens"))
+        .filter(F.col("n_tokens").between(20, 1000))
+    )
+    deduped = gated.select(
+        "doc_id", "n_tokens", F.md5("text").alias("content_hash")
+    ).withColumn(
+        "canon_id", F.min("doc_id").over(PW.partitionBy("content_hash"))
+    )
+    bucket = hash_bucket(F.col("doc_id").cast("string"), 100)
+    return (
+        deduped.filter(F.col("doc_id") == F.col("canon_id"))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "content_hash",
+            F.when(bucket < SPLIT_PCT[0], "train")
+            .when(bucket < SPLIT_PCT[0] + SPLIT_PCT[1], "valid")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
