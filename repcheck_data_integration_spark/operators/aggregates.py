@@ -801,3 +801,66 @@ def agg_pandas_api_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.to_spark(index_col="__idx").drop("__idx").select(
         "o_orderpriority", F.col("n_orders").cast("long").alias("n_orders")
     )
+
+
+@register(
+    "agg_abc_pareto",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                   AS rev_cents
+        FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT sum(rev_cents) AS t FROM rev),
+    ranked AS (
+        SELECT l_partkey, rev_cents,
+               sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                                    ROWS UNBOUNDED PRECEDING) AS cum_cents,
+               row_number() OVER (ORDER BY rev_cents DESC, l_partkey)
+                   AS rev_rank
+        FROM rev)
+    SELECT l_partkey, CAST(rev_rank AS BIGINT) AS rev_rank,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           CASE WHEN cum_cents * 100 <= t * 80 THEN 'A'
+                WHEN cum_cents * 100 <= t * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked, tot
+    """,
+)
+def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue (the 80/15/5
+    inventory rule): cumulative-revenue share assigns class A to the head
+    that covers 80% of revenue, B to 95%, C to the tail. Every compare is
+    INTEGER (cum_cents*100 vs total*80) — no float share ever computed, so
+    the class boundary can't waver between engines; the cumulative window
+    carries the full (revenue desc, key) tie-break.
+
+    Scale: one partial+final aggregate to |parts|, one broadcast scalar,
+    one global cumulative window over the aggregate — swap the global
+    window for range-partitioned prefix sums if the part dimension itself
+    outgrows a sort (same note as agg_rfm_scores)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    tot = rev.agg(F.sum("rev_cents").alias("t"))
+    w = W.orderBy(F.col("rev_cents").desc(), F.col("l_partkey"))
+    ranked = rev.select(
+        "l_partkey",
+        "rev_cents",
+        F.sum("rev_cents")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum_cents"),
+        F.row_number().over(w).alias("rev_rank"),
+    )
+    return ranked.join(F.broadcast(tot)).select(
+        "l_partkey",
+        F.col("rev_rank").cast("long").alias("rev_rank"),
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        F.when(F.col("cum_cents") * 100 <= F.col("t") * 80, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("t") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -375,3 +375,28 @@ def test_ewma_single_window_pass(spark):
     # its argument list don't count) over a single user_id exchange
     assert p.count("+- Window") == 1
     assert p.count("hashpartitioning(") == 1
+
+
+def test_pit_scd2_equi_join_not_nested_loop(spark):
+    """PIT-vs-SCD2 must hash/sort-merge join on the customer key with the
+    interval bounds as residual filters — never nested-loop over the
+    version table."""
+    p = plan(spark, "join_pit_scd2")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )
+
+
+def test_web_corpus_pipeline_single_doc_text_scan(spark):
+    """The composed web pipeline reads the text column in exactly ONE scan
+    subtree (the url keep-list side prunes to doc_id+source) and keeps the
+    keep-list join on the build side — text tokenization must not run for
+    url-duplicate docs."""
+    p = plan(spark, "pipeline_web_corpus")
+    # scans reading the text column: exactly one
+    reads = [seg for seg in p.split("ReadSchema: ")[1:]]
+    text_reads = [r for r in reads if "text" in r.split("\n")[0]]
+    assert len(text_reads) == 1, [r.split("\n")[0] for r in reads]
+    assert "LeftSemi" in p
