@@ -780,3 +780,83 @@ def events_attribution_last_touch(
         ),
         F.when(ok, F.floor(age).cast("long")).alias("touch_age_s"),
     )
+
+
+@register(
+    "events_seasonal_naive_mae",
+    oracle="""
+    WITH hc AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+    scored AS (
+        SELECT a.event_type, a.hour_id, a.n,
+               coalesce(b.n, 0) AS forecast
+        FROM hc a LEFT JOIN hc b
+          ON b.event_type = a.event_type AND b.hour_id = a.hour_id - 24)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(abs(n - forecast)) AS BIGINT) AS abs_err_total,
+           floor(sum(abs(n - forecast)) * 1.0 / count(*) * 10000.0 + 0.5)
+               / 10000.0 AS mae
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest (the forecasting-pipeline sanity
+    baseline every fancier model must beat): predict each hour's event
+    count with the SAME HOUR YESTERDAY, score MAE per event type. The
+    day-ago lookup is a TIME-KEYED self equi-join on (type, hour_id-24)
+    — not lag(24) over rows, which silently mis-predicts across gaps in
+    the hour sequence. Absent history forecasts 0 (the honest cold-start
+    penalty), and the error stays INTEGER until the single final
+    division.
+
+    Scale: the fact table collapses to (type, hour) first — the self-join
+    and scoring run on the tiny aggregate, never on raw events."""
+    e = load(spark, sf_dir, "events")
+    hc = (
+        e.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias(
+                "hour_id"
+            ),
+        )
+        .groupBy("event_type", "hour_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = hc.alias("a")
+    b = hc.alias("b")
+    scored = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.hour_id") == F.col("a.hour_id") - 24),
+        "left",
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n"),
+        F.coalesce(F.col("b.n"), F.lit(0)).alias("forecast"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum(F.abs(F.col("n") - F.col("forecast")))
+            .cast("long")
+            .alias("abs_err_total"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "abs_err_total",
+            (
+                F.floor(
+                    F.col("abs_err_total") * 1.0 / F.col("n_hours") * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("mae"),
+        )
+        .orderBy("event_type")
+    )

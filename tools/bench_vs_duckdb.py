@@ -46,6 +46,12 @@ def main() -> None:
     )
     registry.load_all_modules()
     names = [n for n in HEADLINE if n in registry.QUERIES]
+    if os.environ.get("BENCH_NAMES"):  # ad-hoc subset override
+        names = [
+            n
+            for n in os.environ["BENCH_NAMES"].split(",")
+            if n in registry.QUERIES
+        ]
 
     # --- DuckDB side (oracle twins) ---
     duck: dict[str, float | None] = {}
