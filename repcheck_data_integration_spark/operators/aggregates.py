@@ -864,3 +864,67 @@ def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@register(
+    "agg_gini_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS i
+        FROM rev),
+    s AS (SELECT count(*) AS n, sum(cents) AS t,
+                 sum(i * cents) AS iw
+          FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(t AS BIGINT) AS total_cents,
+           floor((2.0 * iw / (n * t) - (n + 1.0) / n) * 10000.0 + 0.5)
+               / 10000.0 AS gini
+    FROM s
+    """,
+)
+def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality audit for skew planning (a high Gini on the JOIN KEY is
+    the early warning that salting/AQE-skew handling will matter): the
+    rank-weighted identity G = 2·Σ(i·x_(i))/(n·Σx) − (n+1)/n over the
+    ascending-sorted per-customer cents. Rank weights and both sums are
+    exact integers; the formula runs once on the 1-row pivot. Full
+    (cents, key) tie-break on the rank, same global-window caveat as
+    agg_abc_pareto."""
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "cents"
+        )
+    )
+    ranked = rev.select(
+        "cents",
+        F.row_number()
+        .over(W.orderBy(F.col("cents"), F.col("o_custkey")))
+        .alias("i"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("t"),
+        F.sum(F.col("i") * F.col("cents")).alias("iw"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("t").cast("long").alias("total_cents"),
+        (
+            F.floor(
+                (
+                    2.0 * F.col("iw") / (F.col("n") * F.col("t"))
+                    - (F.col("n") + 1.0) / F.col("n")
+                )
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("gini"),
+    )

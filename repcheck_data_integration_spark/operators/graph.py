@@ -394,3 +394,68 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(pairs.select(F.col("cust2").alias("v"), F.col("cust1").alias("n")))
     out = label_propagation(und, rounds=2)
     return out.select(F.col("v").alias("cust"), "community")
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle=f"""
+    WITH {SQL_PAIRS},
+    tri AS (
+        SELECT e1.c1 AS a, e1.c2 AS b, e2.c2 AS c
+        FROM p e1
+        JOIN p e2 ON e1.c2 = e2.c1
+        JOIN p e3 ON e3.c1 = e1.c1 AND e3.c2 = e2.c2),
+    tnodes AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri),
+    tcount AS (SELECT node, count(*) AS n_tri FROM tnodes GROUP BY node),
+    dnodes AS (
+        SELECT c1 AS node FROM p UNION ALL SELECT c2 FROM p),
+    deg AS (SELECT node, count(*) AS degree FROM dnodes GROUP BY node)
+    SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE floor(2.0 * coalesce(t.n_tri, 0)
+                           / (d.degree * (d.degree - 1)) * 10000.0 + 0.5)
+                     / 10000.0 END AS clustering_coeff
+    FROM deg d LEFT JOIN tcount t USING (node)
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — triangles joined with
+    degrees: C(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the standard
+    community-cohesion score (Watts–Strogatz 1998). Composes the two
+    existing subtrees (oriented wedge-close triangle count + degree
+    profile) over ONE persisted pair relation, so the co-purchase edges
+    are built once for both. Degree-1 nodes define C = 0. The ratio is
+    an exact small-integer quotient, floor-rounded once.
+
+    Scale: everything downstream of the (persisted) pair builder runs on
+    |pairs| rows; the triangle joins stay the two equi-joins; the degree
+    aggregate is a map-side-combined count."""
+    p = _copurchase_pairs(spark, sf_dir).select("cust1", "cust2").persist()
+    tri = triangles_per_node(p)
+    deg = (
+        p.select(F.explode(F.array("cust1", "cust2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    coeff = F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+        F.floor(
+            2.0
+            * F.coalesce(F.col("n_triangles"), F.lit(0))
+            / (F.col("degree") * (F.col("degree") - 1))
+            * 10000.0
+            + 0.5
+        )
+        / 10000.0
+    )
+    return deg.join(tri, "node", "left").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("long")
+        .alias("n_triangles"),
+        coeff.alias("clustering_coeff"),
+    )
