@@ -1418,3 +1418,116 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_count").desc(), F.col("word"))
     )
+
+
+RAKE_TOP = 25
+RAKE_SCALE = 1_000_000  # per-word score quantization: floor(deg*1e6/freq)
+_RAKE_SW = "(the|a|of|and|to|in)"
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH padded AS (
+        SELECT doc_id,
+               ' ' || array_to_string(
+                   regexp_extract_all(text, '{TOKEN_RE}'), '  ') || ' '
+                   AS s
+        FROM documents),
+    barred AS (
+        SELECT doc_id,
+               regexp_replace(s, ' {_RAKE_SW} ', ' | ', 'g') AS s
+        FROM padded),
+    phr AS (
+        SELECT doc_id,
+               trim(regexp_replace(p, '  +', ' ', 'g')) AS phrase
+        FROM barred, unnest(string_split(s, '|')) u(p)
+        WHERE trim(p) <> ''),
+    occ AS (SELECT phrase, count(*) AS n_occ FROM phr GROUP BY phrase),
+    pw AS (
+        SELECT phrase, w, len(string_split(phrase, ' ')) AS plen
+        FROM phr, unnest(string_split(phrase, ' ')) u(w)),
+    wstats AS (
+        SELECT w, count(*) AS freq, sum(plen) AS deg FROM pw GROUP BY w),
+    pwords AS (
+        SELECT DISTINCT phrase, w FROM pw),
+    scored AS (
+        SELECT p.phrase,
+               sum(CAST(floor(s.deg * {RAKE_SCALE}.0 / s.freq) AS BIGINT))
+                   AS score_q
+        FROM pwords p JOIN wstats s ON p.w = s.w
+        GROUP BY p.phrase)
+    SELECT s.phrase, CAST(o.n_occ AS BIGINT) AS n_occ,
+           floor(s.score_q * 1.0 / {RAKE_SCALE} * 10000.0 + 0.5) / 10000.0
+               AS rake_score
+    FROM scored s JOIN occ o USING (phrase)
+    ORDER BY rake_score DESC, s.phrase
+    LIMIT {RAKE_TOP}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, public): candidate
+    phrases are maximal stopword-free token runs; each word scores
+    degree/frequency over all phrase occurrences (degree = summed length
+    of phrases containing it), and a phrase scores the sum of its words'
+    scores — corpus top-{RAKE_TOP}. The phrase splitter is pure string
+    algebra both engines share: double-space the token stream so every
+    stopword occurrence owns its delimiters (left-to-right non-overlap
+    replace would otherwise eat the boundary of an adjacent stopword),
+    bar-replace, split, renormalize.
+
+    Determinism: per-word scores are QUANTIZED to integers
+    (floor(deg·1e6/freq)) before the per-phrase sum, so the sum is
+    order-independent — summing rational doubles in shuffle order would
+    not be. Ranking happens on the integer score with a full tie-break.
+    Scale: two explode+aggregate passes over phrase tokens (Zipf-small
+    distinct sets), one broadcast-size word-stats join."""
+    d = load(spark, sf_dir, "documents")
+    padded = F.concat(
+        F.lit(" "),
+        F.array_join(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0), "  "),
+        F.lit(" "),
+    )
+    barred = F.regexp_replace(padded, f" {_RAKE_SW} ", " | ")
+    phr = (
+        d.select(F.explode(F.split(barred, "\\|")).alias("p"))
+        .select(
+            F.trim(F.regexp_replace(F.col("p"), "  +", " ")).alias("phrase")
+        )
+        .filter(F.col("phrase") != "")
+    )
+    occ = phr.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    pw = phr.select(
+        "phrase",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+    )
+    wstats = pw.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    pwords = pw.select("phrase", "w").distinct()
+    scored = (
+        pwords.join(wstats, "w")
+        .groupBy("phrase")
+        .agg(
+            F.sum(
+                F.floor(F.col("deg") * float(RAKE_SCALE) / F.col("freq"))
+                .cast("long")
+            ).alias("score_q")
+        )
+    )
+    return (
+        scored.join(occ, "phrase")
+        .select(
+            "phrase",
+            F.col("n_occ").cast("long").alias("n_occ"),
+            (
+                F.floor(
+                    F.col("score_q") * 1.0 / RAKE_SCALE * 10000.0 + 0.5
+                )
+                / 10000.0
+            ).alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), F.col("phrase"))
+        .limit(RAKE_TOP)
+    )
