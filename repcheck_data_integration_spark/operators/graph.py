@@ -459,3 +459,95 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_triangles"),
         coeff.alias("clustering_coeff"),
     )
+
+
+WALK_STEPS = 3
+
+
+def _sql_walk_step(i: int) -> str:
+    """One deterministic step: from w{i}.cur pick the neighbor whose rank
+    equals md5(cur||'#w{i}') % degree (+1, ranks are 1-based)."""
+    return f"""
+    w{i + 1} AS (
+        SELECT w{i}.start, nb.nbr AS cur
+        FROM w{i}
+        JOIN deg ON deg.node = w{i}.cur
+        JOIN nb ON nb.node = w{i}.cur
+         AND nb.rk = CAST(('0x' || substr(md5(CAST(w{i}.cur AS VARCHAR)
+                                              || '#w{i}'), 1, 8)) AS BIGINT)
+                     % deg.degree + 1)"""
+
+
+@register(
+    "graph_random_walks",
+    oracle=f"""
+    WITH {SQL_PAIRS},
+    und AS (
+        SELECT c1 AS node, c2 AS nbr FROM p
+        UNION ALL SELECT c2, c1 FROM p),
+    nb AS (
+        SELECT node, nbr,
+               row_number() OVER (PARTITION BY node ORDER BY nbr) AS rk
+        FROM und),
+    deg AS (SELECT node, count(*) AS degree FROM und GROUP BY node),
+    w0 AS (SELECT node AS start, node AS cur FROM deg),
+    {",".join(_sql_walk_step(i) for i in range(WALK_STEPS))}
+    SELECT start, CAST(cur AS BIGINT) AS end_node
+    FROM w{WALK_STEPS} ORDER BY start
+    """,
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'random' walks (the node2vec/DeepWalk sampling
+    primitive made engine-exact): from every node, {WALK_STEPS} steps, the
+    step from node v taking the neighbor ranked md5(v,'#w<step>') %
+    deg(v) in v's sorted adjacency — a hash-derived uniform choice that
+    is reproducible across engines, partitionings and retries (the same
+    rand()-ban discipline as the samplers). Each step is one equi-join of
+    the walk frontier against the ranked adjacency + degree relations;
+    the walk table stays |nodes| rows throughout.
+
+    Scale: adjacency and degree build once (two aggregates over the pair
+    relation); steps are frontier⋈adjacency hash joins on the node key —
+    the textbook distributed-walk shape, N steps = N joins, no lineage
+    blowup at fixed N."""
+    p = _copurchase_pairs(spark, sf_dir).select("cust1", "cust2")
+    und = p.select(
+        F.col("cust1").alias("node"), F.col("cust2").alias("nbr")
+    ).unionByName(
+        p.select(F.col("cust2").alias("node"), F.col("cust1").alias("nbr"))
+    )
+    nb = und.select(
+        "node",
+        "nbr",
+        F.row_number()
+        .over(W.partitionBy("node").orderBy("nbr"))
+        .alias("rk"),
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    adj = nb.join(deg, "node").persist()
+
+    walk = deg.select(F.col("node").alias("start"), F.col("node").alias("cur"))
+    for i in range(WALK_STEPS):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("cur").cast("string"), F.lit(f"#w{i}")
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % F.col("degree")
+            + 1
+        )
+        walk = (
+            walk.join(adj, walk["cur"] == adj["node"])
+            .filter(F.col("rk") == pick)
+            .select("start", F.col("nbr").alias("cur"))
+        )
+    return walk.select(
+        "start", F.col("cur").cast("long").alias("end_node")
+    ).orderBy("start")
