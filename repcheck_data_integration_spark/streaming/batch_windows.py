@@ -860,3 +860,63 @@ def events_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+ENT_SCALE = 1_000_000  # per-term quantization for order-independent sums
+
+
+@register(
+    "events_type_entropy",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type),
+    u AS (
+        SELECT user_id, sum(n) AS tot, count(*) AS n_types,
+               sum(CAST(floor(n * ln(n) * {ENT_SCALE}) AS BIGINT)) AS q
+        FROM c GROUP BY user_id)
+    SELECT user_id, CAST(tot AS BIGINT) AS n_events,
+           CAST(n_types AS BIGINT) AS n_types,
+           floor((ln(tot) - q * 1.0 / {ENT_SCALE} / tot) * 10000.0 + 0.5)
+               / 10000.0 AS type_entropy_nats
+    FROM u
+    """,
+)
+def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral-
+    diversity feature (bot screening: single-type hammering scores 0; the
+    corpus analogue is lang/domain diversity in mixture design). Uses the
+    identity H = ln(N) − Σ c·ln(c)/N so only ONE float term per
+    (user,type) exists, and that term is QUANTIZED to an integer
+    (floor(c·ln c·1e6)) before the per-user sum — float summation in
+    shuffle order would be order-dependent, integer summation is not
+    (the RAKE/score_q discipline). ln(c) for identical integer c is
+    bit-identical across engines, so the quantization agrees.
+
+    Scale: two stacked aggregates, both map-side combined; output is
+    |users| rows."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = c.groupBy("user_id").agg(
+        F.sum("n").alias("tot"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(
+            F.floor(F.col("n") * F.log(F.col("n")) * ENT_SCALE).cast("long")
+        ).alias("q"),
+    )
+    return u.select(
+        "user_id",
+        F.col("tot").cast("long").alias("n_events"),
+        F.col("n_types").cast("long").alias("n_types"),
+        (
+            F.floor(
+                (
+                    F.log(F.col("tot"))
+                    - F.col("q") * 1.0 / ENT_SCALE / F.col("tot")
+                )
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("type_entropy_nats"),
+    )
