@@ -1130,3 +1130,111 @@ def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mrl_vec"),
         )
     )
+
+
+PCA_ITERS = 3
+
+_SQL_Q8 = """
+    q AS (
+        SELECT vec_id,
+               list_transform(
+                   generate_series(1, len(embedding)),
+                   i -> CAST(floor(embedding[i]::DOUBLE * (127.0 /
+                            list_aggregate(list_transform(
+                                generate_series(1, len(embedding)),
+                                k -> abs(embedding[k]::DOUBLE)), 'max'))
+                            + 0.5) AS BIGINT)) AS qv
+        FROM embeddings)"""
+
+
+def _sql_pca_iter(it: int) -> str:
+    """One power-iteration stage: scores s_i = <qv_i, v>, new direction
+    w_j = Σ_i s_i·qv_ij, requantized to max |v|=127 integers."""
+    return f"""
+    s{it} AS (
+        SELECT vec_id, qv,
+               list_aggregate(list_transform(
+                   generate_series(1, len(qv)),
+                   k -> qv[k] * vv.v[k]), 'sum') AS s
+        FROM q, v{it} vv),
+    w{it} AS (
+        SELECT j, sum(s * qv[j]) AS w
+        FROM s{it}, unnest(generate_series(1, len(qv))) u(j)
+        GROUP BY j),
+    m{it} AS (SELECT max(abs(w)) AS mx FROM w{it}),
+    v{it + 1} AS (
+        SELECT list(CAST(floor(w * 127.0 / mx) AS BIGINT) ORDER BY j) AS v
+        FROM w{it}, m{it})"""
+
+
+@register(
+    "ml_pca_power_iteration",
+    oracle=f"""
+    WITH {_SQL_Q8},
+    d AS (SELECT len(qv) AS dim FROM q LIMIT 1),
+    v0 AS (SELECT list_transform(generate_series(1, (SELECT dim FROM d)),
+                                 k -> CAST(1 AS BIGINT)) AS v),
+    {",".join(_sql_pca_iter(i) for i in range(PCA_ITERS))}
+    SELECT j, CAST(v[j] AS BIGINT) AS v_q
+    FROM v{PCA_ITERS}, unnest(generate_series(1,
+        (SELECT dim FROM d))) u(j)
+    ORDER BY j
+    """,
+)
+def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud via {PCA_ITERS}
+    POWER ITERATIONS — matrix-free PCA (v ← AᵀA v), the dimensionality-
+    reduction primitive behind whitening / spectral screening — made
+    ENGINE-EXACT: inputs are the int8-quantized embeddings
+    (emb_quantize_int8's kernel), every inner product and row-weighted
+    sum is integer arithmetic, and each iteration requantizes the
+    direction to max|v|=127 integers (floor(w·127/max|w|)) so magnitudes
+    stay < 2^53 and no float ever enters a shuffle-ordered sum. The same
+    unrolled computation runs as the DuckDB oracle, scalar-subquery
+    style.
+
+    Scale: per iteration, one broadcast of the 64-int direction, one
+    map-side s_i projection, one posexplode + j-keyed aggregate (64
+    groups) — shuffle volume is O(d), not O(rows); iterations are a
+    fixed small constant."""
+    e = load(spark, sf_dir, "embeddings")
+    max_abs = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") * 127.0 / F.col("_ma") + 0.5
+        ).cast("long"),
+    )
+    q = e.select("vec_id", "embedding", max_abs.alias("_ma")).select(
+        "vec_id", qv.alias("qv")
+    ).persist()
+    dim = len(q.first()["qv"])
+
+    v = [1] * dim
+    for _ in range(PCA_ITERS):
+        v_lit = F.array(*[F.lit(int(x)) for x in v])
+        s = q.select(
+            "qv",
+            F.aggregate(
+                F.zip_with(F.col("qv"), v_lit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+        )
+        w = (
+            s.select(F.posexplode("qv").alias("j0", "qj"), "s")
+            .groupBy("j0")
+            .agg(F.sum(F.col("s") * F.col("qj")).alias("w"))
+            .collect()
+        )
+        wv = [0] * dim
+        for r in w:
+            wv[r["j0"]] = r["w"]
+        mx = max(abs(x) for x in wv) or 1
+        # python // on floats floors toward -inf — matching SQL floor()
+        # for negative w too
+        v = [int((x * 127.0) // mx) for x in wv]
+    rows = [(j + 1, int(v[j])) for j in range(dim)]
+    return spark.createDataFrame(rows, "j int, v_q long").orderBy("j")
