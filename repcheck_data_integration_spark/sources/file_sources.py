@@ -572,3 +572,75 @@ def src_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
     )
+
+
+@register(
+    "src_corrupt_json_scan",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE doc_id % 10 = 3) AS BIGINT)
+               AS n_corrupt,
+           CAST(count(*) FILTER (WHERE doc_id % 10 <> 3) AS BIGINT)
+               AS n_good,
+           CAST(sum(n_chars) FILTER (WHERE doc_id % 10 <> 3) AS BIGINT)
+               AS good_chars_total
+    FROM documents
+    """,
+)
+def src_corrupt_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record ingest accounting — the Spark-first form of the
+    reference's per-record try/except loops (people_utils.py:87-103 skips
+    unparseable YAML; bills ingest tolerates bad JSON): a jsonl fixture is
+    synthesized with every doc_id%10==3 line TRUNCATED mid-object, then
+    read back in PERMISSIVE mode with an explicit schema + _corrupt_record
+    column, so bad lines surface as data (null fields + the raw line)
+    instead of killing the job — count them, count the survivors, and
+    checksum the survivors' payload. The oracle recomputes all four
+    numbers from the clean table, which only agree if PERMISSIVE parsing
+    dropped/kept EXACTLY the right lines.
+
+    Scale note: PERMISSIVE + corrupt-column is the only mode that neither
+    aborts the 100 TB job (FAILFAST) nor silently loses rows (DROPMALFORMED
+    without accounting); quarantining the _corrupt_record rows to a
+    dead-letter sink is the production follow-on."""
+    import json as _json
+
+    d = _fixture_dir(sf_dir, "corrupt_jsonl")
+    if not _done(d):
+        os.makedirs(d, exist_ok=True)
+        rows = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "n_chars")
+            .collect()
+        )
+        with open(os.path.join(d, "part-0.jsonl"), "w") as f:
+            for r in sorted(rows, key=lambda r: r["doc_id"]):
+                line = _json.dumps(
+                    {
+                        "doc_id": r["doc_id"],
+                        "lang": r["lang"],
+                        "n_chars": r["n_chars"],
+                    }
+                )
+                if r["doc_id"] % 10 == 3:
+                    line = line[: len(line) // 2]  # truncated mid-object
+                f.write(line + "\n")
+        _mark_done(d)
+    schema = (
+        "doc_id long, lang string, n_chars long, _corrupt_record string"
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(d)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(bad.cast("long")).cast("long").alias("n_corrupt"),
+        F.sum((~bad).cast("long")).cast("long").alias("n_good"),
+        F.sum(F.when(~bad, F.col("n_chars"))).cast("long").alias(
+            "good_chars_total"
+        ),
+    )
