@@ -289,3 +289,89 @@ def mm_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc1", "doc2", nibble_dist.alias("nibble_dist"))
         .filter(F.col("nibble_dist") <= PHASH_MAX_NIBBLE_DIST)
     )
+
+
+CUT_BITS = 20  # hamming threshold on 32-bit frame signatures (~16 = random)
+
+
+@register(
+    "mm_scene_cuts",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id, i AS frame_idx,
+               CAST(('0x' || substr(md5(substr(text, i * {CHUNK} + 1,
+                                               {CHUNK})), 1, 8)) AS BIGINT)
+                   AS sig
+        FROM documents,
+             unnest(generate_series(0, greatest((length(text) - 1)
+                                                // {CHUNK}, 0))) u(i)
+        WHERE length(text) > 0),
+    d AS (
+        SELECT doc_id, frame_idx, sig,
+               lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                   AS prev_sig
+        FROM frames),
+    cuts AS (
+        SELECT doc_id, frame_idx,
+               prev_sig IS NOT NULL
+               AND bit_count(xor(sig, prev_sig)) > {CUT_BITS} AS is_cut
+        FROM d)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(count(*) FILTER (WHERE is_cut) AS BIGINT) AS n_cuts,
+           CAST(min(frame_idx) FILTER (WHERE is_cut) AS BIGINT)
+               AS first_cut_idx
+    FROM cuts GROUP BY doc_id
+    """,
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the fake-decoded frame stream — the video
+    temporal-segmentation pass a multimodal training pipeline runs before
+    clip sampling (cut = consecutive frame signatures differ in >
+    {CUT_BITS}/32 bits; with md5 signatures random frames average 16, so
+    cuts are the deterministic-but-sparse tail). The decode is the same
+    honest md5 fake the rest of the mm family uses (real codecs are
+    env-gated), which keeps the WHOLE temporal pipeline — frame explode,
+    per-video lag window, hamming compare via native xor+bit_count,
+    per-video rollup — oracle-checkable end to end.
+
+    Scale: frames explode ∝ payload bytes / {CHUNK}; the only shuffle is
+    the per-video window (high-cardinality key), rollup rides the same
+    partitioning."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_last = F.expr(f"greatest((length(text) - 1) div {CHUNK}, 0)")
+    chunk = F.expr(f"substr(text, frame_idx * {CHUNK} + 1, {CHUNK})")
+    frames = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_last)).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.conv(F.substring(F.md5(chunk), 1, 8), 16, 10)
+        .cast("long")
+        .alias("sig"),
+    )
+    from pyspark.sql import Window as PW
+
+    w = PW.partitionBy("doc_id").orderBy("frame_idx")
+    cuts = frames.withColumn("prev_sig", F.lag("sig").over(w)).select(
+        "doc_id",
+        "frame_idx",
+        (
+            F.col("prev_sig").isNotNull()
+            & (
+                F.bit_count(
+                    F.col("sig").bitwiseXOR(F.col("prev_sig"))
+                )
+                > CUT_BITS
+            )
+        ).alias("is_cut"),
+    )
+    return cuts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum(F.col("is_cut").cast("long")).cast("long").alias("n_cuts"),
+        F.min(F.when(F.col("is_cut"), F.col("frame_idx")))
+        .cast("long")
+        .alias("first_cut_idx"),
+    )
