@@ -920,3 +920,72 @@ def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("type_entropy_nats"),
     )
+
+
+WAU_DAYS = 7
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_id
+        FROM events),
+    dau AS (SELECT day_id, count(*) AS dau FROM ud GROUP BY day_id),
+    contrib AS (
+        SELECT DISTINCT user_id, day_id + i AS day_id
+        FROM ud, unnest(generate_series(0, {WAU_DAYS - 1})) u(i)),
+    wau AS (SELECT day_id, count(*) AS wau FROM contrib GROUP BY day_id)
+    SELECT d.day_id, CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           floor(d.dau * 1.0 / w.wau * 10000.0 + 0.5) / 10000.0
+               AS stickiness
+    FROM dau d JOIN wau w USING (day_id)
+    ORDER BY d.day_id
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-{WAU_DAYS}-day WAU / stickiness per day — the
+    product-analytics engagement triple. Sliding distinct-count done the
+    distributed way: instead of re-scanning a 7-day window per day
+    (7× the data per output row) or a sliding distinct window (not
+    expressible), each (user, day) fact CONTRIBUTES itself to the 7
+    window-end days it covers, and a second distinct+count collapses the
+    contributions — shuffle volume is 7× the (user, day) relation, which
+    is already collapsed from raw events. Days with no events report no
+    row (inner join with DAU) rather than fabricating zeros.
+
+    Scale: two distinct aggregates + one bounded explode; no window over
+    the raw fact table."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_id"),
+    ).distinct()
+    dau = ud.groupBy("day_id").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day_id"), F.col("day_id") + (WAU_DAYS - 1)
+                )
+            ).alias("day_id"),
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy("day_id").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, "day_id")
+        .select(
+            "day_id",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            (
+                F.floor(F.col("dau") * 1.0 / F.col("wau") * 10000.0 + 0.5)
+                / 10000.0
+            ).alias("stickiness"),
+        )
+        .orderBy("day_id")
+    )
