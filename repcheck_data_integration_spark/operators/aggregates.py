@@ -928,3 +928,89 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_median_exact",
+    oracle="""
+    WITH v AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders),
+    r AS (
+        SELECT o_orderpriority, cents,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY cents, o_orderkey) AS ra,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY cents DESC, o_orderkey DESC)
+                   AS rd
+        FROM v)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_mid,
+           CAST(sum(cents) AS BIGINT) AS mid_cents_sum,
+           floor(sum(cents) * 1.0 / count(*) / 100.0 * 10000.0 + 0.5)
+               / 10000.0 AS median_price
+    FROM r
+    WHERE ra - rd BETWEEN -1 AND 1
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped median without a quantile sketch: the dual-rank
+    identity — rank every row ascending (ra) and descending (rd) with
+    mirrored full tie-breaks; the median members are exactly the rows
+    with |ra − rd| ≤ 1 (one row for odd group sizes, two for even), and
+    the median is their mean. All integer until the single final
+    division; no engine quantile function is trusted on either side
+    (interpolation conventions differ — this formulation sidesteps them).
+
+    Scale: two window passes over ONE partition shuffle on the group key
+    (both windows share it; the second sort is the mirror order), then a
+    near-empty filter — the distributed-exact-median idiom when the group
+    doesn't fit the driver; contrast agg_approx_percentile (GK sketch)
+    for the single-pass approximate path."""
+    o = load(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    wa = W.partitionBy("o_orderpriority").orderBy(
+        F.col("cents"), F.col("o_orderkey")
+    )
+    wd = W.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").desc(), F.col("o_orderkey").desc()
+    )
+    r = v.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    mid = r.filter((F.col("ra") - F.col("rd")).between(-1, 1))
+    return (
+        mid.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_mid"),
+            F.sum("cents").cast("long").alias("mid_cents_sum"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_mid",
+            "mid_cents_sum",
+            (
+                F.floor(
+                    F.col("mid_cents_sum")
+                    * 1.0
+                    / F.col("n_mid")
+                    / 100.0
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("median_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
