@@ -642,3 +642,117 @@ def fn_arrow_bytes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_chars_arrow long"
         ),
     )
+
+
+JSD_SCALE = 1_000_000_000  # per-term quantization (needs ln precision)
+
+
+@register(
+    "text_lang_jsd",
+    oracle=f"""
+    WITH tc AS (
+        SELECT lang, t AS w, count(*) AS c
+        FROM (SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS t
+              FROM documents)
+        GROUP BY lang, t),
+    corpus AS (SELECT w, sum(c) AS cc FROM tc GROUP BY w),
+    totals AS (SELECT lang, sum(c) AS lt FROM tc GROUP BY lang),
+    ctot AS (SELECT sum(cc) AS ct FROM corpus),
+    terms AS (
+        SELECT tc.lang,
+               tc.c * 1.0 / t.lt AS p,
+               co.cc * 1.0 / x.ct AS q
+        FROM tc JOIN totals t USING (lang)
+                JOIN corpus co ON tc.w = co.w
+                CROSS JOIN ctot x),
+    contrib AS (
+        SELECT lang,
+               CAST(floor(0.5 * p * ln(2.0 * p / (p + q)) * {JSD_SCALE})
+                    AS BIGINT)
+               + CAST(floor(0.5 * q * ln(2.0 * q / (p + q)) * {JSD_SCALE})
+                      AS BIGINT) AS tq
+        FROM terms),
+    missing AS (
+        -- corpus-only mass: words absent from this lang still contribute
+        -- 0.5*q*ln(2) each; equals 0.5*ln(2)*(1 - sum_present q)
+        SELECT t.lang,
+               CAST(floor(0.5 * ln(2.0) * (x.ct - sum(co.cc)) * 1.0 / x.ct
+                          * {JSD_SCALE}) AS BIGINT) AS mq
+        FROM tc JOIN totals t USING (lang)
+                JOIN corpus co ON tc.w = co.w
+                CROSS JOIN ctot x
+        GROUP BY t.lang, x.ct)
+    SELECT c.lang,
+           floor((sum(c.tq) + any_value(m.mq)) * 1.0 / {JSD_SCALE}
+                 * 10000.0 + 0.5) / 10000.0 AS jsd_nats
+    FROM contrib c JOIN missing m USING (lang)
+    GROUP BY c.lang ORDER BY c.lang
+    """,
+)
+def text_lang_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each language's unigram distribution
+    from the whole-corpus distribution — the mixture-design diagnostic
+    (high-JSD slices need their own sampling temperature; also the drift
+    metric between corpus snapshots). Per-(lang,term) contributions are
+    QUANTIZED to integers before the per-lang sum (entropy/RAKE
+    discipline); the mass of corpus words ABSENT from a language —
+    0.5·q·ln2 each — is folded in analytically as a single term instead
+    of materializing the lang×vocab cross join.
+
+    Scale: one (lang,term) aggregate (Zipf-compressed), two tiny
+    broadcast totals; nothing touches lang×vocab."""
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    corpus = tc.groupBy("w").agg(F.sum("c").alias("cc"))
+    totals = tc.groupBy("lang").agg(F.sum("c").alias("lt"))
+    ctot = corpus.agg(F.sum("cc").alias("ct"))
+    terms = (
+        tc.join(F.broadcast(totals), "lang")
+        .join(corpus, "w")
+        .join(F.broadcast(ctot))
+        .select(
+            "lang",
+            (F.col("c") * 1.0 / F.col("lt")).alias("p"),
+            (F.col("cc") * 1.0 / F.col("ct")).alias("q"),
+            "cc",
+            "ct",
+        )
+    )
+    tq = (
+        F.floor(
+            0.5 * F.col("p") * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q")))
+            * JSD_SCALE
+        ).cast("long")
+        + F.floor(
+            0.5 * F.col("q") * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q")))
+            * JSD_SCALE
+        ).cast("long")
+    )
+    contrib = terms.select("lang", tq.alias("tq"), "cc", "ct")
+    present = (
+        contrib.groupBy("lang")
+        .agg(
+            F.sum("tq").alias("stq"),
+            F.sum("cc").alias("scc"),
+            F.first("ct").alias("ct"),
+        )
+    )
+    import math
+
+    mq = F.floor(
+        0.5 * math.log(2.0) * (F.col("ct") - F.col("scc")) * 1.0 / F.col("ct")
+        * JSD_SCALE
+    ).cast("long")
+    return present.select(
+        "lang",
+        (
+            F.floor(
+                (F.col("stq") + mq) * 1.0 / JSD_SCALE * 10000.0 + 0.5
+            )
+            / 10000.0
+        ).alias("jsd_nats"),
+    ).orderBy("lang")

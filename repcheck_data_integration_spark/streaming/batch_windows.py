@@ -989,3 +989,59 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_id")
     )
+
+
+PL_SCALE = 1_000_000_000
+
+
+@register(
+    "events_powerlaw_alpha",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    s AS (
+        SELECT count(*) AS n_users,
+               sum(CAST(floor(ln(n) * {PL_SCALE}) AS BIGINT)) AS lq,
+               max(n) AS max_activity
+        FROM c)
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST(max_activity AS BIGINT) AS max_activity,
+           floor((1.0 + n_users / (lq * 1.0 / {PL_SCALE})) * 10000.0 + 0.5)
+               / 10000.0 AS alpha_mle
+    FROM s
+    """,
+)
+def events_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of the user-activity distribution — the
+    Clauset–Shalizi–Newman MLE α = 1 + n / Σ ln(x_i/x_min) with
+    x_min = 1, the quantitative form of 'how heavy is the key skew'
+    (α ≲ 2 means the hottest keys dominate shuffles and the salting
+    levers in operators/skew.py stop being optional; the Gini op gives
+    the same warning in [0,1] units). ln terms quantized to integers
+    before the global sum, single tiny pivot.
+
+    Scale: one per-user count aggregate, one 1-row reduction."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    s = c.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.floor(F.log(F.col("n")) * PL_SCALE).cast("long")
+        ).alias("lq"),
+        F.max("n").alias("max_activity"),
+    )
+    return s.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("max_activity").cast("long").alias("max_activity"),
+        (
+            F.floor(
+                (
+                    1.0
+                    + F.col("n_users") / (F.col("lq") * 1.0 / PL_SCALE)
+                )
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("alpha_mle"),
+    )
