@@ -1238,3 +1238,65 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = [int((x * 127.0) // mx) for x in wv]
     rows = [(j + 1, int(v[j])) for j in range(dim)]
     return spark.createDataFrame(rows, "j int, v_q long").orderBy("j")
+
+
+@register(
+    "emb_quantile_normalize",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, j, embedding[j]::DOUBLE AS v
+        FROM embeddings, unnest(generate_series(1, len(embedding))) u(j)),
+    n AS (SELECT count(DISTINCT vec_id) AS n FROM x),
+    r AS (
+        SELECT vec_id, j,
+               row_number() OVER (PARTITION BY j ORDER BY v, vec_id) AS rk
+        FROM x)
+    SELECT r.vec_id,
+           list(floor(rk * 1.0 / (n.n + 1) * 10000.0 + 0.5) / 10000.0
+                ORDER BY r.j) AS qnorm
+    FROM r, n
+    GROUP BY r.vec_id
+    """,
+)
+def emb_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantile (rank) normalization of the embedding cloud
+    — the outlier-immune feature scaling (each dim's values map to their
+    empirical quantiles rank/(n+1)), standard before distance-based
+    screening when dims have wildly different scales. Executed the
+    distributed way: posexplode to (dim, value), ONE shuffle partitioned
+    by dim for the rank window (64 balanced partitions-worth of keys, no
+    global sort), quantiles re-assembled per vector with an order-pinned
+    collect (struct-sorted, not collect_list luck). Rank ties break on
+    vec_id so the map is engine-exact.
+
+    Scale: shuffle volume = rows x dims exploded, keyed on dim — embarrassing
+    parallelism across dims; nothing global except the scalar n."""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("j0", "v")
+    ).select("vec_id", (F.col("j0") + 1).alias("j"), F.col("v").cast("double"))
+    n = x.agg(F.countDistinct("vec_id").alias("n"))
+    r = x.select(
+        "vec_id",
+        "j",
+        F.row_number()
+        .over(W.partitionBy("j").orderBy(F.col("v"), F.col("vec_id")))
+        .alias("rk"),
+    )
+    q = r.join(F.broadcast(n)).select(
+        "vec_id",
+        "j",
+        (F.floor(F.col("rk") * 1.0 / (F.col("n") + 1) * 10000.0 + 0.5)
+         / 10000.0).alias("q"),
+    )
+    return (
+        q.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("j"), F.col("q")))
+                ),
+                lambda s: s.getField("q"),
+            ).alias("qnorm")
+        )
+    )

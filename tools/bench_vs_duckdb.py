@@ -76,14 +76,20 @@ def main() -> None:
             drain(registry.QUERIES[name](spark, warm_sf))
         except Exception as e:
             print(f"# warmup {name} skipped: {e}", file=sys.stderr)
+    # min of two trials per query (same rationale as bench.py — single
+    # shots swing 2-5x on this runner)
     sparkt: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        # noop-sink drain (not .count()): DuckDB's fetchall materializes
-        # every value, so the Spark side must evaluate every projected
-        # column too or projection-heavy ratios flatter Spark.
-        drain(registry.QUERIES[name](spark, sf_dir))
-        sparkt[name] = round(time.time() - t0, 3)
+        trials = []
+        for _ in range(2):
+            t0 = time.time()
+            # noop-sink drain (not .count()): DuckDB's fetchall
+            # materializes every value, so the Spark side must evaluate
+            # every projected column too or projection-heavy ratios
+            # flatter Spark.
+            drain(registry.QUERIES[name](spark, sf_dir))
+            trials.append(time.time() - t0)
+        sparkt[name] = round(min(trials), 3)
     spark.stop()
 
     rows = []
