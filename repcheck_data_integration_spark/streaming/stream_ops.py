@@ -506,3 +506,59 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def make_dedup_merge_batch(target_path: str):
+    """Incremental EXACT DEDUP AGAINST ALL HISTORY — the production
+    complement to dropDuplicates-within-watermark (whose state is
+    watermark-bounded): each micro-batch keeps only content hashes never
+    seen in any earlier batch, by anti-joining the batch against the
+    accumulated seen-set and committing seen-set + survivors through the
+    same epoch-stamped atomic-swap machinery as the rollup (replayed
+    epochs skip, a crash leaves old or new state, never partial).
+
+    At 100 TB the seen-set is a content-hash-bucketed table and the
+    anti-join is hash-partition-local; here it is the version-dir parquet
+    commit_epoch_version maintains. In-batch duplicates resolve to the
+    lowest doc_id (same keep-lowest rule as dedup_exact)."""
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        spark = batch.sparkSession
+        if epoch_id <= rollup_applied_epoch(target_path):
+            return  # replayed epoch: already folded in
+        hashed = batch.select(
+            "doc_id", F.md5("text").alias("content_hash")
+        )
+        first_in_batch = hashed.groupBy("content_hash").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        if os.path.islink(target_path):
+            seen = spark.read.parquet(target_path)
+            fresh = first_in_batch.join(
+                seen.select("content_hash"), "content_hash", "anti"
+            )
+            merged = seen.unionByName(
+                fresh.select("content_hash", "doc_id")
+            )
+        else:
+            merged = first_in_batch.select("content_hash", "doc_id")
+        commit_epoch_version(target_path, epoch_id, merged)
+
+    return merge_batch
+
+
+def stream_dedup_history(
+    docs_stream: DataFrame, target_path: str, checkpoint: str
+):
+    """Run the unbounded-history dedup as an availableNow foreachBatch
+    query over a documents-shaped stream."""
+    return (
+        docs_stream.writeStream.foreachBatch(
+            make_dedup_merge_batch(target_path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

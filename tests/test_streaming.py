@@ -573,3 +573,75 @@ def test_python_streaming_source_offsets_exact(spark, tmp_path):
         and r["value"] == float(r["tick_id"] % 13)
         for r in rows
     )
+
+
+def test_stream_dedup_history_incremental_equals_batch(spark, tmp_path):
+    """Unbounded-history exact dedup over foreachBatch: three arriving
+    file-batches with cross-batch AND in-batch duplicate content must
+    produce exactly the batch dedup_exact result (keep-lowest doc_id per
+    content hash), and replaying an epoch must be a no-op."""
+    from repcheck_data_integration_spark.streaming.stream_ops import (
+        make_dedup_merge_batch,
+        rollup_applied_epoch,
+    )
+
+    src = str(tmp_path / "dd_src")
+    ckpt = str(tmp_path / "dd_ckpt")
+    target = str(tmp_path / "dd_target")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string").parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(make_dedup_merge_batch(target))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch([(1, "alpha"), (2, "beta"), (3, "alpha")])   # in-batch dup
+    run_once()
+    write_batch([(4, "beta"), (5, "gamma")])                  # cross-batch dup
+    run_once()
+    write_batch([(6, "gamma"), (7, "delta")])
+    run_once()
+
+    got = {
+        (r["content_hash"], r["doc_id"])
+        for r in spark.read.parquet(target).collect()
+    }
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "beta"),
+         (5, "gamma"), (6, "gamma"), (7, "delta")],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    expect = {
+        (r["content_hash"], r["doc_id"])
+        for r in batch.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    assert got == expect and len(got) == 4
+
+    # replay: re-applying the last epoch must change nothing
+    ep = rollup_applied_epoch(target)
+    before = sorted(got)
+    make_dedup_merge_batch(target)(
+        spark.createDataFrame([(99, "alpha")], "doc_id long, text string"),
+        ep,
+    )
+    after = sorted(
+        (r["content_hash"], r["doc_id"])
+        for r in spark.read.parquet(target).collect()
+    )
+    assert after == before
