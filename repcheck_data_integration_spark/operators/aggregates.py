@@ -1014,3 +1014,61 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+AGING_ASOF = "1998-12-01"
+AGING_EDGES = (30, 90, 365)  # bucket edges in days
+
+
+@register(
+    "agg_backlog_aging",
+    oracle=f"""
+    WITH open_orders AS (
+        SELECT o_orderkey,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         DATE '{AGING_ASOF}') AS age_days,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders WHERE o_orderstatus = 'O'),
+    bucketed AS (
+        SELECT CASE WHEN age_days <= {AGING_EDGES[0]} THEN '0-030'
+                    WHEN age_days <= {AGING_EDGES[1]} THEN '031-090'
+                    WHEN age_days <= {AGING_EDGES[2]} THEN '091-365'
+                    ELSE '365+' END AS age_bucket,
+               cents
+        FROM open_orders)
+    SELECT age_bucket, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS backlog_cents
+    FROM bucketed GROUP BY age_bucket ORDER BY age_bucket
+    """,
+)
+def agg_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging — the operations-dashboard staple: orders
+    still in status 'O' bucketed by days outstanding at the {AGING_ASOF}
+    anchor, with counts and integer-cents exposure per bucket. The status
+    filter is a pushable scan predicate; bucket labels are zero-padded so
+    lexicographic ORDER BY equals age order on both engines. One
+    partial+final aggregate, nothing else."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    age = F.datediff(
+        F.lit(AGING_ASOF).cast("date"), F.col("o_orderdate").cast("date")
+    )
+    bucket = (
+        F.when(age <= AGING_EDGES[0], "0-030")
+        .when(age <= AGING_EDGES[1], "031-090")
+        .when(age <= AGING_EDGES[2], "091-365")
+        .otherwise("365+")
+    )
+    return (
+        o.select(
+            bucket.alias("age_bucket"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("backlog_cents"),
+        )
+        .orderBy("age_bucket")
+    )

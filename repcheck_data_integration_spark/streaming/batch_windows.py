@@ -1045,3 +1045,64 @@ def events_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("alpha_mle"),
     )
+
+
+@register(
+    "events_longest_streak",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_id
+        FROM events),
+    grp AS (
+        SELECT user_id, day_id,
+               day_id - row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day_id) AS g
+        FROM days),
+    runs AS (
+        SELECT user_id, count(*) AS run_len, min(day_id) AS run_start
+        FROM grp GROUP BY user_id, g)
+    SELECT user_id,
+           CAST(max(run_len) AS BIGINT) AS longest_streak_days,
+           CAST(min(run_start) FILTER (WHERE run_len = (
+               SELECT max(r2.run_len) FROM runs r2
+               WHERE r2.user_id = runs.user_id)) AS BIGINT)
+               AS best_streak_start
+    FROM runs GROUP BY user_id
+    """,
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the engagement
+    metric, solved with the gaps-and-islands identity (day_id − asc-rank
+    is constant exactly within a consecutive run, so runs become groups
+    without self-joins). Ties on run length resolve to the EARLIEST
+    streak start, deterministically on both engines. Pure integer day
+    arithmetic end to end.
+
+    Scale: distinct (user, day) collapse first, one user-keyed window,
+    two stacked aggregates — identical partitioning throughout, so one
+    shuffle total."""
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_id"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day_id")
+    grp = days.withColumn(
+        "g", F.col("day_id") - F.row_number().over(w)
+    )
+    runs = grp.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("day_id").alias("run_start"),
+    )
+    best = runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest"),
+        F.min(
+            F.struct((-F.col("run_len")).alias("neg"), F.col("run_start"))
+        ).alias("pick"),
+    )
+    return best.select(
+        "user_id",
+        F.col("longest").cast("long").alias("longest_streak_days"),
+        F.col("pick.run_start").cast("long").alias("best_streak_start"),
+    )
