@@ -1072,3 +1072,76 @@ def agg_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("age_bucket")
     )
+
+
+@register(
+    "agg_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               min(CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                        AS DATE)) AS cohort_month
+        FROM orders GROUP BY o_custkey),
+    facts AS (
+        SELECT f.cohort_month,
+               date_diff('month', f.cohort_month,
+                         CAST(date_trunc('month', CAST(o.o_orderdate
+                                                       AS DATE)) AS DATE))
+                   AS month_offset,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey),
+    cells AS (
+        SELECT cohort_month, month_offset,
+               count(*) AS n_orders, sum(cents) AS rev_cents
+        FROM facts GROUP BY cohort_month, month_offset)
+    SELECT CAST(strftime(cohort_month, '%Y-%m') AS VARCHAR) AS cohort,
+           CAST(month_offset AS BIGINT) AS month_offset,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(sum(rev_cents) OVER (PARTITION BY cohort_month
+                                     ORDER BY month_offset
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_rev_cents
+    FROM cells
+    ORDER BY cohort, month_offset
+    """,
+)
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix — the monetary sibling of the
+    events cohort-retention op: customers cohorted by FIRST-order month,
+    each later order lands in (cohort, months-since-cohort), with
+    per-cell revenue and the cumulative LTV curve along each cohort row.
+    All money stays integer cents, including the cumulative window.
+
+    Scale: one per-customer min (broadcast back), one (cohort, offset)
+    aggregate — cells are tiny (months²) so the cumulative window costs
+    nothing; the fact-side join is broadcast because firsts collapses to
+    |customers| rows."""
+    o = load(spark, sf_dir, "orders")
+    om = F.trunc(F.col("o_orderdate").cast("date"), "month")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(om).alias("cohort_month")
+    )
+    facts = o.join(F.broadcast(firsts), "o_custkey").select(
+        "cohort_month",
+        F.months_between(om, F.col("cohort_month"))
+        .cast("long")
+        .alias("month_offset"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cells = facts.groupBy("cohort_month", "month_offset").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    w = (
+        W.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return cells.select(
+        F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+        F.col("month_offset").cast("long").alias("month_offset"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
+    ).orderBy("cohort", "month_offset")
