@@ -1145,3 +1145,58 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_cents").cast("long").alias("rev_cents"),
         F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
     ).orderBy("cohort", "month_offset")
+
+
+@register(
+    "agg_order_gaps",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(CAST(o_orderdate AS DATE)) OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey),
+                         CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders),
+    g AS (SELECT o_custkey, gap_days FROM seq WHERE gap_days IS NOT NULL)
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(gap_days) AS BIGINT) AS total_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+           floor(sum(gap_days) * 1.0 / count(*) * 10000.0 + 0.5) / 10000.0
+               AS avg_gap_days
+    FROM g GROUP BY o_custkey
+    """,
+)
+def agg_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics per customer (re-order cadence — the
+    churn-risk / next-order-expected input): consecutive-order day gaps
+    via lag over a fully tie-broken (date, orderkey) window, then integer
+    count/sum/max with the average as the single rounded division.
+    Customers with one order produce no gaps and no row (matching the
+    oracle's NULL-filtered lag).
+
+    Scale: one window + one aggregate on the same o_custkey partitioning
+    — a single shuffle."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate"), F.col("o_orderkey")
+    )
+    seq = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return seq.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_days").cast("long").alias("total_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+        (
+            F.floor(
+                F.sum("gap_days") * 1.0 / F.count(F.lit(1)) * 10000.0 + 0.5
+            )
+            / 10000.0
+        ).alias("avg_gap_days"),
+    )
