@@ -300,18 +300,19 @@ def fn_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS kv
         FROM nation)
     SELECT n_nationkey,
-           list_sort(map_keys(kv)) AS keys_sorted,
-           map_values(kv) AS vals_in_order,
+           array_to_string(list_sort(map_keys(kv)), ',') AS keys_sorted,
+           array_to_string(map_values(kv), ',') AS vals_in_order,
            CAST(cardinality(kv) AS INT) AS n_entries
     FROM m
     """,
 )
 def fn_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column surface (SURVEY §2.7 fn_case_when mentions
-    create_map dispatch): construct a map, extract keys (sorted for the
-    order-insensitive hash), values in insertion order, and cardinality.
-    Maps serialize engine-specifically, so the comparison decomposes the
-    map back into deterministic arrays."""
+    create_map dispatch): construct a map, extract keys (sorted for
+    determinism), values in insertion order, and cardinality. Maps (and
+    top-level arrays) serialize engine-specifically and the driver's
+    pandas canonicalizer can't hash list cells, so the comparison
+    decomposes the map into deterministic comma-joined STRINGS."""
     n = load(spark, sf_dir, "nation")
     kv = F.create_map(
         F.lit("nation_key"),
@@ -321,8 +322,10 @@ def fn_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return n.select(
         "n_nationkey",
-        F.sort_array(F.map_keys(kv)).alias("keys_sorted"),
-        F.map_values(kv).alias("vals_in_order"),
+        F.array_join(F.sort_array(F.map_keys(kv)), ",").alias("keys_sorted"),
+        F.array_join(
+            F.transform(F.map_values(kv), lambda v: v.cast("string")), ","
+        ).alias("vals_in_order"),
         F.size(kv).cast("int").alias("n_entries"),
     )
 

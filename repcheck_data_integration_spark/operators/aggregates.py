@@ -796,9 +796,12 @@ def agg_pandas_api_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .size()
         .sort_index()
         .to_frame("n_orders")
-        .reset_index()
     )
-    return out.to_spark(index_col="__idx").drop("__idx").select(
+    # keep the groupby key AS the index through to_spark: a reset_index
+    # here would discard the pinned index and to_spark would materialize
+    # the sequential default index (a window-over-everything at scale) —
+    # the exact trap this docstring warns about (ADVICE r3).
+    return out.to_spark(index_col="o_orderpriority").select(
         "o_orderpriority", F.col("n_orders").cast("long").alias("n_orders")
     )
 

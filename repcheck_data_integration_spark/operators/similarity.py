@@ -518,17 +518,21 @@ def sim_search_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT vec_id,
            {sql_stable_round4('sqrt(' + SQL_SQ + ')')} AS l2_norm,
-           list_transform(
+           array_to_string(list_transform(
                generate_series(1, len(embedding)),
-               i -> floor(embedding[i]::DOUBLE / sqrt({SQL_SQ})
-                          * 10000.0 + 0.5) / 10000.0) AS unit_vec
+               i -> CAST(floor(embedding[i]::DOUBLE / sqrt({SQL_SQ})
+                               * 10000.0 + 0.5) AS BIGINT)), ',') AS unit_vec
     FROM embeddings
     """,
 )
 def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalize the embedding column (the prerequisite for cosine =
     dot): per-row array math, shuffle-free, with the norm as a sequential
-    double fold. Elements stable-rounded for the cross-engine hash."""
+    double fold. ``unit_vec`` is the comma-joined *scaled-integer* (×1e4)
+    elements as a STRING: the driver canonicalizes results through a pandas
+    sort, which cannot hash top-level list cells (round-3
+    `unhashable type: 'list'` failure) — integers joined into one scalar
+    string render identically on both engines and sort fine."""
     e = load(spark, sf_dir, "embeddings")
     # Project the norm as a concrete attribute FIRST: a non-trivial
     # expression referenced inside a higher-order-function lambda is inlined
@@ -540,12 +544,16 @@ def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             stable_round4(F.col("_norm")).alias("l2_norm"),
-            F.transform(
-                F.col("embedding"),
-                lambda x: F.floor(
-                    x.cast("double") / F.col("_norm") * 10000.0 + 0.5
-                )
-                / 10000.0,
+            F.array_join(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: F.floor(
+                        x.cast("double") / F.col("_norm") * 10000.0 + 0.5
+                    )
+                    .cast("long")
+                    .cast("string"),
+                ),
+                ",",
             ).alias("unit_vec"),
         )
     )
@@ -562,18 +570,21 @@ def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings)
     SELECT vec_id,
            {sql_stable_round4('max_abs')} AS max_abs,
-           list_transform(
+           array_to_string(list_transform(
                generate_series(1, len(embedding)),
                i -> CAST(floor(embedding[i]::DOUBLE * (127.0 / max_abs)
-                               + 0.5) AS INTEGER)) AS q8
+                               + 0.5) AS INTEGER)), ',') AS q8
     FROM m
     """,
 )
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization per vector (the storage/bandwidth
     compression step before large-scale ANN): scale = 127/max|x|, elements
-    stable-rounded to integers so both engines emit identical codes.
-    Shuffle-free single scan; the max-abs fold is per-row array math."""
+    stable-rounded to integers so both engines emit identical codes. ``q8``
+    is the comma-joined codes as a STRING — the driver's pandas-sort
+    canonicalizer can't hash top-level list cells (round-3 failure), and
+    integer rendering is engine-identical. Shuffle-free single scan; the
+    max-abs fold is per-row array math."""
     e = load(spark, sf_dir, "embeddings")
     # max_abs projected as a concrete column before the transform lambda —
     # referenced inline it would be re-evaluated per element (O(d²)/row),
@@ -586,11 +597,16 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             stable_round4(F.col("_max_abs")).alias("max_abs"),
-            F.transform(
-                F.col("embedding"),
-                lambda x: F.floor(
-                    x.cast("double") * (127.0 / F.col("_max_abs")) + 0.5
-                ).cast("int"),
+            F.array_join(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: F.floor(
+                        x.cast("double") * (127.0 / F.col("_max_abs")) + 0.5
+                    )
+                    .cast("int")
+                    .cast("string"),
+                ),
+                ",",
             ).alias("q8"),
         )
     )
@@ -1093,10 +1109,10 @@ _SQL_SQ16 = (
         FROM embeddings)
     SELECT vec_id,
            {sql_stable_round4('norm16')} AS norm16,
-           list_transform(
+           array_to_string(list_transform(
                generate_series(1, {MRL_DIM}),
-               i -> floor(embedding[i]::DOUBLE / norm16 * 10000.0 + 0.5)
-                    / 10000.0) AS mrl_vec
+               i -> CAST(floor(embedding[i]::DOUBLE / norm16 * 10000.0 + 0.5)
+                         AS BIGINT)), ',') AS mrl_vec
     FROM m
     """,
 )
@@ -1121,12 +1137,18 @@ def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             stable_round4(F.col("_n16")).alias("norm16"),
-            F.transform(
-                F.col("_pre"),
-                lambda x: F.floor(
-                    x.cast("double") / F.col("_n16") * 10000.0 + 0.5
-                )
-                / 10000.0,
+            # comma-joined scaled ints (×1e4) as a STRING — the driver's
+            # pandas canonicalizer can't hash top-level list cells.
+            F.array_join(
+                F.transform(
+                    F.col("_pre"),
+                    lambda x: F.floor(
+                        x.cast("double") / F.col("_n16") * 10000.0 + 0.5
+                    )
+                    .cast("long")
+                    .cast("string"),
+                ),
+                ",",
             ).alias("mrl_vec"),
         )
     )
@@ -1252,8 +1274,9 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY j ORDER BY v, vec_id) AS rk
         FROM x)
     SELECT r.vec_id,
-           list(floor(rk * 1.0 / (n.n + 1) * 10000.0 + 0.5) / 10000.0
-                ORDER BY r.j) AS qnorm
+           array_to_string(
+               list(CAST(floor(rk * 1.0 / (n.n + 1) * 10000.0 + 0.5)
+                         AS BIGINT) ORDER BY r.j), ',') AS qnorm
     FROM r, n
     GROUP BY r.vec_id
     """,
@@ -1286,17 +1309,24 @@ def emb_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = r.join(F.broadcast(n)).select(
         "vec_id",
         "j",
-        (F.floor(F.col("rk") * 1.0 / (F.col("n") + 1) * 10000.0 + 0.5)
-         / 10000.0).alias("q"),
+        F.floor(F.col("rk") * 1.0 / (F.col("n") + 1) * 10000.0 + 0.5)
+        .cast("long")
+        .alias("q"),
     )
+    # comma-joined scaled-int (×1e4) quantiles as a STRING (driver's pandas
+    # canonicalizer can't hash top-level list cells), order pinned by the
+    # struct sort on j — not collect_list luck.
     return (
         q.groupBy("vec_id")
         .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("j"), F.col("q")))
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("j"), F.col("q")))
+                    ),
+                    lambda s: s.getField("q").cast("string"),
                 ),
-                lambda s: s.getField("q"),
+                ",",
             ).alias("qnorm")
         )
     )

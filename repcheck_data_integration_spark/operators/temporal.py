@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..tables import load
 
-HIGH_DATE = "9999-12-31 00:00:00"
+# SCD2 open-row sentinel. NOT 9999-12-31: the driver canonicalizes results
+# through pandas ns-datetime, whose max is 2262-04-11 — the classic sentinel
+# raises OutOfBoundsDatetime there (round-3 snk_scd2 failure). 2200-01-01 is
+# comfortably inside ns range on both the Spark and DuckDB-oracle sides.
+HIGH_DATE = "2200-01-01 00:00:00"
 
 
 def asof_join(

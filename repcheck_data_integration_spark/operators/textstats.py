@@ -644,6 +644,16 @@ def fn_arrow_bytes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-term quantization scale for the quantize-then-sum ops (JSD, entropy,
+# power-law alpha): each raw libm product is floored to an integer BEFORE
+# the order-sensitive sum so parallel accumulation is order-independent.
+# Boundary sensitivity (ADVICE r3): floor() with no guard band means a
+# JVM-vs-libm ulp difference AT AN EXACT INTEGER BOUNDARY would flip one
+# term by 1/SCALE and fail the cross-engine hash — quieter than the
+# stable_round4 surfaces, which add the +0.5 midpoint offset. Parity holds
+# on every fixture; if a boundary flip ever surfaces, mirror a midpoint
+# offset (floor(x*SCALE + 0.5)) on BOTH engines rather than widening the
+# tolerance.
 JSD_SCALE = 1_000_000_000  # per-term quantization (needs ln precision)
 
 

@@ -44,7 +44,22 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # multimodal, streaming twins, heavy joins) so driver-visible correctness
 # covers what the engine is FOR; the full local gate (tools/check.py) still
 # checks all of them.
+#
+# Round-4 ordering rule (VERDICT.md r3 §process): queries FIXED in response
+# to a driver failure lead the prefix so the fix is driver-visible the same
+# round, followed by rows the driver has never green-lit (tpch_q12's r2
+# hash fix, the approx aggs that rotated out unverified) — never rotate a
+# failure out of the window.
 DRIVER_PRIORITY: list[str] = [
+    # r3 failures, fixed this round:
+    "win_session_features",
+    "snk_scd2",
+    "emb_normalize",
+    "emb_quantize_int8",
+    # r2 rows whose fixes/first-runs were never driver-verified:
+    "tpch_q12_priority_counts",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",

@@ -23,6 +23,14 @@ standard text operators with simple (non-CID) fonts — which covers the
 writer here and the common "text PDF" case the reference handles. CID/CMap
 remapping, encrypted files and cross-reference streams are out of scope and
 documented as such (a payload with no recoverable text returns "").
+
+Also out of scope (ADVICE r3): content streams where a LITERAL STRING is an
+operand of a non-text operator (e.g. ``(Td) Tw``) — the lexer scans for
+text/layout operator tokens without tracking every operand, so layout tokens
+INSIDE such a string could be mis-read as operators and perturb line
+structure. Unreachable from pdf_from_text output (which never emits strings
+as non-text operands); foreign PDFs relying on that corner get best-effort
+line layout, never wrong glyphs.
 """
 
 from __future__ import annotations

@@ -314,17 +314,34 @@ def stream_hourly_rollup(
     rollup, never a partial one, and no stale .tmp). A replayed epoch whose
     id ≤ the symlink's current epoch is skipped outright."""
     return (
-        events.writeStream.foreachBatch(make_hourly_merge_batch(target_path))
+        events.writeStream.foreachBatch(
+            make_hourly_merge_batch(target_path, run_id=checkpoint)
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
 
 
-def rollup_applied_epoch(target_path: str) -> int:
+def rollup_applied_epoch(target_path: str, run_id: str | None = None) -> int:
     """Last epoch applied to the rollup at ``target_path`` (-1 if none).
     The symlink's target name carries the epoch — the marker and the data
-    commit in the same atomic rename, so they can never disagree."""
+    commit in the same atomic rename, so they can never disagree.
+
+    ``run_id`` guards against a REUSED target dir with a FRESH checkpoint:
+    epoch ids are monotonic only per checkpoint, so after a checkpoint
+    reset epochs restart at 0 and a bare epoch compare would silently skip
+    every early batch as a "replay". When the recorded run id differs from
+    the caller's, nothing from THIS run has been applied → -1 (the batch
+    folds into the existing state and re-stamps the run id)."""
+    if run_id is not None:
+        marker = os.path.join(target_path + ".versions", "_run_id")
+        try:
+            with open(marker) as fh:
+                if fh.read().strip() != run_id:
+                    return -1
+        except OSError:
+            return -1
     if os.path.islink(target_path):
         base = os.path.basename(os.readlink(target_path))
         if base.startswith("epoch="):
@@ -332,17 +349,34 @@ def rollup_applied_epoch(target_path: str) -> int:
     return -1
 
 
-def commit_epoch_version(target_path: str, epoch_id: int, df: DataFrame) -> None:
+# superseded versions kept per target: one epoch of grace so a concurrent
+# reader mid-scan on the just-superseded version doesn't lose files under
+# it (the single-writer foreachBatch itself never needs more than 0).
+KEEP_SUPERSEDED_VERSIONS = 1
+
+
+def commit_epoch_version(
+    target_path: str,
+    epoch_id: int,
+    df: DataFrame,
+    run_id: str | None = None,
+) -> None:
     """Write ``df`` as the new state of ``target_path``, stamped with
     ``epoch_id``: parquet into a fresh version dir, atomic symlink swap
     (the commit point — a crash leaves old or new state, never partial),
-    GC of superseded versions. Shared by every foreachBatch maintainer
-    that needs idempotent replay (rollup, SCD2)."""
+    then GC of all but the newest ``KEEP_SUPERSEDED_VERSIONS`` superseded
+    dirs — readers racing the swap get one full epoch to finish their
+    scan. Shared by every foreachBatch maintainer that needs idempotent
+    replay (rollup, SCD2, history dedup)."""
     import shutil
 
     versions_root = target_path + ".versions"
     ver_dir = os.path.join(versions_root, f"epoch={epoch_id:020d}")
     df.write.mode("overwrite").parquet(ver_dir)
+    if run_id is not None:
+        os.makedirs(versions_root, exist_ok=True)
+        with open(os.path.join(versions_root, "_run_id"), "w") as fh:
+            fh.write(run_id)
     if os.path.exists(target_path) and not os.path.islink(target_path):
         shutil.rmtree(target_path)  # migrate a legacy plain-dir target
     tmp_link = target_path + ".lnk"
@@ -350,18 +384,24 @@ def commit_epoch_version(target_path: str, epoch_id: int, df: DataFrame) -> None
         os.remove(tmp_link)
     os.symlink(ver_dir, tmp_link)
     os.replace(tmp_link, target_path)  # atomic swap = commit point
-    for old in os.listdir(versions_root):
-        if old.startswith("epoch=") and old != f"epoch={epoch_id:020d}":
-            shutil.rmtree(os.path.join(versions_root, old), ignore_errors=True)
+    current = f"epoch={epoch_id:020d}"
+    superseded = sorted(
+        d for d in os.listdir(versions_root)
+        if d.startswith("epoch=") and d != current
+    )
+    for old in superseded[: max(0, len(superseded) - KEEP_SUPERSEDED_VERSIONS)]:
+        shutil.rmtree(os.path.join(versions_root, old), ignore_errors=True)
 
 
-def make_hourly_merge_batch(target_path: str):
+def make_hourly_merge_batch(target_path: str, run_id: str | None = None):
     """Build the idempotent foreachBatch merge for ``stream_hourly_rollup``
-    (module-level so tests can drive epoch replays directly)."""
+    (module-level so tests can drive epoch replays directly). ``run_id``
+    (normally the checkpoint location) scopes the replay guard to THIS
+    stream run — see rollup_applied_epoch."""
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        if epoch_id <= rollup_applied_epoch(target_path):
+        if epoch_id <= rollup_applied_epoch(target_path, run_id):
             return  # replayed epoch, delta already in the rollup: skip
         delta = batch.groupBy(
             F.date_trunc("hour", "ts").alias("hour"),
@@ -396,7 +436,7 @@ def make_hourly_merge_batch(target_path: str):
             )
         else:
             merged = delta
-        commit_epoch_version(target_path, epoch_id, merged)
+        commit_epoch_version(target_path, epoch_id, merged, run_id)
 
     return merge_batch
 
@@ -406,6 +446,7 @@ def make_scd2_merge_batch(
     key: str,
     effective_col: str,
     compare_cols: list[str],
+    run_id: str | None = None,
 ):
     """Idempotent foreachBatch maintainer for an SCD2 dimension: each
     micro-batch of keyed updates folds into the versioned dimension with
@@ -418,7 +459,7 @@ def make_scd2_merge_batch(
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import Window as W
 
-        if epoch_id <= rollup_applied_epoch(target_path):
+        if epoch_id <= rollup_applied_epoch(target_path, run_id):
             return  # replayed epoch already folded in
         spark = batch.sparkSession
         dim = spark.read.parquet(target_path)
@@ -439,7 +480,7 @@ def make_scd2_merge_batch(
             dim, latest, key=key, effective_col=effective_col,
             compare_cols=compare_cols,
         )
-        commit_epoch_version(target_path, epoch_id, new_dim)
+        commit_epoch_version(target_path, epoch_id, new_dim, run_id)
 
     return merge_batch
 
@@ -459,7 +500,10 @@ def stream_scd2(
     beyond the current state."""
     return (
         updates.writeStream.foreachBatch(
-            make_scd2_merge_batch(target_path, key, effective_col, compare_cols)
+            make_scd2_merge_batch(
+                target_path, key, effective_col, compare_cols,
+                run_id=checkpoint,
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
@@ -508,7 +552,7 @@ def session_counts(
     )
 
 
-def make_dedup_merge_batch(target_path: str):
+def make_dedup_merge_batch(target_path: str, run_id: str | None = None):
     """Incremental EXACT DEDUP AGAINST ALL HISTORY — the production
     complement to dropDuplicates-within-watermark (whose state is
     watermark-bounded): each micro-batch keeps only content hashes never
@@ -526,7 +570,7 @@ def make_dedup_merge_batch(target_path: str):
         from pyspark.sql import functions as F  # noqa: PLC0415
 
         spark = batch.sparkSession
-        if epoch_id <= rollup_applied_epoch(target_path):
+        if epoch_id <= rollup_applied_epoch(target_path, run_id):
             return  # replayed epoch: already folded in
         hashed = batch.select(
             "doc_id", F.md5("text").alias("content_hash")
@@ -544,7 +588,7 @@ def make_dedup_merge_batch(target_path: str):
             )
         else:
             merged = first_in_batch.select("content_hash", "doc_id")
-        commit_epoch_version(target_path, epoch_id, merged)
+        commit_epoch_version(target_path, epoch_id, merged, run_id)
 
     return merge_batch
 
@@ -556,7 +600,7 @@ def stream_dedup_history(
     query over a documents-shaped stream."""
     return (
         docs_stream.writeStream.foreachBatch(
-            make_dedup_merge_batch(target_path)
+            make_dedup_merge_batch(target_path, run_id=checkpoint)
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -41,8 +41,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+        return _ntz_to_ltz(df)
+    return _ntz_to_ltz(spark.read.parquet(path))
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP_LTZ at the scan.
+
+    A session WITHOUT ``inferTimestampNTZ=false`` (the driver's) reads the
+    fixture's nano timestamps as TIMESTAMP_NTZ, on which ``cast(ts as
+    double)`` / ``unix_timestamp`` either fail (CAST_WITHOUT_SUGGESTION) or
+    silently change meaning — the round-3 win_session_features crash.
+    Casting once here (session TZ is UTC on both the builder's and the
+    driver's sessions, verified by r3's epoch-hash-matched window queries)
+    makes every downstream operator session-agnostic.
+    """
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

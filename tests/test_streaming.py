@@ -346,10 +346,10 @@ def test_hourly_rollup_replay_is_idempotent(spark, tmp_path):
         )
     )
     assert after1 == expected
-    # no stale tmp artifacts; exactly one live version dir remains
+    # no stale tmp artifacts; live version + one superseded (reader grace)
     assert not os.path.exists(target + ".tmp")
     vers = [d for d in os.listdir(target + ".versions") if d.startswith("epoch=")]
-    assert len(vers) == 1
+    assert len(vers) == 1 + stream_ops.KEEP_SUPERSEDED_VERSIONS
 
 
 def test_stream_scd2_incremental_equals_batch(spark, tmp_path):
@@ -360,7 +360,8 @@ def test_stream_scd2_incremental_equals_batch(spark, tmp_path):
 
     from repcheck_data_integration_spark.operators.temporal import scd2_apply
 
-    HIGH = dt.datetime(9999, 12, 31)
+    from repcheck_data_integration_spark.operators.temporal import HIGH_DATE
+    HIGH = dt.datetime.fromisoformat(HIGH_DATE.replace(" ", "T"))
     t0 = dt.datetime(2020, 1, 1)
     seed_rows = [
         (k, seg, t0, HIGH, True)
@@ -645,3 +646,60 @@ def test_stream_dedup_history_incremental_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     )
     assert after == before
+
+
+def test_rollup_run_id_guard_fresh_checkpoint_reused_target(spark, tmp_path):
+    """ADVICE r3: epoch ids are monotonic only per checkpoint. If a target
+    dir outlives its checkpoint, the NEXT run's epochs restart at 0 and a
+    bare epoch compare would silently drop every early batch as a
+    'replay'. With run-scoped guards the new run's epoch 0 must FOLD INTO
+    the existing rollup — and replays within each run must still skip."""
+    target = str(tmp_path / "hourly")
+    events = load(spark, SF, "events")
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    b1 = events.filter(F.col("event_id") % 2 == 1)
+
+    run_a = stream_ops.make_hourly_merge_batch(target, run_id="ckpt-A")
+    run_a(b0, 0)
+    once = sorted(map(tuple, spark.read.parquet(target).collect()))
+    run_a(b0, 0)  # same-run replay still skips
+    assert sorted(map(tuple, spark.read.parquet(target).collect())) == once
+
+    # checkpoint wiped, same target: new run id, epochs restart at 0
+    run_b = stream_ops.make_hourly_merge_batch(target, run_id="ckpt-B")
+    run_b(b1, 0)  # would be dropped by the old bare-epoch guard
+    both = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(target).collect()
+    }
+    # full fold: equals the single-run rollup over b0+b1
+    direct_target = str(tmp_path / "direct")
+    stream_ops.make_hourly_merge_batch(direct_target)(events, 0)
+    direct = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(direct_target).collect()
+    }
+    assert both == direct
+    # and run B's own replays skip again
+    run_b(b1, 0)
+    assert {
+        (r["hour"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(target).collect()
+    } == direct
+
+
+def test_commit_keeps_one_superseded_version(spark, tmp_path):
+    """Concurrent-reader grace: after epoch N commits, epoch N-1's version
+    dir must still exist (a reader mid-scan doesn't lose files under it);
+    epoch N-2's must be GC'd."""
+    import os
+
+    target = str(tmp_path / "hourly")
+    merge = stream_ops.make_hourly_merge_batch(target)
+    events = load(spark, SF, "events")
+    for ep in range(3):
+        merge(events.filter(F.col("event_id") % 3 == ep), ep)
+    vers = sorted(
+        d for d in os.listdir(target + ".versions") if d.startswith("epoch=")
+    )
+    assert vers == ["epoch=" + "1".zfill(20), "epoch=" + "2".zfill(20)]

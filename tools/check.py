@@ -163,10 +163,24 @@ def main(names):
 
     registry.load_all_modules()
     todo = names or sorted(registry.QUERIES)
+    # SPARK_GRAFT_CHECK_DRIVER_PARITY=1 re-runs the gate under the DRIVER's
+    # session shape: inferTimestampNTZ left at its default (true), so the
+    # fixture's nano timestamps surface as TIMESTAMP_NTZ exactly as they do
+    # in CORRECTNESS_r{N}.json runs. Round 3's win_session_features crash
+    # was invisible to the builder-config gate by construction; this mode
+    # exists so that failure class can't ship again.
+    parity = os.environ.get("SPARK_GRAFT_CHECK_DRIVER_PARITY") == "1"
     spark = get_spark(
-        "check",
+        "check-driver-parity" if parity else "check",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CHECK_PARTS", "8")),
+        extra_conf=(
+            {"spark.sql.parquet.inferTimestampNTZ.enabled": "true"}
+            if parity
+            else None
+        ),
     )
+    if parity:
+        print("[driver-parity mode: inferTimestampNTZ=true]")
 
     con = duckdb.connect()
     for t in TABLES:

@@ -77,6 +77,12 @@ PROBES = [
     "win_ewma_trailing",
     "text_bpe_encode",
     "sample_weighted",
+    # round-4: the four r3-driver-failure ops, fixed this round — carry
+    # scaling evidence like everything else
+    "win_session_features",
+    "snk_scd2",
+    "emb_normalize",
+    "emb_quantize_int8",
 ]
 
 
