@@ -1540,3 +1540,86 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rake_score").desc(), F.col("phrase"))
         .limit(RAKE_TOP)
     )
+
+
+@register(
+    "text_perplexity_buckets",
+    oracle=f"""
+    WITH tc AS ({SQL_TERM_COUNTS}),
+    corpus AS (SELECT tok, sum(cnt) AS ccount FROM tc GROUP BY tok),
+    total AS (SELECT sum(ccount) AS ctotal FROM corpus),
+    per_doc AS (
+        SELECT tc.doc_id,
+               sum(tc.cnt) AS n_tokens,
+               sum(tc.cnt * ln(CAST(c.ccount AS DOUBLE) / t.ctotal)) AS ll
+        FROM tc JOIN corpus c ON c.tok = tc.tok CROSS JOIN total t
+        GROUP BY tc.doc_id),
+    scored AS (
+        SELECT d.doc_id, d.lang,
+               {sql_stable_round4('-p.ll / p.n_tokens')} AS cross_entropy
+        FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id),
+    tiled AS (
+        SELECT doc_id, lang, cross_entropy,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY cross_entropy, doc_id) AS tile
+        FROM scored)
+    SELECT doc_id, lang, cross_entropy,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM tiled
+    """,
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public): score
+    every document against the corpus unigram LM, then split EACH LANGUAGE
+    into head/middle/tail terciles of cross-entropy — the standard
+    quality-tier assignment before mixing decisions (keep head, subsample
+    tail). Buckets are per-language because perplexity scales are not
+    comparable across languages.
+
+    Scale shape: the xent kernel is text_unigram_xent's (shared (doc,term)
+    aggregate, broadcast scalar total); the tier assignment adds ONE window
+    shuffle keyed on lang — each language's tercile split is independent,
+    so the window parallelizes across languages (and within one giant
+    language the rank could fall back to the quantile-cut form; at fixture
+    cardinality ntile is exact and cheaper). Determinism: the window
+    orders by the STABLE-ROUNDED score (hash-identical across engines,
+    proven by text_unigram_xent) with doc_id tie-break, so tercile
+    boundaries are engine-exact."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    tc = term_counts(d).persist()
+    corpus = tc.groupBy("tok").agg(F.sum("cnt").alias("ccount"))
+    total = corpus.agg(F.sum("ccount").alias("ctotal"))
+    per_doc = (
+        tc.join(corpus, "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(
+                F.col("cnt")
+                * F.log(F.col("ccount").cast("double") / F.col("ctotal"))
+            ).alias("ll"),
+        )
+    )
+    scored = per_doc.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        stable_round4(-F.col("ll") / F.col("n_tokens")).alias(
+            "cross_entropy"
+        ),
+    )
+    tile = F.ntile(3).over(
+        W.partitionBy("lang").orderBy("cross_entropy", "doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "cross_entropy",
+        F.when(tile == 1, "head")
+        .when(tile == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

@@ -766,3 +766,92 @@ def text_lang_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("jsd_nats"),
     ).orderBy("lang")
+
+
+# --- fasttext-style quality classifier (deterministic linear model) -------
+
+QC_BUCKETS = 4096      # feature-hash space for unigrams
+QC_W_SPAN = 1000       # weights are integers in [-QC_W_SPAN, +QC_W_SPAN]
+
+
+@register(
+    "text_classifier_score",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               list_aggregate(list_transform(
+                   regexp_extract_all(text, '[a-z0-9]+'),
+                   t -> CAST(('0x' || substr(md5('qcw_' ||
+                            CAST(CAST(('0x' || substr(md5(t), 1, 8))
+                                 AS BIGINT) % {QC_BUCKETS} AS VARCHAR)),
+                            1, 8)) AS BIGINT)
+                        % (2 * {QC_W_SPAN} + 1) - {QC_W_SPAN}), 'sum')
+                   AS sum_w,
+               len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens
+        FROM documents)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum_w AS BIGINT) AS sum_w,
+           CASE WHEN n_tokens > 0 THEN {sql_stable_round4(
+               f'1.0 / (1.0 + exp(-(sum_w * 1.0 / ({QC_W_SPAN}.0 * n_tokens))))'
+           )} END AS quality_prob,
+           (n_tokens > 0 AND sum_w >= 0) AS keep
+    FROM feats
+    """,
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality-classifier scoring — the linear
+    bag-of-hashed-features model every web-corpus pipeline runs to keep
+    "wiki-like" pages (CCNet / LLaMA-recipe style, public): each token
+    feature-hashes into one of {QC_BUCKETS} buckets, each bucket carries a
+    fixed weight, a document's logit is the mean bucket weight and the
+    keep decision thresholds it at 0. Weights here are DERIVED (md5 of the
+    bucket id → integer in ±{QC_W_SPAN}) rather than trained — the engine
+    surface under test is the SCORING kernel: given any weight table, this
+    is exactly the plan a trained model runs.
+
+    Engine shape: pure per-row array math — tokenize, transform to integer
+    weights, in-row integer fold. NO shuffle, NO explode, no weight table
+    to broadcast even (the md5 derivation IS the lookup); with a real
+    trained model the weight array broadcasts once and `element_at` does
+    the lookup — same plan. The logit stays EXACT (integer sum / exact
+    rational); only the final sigmoid is floating, stable-rounded with the
+    same ulp-margin rationale as the xent family. The keep flag compares
+    INTEGERS, so the decision boundary is engine-exact."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bucket = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % QC_BUCKETS
+    )
+    weight = lambda t: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qcw_"), bucket(t).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (2 * QC_W_SPAN + 1)
+        - QC_W_SPAN
+    )
+    sum_w = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + weight(t)
+    )
+    out = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        sum_w.alias("sum_w"),
+    )
+    margin = F.col("sum_w") * 1.0 / (float(QC_W_SPAN) * F.col("n_tokens"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "sum_w",
+        F.when(
+            F.col("n_tokens") > 0,
+            stable_round4(1.0 / (1.0 + F.exp(-margin))),
+        ).alias("quality_prob"),
+        ((F.col("n_tokens") > 0) & (F.col("sum_w") >= 0)).alias("keep"),
+    )

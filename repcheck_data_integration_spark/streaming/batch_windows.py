@@ -1106,3 +1106,69 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("longest").cast("long").alias("longest_streak_days"),
         F.col("pick.run_start").cast("long").alias("best_streak_start"),
     )
+
+
+def _mh_agree_sql(x: str, y: str) -> str:
+    from ..operators.dedup import N_MINHASH
+
+    return " + ".join(
+        f"(CASE WHEN {x}.mh{j} = {y}.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(N_MINHASH)
+    )
+
+
+def _stream_dedup_minhash_oracle() -> str:
+    from ..operators.dedup import SQL_SHINGLES, _minhash_sql, _bands_sql
+    from .stream_ops import MIN_MH_MATCH
+
+    return f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, {SQL_SHINGLES} AS sh FROM documents),
+    shh AS (
+        SELECT doc_id, list_transform(sh, s -> md5(s)) AS shh
+        FROM sh WHERE len(sh) > 0),
+    mh AS (SELECT doc_id, {_minhash_sql()} FROM shh),
+    bands AS (
+        SELECT doc_id, i - 1 AS band_idx, [{_bands_sql()}][i] AS band_hash
+        FROM mh, unnest(generate_series(1, 4)) AS u(i)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id),
+    ver AS (
+        SELECT d1, d2 FROM cand
+        JOIN mh x ON x.doc_id = cand.d1
+        JOIN mh y ON y.doc_id = cand.d2
+        WHERE {_mh_agree_sql('x', 'y')} >= {MIN_MH_MATCH}),
+    edges AS (
+        SELECT d1 AS a, d2 AS b FROM ver
+        UNION SELECT d2, d1 FROM ver),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT m.doc_id,
+           least(m.doc_id, coalesce(min(r.b), m.doc_id)) AS canonical_id
+    FROM mh m LEFT JOIN reach r ON r.a = m.doc_id
+    GROUP BY m.doc_id
+    """
+
+
+@register("stream_dedup_minhash", oracle=_stream_dedup_minhash_oracle())
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the unbounded-history NEAR-dup dedup
+    (stream_ops.make_minhash_dedup_merge_batch): band-collision candidates
+    over all docs, minhash-agreement verify (>= MIN_MH_MATCH of 8),
+    transitive closure, canonical = min doc_id per component. The live
+    incremental fold — signature-table state, union-find-style retroactive
+    relabeling — must equal THIS in any batch split and arrival
+    order (asserted in
+    tests/test_streaming.py). The oracle expresses the closure as a
+    recursive reachability CTE, so even the component step is
+    hash-verified cross-engine (the one step dedup_components left
+    rows-only)."""
+    from .stream_ops import minhash_components_batch
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_components_batch(docs).orderBy("doc_id")

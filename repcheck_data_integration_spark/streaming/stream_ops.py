@@ -606,3 +606,258 @@ def stream_dedup_history(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash-LSH NEAR-dup dedup against all history
+# ---------------------------------------------------------------------------
+
+# signature-agreement verify: candidate pairs (from band collisions) are
+# near-dups when >= MIN_MH_MATCH of the N_MINHASH minhashes agree — the
+# streaming-budget stand-in for the batch op's exact-jaccard verify, chosen
+# so per-doc state is O(1) (8 fixed-width minhashes), never the shingle set.
+MIN_MH_MATCH = 4  # of N_MINHASH=8 → estimated jaccard >= 0.5
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh7) minhash signatures — the same construction as
+    dedup_minhash_lsh (operators/dedup.py): distinct word-3-gram shingles,
+    md5 per shingle, per-doc min of 8 seeded 4-hex-char slices. Docs too
+    short to shingle are absent (they can never near-dup)."""
+    from ..operators.dedup import N_MINHASH, with_shingles
+
+    sh = with_shingles(docs.select("doc_id", "text")).select("doc_id", "sh")
+    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.md5("s").alias("h")
+    )
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring("h", 1 + 4 * j, 4)).alias(f"mh{j}")
+            for j in range(N_MINHASH)
+        ]
+    )
+
+
+def _sig_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) from a signature frame."""
+    from ..operators.dedup import _bands_spark
+
+    return sigs.select(
+        "doc_id", F.posexplode(_bands_spark()).alias("band_idx", "band_hash")
+    )
+
+
+def _mh_agreement(a_prefix: str, b_prefix: str):
+    from ..operators.dedup import N_MINHASH
+
+    agree = None
+    for j in range(N_MINHASH):
+        term = (
+            F.col(f"{a_prefix}.mh{j}") == F.col(f"{b_prefix}.mh{j}")
+        ).cast("int")
+        agree = term if agree is None else agree + term
+    return agree
+
+
+def make_minhash_dedup_merge_batch(target_path: str, run_id: str | None = None):
+    """Incremental NEAR-dup dedup against ALL history — the LSH companion
+    to make_dedup_merge_batch's exact-hash form: each micro-batch's docs
+    are banded and equi-joined against the accumulated signature table,
+    verified by minhash agreement (>= MIN_MH_MATCH of N_MINHASH), closed
+    transitively within the batch (min-label propagation), and folded into
+    the state with UNION-FIND-STYLE RETROACTIVE RELABELING: when one new
+    doc bridges two previously-separate clusters, every state row of the
+    higher canonical is rewritten to the lower one — so the incremental
+    fold equals running the batch band-components dedup over everything
+    seen, in any batch split AND any arrival order (asserted in
+    tests, including reverse-order folding where a later, smaller-id doc
+    steals canonical-ship from an already-committed cluster).
+
+    State per doc: 8 fixed-width minhashes + canonical id — O(1), never
+    the shingle set. At 100 TB the state is a signature table hash-
+    partitioned on band keys; candidate generation is the same bucketed
+    equi-join as the batch op, cost ∝ colliding pairs, no n² anywhere.
+    Docs too short to shingle are kept verbatim and excluded from state
+    (they can never collide)."""
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        from ..operators.dedup import connected_components
+
+        if epoch_id <= rollup_applied_epoch(target_path, run_id):
+            return  # replayed epoch: already folded in
+        spark = batch.sparkSession
+        sigs = minhash_signatures(batch).localCheckpoint(eager=True)
+        bands = _sig_bands(sigs)
+
+        # within-batch verified pairs → transitive components
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc1"),
+                F.col("b.doc_id").alias("doc2"),
+            )
+            .distinct()
+        )
+        sa = sigs.alias("sa")
+        sb = sigs.alias("sb")
+        verified = (
+            cand.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+            .filter(_mh_agreement("sa", "sb") >= MIN_MH_MATCH)
+            .select("doc1", "doc2")
+        )
+        if os.path.islink(target_path):
+            state = spark.read.parquet(target_path)
+            sbands = _sig_bands(state)
+            n, st = bands.alias("n"), sbands.alias("s")
+            ext_cand = (
+                n.join(
+                    st,
+                    (F.col("n.band_idx") == F.col("s.band_idx"))
+                    & (F.col("n.band_hash") == F.col("s.band_hash")),
+                )
+                .select(
+                    F.col("n.doc_id").alias("doc_id"),
+                    F.col("s.doc_id").alias("old_id"),
+                )
+                .distinct()
+            )
+            so = state.alias("so")
+            # EVERY (batch doc, external canonical) verified link — the
+            # remap below needs all of them, not just the per-doc winner
+            ext_all = (
+                ext_cand.alias("ec")
+                .join(sa, F.col("ec.doc_id") == F.col("sa.doc_id"))
+                .join(so, F.col("ec.old_id") == F.col("so.doc_id"))
+                .filter(_mh_agreement("sa", "so") >= MIN_MH_MATCH)
+                .select(
+                    F.col("ec.doc_id").alias("doc_id"),
+                    F.col("so.canonical_id").alias("cand_canon"),
+                )
+                .distinct()
+            )
+        else:
+            state = None
+            ext_all = verified.select(
+                F.col("doc1").alias("doc_id"),
+                F.lit(None).cast("long").alias("cand_canon"),
+            ).filter(F.lit(False))
+
+        # ONE closure over the combined graph: within-batch verified pairs
+        # PLUS (batch doc → external canonical) links. Old canonical ids
+        # participate as nodes, which (a) unifies batch components that are
+        # connected only THROUGH a shared old cluster, and (b) makes the
+        # component label the min over old+new ids — so the fold equals the
+        # batch result regardless of arrival order, not just ascending.
+        edges = verified.unionByName(
+            ext_all.select(
+                F.col("doc_id").alias("doc1"),
+                F.col("cand_canon").alias("doc2"),
+            )
+        )
+        comp = connected_components(edges).select(
+            F.col("node").alias("doc_id"), F.col("component").alias("comp")
+        )
+        assign = (
+            sigs.select("doc_id")
+            .join(comp, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("comp"), F.col("doc_id")).alias(
+                    "canonical_id"
+                ),
+            )
+        )
+        new_rows = sigs.join(assign, "doc_id")
+
+        if state is not None:
+            # retroactive relabel (union-find): every OLD canonical whose
+            # node landed in a component with a smaller label is rewritten
+            remap = (
+                ext_all.select(F.col("cand_canon").alias("from_c"))
+                .distinct()
+                .join(comp, F.col("from_c") == F.col("doc_id"))
+                .filter(F.col("comp") != F.col("from_c"))
+                .select("from_c", F.col("comp").alias("to_c"))
+            )
+            state2 = (
+                state.join(
+                    remap, state.canonical_id == remap.from_c, "left"
+                )
+                .select(
+                    *[F.col(c) for c in state.columns if c != "canonical_id"],
+                    F.coalesce(F.col("to_c"), F.col("canonical_id")).alias(
+                        "canonical_id"
+                    ),
+                )
+            )
+            merged = state2.unionByName(new_rows.select(*state.columns))
+        else:
+            merged = new_rows
+        commit_epoch_version(target_path, epoch_id, merged, run_id)
+
+    return merge_batch
+
+
+def stream_dedup_minhash_history(
+    docs_stream: DataFrame, target_path: str, checkpoint: str
+):
+    """Run the unbounded-history near-dup dedup as an availableNow
+    foreachBatch query over a documents-shaped stream."""
+    return (
+        docs_stream.writeStream.foreachBatch(
+            make_minhash_dedup_merge_batch(target_path, run_id=checkpoint)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def minhash_components_batch(docs: DataFrame) -> DataFrame:
+    """The batch twin the incremental fold must equal: band-collision
+    candidates over ALL docs, minhash-agreement verify, connected
+    components, canonical = min doc_id per component (docs too short to
+    shingle are absent, as in the incremental state). Returns
+    (doc_id, canonical_id)."""
+    from ..operators.dedup import connected_components
+
+    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
+    bands = _sig_bands(sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .distinct()
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    verified = (
+        cand.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        .filter(_mh_agreement("sa", "sb") >= MIN_MH_MATCH)
+        .select("doc1", "doc2")
+    )
+    comp = connected_components(verified).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("comp")
+    )
+    return (
+        sigs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("canonical_id"),
+        )
+    )

@@ -703,3 +703,117 @@ def test_commit_keeps_one_superseded_version(spark, tmp_path):
         d for d in os.listdir(target + ".versions") if d.startswith("epoch=")
     )
     assert vers == ["epoch=" + "1".zfill(20), "epoch=" + "2".zfill(20)]
+
+
+def _py_minhash(text: str):
+    """Pure-python replica of minhash_signatures' construction (distinct
+    word-3-gram shingles, md5 per shingle, min of 8 4-hex-char slices)."""
+    import hashlib
+    import re
+
+    toks = re.findall(r"[a-z0-9]+", text)
+    sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    if not sh:
+        return None
+    hs = [hashlib.md5(s.encode()).hexdigest() for s in sh]
+    return tuple(min(h[4 * j : 4 * j + 4] for h in hs) for j in range(8))
+
+
+def _py_agree(a, b):
+    return sum(x == y for x, y in zip(a, b))
+
+
+def test_stream_minhash_dedup_incremental_equals_batch(spark, tmp_path):
+    """Folding the documents fixture through the incremental LSH dedup in
+    three doc_id-ordered micro-batches must equal the batch
+    band-components dedup over everything; replaying an epoch is a
+    no-op."""
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    target = str(tmp_path / "nd")
+    merge = stream_ops.make_minhash_dedup_merge_batch(target)
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    merge(docs.filter(F.col("doc_id") <= cut1), 0)
+    merge(docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)), 1)
+    mid = sorted(map(tuple, spark.read.parquet(target)
+                     .select("doc_id", "canonical_id").collect()))
+    merge(docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)), 1)
+    assert sorted(map(tuple, spark.read.parquet(target)
+                      .select("doc_id", "canonical_id").collect())) == mid
+    merge(docs.filter(F.col("doc_id") > cut2), 2)
+
+    inc = sorted(map(tuple, spark.read.parquet(target)
+                     .select("doc_id", "canonical_id").collect()))
+    batch = sorted(map(tuple,
+                       stream_ops.minhash_components_batch(docs).collect()))
+    assert inc == batch
+
+
+def test_stream_minhash_dedup_retroactive_relabel(spark, tmp_path):
+    """A later doc bridging two previously-separate clusters must relabel
+    the losing cluster's state rows (union-find semantics) so incremental
+    still equals batch. The bridge texts are found by deterministic seed
+    search against the exact minhash construction."""
+    from repcheck_data_integration_spark.streaming.stream_ops import (
+        MIN_MH_MATCH,
+    )
+
+    found = None
+    for seed in range(200):
+        a_txt = " ".join(f"alpha{seed}w{i}" for i in range(25))
+        d_txt = " ".join(f"delta{seed}w{i}" for i in range(25))
+        e_txt = a_txt + " " + d_txt
+        sa, sd, se = map(_py_minhash, (a_txt, d_txt, e_txt))
+        if (
+            _py_agree(se, sa) >= MIN_MH_MATCH
+            and _py_agree(se, sd) >= MIN_MH_MATCH
+            and _py_agree(sa, sd) < MIN_MH_MATCH
+        ):
+            found = (a_txt, d_txt, e_txt)
+            break
+    assert found, "no bridging seed in 200 tries"
+    a_txt, d_txt, e_txt = found
+
+    target = str(tmp_path / "bridge")
+    merge = stream_ops.make_minhash_dedup_merge_batch(target)
+    b1 = spark.createDataFrame([(1, a_txt), (2, d_txt)], ["doc_id", "text"])
+    b2 = spark.createDataFrame([(3, e_txt)], ["doc_id", "text"])
+    merge(b1, 0)
+    after1 = {
+        r.doc_id: r.canonical_id
+        for r in spark.read.parquet(target).collect()
+    }
+    assert after1 == {1: 1, 2: 2}  # separate clusters at first
+    merge(b2, 1)
+    after2 = {
+        r.doc_id: r.canonical_id
+        for r in spark.read.parquet(target).collect()
+    }
+    # E bridges them: doc 2's state row is retroactively relabeled
+    assert after2 == {1: 1, 2: 1, 3: 1}
+    both = b1.unionByName(b2)
+    batch = {
+        r.doc_id: r.canonical_id
+        for r in stream_ops.minhash_components_batch(both).collect()
+    }
+    assert after2 == batch
+
+
+def test_stream_minhash_dedup_order_independent(spark, tmp_path):
+    """The fold must equal the batch result in ANY arrival order — a doc
+    arriving before the eventual (smaller-id) canonical means the closure
+    runs over old-canonical nodes and steals canonical-ship retroactively.
+    Fold the fixture in REVERSE doc_id order and compare to batch."""
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    target = str(tmp_path / "nd_rev")
+    merge = stream_ops.make_minhash_dedup_merge_batch(target)
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    merge(docs.filter(F.col("doc_id") > cut2), 0)
+    merge(docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)), 1)
+    merge(docs.filter(F.col("doc_id") <= cut1), 2)
+    inc = sorted(map(tuple, spark.read.parquet(target)
+                     .select("doc_id", "canonical_id").collect()))
+    batch = sorted(map(tuple,
+                       stream_ops.minhash_components_batch(docs).collect()))
+    assert inc == batch
