@@ -1623,3 +1623,108 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+def _sql_qc(expr: str) -> str:
+    from .textstats import sql_qc_sum_w
+
+    return sql_qc_sum_w(expr)
+
+
+@register(
+    "pipeline_corpus_curation_v3",
+    oracle=f"""
+    WITH tc AS ({SQL_TERM_COUNTS}),
+    corpus AS (SELECT tok, sum(cnt) AS ccount FROM tc GROUP BY tok),
+    total AS (SELECT sum(ccount) AS ctotal FROM corpus),
+    per_doc AS (
+        SELECT tc.doc_id,
+               sum(tc.cnt) AS n_tokens,
+               sum(tc.cnt * ln(CAST(c.ccount AS DOUBLE) / t.ctotal)) AS ll
+        FROM tc JOIN corpus c ON c.tok = tc.tok CROSS JOIN total t
+        GROUP BY tc.doc_id),
+    scored AS (
+        SELECT d.doc_id, d.lang, d.text,
+               {sql_stable_round4('-p.ll / p.n_tokens')} AS cross_entropy,
+               {{qc}} AS sum_w
+        FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id),
+    tiled AS (
+        SELECT *, ntile(3) OVER (PARTITION BY lang
+                                 ORDER BY cross_entropy, doc_id) AS tile
+        FROM scored),
+    kept AS (
+        SELECT doc_id, lang, cross_entropy,
+               CASE tile WHEN 1 THEN 'head' ELSE 'middle' END AS ppl_bucket,
+               md5(text) AS content_hash
+        FROM tiled WHERE tile <= 2 AND sum_w >= 0),
+    canon AS (
+        SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS c
+        FROM kept)
+    SELECT doc_id, lang, cross_entropy, ppl_bucket, content_hash
+    FROM canon WHERE doc_id = c
+    """.replace("{qc}", _sql_qc("d.text")),
+)
+def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 curation flow, composing this round's gates into ONE plan:
+    corpus-LM perplexity terciles per language (keep head+middle, drop the
+    tail third — the CCNet recipe) AND the hashed-feature classifier keep
+    decision (integer logit >= 0) → exact-dedup canonicalization of the
+    survivors. The (doc,term) relation is computed once and feeds both the
+    LM model and the per-doc scores; the classifier is in-row arithmetic
+    on the same scan that hashes the text for dedup. Shuffles: tc groupBy,
+    corpus groupBy, the lang-keyed tercile window, the content-hash
+    window — each on its natural key, nothing global but the scalar
+    total."""
+    from .textstats import qc_sum_w
+
+    d = load(spark, sf_dir, "documents")
+    tc = term_counts(d).persist()
+    corpus = tc.groupBy("tok").agg(F.sum("cnt").alias("ccount"))
+    total = corpus.agg(F.sum("ccount").alias("ctotal"))
+    per_doc = (
+        tc.join(corpus, "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(
+                F.col("cnt")
+                * F.log(F.col("ccount").cast("double") / F.col("ctotal"))
+            ).alias("ll"),
+        )
+    )
+    scored = per_doc.join(
+        d.select("doc_id", "lang", "text"), "doc_id"
+    ).select(
+        "doc_id",
+        "lang",
+        "text",
+        stable_round4(-F.col("ll") / F.col("n_tokens")).alias(
+            "cross_entropy"
+        ),
+        qc_sum_w(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias(
+            "sum_w"
+        ),
+    )
+    tile = F.ntile(3).over(
+        W.partitionBy("lang").orderBy("cross_entropy", "doc_id")
+    )
+    kept = (
+        scored.withColumn("tile", tile)
+        .filter((F.col("tile") <= 2) & (F.col("sum_w") >= 0))
+        .select(
+            "doc_id",
+            "lang",
+            "cross_entropy",
+            F.when(F.col("tile") == 1, "head")
+            .otherwise("middle")
+            .alias("ppl_bucket"),
+            F.md5("text").alias("content_hash"),
+        )
+    )
+    canon = kept.withColumn(
+        "c", F.min("doc_id").over(W.partitionBy("content_hash"))
+    )
+    return canon.filter(F.col("doc_id") == F.col("c")).select(
+        "doc_id", "lang", "cross_entropy", "ppl_bucket", "content_hash"
+    )

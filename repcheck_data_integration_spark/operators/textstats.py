@@ -774,6 +774,52 @@ QC_BUCKETS = 4096      # feature-hash space for unigrams
 QC_W_SPAN = 1000       # weights are integers in [-QC_W_SPAN, +QC_W_SPAN]
 
 
+def qc_bucket(t):
+    """Feature-hash a token column into [0, QC_BUCKETS)."""
+    return (
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % QC_BUCKETS
+    )
+
+
+def qc_weight(t):
+    """Deterministic integer bucket weight in ±QC_W_SPAN (md5-derived —
+    with a trained model this becomes element_at on a broadcast array)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qcw_"), qc_bucket(t).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (2 * QC_W_SPAN + 1)
+        - QC_W_SPAN
+    )
+
+
+def qc_sum_w(toks):
+    """In-row exact-integer classifier logit numerator."""
+    return F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + qc_weight(t)
+    )
+
+
+def sql_qc_sum_w(text_expr: str) -> str:
+    """DuckDB twin of qc_sum_w over regexp-tokenized text."""
+    return (
+        "list_aggregate(list_transform("
+        f"regexp_extract_all({text_expr}, '[a-z0-9]+'),"
+        " t -> CAST(('0x' || substr(md5('qcw_' ||"
+        " CAST(CAST(('0x' || substr(md5(t), 1, 8))"
+        f" AS BIGINT) % {QC_BUCKETS} AS VARCHAR)),"
+        " 1, 8)) AS BIGINT)"
+        f" % (2 * {QC_W_SPAN} + 1) - {QC_W_SPAN}), 'sum')"
+    )
+
+
+
 @register(
     "text_classifier_score",
     oracle=f"""
@@ -818,31 +864,10 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     same ulp-margin rationale as the xent family. The keep flag compares
     INTEGERS, so the decision boundary is engine-exact."""
     d = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    bucket = lambda t: (  # noqa: E731
-        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-        % QC_BUCKETS
-    )
-    weight = lambda t: (  # noqa: E731
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("qcw_"), bucket(t).cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % (2 * QC_W_SPAN + 1)
-        - QC_W_SPAN
-    )
-    sum_w = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + weight(t)
-    )
     out = d.select(
         "doc_id",
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-        sum_w.alias("sum_w"),
+        qc_sum_w(tokens(F.col("text"))).alias("sum_w"),
     )
     margin = F.col("sum_w") * 1.0 / (float(QC_W_SPAN) * F.col("n_tokens"))
     return out.select(

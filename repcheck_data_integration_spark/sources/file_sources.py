@@ -644,3 +644,76 @@ def src_corrupt_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_chars_total"
         ),
     )
+
+
+AVRO_N_FILES = 4
+AVRO_SCHEMA_DDL = (
+    "o_orderkey long, o_custkey long, o_totalprice double,"
+    " o_orderpriority string, maybe_status string"
+)
+
+
+@register(
+    "src_avro_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END
+               AS maybe_status
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def src_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container File source (sources/avrofile.py): Spark's
+    bundled jars can't read Avro without the separate spark-avro
+    connector, so the decode is a pure-python reader for the public Avro
+    spec, distributed via binaryFile + mapInPandas (one task per
+    container, the shapefile source's shape). The fixture is written by
+    the sibling pure-python WRITER — deflate-coded blocks, nullable-union
+    column (maybe_status) — so the roundtrip proves both directions, and
+    the oracle recomputes the expected relation straight from the orders
+    parquet, which catches any encode+decode error that a write/read pair
+    of the same buggy code would hide (varint, zigzag, union-branch, and
+    sync handling all sit in the hash path)."""
+    from . import avrofile
+
+    d = _fixture_dir(sf_dir, "avro")
+    if not _done(d):
+        os.makedirs(d, exist_ok=True)
+        rows = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 7 == 0)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.col("o_totalprice").cast("double"),
+                "o_orderpriority",
+                F.when(
+                    F.col("o_orderkey") % 3 == 0, F.lit(None)
+                ).otherwise(F.col("o_orderstatus")).alias("maybe_status"),
+            )
+            .collect()
+        )
+        schema = {
+            "type": "record",
+            "name": "orders",
+            "fields": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_custkey", "type": "long"},
+                {"name": "o_totalprice", "type": "double"},
+                {"name": "o_orderpriority", "type": "string"},
+                {"name": "maybe_status", "type": ["null", "string"]},
+            ],
+        }
+        for i in range(AVRO_N_FILES):
+            part = [
+                r.asDict()
+                for r in rows
+                if r.o_orderkey % AVRO_N_FILES == i
+            ]
+            avrofile.write_avro(
+                os.path.join(d, f"part-{i}.avro"), schema, part
+            )
+        _mark_done(d)
+    return avrofile.read_avro_dir(
+        spark, os.path.join(d, "*.avro"), AVRO_SCHEMA_DDL
+    )

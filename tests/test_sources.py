@@ -287,3 +287,107 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     n2 = compact_parquet(spark, src, dst2, target_file_bytes=64 * 1024)
     assert n2 > 1
     assert len(glob.glob(dst2 + "/*.parquet")) == n2
+
+
+# -- avro container codec ---------------------------------------------------
+
+def test_avro_roundtrip_all_types(tmp_path):
+    from repcheck_data_integration_spark.sources import avrofile as A
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "mu", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+        ],
+    }
+    rows = [
+        {"b": True, "i": -(2**40) - 3, "d": 1.5e-300, "s": "héllo ☃",
+         "raw": b"\x00\xff", "mu": None, "arr": [1, -2, 3],
+         "m": {"k": "v", "k2": ""}},
+        {"b": False, "i": 0, "d": -0.0, "s": "", "raw": b"", "mu": 7,
+         "arr": [], "m": {}},
+    ]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        A.write_avro(p, schema, rows, codec=codec)
+        got_schema, got = A.read_avro(open(p, "rb").read())
+        assert got_schema == schema
+        assert got == rows
+
+
+def test_avro_zigzag_varint_edges():
+    import io
+
+    from repcheck_data_integration_spark.sources import avrofile as A
+
+    for n in (0, -1, 1, 63, 64, -64, -65, 2**31 - 1, -(2**31),
+              2**62, -(2**62)):
+        buf = io.BytesIO()
+        A.write_long(buf, n)
+        buf.seek(0)
+        assert A.read_long(buf) == n, n
+
+
+def test_avro_corrupt_sync_fails_loudly(tmp_path):
+    import pytest as _pytest
+
+    from repcheck_data_integration_spark.sources import avrofile as A
+
+    schema = {"type": "record", "name": "t",
+              "fields": [{"name": "x", "type": "long"}]}
+    p = str(tmp_path / "c.avro")
+    A.write_avro(p, schema, [{"x": i} for i in range(10)], codec="null")
+    data = bytearray(open(p, "rb").read())
+    data[-1] ^= 0xFF  # flip a bit in the trailing sync marker
+    with _pytest.raises(ValueError, match="sync mismatch"):
+        A.read_avro(bytes(data))
+
+
+def test_avro_roundtrip_property():
+    """Hypothesis: arbitrary (long, nullable-string, double) rows survive
+    the encode→deflate→decode path bit-exactly."""
+    import io as _io
+
+    from hypothesis import given, settings, strategies as st
+
+    from repcheck_data_integration_spark.sources import avrofile as A
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": "double"},
+        ],
+    }
+    rows_strategy = st.lists(
+        st.fixed_dictionaries(
+            {
+                "k": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                "s": st.one_of(st.none(), st.text(max_size=40)),
+                "d": st.floats(allow_nan=False),
+            }
+        ),
+        max_size=25,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(rows_strategy)
+    def check(rows):
+        buf = _io.BytesIO()
+        for r in rows:
+            A._encode_value(buf, schema, r)
+        buf.seek(0)
+        got = [A._decode_value(buf, schema) for _ in rows]
+        assert got == rows
+
+    check()
