@@ -1203,3 +1203,140 @@ def agg_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("avg_gap_days"),
     )
+
+
+# --- HDR-style mergeable quantile histogram --------------------------------
+
+HDR_SUB = 16  # sub-buckets per power-of-two decade
+
+
+@register(
+    "agg_quantile_histogram",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        FROM lineitem),
+    b AS (
+        SELECT cents,
+               length(bin(cents)) - 1 AS e,
+               (cents * {HDR_SUB}) // (1::BIGINT << (length(bin(cents)) - 1))
+                   - {HDR_SUB} AS m
+        FROM v),
+    h AS (
+        SELECT e * {HDR_SUB} + m AS bucket_id, e, m, count(*) AS cnt
+        FROM b GROUP BY 1, 2, 3),
+    c AS (
+        SELECT *, sum(cnt) OVER (ORDER BY bucket_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+               (SELECT sum(cnt) FROM h) AS n
+        FROM h),
+    qs AS (SELECT * FROM (VALUES (50, 1, 2), (90, 9, 10), (99, 99, 100))
+               AS t(q_pct, q_num, q_den)),
+    tgt AS (
+        SELECT q_pct, (q_num * n + q_den - 1) // q_den AS target, n
+        FROM qs CROSS JOIN (SELECT DISTINCT n FROM c) u),
+    pick AS (
+        SELECT t.q_pct, t.target, c.bucket_id, c.e, c.m, c.cnt,
+               c.cum - c.cnt AS cum_before,
+               row_number() OVER (PARTITION BY t.q_pct
+                                  ORDER BY c.bucket_id) AS rn
+        FROM tgt t JOIN c ON c.cum >= t.target)
+    SELECT q_pct, CAST(bucket_id AS BIGINT) AS bucket_id,
+           CAST(cnt AS BIGINT) AS cnt_in_bucket,
+           CAST(target AS BIGINT) AS target_rank,
+           floor((1::BIGINT << e) * (({HDR_SUB} + m)
+                 + (target - cum_before) * 1.0 / cnt) / {HDR_SUB}
+                 * 10000.0 + 0.5) / 10000.0 AS est_cents
+    FROM pick WHERE rn = 1
+    """,
+)
+def agg_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch with EXACT cross-engine determinism — the
+    HDR-histogram design (public: hdrhistogram.org; log-scale buckets with
+    {HDR_SUB} linear sub-buckets per power of two, ~4% relative error):
+    bucket ids are pure INTEGER arithmetic (exponent via the binary-string
+    length of the value — no float log2 anywhere), so partial histograms
+    from any partitioning merge by adding counts, the property
+    t-digest/GK sketches only have approximately. One hash aggregation
+    (map-side partial sums collapse each partition to ≤ a few hundred
+    bucket rows), one tiny cumulative window over the bucket table, p50/
+    p90/p99 read off by integer rank targets with within-bucket linear
+    interpolation — float enters only in the final interpolation, stable-
+    rounded identically in both engines.
+
+    At 100 TB this is THE shape for percentile telemetry: the shuffle
+    carries bucket partials (bounded by bucket count, not rows), and
+    histograms for different time windows / cohorts union by key."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    e = (F.length(F.expr("bin(cents)")) - 1).alias("e")
+    b = li.select(cents.alias("cents")).select("cents", e).select(
+        "cents",
+        "e",
+        # integer sub-bucket: (cents*SUB) div 2^e - SUB, exponent exact via
+        # bin() string length — no float log2 on either engine
+        (
+            F.floor(
+                F.col("cents") * HDR_SUB
+                / F.expr("shiftleft(cast(1 as bigint), e)")
+            )
+            - HDR_SUB
+        ).alias("m"),
+    )
+    h = b.groupBy(
+        (F.col("e") * HDR_SUB + F.col("m")).alias("bucket_id"), "e", "m"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    n = h.agg(F.sum("cnt").alias("n"))
+    c = (
+        h.join(F.broadcast(n))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                W.orderBy("bucket_id").rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            ),
+        )
+    )
+    qs = spark.createDataFrame(
+        [(50, 1, 2), (90, 9, 10), (99, 99, 100)],
+        "q_pct int, q_num long, q_den long",
+    )
+    tgt = qs.join(F.broadcast(n)).select(
+        "q_pct",
+        ((F.col("q_num") * F.col("n") + F.col("q_den") - 1) / F.col("q_den"))
+        .cast("long")
+        .alias("target"),
+    )
+    pick = (
+        tgt.join(c, F.col("cum") >= F.col("target"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_pct").orderBy("bucket_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    est = (
+        F.floor(
+            F.expr("shiftleft(cast(1 as bigint), e)")
+            * (
+                (HDR_SUB + F.col("m"))
+                + (F.col("target") - (F.col("cum") - F.col("cnt")))
+                * 1.0
+                / F.col("cnt")
+            )
+            / HDR_SUB
+            * 10000.0
+            + 0.5
+        )
+        / 10000.0
+    )
+    return pick.select(
+        "q_pct",
+        F.col("bucket_id").cast("long").alias("bucket_id"),
+        F.col("cnt").cast("long").alias("cnt_in_bucket"),
+        F.col("target").cast("long").alias("target_rank"),
+        est.alias("est_cents"),
+    )

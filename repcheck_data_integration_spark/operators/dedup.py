@@ -498,10 +498,51 @@ def connected_components(
     return labels
 
 
-@register("dedup_components")
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, {SQL_SHINGLES} AS sh FROM documents),
+    shh AS (
+        SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS shh
+        FROM sh WHERE len(sh) > 0),
+    mh AS (
+        SELECT doc_id, sh, {_minhash_sql()}
+        FROM shh),
+    bands AS (
+        SELECT doc_id, i - 1 AS band_idx, [{_bands_sql()}][i] AS band_hash
+        FROM mh, unnest(generate_series(1, {N_BANDS})) AS u(i)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id),
+    ver AS (
+        SELECT doc1, doc2
+        FROM cand JOIN mh x ON cand.doc1 = x.doc_id
+                  JOIN mh y ON cand.doc2 = y.doc_id
+        WHERE {SQL_JACCARD.format(a='x.sh', b='y.sh')} >= {JACCARD_THRESHOLD}),
+    edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM ver
+        UNION SELECT doc2, doc1 FROM ver),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    nodes AS (SELECT DISTINCT a AS n FROM edges)
+    SELECT nodes.n AS doc_id,
+           least(nodes.n, coalesce(min(r.b), nodes.n)) AS canonical_doc_id
+    FROM nodes LEFT JOIN reach r ON r.a = nodes.n
+    GROUP BY nodes.n
+    """,
+)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical near-dup clusters: MinHash-LSH pairs → connected
-    components → (doc_id, canonical_doc_id). rows-only (iterative)."""
+    """Canonical near-dup clusters: MinHash-LSH pairs (jaccard-verified) →
+    connected components → (doc_id, canonical_doc_id). The iterative
+    min-label propagation was rows-only through round 3; the oracle now
+    expresses the closure as a recursive reachability CTE (same trick as
+    stream_dedup_minhash), so the component labels are hash-verified
+    cross-engine."""
     pairs = dedup_minhash_lsh(spark, sf_dir)
     comp = connected_components(pairs)
     return comp.select(

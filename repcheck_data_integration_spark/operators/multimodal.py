@@ -375,3 +375,89 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_cut_idx"),
     )
+
+
+AUDIO_WIN = 8            # fake "frames" per energy window
+SILENCE_THRESH = 10**9   # integer energy floor for the silence gate
+
+
+@register(
+    "mm_audio_energy",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id, i - 1 AS frame_idx,
+               CAST(('0x' || substr(md5(substr(text, (i - 1) * {CHUNK} + 1,
+                                               {CHUNK})), 1, 8)) AS BIGINT)
+                   % 65536 - 32768 AS s
+        FROM documents,
+             unnest(generate_series(1,
+                 greatest((length(text) - 1) // {CHUNK}, 0) + 1)) AS u(i)
+        WHERE length(text) > 0),
+    win AS (
+        SELECT doc_id, frame_idx // {AUDIO_WIN} AS window_id,
+               sum(s * s) AS energy
+        FROM frames GROUP BY 1, 2),
+    best AS (
+        SELECT doc_id, count(*) AS n_windows,
+               sum(CASE WHEN energy < {SILENCE_THRESH} THEN 1 ELSE 0 END)
+                   AS n_silent,
+               max(energy) AS peak_energy,
+               min(window_id) FILTER (
+                   WHERE energy = (SELECT max(w2.energy) FROM win w2
+                                   WHERE w2.doc_id = win.doc_id))
+                   AS peak_window_id
+        FROM win GROUP BY doc_id)
+    SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_silent AS BIGINT) AS n_silent,
+           CAST(peak_energy AS BIGINT) AS peak_energy,
+           CAST(peak_window_id AS BIGINT) AS peak_window_id
+    FROM best
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio-energy profile — the audio leg of the multimodal
+    family (real PCM decode is env-gated like the image codecs; the
+    samples here are the honest md5 fake: one int16 per {CHUNK}-byte
+    chunk). Per {AUDIO_WIN}-frame window the energy is the EXACT integer
+    Σs² (the RMS numerator — no sqrt, so no float anywhere), per payload
+    the op emits window count, silent-window count (energy floor
+    {SILENCE_THRESH}), the peak energy and the earliest window attaining
+    it — the segmentation signal voice-activity/clip-selection pipelines
+    cut on.
+
+    Scale: frames explode ∝ payload bytes / {CHUNK}; ONE hash aggregate
+    to (payload, window) — map-side partials collapse the explosion
+    before the shuffle — and a second tiny aggregate to per-payload
+    features; the peak argmin rides the same aggregate via max_by-style
+    struct ordering, no window function at all."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_last = F.expr(f"greatest((length(text) - 1) div {CHUNK}, 0)")
+    chunk = F.expr(f"substr(text, frame_idx * {CHUNK} + 1, {CHUNK})")
+    s = (
+        F.conv(F.substring(F.md5(chunk), 1, 8), 16, 10).cast("long") % 65536
+        - 32768
+    )
+    frames = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_last)).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        (F.col("frame_idx") / AUDIO_WIN).cast("long").alias("window_id"),
+        s.alias("s"),
+    )
+    win = frames.groupBy("doc_id", "window_id").agg(
+        F.sum(F.col("s") * F.col("s")).alias("energy")
+    )
+    # peak window via lexicographic max of (energy, -window_id): ties on
+    # energy resolve to the EARLIEST window on both engines
+    return win.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum(
+            (F.col("energy") < SILENCE_THRESH).cast("long")
+        ).cast("long").alias("n_silent"),
+        F.max("energy").cast("long").alias("peak_energy"),
+        (-F.max(
+            F.struct(F.col("energy"), (-F.col("window_id")).alias("nw"))
+        )["nw"]).cast("long").alias("peak_window_id"),
+    )

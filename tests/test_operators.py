@@ -676,3 +676,54 @@ def test_bpe_pair_counts_match_python(spark):
             pc[w[i : i + 2]] += f
     want = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_PAIRS]
     assert got == want
+
+
+def test_quantile_histogram_accuracy_and_mergeability(spark):
+    """The HDR-bucket estimate must sit within one sub-bucket's relative
+    width (~1/16) of the exact percentile, and partial histograms from a
+    disjoint split must merge by adding counts into exactly the full
+    histogram (the mergeable-sketch property)."""
+    from repcheck_data_integration_spark.operators.aggregates import HDR_SUB
+    from repcheck_data_integration_spark.registry import QUERIES
+    from repcheck_data_integration_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    est = {
+        r.q_pct: r.est_cents
+        for r in QUERIES["agg_quantile_histogram"](spark, sf).collect()
+    }
+    li = load(spark, sf, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    exact = li.select(
+        F.percentile(cents, F.lit(0.5)).alias("p50"),
+        F.percentile(cents, F.lit(0.9)).alias("p90"),
+        F.percentile(cents, F.lit(0.99)).alias("p99"),
+    ).collect()[0]
+    for q, ex in ((50, exact.p50), (90, exact.p90), (99, exact.p99)):
+        assert abs(est[q] - ex) / ex <= 1.0 / HDR_SUB + 0.01, (q, est[q], ex)
+
+    bucket = (
+        (F.length(F.expr("bin(cents)")) - 1) * HDR_SUB
+        + F.floor(
+            F.col("cents") * HDR_SUB
+            / F.expr("shiftleft(cast(1 as bigint), length(bin(cents)) - 1)")
+        )
+        - HDR_SUB
+    ).alias("bucket_id")
+    v = li.select(cents.alias("cents"))
+    full = {
+        r.bucket_id: r.n
+        for r in v.groupBy(bucket).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    halves = [
+        v.filter(F.col("cents") % 2 == i)
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        for i in (0, 1)
+    ]
+    merged: dict = {}
+    for half in halves:
+        for r in half:
+            merged[r.bucket_id] = merged.get(r.bucket_id, 0) + r.n
+    assert merged == full
