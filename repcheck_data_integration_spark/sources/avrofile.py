@@ -301,3 +301,113 @@ def read_avro_dir(spark, glob: str, spark_schema: str):
 
     files = spark.read.format("binaryFile").load(glob)
     return files.select("content").mapInPandas(decode, schema=spark_schema)
+
+
+# -- block-granular splits (the 100 TB path) --------------------------------
+
+def _read_header(f) -> tuple[dict, str, bytes, int]:
+    """Read magic + metadata + sync from an open file → (schema, codec,
+    sync, first_block_offset)."""
+    if f.read(4) != MAGIC:
+        raise ValueError("not an avro object container file (bad magic)")
+    meta = {}
+    while True:
+        n = read_long(f)
+        if n == 0:
+            break
+        if n < 0:
+            read_long(f)
+            n = -n
+        for _ in range(n):
+            k = read_bytes(f).decode()
+            meta[k] = read_bytes(f)
+    sync = f.read(16)
+    return (
+        json.loads(meta["avro.schema"]),
+        meta.get("avro.codec", b"null").decode(),
+        sync,
+        f.tell(),
+    )
+
+
+def read_avro_split(
+    path: str, start: int, end: int
+) -> tuple[dict, list[dict]]:
+    """Decode the blocks whose SYNC-ALIGNED start falls in [start, end) —
+    the Hadoop AvroInputFormat split rule: a task seeks to the first sync
+    marker at-or-after its offset and owns every block from there until a
+    block begins at-or-beyond its end. Each block belongs to exactly one
+    split, so a partition of [0, filesize) decodes each row exactly
+    once."""
+    with open(path, "rb") as f:
+        schema, codec, sync, first = _read_header(f)
+        size = os.fstat(f.fileno()).st_size
+        # position at the first block boundary at-or-after `start`
+        if start <= first:
+            pos = first
+        else:
+            # scan for the sync marker; the block after it starts the split
+            f.seek(max(start - 16, first))
+            window = f.read(min(end - start + 16 + 2**20, size))
+            idx = window.find(sync)
+            if idx < 0:
+                return schema, []
+            pos = max(start - 16, first) + idx + 16
+        rows: list[dict] = []
+        f.seek(pos)
+        while pos < end and pos < size:
+            count = read_long(f)
+            blen = read_long(f)
+            payload = f.read(blen)
+            if f.read(16) != sync:
+                raise ValueError("avro block sync mismatch (corrupt container)")
+            if codec == "deflate":
+                payload = zlib.decompress(payload, -15)
+            elif codec != "null":
+                raise NotImplementedError(f"codec {codec}")
+            pb = io.BytesIO(payload)
+            for _ in range(count):
+                rows.append(_decode_value(pb, schema))
+            pos = f.tell()
+        return schema, rows
+
+
+def read_avro_dir_split(
+    spark, paths: list[str], spark_schema: str, split_bytes: int = 1 << 20
+):
+    """Distributed scan with BLOCK-GRANULAR parallelism: each file is cut
+    into byte-range splits on the driver (listing only — no data read),
+    every (path, start, end) range becomes a task, and tasks resolve their
+    ranges to whole Avro blocks via the sync-marker rule above. This is
+    how one 10 GB container fans out across executors instead of pinning
+    a single task — the spec's stated reason blocks carry sync markers.
+    Requires the paths to be visible on every executor (local FS here;
+    object stores at scale)."""
+    import pandas as pd
+
+    field_names = [
+        s.strip().split()[0] for s in spark_schema.split(",") if s.strip()
+    ]
+    splits = []
+    for p in sorted(paths):
+        size = os.path.getsize(p)
+        for off in range(0, max(size, 1), split_bytes):
+            splits.append((p, off, min(off + split_bytes, size)))
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for path, start, end in zip(
+                pdf["path"], pdf["start"], pdf["end"]
+            ):
+                _, recs = read_avro_split(path, int(start), int(end))
+                rows.extend(recs)
+            yield pd.DataFrame(
+                [[r[c] for c in field_names] for r in rows],
+                columns=field_names,
+            )
+
+    sdf = spark.createDataFrame(
+        splits, "path string, start long, end long"
+    ).repartition(max(len(splits), 1))
+    return sdf.mapInPandas(decode, schema=spark_schema)

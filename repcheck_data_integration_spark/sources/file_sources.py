@@ -717,3 +717,36 @@ def src_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return avrofile.read_avro_dir(
         spark, os.path.join(d, "*.avro"), AVRO_SCHEMA_DDL
     )
+
+
+@register(
+    "src_avro_split_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END
+               AS maybe_status
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def src_avro_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-granular Avro scan (avrofile.read_avro_dir_split): the SAME
+    containers as src_avro_scan, but each file is cut into 4 KiB
+    byte-range splits and every task resolves its range to whole blocks
+    via the sync-marker rule — the Hadoop AvroInputFormat split
+    algorithm, which is how one multi-GB container fans out across
+    executors instead of pinning a single task. Identical oracle as the
+    file-granular scan: the hash match proves each row decodes EXACTLY
+    once across the split partition (a boundary off-by-one would dup or
+    drop a block and flip the hash)."""
+    from . import avrofile
+
+    src_avro_scan(spark, sf_dir)  # ensure the fixture containers exist
+    d = _fixture_dir(sf_dir, "avro")
+    paths = [
+        os.path.join(d, f)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".avro")
+    ]
+    return avrofile.read_avro_dir_split(
+        spark, paths, AVRO_SCHEMA_DDL, split_bytes=4096
+    )

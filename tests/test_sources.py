@@ -391,3 +391,25 @@ def test_avro_roundtrip_property():
         assert got == rows
 
     check()
+
+
+def test_avro_split_reader_exactly_once(tmp_path):
+    """Byte-range splits must decode every block exactly once for ANY
+    split size — including splits smaller than the header, splits inside
+    a block, and split boundaries landing on a sync marker."""
+    from repcheck_data_integration_spark.sources import avrofile as A
+
+    schema = {"type": "record", "name": "t",
+              "fields": [{"name": "x", "type": "long"}]}
+    rows = [{"x": i} for i in range(1000)]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"big_{codec}.avro")
+        A.write_avro(p, schema, rows, codec=codec, rows_per_block=37)
+        size = os.path.getsize(p)
+        import os as _os
+        for split in (64, 257, 1024, size, size * 2):
+            got = []
+            for off in range(0, size, split):
+                _, part = A.read_avro_split(p, off, min(off + split, size))
+                got.extend(part)
+            assert got == rows, (codec, split)
