@@ -861,3 +861,76 @@ def minhash_components_batch(docs: DataFrame) -> DataFrame:
             F.coalesce(F.col("comp"), F.col("doc_id")).alias("canonical_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental HDR quantile histogram (mergeable sketch, streaming leg)
+# ---------------------------------------------------------------------------
+
+def make_histogram_merge_batch(target_path: str, run_id: str | None = None):
+    """Incremental maintainer for agg_quantile_histogram's HDR bucket
+    table over the events value stream: each micro-batch's bucket partials
+    ADD into the state — the whole point of an integer-bucketed mergeable
+    sketch is that this fold is exact, so incremental quantiles equal the
+    batch sketch over all history bit-for-bit (asserted in tests), unlike
+    t-digest/GK merges which drift. State size = touched buckets (a few
+    hundred rows), independent of stream length."""
+    from ..operators.aggregates import HDR_SUB
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if epoch_id <= rollup_applied_epoch(target_path, run_id):
+            return  # replayed epoch: already folded in
+        cents = F.greatest(
+            F.round(F.col("value") * 100, 0).cast("long"), F.lit(1)
+        )
+        b = batch.select(cents.alias("cents")).select(
+            "cents",
+            (F.length(F.expr("bin(cents)")) - 1).alias("e"),
+        ).select(
+            "e",
+            (
+                F.floor(
+                    F.col("cents") * HDR_SUB
+                    / F.expr("shiftleft(cast(1 as bigint), e)")
+                )
+                - HDR_SUB
+            ).alias("m"),
+        )
+        delta = b.groupBy(
+            (F.col("e") * HDR_SUB + F.col("m")).alias("bucket_id")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        if os.path.islink(target_path):
+            prev = spark.read.parquet(target_path).select(
+                "bucket_id", F.col("cnt").alias("p_cnt")
+            )
+            merged = (
+                delta.join(prev, "bucket_id", "full_outer")
+                .select(
+                    "bucket_id",
+                    (
+                        F.coalesce(F.col("cnt"), F.lit(0))
+                        + F.coalesce(F.col("p_cnt"), F.lit(0))
+                    ).alias("cnt"),
+                )
+            )
+        else:
+            merged = delta
+        commit_epoch_version(target_path, epoch_id, merged, run_id)
+
+    return merge_batch
+
+
+def stream_quantile_histogram(
+    events_stream: DataFrame, target_path: str, checkpoint: str
+):
+    """Run the incremental HDR histogram as an availableNow foreachBatch
+    query over an events-shaped stream."""
+    return (
+        events_stream.writeStream.foreachBatch(
+            make_histogram_merge_batch(target_path, run_id=checkpoint)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -817,3 +817,41 @@ def test_stream_minhash_dedup_order_independent(spark, tmp_path):
     batch = sorted(map(tuple,
                        stream_ops.minhash_components_batch(docs).collect()))
     assert inc == batch
+
+
+def test_stream_histogram_incremental_equals_batch(spark, tmp_path):
+    """Folding the events stream through the HDR-histogram maintainer in
+    three batches must reproduce the batch bucket table EXACTLY (integer
+    mergeability — no sketch drift), and replays must skip."""
+    from repcheck_data_integration_spark.operators.aggregates import HDR_SUB
+
+    events = load(spark, SF, "events")
+    target = str(tmp_path / "hist")
+    merge = stream_ops.make_histogram_merge_batch(target)
+    for ep in range(3):
+        merge(events.filter(F.col("event_id") % 3 == ep), ep)
+    merge(events.filter(F.col("event_id") % 3 == 1), 1)  # replay: no-op
+
+    inc = {
+        r.bucket_id: r.cnt for r in spark.read.parquet(target).collect()
+    }
+    cents = F.greatest(F.round(F.col("value") * 100, 0).cast("long"), F.lit(1))
+    full = {
+        r.bucket_id: r.n
+        for r in events.select(cents.alias("cents"))
+        .select("cents", (F.length(F.expr("bin(cents)")) - 1).alias("e"))
+        .select(
+            "e",
+            (
+                F.floor(
+                    F.col("cents") * HDR_SUB
+                    / F.expr("shiftleft(cast(1 as bigint), e)")
+                )
+                - HDR_SUB
+            ).alias("m"),
+        )
+        .groupBy((F.col("e") * HDR_SUB + F.col("m")).alias("bucket_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert inc == full
