@@ -630,3 +630,89 @@ def pipeline_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+@register("pack_best_fit")
+def pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing sequence packing WITHOUT document splitting —
+    the padding-minimizing packer (each training sequence holds whole
+    documents; BFD's bin count is ≤ 11/9·OPT+1, Johnson 1973, public):
+    within each source shard, docs sort by (tokens desc, doc_id) and each
+    goes into the fullest bin it still fits (ties → lowest bin id); docs
+    longer than PACK_BUDGET get a dedicated overflow bin (truncation is
+    the consumer's policy call, flagged here). Complements
+    pack_token_sequences' concat-and-chop, which wastes no pad tokens but
+    splits documents across sequence boundaries.
+
+    Engine shape: the shard is the distribution unit — applyInPandas
+    groups by source, so 1000 shards pack on 1000 executors; WITHIN a
+    shard the algorithm is inherently sequential (each placement depends
+    on all previous fills), which is exactly the scale contract of real
+    packing jobs (shard-parallel, bin-serial). The heap-based best-fit is
+    O(n log n) per shard. rows-only (sequential state machine — not
+    SQL-expressible without per-bin recursion); the exactly-once /
+    capacity / determinism invariants are unit-tested."""
+    import pandas as pd
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import bisect
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        # sorted list of (residual, bin_id): best fit = smallest residual
+        # >= need; ties resolve to the LOWEST bin id via the sort key
+        open_bins: list[tuple[int, int]] = []
+        next_bin = 0
+        out_bin, out_fill, out_over = [], [], []
+        fills: dict[int, int] = {}
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > PACK_BUDGET:
+                b = next_bin
+                next_bin += 1
+                fills[b] = n
+                out_bin.append(b)
+                out_over.append(True)
+                continue
+            i = bisect.bisect_left(open_bins, (n, -1))
+            if i < len(open_bins):
+                resid, b = open_bins.pop(i)
+                fills[b] += n
+                if resid - n > 0:
+                    bisect.insort(open_bins, (resid - n, b))
+            else:
+                b = next_bin
+                next_bin += 1
+                fills[b] = n
+                if PACK_BUDGET - n > 0:
+                    bisect.insort(open_bins, (PACK_BUDGET - n, b))
+            out_bin.append(b)
+            out_over.append(False)
+        out_fill = [fills[b] for b in out_bin]
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "n_tokens": pdf["n_tokens"],
+                "bin_id": out_bin,
+                "bin_fill": out_fill,
+                "is_overflow": out_over,
+            }
+        )
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(TOK_RE), 0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return t.groupBy("source").applyInPandas(
+        pack,
+        schema=(
+            "doc_id long, source string, n_tokens long, bin_id long,"
+            " bin_fill long, is_overflow boolean"
+        ),
+    )

@@ -750,3 +750,58 @@ def src_avro_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return avrofile.read_avro_dir_split(
         spark, paths, AVRO_SCHEMA_DDL, split_bytes=4096
     )
+
+
+XML_N_FILES = 4
+
+
+@register(
+    "src_xml_scan",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(s_nationkey AS INT) AS s_nationkey,
+           s_acctbal
+    FROM supplier
+    """,
+)
+def src_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source (Spark 4 ships spark-xml in core): the supplier
+    table serialized as <supplier> row elements — key as an ATTRIBUTE,
+    the rest as child elements, entity-escaped — across {XML_N_FILES}
+    files, read back with an EXPLICIT schema (inference would widen the
+    int nation key) and `rowTag`. The oracle recomputes the relation from
+    the supplier parquet, so serializer and parser are verified
+    independently, same discipline as src_avro_scan. At scale the XML
+    reader splits by row tags across files; one task per file here."""
+    import xml.sax.saxutils as X
+
+    d = _fixture_dir(sf_dir, "xml")
+    if not _done(d):
+        os.makedirs(d, exist_ok=True)
+        rows = load(spark, sf_dir, "supplier").collect()
+        parts: dict[int, list[str]] = {i: [] for i in range(XML_N_FILES)}
+        for r in rows:
+            parts[r.s_suppkey % XML_N_FILES].append(
+                f'<supplier key="{r.s_suppkey}">'
+                f"<name>{X.escape(r.s_name)}</name>"
+                f"<nation>{r.s_nationkey}</nation>"
+                f"<acctbal>{r.s_acctbal!r}</acctbal>"
+                "</supplier>"
+            )
+        for i, elems in parts.items():
+            with open(os.path.join(d, f"part-{i}.xml"), "w") as f:
+                f.write("<suppliers>\n")
+                f.write("\n".join(elems))
+                f.write("\n</suppliers>")
+        _mark_done(d)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("_key long, name string, nation int, acctbal double")
+        .load(d)
+        .select(
+            F.col("_key").alias("s_suppkey"),
+            F.col("name").alias("s_name"),
+            F.col("nation").alias("s_nationkey"),
+            F.col("acctbal").alias("s_acctbal"),
+        )
+    )

