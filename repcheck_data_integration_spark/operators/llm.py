@@ -244,3 +244,92 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"),
         "content_hash",
     )
+
+
+@register(
+    "llm_eval_rouge",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(text, '[a-z0-9]+') AS toks
+        FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_distinct(toks) AS uni,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> toks[i] || ' ' || toks[i+1])) AS bi,
+               list_distinct(toks[1:{SUMMARY_TOKENS}]) AS s_uni,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(least(len(toks),
+                                               {SUMMARY_TOKENS}) - 1, 0)),
+                   i -> toks[i] || ' ' || toks[i+1])) AS s_bi
+        FROM t)
+    SELECT doc_id,
+           CAST(len(uni) AS BIGINT) AS n_ref_unigrams,
+           CAST(len(bi) AS BIGINT) AS n_ref_bigrams,
+           CASE WHEN len(uni) > 0 THEN
+               floor(len(list_filter(uni, x -> list_contains(s_uni, x)))
+                     * 1.0 / len(uni) * 10000.0 + 0.5) / 10000.0 END
+               AS rouge1_recall,
+           CASE WHEN len(bi) > 0 THEN
+               floor(len(list_filter(bi, x -> list_contains(s_bi, x)))
+                     * 1.0 / len(bi) * 10000.0 + 0.5) / 10000.0 END
+               AS rouge2_recall
+    FROM g
+    """,
+)
+def llm_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/2 recall of the extractive summary against its source
+    document (Lin 2004, public) — the evaluation half of the summarize
+    pipeline: what fraction of the document's distinct unigrams/bigrams
+    the {SUMMARY_TOKENS}-token summary covers. With a real model the
+    candidate column swaps in; the scoring plan is identical.
+
+    Engine shape: pure per-row set arithmetic (distinct n-gram arrays,
+    array_intersect, exact integer counts — only the final recall divides,
+    stable-rounded), single scan, no shuffle, no UDF: evaluation metrics
+    are exactly the thing you DON'T want leaving the JVM at corpus
+    scale."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)
+    bigrams = lambda t, lim: F.transform(  # noqa: E731
+        F.sequence(
+            F.lit(1),
+            F.greatest(
+                (F.least(F.size(t), F.lit(lim)) if lim else F.size(t))
+                - 1,
+                F.lit(0),
+            ),
+        ),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1)
+        ),
+    )
+    g = d.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.array_distinct("toks").alias("uni"),
+        F.array_distinct(bigrams(F.col("toks"), None)).alias("bi"),
+        F.array_distinct(F.slice("toks", 1, SUMMARY_TOKENS)).alias("s_uni"),
+        F.array_distinct(bigrams(F.col("toks"), SUMMARY_TOKENS)).alias(
+            "s_bi"
+        ),
+    )
+    recall = lambda ref, cand: F.when(  # noqa: E731
+        F.size(ref) > 0,
+        F.floor(
+            F.size(F.array_intersect(ref, cand))
+            * 1.0
+            / F.size(ref)
+            * 10000.0
+            + 0.5
+        )
+        / 10000.0,
+    )
+    return g.select(
+        "doc_id",
+        F.size("uni").cast("long").alias("n_ref_unigrams"),
+        F.size("bi").cast("long").alias("n_ref_bigrams"),
+        recall(F.col("uni"), F.col("s_uni")).alias("rouge1_recall"),
+        recall(F.col("bi"), F.col("s_bi")).alias("rouge2_recall"),
+    )

@@ -1330,3 +1330,103 @@ def emb_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qnorm")
         )
     )
+
+
+RANGE_THETA = 0.55  # cosine radius for range search
+
+
+@register(
+    "sim_search_range",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           {sql_stable_round4(sql_cosine('q.embedding', 'c.embedding'))}
+               AS cosine_sim
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+      AND {sql_cosine('q.embedding', 'c.embedding')} >= {RANGE_THETA}
+    """,
+)
+def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: ALL corpus vectors within cosine >=
+    {RANGE_THETA} of each query — the retrieval mode dedup/contamination
+    screens use (every match matters), vs top-k's fixed cutoff. Exact
+    form here (broadcast queries, one corpus scan, no shuffle at all —
+    the filter is per-row); the ANN accelerations are the same
+    band/cell candidate joins as the top-k family, with the radius test
+    replacing the rank window — range search actually DROPS the top-k
+    variants' one window shuffle."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    cos = cosine(F.col("q_emb"), F.col("c_emb"))
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cos.alias("cos"))
+        .filter(F.col("cos") >= RANGE_THETA)
+        .select(
+            "query_id",
+            "cand_id",
+            stable_round4(F.col("cos")).alias("cosine_sim"),
+        )
+    )
+
+
+@register(
+    "emb_dim_stats",
+    oracle=f"""
+    WITH pos AS (
+        SELECT i - 1 AS dim, embedding[i]::DOUBLE AS v
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+    s AS (
+        SELECT dim, count(*) AS n,
+               sum(CAST(round(v * 1000000, 0) AS BIGINT)) AS s1,
+               sum(CAST(round(v * 1000000, 0) AS BIGINT)
+                   * CAST(round(v * 1000000, 0) AS BIGINT)) AS s2,
+               min(v) AS mn, max(v) AS mx
+        FROM pos GROUP BY dim)
+    SELECT dim, CAST(n AS BIGINT) AS n,
+           {sql_stable_round4('s1 * 1.0 / 1000000 / n')} AS mean,
+           {sql_stable_round4(
+               'sqrt((s2 * 1.0 / 1e12) / n - (s1 * 1.0 / 1000000 / n)'
+               ' * (s1 * 1.0 / 1000000 / n))')} AS std,
+           {sql_stable_round4('mn')} AS min_v,
+           {sql_stable_round4('mx')} AS max_v
+    FROM s
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile (mean/std/min/max) — the
+    drift/collapse monitor every embedding pipeline runs (a dimension
+    whose std falls to ~0 is dead; a mean drifting from 0 flags a model
+    or normalization change). Moments are exact scaled-integer sums
+    (order-independent under any partitioning, the corr-matrix
+    discipline); shuffle carries one partial row per (partition, dim).
+    posexplode + hash agg rather than 64 wide aggregates — the
+    whole-stage-codegen field-budget trap cell_centroids documents."""
+    e = load(spark, sf_dir, "embeddings")
+    pos = e.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F.col("v").cast("double").alias("v")
+    )
+    sc = F.round(F.col("v") * 1000000, 0).cast("long")
+    s = pos.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(sc).alias("s1"),
+        F.sum(sc * sc).alias("s2"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    mean = F.col("s1") * 1.0 / 1000000 / F.col("n")
+    return s.select(
+        "dim",
+        F.col("n").cast("long").alias("n"),
+        stable_round4(mean).alias("mean"),
+        stable_round4(
+            F.sqrt((F.col("s2") * 1.0 / 1e12) / F.col("n") - mean * mean)
+        ).alias("std"),
+        stable_round4(F.col("mn")).alias("min_v"),
+        stable_round4(F.col("mx")).alias("max_v"),
+    )

@@ -1172,3 +1172,99 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_components_batch(docs).orderBy("doc_id")
+
+
+@register(
+    "events_user_features",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type),
+    ent AS (
+        SELECT user_id, sum(n) AS tot, count(*) AS n_types,
+               sum(CAST(floor(n * ln(n) * {ENT_SCALE}) AS BIGINT)) AS q
+        FROM c GROUP BY user_id),
+    base AS (
+        SELECT user_id,
+               count(*) AS n_events,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS total_cents,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS first_s,
+               CAST(floor(epoch(max(ts))) AS BIGINT) AS last_s,
+               count(DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT))
+                   AS active_days
+        FROM events GROUP BY user_id),
+    g AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS now_s FROM events)
+    SELECT b.user_id,
+           CAST(b.n_events AS BIGINT) AS n_events,
+           CAST(e.n_types AS BIGINT) AS n_types,
+           CAST(b.total_cents AS BIGINT) AS total_cents,
+           CAST(g.now_s - b.last_s AS BIGINT) AS recency_s,
+           CAST(b.last_s - b.first_s AS BIGINT) AS tenure_s,
+           CAST(b.active_days AS BIGINT) AS active_days,
+           floor((ln(e.tot) - e.q * 1.0 / {ENT_SCALE} / e.tot) * 10000.0
+                 + 0.5) / 10000.0 AS type_entropy_nats
+    FROM base b JOIN ent e ON e.user_id = b.user_id CROSS JOIN g
+    """,
+)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user FEATURE MATRIX in one composed DAG — the feature-store
+    assembly step of a behavioral-model pipeline: RFM (recency vs the
+    corpus clock, tenure, frequency, integer-cents monetary), activity
+    breadth (distinct active days, distinct types) and behavioral
+    diversity (the quantized type entropy events_type_entropy proves).
+    Two shuffles total, both keyed on user_id — the (user,type) pre-
+    aggregate feeding entropy and the base per-user aggregate — joined
+    user-to-user (co-partitioned, no third repartition) plus one
+    broadcast scalar for the corpus 'now'. This is the wide-table shape
+    feature stores materialize nightly; every feature stays exact-integer
+    until the single stable-rounded entropy."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    ent = c.groupBy("user_id").agg(
+        F.sum("n").alias("tot"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(
+            F.floor(F.col("n") * F.log(F.col("n")) * ENT_SCALE).cast("long")
+        ).alias("q"),
+    )
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    base = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "total_cents"
+        ),
+        F.floor(F.unix_timestamp(F.min("ts"))).cast("long").alias("first_s"),
+        F.floor(F.unix_timestamp(F.max("ts"))).cast("long").alias("last_s"),
+        F.countDistinct(day).alias("active_days"),
+    )
+    g = e.agg(
+        F.floor(F.unix_timestamp(F.max("ts"))).cast("long").alias("now_s")
+    )
+    return (
+        base.join(ent, "user_id")
+        .join(F.broadcast(g))
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("total_cents").cast("long").alias("total_cents"),
+            (F.col("now_s") - F.col("last_s"))
+            .cast("long")
+            .alias("recency_s"),
+            (F.col("last_s") - F.col("first_s"))
+            .cast("long")
+            .alias("tenure_s"),
+            F.col("active_days").cast("long").alias("active_days"),
+            (
+                F.floor(
+                    (
+                        F.log(F.col("tot"))
+                        - F.col("q") * 1.0 / ENT_SCALE / F.col("tot")
+                    )
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("type_entropy_nats"),
+        )
+    )

@@ -130,7 +130,16 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     arbitrary-state surface the built-in windowed aggs can't express
     (e.g. conditional resets, per-key custom logic). State is one small row per
     user; watermark bounds it. Emits the updated running totals for every
-    user seen in the batch."""
+    user seen in the batch.
+
+    Note: Spark 4's successor API (transformWithStateInPandas /
+    StatefulProcessor — typed value/list/map state, timers) is present in
+    this PySpark build but its streaming Python runner needs the
+    google.protobuf package, which this container lacks (probed: the
+    driver worker exits with STREAMING_PYTHON_RUNNER_INITIALIZATION_
+    FAILURE / protobuf ImportError). applyInPandasWithState is the
+    dependency-free arbitrary-state surface here; the operator bodies
+    port to a StatefulProcessor verbatim where protobuf exists."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
