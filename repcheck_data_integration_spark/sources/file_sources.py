@@ -805,3 +805,66 @@ def src_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("acctbal").alias("s_acctbal"),
         )
     )
+
+
+COMPACT_TARGET_BYTES = 4 << 20  # 4 MiB target files for the fixture scale
+
+
+def compact_parquet_dir(
+    spark: SparkSession, src: str, dst: str,
+    target_bytes: int = COMPACT_TARGET_BYTES,
+) -> int:
+    """Small-file compaction — the table-maintenance job every parquet
+    lake needs (streaming sinks and over-parallel writers leave thousands
+    of KB-sized files; each costs a task + open + footer parse at read
+    time). Sizes the output by MEASURED input bytes / target (listing
+    only — no data pass), rewrites in one job, returns the file count.
+    At scale this is the nightly OPTIMIZE; partition-columned tables run
+    it per partition with the same arithmetic."""
+    import glob as _glob
+
+    total = sum(
+        os.path.getsize(p) for p in _glob.glob(os.path.join(src, "*.parquet"))
+    )
+    n_out = max(1, -(-total // target_bytes))
+    spark.read.parquet(src).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(dst)
+    return n_out
+
+
+@register(
+    "maint_compact_files",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def maint_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction round trip: shatter the events table into 64 small
+    files (the streaming-sink pathology), compact to measured-size
+    outputs, and aggregate the COMPACTED copy — the oracle recomputes
+    from the original parquet, so a hash match proves the rewrite is
+    lossless (row- and value-exact). File-count reduction itself is
+    asserted in tests/test_sources.py."""
+    d = _fixture_dir(sf_dir, "compact")
+    frag, dst = os.path.join(d, "frag"), os.path.join(d, "compacted")
+    if not _done(d):
+        os.makedirs(d, exist_ok=True)
+        load(spark, sf_dir, "events").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(frag)
+        compact_parquet_dir(spark, frag, dst)
+        _mark_done(d)
+    return (
+        spark.read.parquet(dst)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+    )

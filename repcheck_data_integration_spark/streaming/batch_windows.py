@@ -1268,3 +1268,47 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("type_entropy_nats"),
         )
     )
+
+
+def _curation_oracle() -> str:
+    from ..operators.textstats import sql_qc_sum_w
+
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, md5(text) AS content_hash,
+               len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens,
+               {sql_qc_sum_w('text')} AS sum_w
+        FROM documents),
+    gated AS (
+        SELECT * FROM scored WHERE n_tokens > 0 AND sum_w >= 0)
+    SELECT content_hash, min(doc_id) AS doc_id,
+           CAST(min_by(n_tokens, doc_id) AS BIGINT) AS n_tokens,
+           CAST(min_by(sum_w, doc_id) AS BIGINT) AS sum_w
+    FROM gated GROUP BY content_hash
+    """
+
+
+@register("stream_curation_pipeline", oracle=_curation_oracle())
+def stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the incremental curation maintainer
+    (stream_ops.make_curation_merge_batch): classifier gate → exact dedup
+    keep-lowest → the kept-corpus relation. The live incremental fold
+    (anti-join vs accumulated state, epoch-idempotent commits) must equal
+    THIS under ascending-doc_id arrival — asserted in
+    tests/test_streaming.py."""
+    from ..operators.dedup import tokens as _tokens
+    from ..operators.textstats import qc_sum_w
+
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    gated = d.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        qc_sum_w(toks).alias("sum_w"),
+    ).filter((F.col("n_tokens") > 0) & (F.col("sum_w") >= 0))
+    return gated.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("n_tokens", "doc_id").cast("long").alias("n_tokens"),
+        F.min_by("sum_w", "doc_id").cast("long").alias("sum_w"),
+    )

@@ -943,3 +943,74 @@ def stream_quantile_histogram(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus curation (gate → dedup-vs-history → append)
+# ---------------------------------------------------------------------------
+
+def make_curation_merge_batch(target_path: str, run_id: str | None = None):
+    """Incremental CORPUS CURATION — the production crawl-ingest shape:
+    each micro-batch of raw documents is (1) quality-gated by the
+    hashed-feature classifier (integer logit >= 0, the
+    text_classifier_score kernel), (2) exact-deduped WITHIN the batch
+    (keep lowest doc_id per content hash), (3) anti-joined against the
+    accumulated kept-corpus state so nothing already kept re-enters, and
+    (4) appended through the epoch-stamped atomic commit. First arrival
+    wins across batches (with ascending doc_id batches this equals the
+    batch pipeline's keep-lowest rule — asserted in tests).
+
+    At 100 TB: the state is a content-hash-bucketed table, the anti-join
+    is hash-partition-local, the gate is in-row integer arithmetic on the
+    same scan that hashes the text — one shuffle per batch (the hash
+    groupBy), state grows only by kept docs."""
+    from ..operators.textstats import qc_sum_w
+    from ..operators.dedup import tokens
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if epoch_id <= rollup_applied_epoch(target_path, run_id):
+            return  # replayed epoch: already folded in
+        toks = tokens(F.col("text"))
+        gated = (
+            batch.select(
+                "doc_id",
+                F.md5("text").alias("content_hash"),
+                F.size(toks).cast("long").alias("n_tokens"),
+                qc_sum_w(toks).alias("sum_w"),
+            )
+            .filter((F.col("n_tokens") > 0) & (F.col("sum_w") >= 0))
+        )
+        first = gated.groupBy("content_hash").agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+            F.min_by("sum_w", "doc_id").alias("sum_w"),
+        )
+        if os.path.islink(target_path):
+            state = spark.read.parquet(target_path)
+            fresh = first.join(
+                state.select("content_hash"), "content_hash", "anti"
+            )
+            merged = state.unionByName(
+                fresh.select(*state.columns)
+            )
+        else:
+            merged = first.select(
+                "content_hash", "doc_id", "n_tokens", "sum_w"
+            )
+        commit_epoch_version(target_path, epoch_id, merged, run_id)
+
+    return merge_batch
+
+
+def stream_curation(docs_stream: DataFrame, target_path: str, checkpoint: str):
+    """Run the incremental curation as an availableNow foreachBatch query
+    over a documents-shaped stream."""
+    return (
+        docs_stream.writeStream.foreachBatch(
+            make_curation_merge_batch(target_path, run_id=checkpoint)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -413,3 +413,22 @@ def test_avro_split_reader_exactly_once(tmp_path):
                 _, part = A.read_avro_split(p, off, min(off + split, size))
                 got.extend(part)
             assert got == rows, (codec, split)
+
+
+def test_compaction_reduces_files_losslessly(spark, tmp_path):
+    from repcheck_data_integration_spark.sources.file_sources import (
+        compact_parquet_dir,
+    )
+    from repcheck_data_integration_spark.tables import load
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    ev.repartition(32).write.parquet(src)
+    n_small = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    compact_parquet_dir(spark, src, dst, target_bytes=8 << 20)
+    n_big = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_small == 32 and n_big < n_small
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert a == b

@@ -855,3 +855,25 @@ def test_stream_histogram_incremental_equals_batch(spark, tmp_path):
         .collect()
     }
     assert inc == full
+
+
+def test_stream_curation_incremental_equals_batch(spark, tmp_path):
+    """Gate → dedup-vs-history → append folded over three ascending
+    batches must equal the batch curation pipeline; replays skip."""
+    from repcheck_data_integration_spark.registry import QUERIES
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    target = str(tmp_path / "cur")
+    merge = stream_ops.make_curation_merge_batch(target)
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    merge(docs.filter(F.col("doc_id") <= cut1), 0)
+    merge(docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)), 1)
+    merge(docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)), 1)
+    merge(docs.filter(F.col("doc_id") > cut2), 2)
+    inc = sorted(map(tuple, spark.read.parquet(target).select(
+        "content_hash", "doc_id", "n_tokens", "sum_w").collect()))
+    batch = sorted(map(tuple, QUERIES["stream_curation_pipeline"](
+        spark, SF).select(
+        "content_hash", "doc_id", "n_tokens", "sum_w").collect()))
+    assert inc == batch
