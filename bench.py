@@ -53,6 +53,15 @@ HEADLINE = [
     "sim_search_ivfpq",
     "text_bigram_xent",
     "mix_epoch_schedule",
+    # round-4 flagships
+    "text_classifier_score",
+    "text_perplexity_buckets",
+    "pipeline_corpus_curation_v3",
+    "agg_quantile_histogram",
+    "mm_audio_energy",
+    "llm_eval_rouge",
+    "emb_dim_stats",
+    "stream_curation_pipeline",
 ]
 
 

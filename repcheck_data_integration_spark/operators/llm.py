@@ -333,3 +333,178 @@ def llm_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall(F.col("uni"), F.col("s_uni")).alias("rouge1_recall"),
         recall(F.col("bi"), F.col("s_bi")).alias("rouge2_recall"),
     )
+
+
+# --- RAG index build (chunk → embed → coarse-quantize → postings) ----------
+
+RAG_DIMS = 8
+RAG_CELLS = 4
+RAG_W = 1000  # embedding components are integers in ±RAG_W
+
+
+def _rag_centroids() -> list[list[int]]:
+    """Deterministic integer centroids (md5-derived, the LSH-hyperplane
+    trick): a pure function of (cell, dim), inlined as literals into BOTH
+    engines' plans — nothing to train or broadcast in the demo; a real
+    codebook broadcasts into exactly the same comparison shape."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"rag_cent_{k}_{j}".encode()).hexdigest()[:8], 16)
+            % (2 * RAG_W + 1)
+            - RAG_W
+            for j in range(RAG_DIMS)
+        ]
+        for k in range(RAG_CELLS)
+    ]
+
+
+def _rag_oracle_sql() -> str:
+    from .textops import CHUNK_SIZE, CHUNK_STEP
+
+    cents = _rag_centroids()
+    dist_exprs = ",\n               ".join(
+        "("
+        + " + ".join(
+            f"(emb[{j + 1}] - ({c[j]})) * (emb[{j + 1}] - ({c[j]}))"
+            for j in range(RAG_DIMS)
+        )
+        + f") AS d{k}"
+        for k, c in enumerate(cents)
+    )
+    pick = (
+        "CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0 "
+        "WHEN d1 <= d2 AND d1 <= d3 THEN 1 "
+        "WHEN d2 <= d3 THEN 2 ELSE 3 END"
+    )
+    best = (
+        "CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN d0 "
+        "WHEN d1 <= d2 AND d1 <= d3 THEN d1 "
+        "WHEN d2 <= d3 THEN d2 ELSE d3 END"
+    )
+    return f"""
+    WITH chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               md5(substr(text, i * {CHUNK_STEP} + 1, {CHUNK_SIZE}))
+                   AS chunk_md5
+        FROM documents, LATERAL unnest(
+            generate_series(0, greatest(length(text) - 1, 0)
+                               // {CHUNK_STEP})) u(i)),
+    embedded AS (
+        SELECT doc_id, chunk_idx, chunk_md5,
+               list_transform(generate_series(0, {RAG_DIMS - 1}),
+                   j -> CAST(('0x' || substr(md5(chunk_md5 || '_'
+                              || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % (2 * {RAG_W} + 1) - {RAG_W}) AS emb
+        FROM chunks),
+    dists AS (
+        SELECT doc_id, chunk_idx, chunk_md5,
+               {dist_exprs}
+        FROM embedded),
+    assigned AS (
+        SELECT doc_id, chunk_idx, chunk_md5,
+               {pick} AS cell, {best} AS dist_sq
+        FROM dists)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_md5,
+           CAST(cell AS INT) AS cell, CAST(dist_sq AS BIGINT) AS dist_sq,
+           CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_in_cell
+    FROM assigned
+    """
+
+
+def _register_rag() -> None:
+    @register("pipeline_rag_index", oracle=_rag_oracle_sql())
+    def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """RAG INDEX BUILD in one composed DAG — the ingestion half of a
+        retrieval-augmented pipeline: overlapping chunks
+        (text_chunk_windows' construction) → per-chunk embedding (md5-
+        derived INTEGER vectors standing in for the model call — a real
+        encoder slots into the same mapInPandas seam llm_summarize uses)
+        → coarse-quantizer assignment (exact integer argmin over the
+        centroid codebook, ties to the lowest cell — sim_search_ivf's
+        cell step) → per-cell posting counts. Everything stays integer,
+        so the full index is hash-verified cross-engine.
+
+        Scale: chunking+embedding+assignment are ONE shuffle-free map
+        pass (codebook inlined/broadcast); the posting count is a window
+        over the tiny cell key. The cell column IS the partition key a
+        real deployment writes the index by (partitionBy(cell)), giving
+        query-time cell pruning."""
+        from .textops import CHUNK_SIZE, CHUNK_STEP
+
+        d = load(spark, sf_dir, "documents")
+        n_last = F.expr(f"greatest(length(text) - 1, 0) div {CHUNK_STEP}")
+        chunk = F.expr(
+            f"substr(text, chunk_idx * {CHUNK_STEP} + 1, {CHUNK_SIZE})"
+        )
+        chunks = d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_idx"),
+        ).select("doc_id", "chunk_idx", F.md5(chunk).alias("chunk_md5"))
+        emb = F.transform(
+            F.sequence(F.lit(0), F.lit(RAG_DIMS - 1)),
+            lambda j: (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("chunk_md5"),
+                                F.lit("_"),
+                                j.cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % (2 * RAG_W + 1)
+                - RAG_W
+            ),
+        )
+        cents = _rag_centroids()
+        embedded = chunks.select(
+            "doc_id", "chunk_idx", "chunk_md5", emb.alias("emb")
+        )
+        dist_cols = []
+        for k, c in enumerate(cents):
+            dexpr = None
+            for j in range(RAG_DIMS):
+                t = (F.element_at("emb", j + 1) - F.lit(c[j])) * (
+                    F.element_at("emb", j + 1) - F.lit(c[j])
+                )
+                dexpr = t if dexpr is None else dexpr + t
+            dist_cols.append(
+                F.struct(
+                    dexpr.alias("dist"), F.lit(k).alias("cell")
+                )
+            )
+        # argmin with lowest-cell tie-break = lexicographic min of
+        # (dist, cell) structs — one array_min, no window
+        best = F.array_min(F.array(*dist_cols))
+        assigned = embedded.select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_md5",
+            best["cell"].cast("int").alias("cell"),
+            best["dist"].cast("long").alias("dist_sq"),
+        )
+        from pyspark.sql import Window as PW
+
+        return assigned.withColumn(
+            "n_in_cell",
+            F.count(F.lit(1)).over(PW.partitionBy("cell")).cast("long"),
+        ).select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "chunk_md5",
+            "cell",
+            "dist_sq",
+            "n_in_cell",
+        )
+
+
+_register_rag()

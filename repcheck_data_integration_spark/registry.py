@@ -76,21 +76,21 @@ DRIVER_PRIORITY: list[str] = [
     "sim_search_lsh",
     "sim_search_lsh_multiprobe",
     "sim_search_ivfpq",
-    "emb_normalize",
-    "emb_quantize_int8",
-    "emb_label_outliers",
-    "emb_pq_encode",
-    "ml_kmeans_refine",
+    # round-4 flagships (rotated in for driver visibility; the rotated-out
+    # rows are r3-driver-green AND stay in the full local gate):
+    "text_classifier_score",
+    "text_perplexity_buckets",
+    "pipeline_corpus_curation_v3",
+    "agg_quantile_histogram",
+    "mm_audio_energy",
+    "src_avro_scan",
+    "stream_dedup_minhash",
+    "llm_eval_rouge",
     "text_token_count",
     "text_quality_score",
     "text_lang_id",
-    "text_pii_redact",
-    "text_repetition_stats",
     "text_tfidf_topterms",
-    "text_vocab_topk",
     "text_unigram_xent",
-    "pack_token_sequences",
-    "split_train_valid_test",
     "pipeline_corpus_curation",
     "pipeline_corpus_curation_v2",
     "llm_summarize",
