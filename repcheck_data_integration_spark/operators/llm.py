@@ -508,3 +508,191 @@ def _register_rag() -> None:
 
 
 _register_rag()
+
+
+RAG_TOPK = 3
+RAG_N_QUERYDOCS = 5  # doc_id < 5 contribute query chunks
+
+
+def _rag_query_oracle_sql() -> str:
+    from .textops import CHUNK_SIZE, CHUNK_STEP
+
+    cents = _rag_centroids()
+    dist_exprs = ",\n               ".join(
+        "("
+        + " + ".join(
+            f"(emb[{j + 1}] - ({c[j]})) * (emb[{j + 1}] - ({c[j]}))"
+            for j in range(RAG_DIMS)
+        )
+        + f") AS d{k}"
+        for k, c in enumerate(cents)
+    )
+    pick = (
+        "CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0 "
+        "WHEN d1 <= d2 AND d1 <= d3 THEN 1 "
+        "WHEN d2 <= d3 THEN 2 ELSE 3 END"
+    )
+    dot = " + ".join(
+        f"q.emb[{j + 1}] * c.emb[{j + 1}]" for j in range(RAG_DIMS)
+    )
+    base = f"""
+        SELECT doc_id, i AS chunk_idx,
+               md5(substr(text, i * {CHUNK_STEP} + 1, {CHUNK_SIZE}))
+                   AS chunk_md5
+        FROM documents, LATERAL unnest(
+            generate_series(0, greatest(length(text) - 1, 0)
+                               // {CHUNK_STEP})) u(i)"""
+    embed = f"""
+        SELECT doc_id, chunk_idx, chunk_md5,
+               list_transform(generate_series(0, {RAG_DIMS - 1}),
+                   j -> CAST(('0x' || substr(md5(chunk_md5 || '_'
+                              || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % (2 * {RAG_W} + 1) - {RAG_W}) AS emb
+        FROM chunks"""
+    return f"""
+    WITH chunks AS ({base}),
+    embedded AS ({embed}),
+    assigned AS (
+        SELECT doc_id, chunk_idx, chunk_md5, emb, {pick} AS cell
+        FROM (SELECT *, {dist_exprs} FROM embedded)),
+    q AS (SELECT * FROM assigned WHERE doc_id < {RAG_N_QUERYDOCS}),
+    c AS (SELECT * FROM assigned),
+    scored AS (
+        SELECT q.doc_id AS q_doc, q.chunk_idx AS q_chunk,
+               c.doc_id AS c_doc, c.chunk_idx AS c_chunk,
+               ({dot}) AS dot
+        FROM q JOIN c ON q.cell = c.cell
+         AND NOT (q.doc_id = c.doc_id AND q.chunk_idx = c.chunk_idx))
+    SELECT q_doc, CAST(q_chunk AS BIGINT) AS q_chunk,
+           c_doc, CAST(c_chunk AS BIGINT) AS c_chunk,
+           CAST(dot AS BIGINT) AS dot,
+           CAST(rn AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY q_doc, q_chunk
+              ORDER BY dot DESC, c_doc, c_chunk) AS rn
+          FROM scored)
+    WHERE rn <= {RAG_TOPK}
+    """
+
+
+def _register_rag_query() -> None:
+    @register("pipeline_rag_query", oracle=_rag_query_oracle_sql())
+    def pipeline_rag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """RAG RETRIEVAL against the pipeline_rag_index layout: query
+        chunks (from the first {RAG_N_QUERYDOCS} docs) re-embed with the
+        same deterministic encoder, route to their coarse cell, and score
+        ONLY same-cell candidates by exact INTEGER dot product — top-
+        {RAG_TOPK} per query chunk with full (score, doc, chunk)
+        tie-break. The retrieval cost is the IVF promise: candidates come
+        from a cell equi-join (partition-pruned in a deployment that
+        wrote the index partitionBy(cell)), never the full corpus; the
+        integer dot keeps the whole rank hash-verifiable.
+
+        Scale: one equi-join on cell + one rank window keyed by query
+        chunk. Recall/latency trades by probing more cells — the
+        sim_search_lsh_multiprobe extension applies verbatim."""
+        from .textops import CHUNK_SIZE, CHUNK_STEP
+
+        d = load(spark, sf_dir, "documents")
+        n_last = F.expr(f"greatest(length(text) - 1, 0) div {CHUNK_STEP}")
+        chunk = F.expr(
+            f"substr(text, chunk_idx * {CHUNK_STEP} + 1, {CHUNK_SIZE})"
+        )
+        chunks = d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_idx"),
+        ).select("doc_id", "chunk_idx", F.md5(chunk).alias("chunk_md5"))
+        emb = F.transform(
+            F.sequence(F.lit(0), F.lit(RAG_DIMS - 1)),
+            lambda j: (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("chunk_md5"),
+                                F.lit("_"),
+                                j.cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % (2 * RAG_W + 1)
+                - RAG_W
+            ),
+        )
+        embedded = chunks.select(
+            "doc_id", "chunk_idx", "chunk_md5", emb.alias("emb")
+        )
+        cents = _rag_centroids()
+        dist_cols = []
+        for k, c in enumerate(cents):
+            dexpr = None
+            for j in range(RAG_DIMS):
+                t = (F.element_at("emb", j + 1) - F.lit(c[j])) * (
+                    F.element_at("emb", j + 1) - F.lit(c[j])
+                )
+                dexpr = t if dexpr is None else dexpr + t
+            dist_cols.append(
+                F.struct(dexpr.alias("dist"), F.lit(k).alias("cell"))
+            )
+        assigned = embedded.select(
+            "doc_id",
+            "chunk_idx",
+            "emb",
+            F.array_min(F.array(*dist_cols))["cell"].alias("cell"),
+        ).persist()
+        q = assigned.filter(F.col("doc_id") < RAG_N_QUERYDOCS).select(
+            F.col("doc_id").alias("q_doc"),
+            F.col("chunk_idx").alias("q_chunk"),
+            F.col("emb").alias("q_emb"),
+            "cell",
+        )
+        c = assigned.select(
+            F.col("doc_id").alias("c_doc"),
+            F.col("chunk_idx").alias("c_chunk"),
+            F.col("emb").alias("c_emb"),
+            "cell",
+        )
+        dot = None
+        for j in range(RAG_DIMS):
+            t = F.element_at("q_emb", j + 1) * F.element_at("c_emb", j + 1)
+            dot = t if dot is None else dot + t
+        scored = (
+            c.join(F.broadcast(q), "cell")
+            .filter(
+                ~(
+                    (F.col("q_doc") == F.col("c_doc"))
+                    & (F.col("q_chunk") == F.col("c_chunk"))
+                )
+            )
+            .select(
+                "q_doc", "q_chunk", "c_doc", "c_chunk", dot.alias("dot")
+            )
+        )
+        from pyspark.sql import Window as PW
+
+        rn = F.row_number().over(
+            PW.partitionBy("q_doc", "q_chunk").orderBy(
+                F.col("dot").desc(), "c_doc", "c_chunk"
+            )
+        )
+        return (
+            scored.withColumn("rnk", rn)
+            .filter(F.col("rnk") <= RAG_TOPK)
+            .select(
+                "q_doc",
+                F.col("q_chunk").cast("long").alias("q_chunk"),
+                "c_doc",
+                F.col("c_chunk").cast("long").alias("c_chunk"),
+                F.col("dot").cast("long").alias("dot"),
+                F.col("rnk").cast("long").alias("rnk"),
+            )
+        )
+
+
+_register_rag_query()

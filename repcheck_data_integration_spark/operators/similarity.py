@@ -1332,7 +1332,10 @@ def emb_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RANGE_THETA = 0.55  # cosine radius for range search
+RANGE_THETA = 0.25  # cosine radius for range search (fixture
+# embeddings are near-orthogonal random vectors, so a production-style
+# 0.5+ radius matches nothing at sf<=0.1 — 0.25 keeps the demo non-empty
+# at every fixture scale while exercising the same plan)
 
 
 @register(

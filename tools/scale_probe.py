@@ -83,6 +83,20 @@ PROBES = [
     "snk_scd2",
     "emb_normalize",
     "emb_quantize_int8",
+    # round-4 additions with non-trivial scale shapes
+    "text_classifier_score",
+    "text_perplexity_buckets",
+    "pipeline_corpus_curation_v3",
+    "agg_quantile_histogram",
+    "mm_audio_energy",
+    "llm_eval_rouge",
+    "emb_dim_stats",
+    "stream_curation_pipeline",
+    "pipeline_rag_index",
+    "pipeline_rag_query",
+    "sim_search_range",
+    "events_user_features",
+    "stream_dedup_minhash",
 ]
 
 
