@@ -1728,3 +1728,71 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canon.filter(F.col("doc_id") == F.col("c")).select(
         "doc_id", "lang", "cross_entropy", "ppl_bucket", "content_hash"
     )
+
+
+@register(
+    "corpus_report",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, source, md5(text) AS h,
+               len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens
+        FROM documents),
+    per_lang AS (
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               count(DISTINCT source) AS n_sources,
+               count(*) - count(DISTINCT h) AS n_exact_dups,
+               CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+               CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        FROM t GROUP BY lang)
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(n_exact_dups AS BIGINT) AS n_exact_dups,
+           {sql_stable_round4('n_exact_dups * 1.0 / n_docs')} AS dup_rate,
+           min_tokens, max_tokens,
+           {sql_stable_round4('n_tokens * 1.0 / n_docs')} AS mean_tokens
+    FROM per_lang
+    """,
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DATASHEET — the per-language summary a dataset card
+    publishes (Gebru et al., Datasheets for Datasets, public): document
+    and token volumes, source diversity, exact-duplicate rate, token-
+    length range. ONE aggregation pass over a single scan (the content
+    hash, token count and groupBy key all come from the same projection);
+    duplicate counting is n_docs − distinct hashes, no self-join. The
+    report every curation round starts and ends with — run it before and
+    after a pipeline_corpus_curation_* pass and diff."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias(
+            "n_tokens"
+        ),
+    )
+    g = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+    return g.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_tokens",
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.col("n_exact_dups").cast("long").alias("n_exact_dups"),
+        stable_round4(
+            F.col("n_exact_dups") * 1.0 / F.col("n_docs")
+        ).alias("dup_rate"),
+        "min_tokens",
+        "max_tokens",
+        stable_round4(F.col("n_tokens") * 1.0 / F.col("n_docs")).alias(
+            "mean_tokens"
+        ),
+    )

@@ -868,3 +868,50 @@ def maint_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "src_schema_evolution",
+    oracle="""
+    SELECT doc_id, lang, NULL AS quality_tier, 'v1' AS schema_version
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang,
+           CASE WHEN n_chars >= 500 THEN 'long' ELSE 'short' END,
+           'v2'
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (mergeSchema): generation v1 of a dataset
+    wrote (doc_id, lang, schema_version); generation v2 added a
+    quality_tier column. `mergeSchema=true` unions the footers into one
+    superset schema and null-fills the missing column in old files — the
+    lake contract that lets a pipeline add columns without rewriting
+    history. The oracle recomputes both generations from the documents
+    parquet (v1 rows carry NULL tier), so the hash match proves the
+    merged read is exactly additive-with-nulls, losing and inventing
+    nothing. At scale this is why writers must only ADD nullable columns:
+    renames/drops break this contract."""
+    d = _fixture_dir(sf_dir, "schema_evo")
+    v1, v2 = os.path.join(d, "v1"), os.path.join(d, "v2")
+    if not _done(d):
+        os.makedirs(d, exist_ok=True)
+        docs = load(spark, sf_dir, "documents")
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", F.lit("v1").alias("schema_version")
+        ).write.mode("overwrite").parquet(v1)
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            "lang",
+            F.when(F.col("n_chars") >= 500, "long")
+            .otherwise("short")
+            .alias("quality_tier"),
+            F.lit("v2").alias("schema_version"),
+        ).write.mode("overwrite").parquet(v2)
+        _mark_done(d)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(v1, v2)
+        .select("doc_id", "lang", "quality_tier", "schema_version")
+    )
