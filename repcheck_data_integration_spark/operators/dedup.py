@@ -1122,3 +1122,118 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+CONTAIN_THRESHOLD = 0.6  # max-containment cut for the doc-in-doc flag
+
+SQL_CONTAIN = (
+    "len(list_intersect({a}, {b}))::DOUBLE / len({a})"
+)
+
+
+@register(
+    "text_minhash_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {SQL_SHINGLES} AS sh FROM documents),
+    shh AS (
+        SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS shh
+        FROM sh WHERE len(sh) > 0),
+    mh AS (
+        SELECT doc_id, sh, {{mins}}
+        FROM shh),
+    bands AS (
+        SELECT doc_id, i - 1 AS band_idx, [{{bands}}][i] AS band_hash
+        FROM mh, unnest(generate_series(1, {{n_bands}})) AS u(i)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id),
+    scored AS (
+        SELECT doc1, doc2,
+               {SQL_CONTAIN.format(a='x.sh', b='y.sh')} AS c_fwd,
+               {SQL_CONTAIN.format(a='y.sh', b='x.sh')} AS c_rev
+        FROM cand JOIN mh x ON cand.doc1 = x.doc_id
+                  JOIN mh y ON cand.doc2 = y.doc_id)
+    SELECT doc1, doc2,
+           {sql_stable_round4('c_fwd')} AS containment_fwd,
+           {sql_stable_round4('c_rev')} AS containment_rev,
+           {sql_stable_round4('greatest(c_fwd, c_rev)')} AS max_containment,
+           greatest(c_fwd, c_rev) >= {CONTAIN_THRESHOLD} AS doc_in_doc
+    FROM scored
+    WHERE greatest(c_fwd, c_rev) >= {CONTAIN_THRESHOLD}
+    """.format(
+        mins=_minhash_sql(), bands=_bands_sql(), n_bands=N_BANDS
+    ),
+)
+def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT over the LSH candidate pairs:
+    |A∩B|/|A| and |A∩B|/|B| — the doc-inside-doc detector (a short
+    document quoted whole inside a long one has high containment but LOW
+    jaccard, so dedup_minhash_lsh's symmetric verify misses it; Broder's
+    original resemblance/containment pair). Pairs whose max containment
+    clears {CONTAIN_THRESHOLD} are flagged.
+
+    Scale shape is dedup_minhash_lsh's verbatim — shingle frame persisted
+    once, minhash via the codegen'd explode+min-agg pipeline, candidates
+    from the banded bucket equi-join (cost ∝ colliding pairs, never n²) —
+    with only the verify formula swapped; the known LSH caveat that
+    banding recall tracks JACCARD (a containment-high/jaccard-low pair
+    needs more bands or a suffix-like index to always collide) is the
+    documented trade."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        with_shingles(d.select("doc_id", "text"))
+        .select("doc_id", "sh")
+        .persist()
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.md5("s").alias("h")
+    )
+    mh = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring("h", 1 + 4 * j, 4)).alias(f"mh{j}")
+            for j in range(N_MINHASH)
+        ]
+    )
+    bands = mh.select(
+        "doc_id", F.posexplode(_bands_spark()).alias("band_idx", "band_hash")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    y = sh.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))).cast(
+        "double"
+    )
+    scored = (
+        cand.join(x, "doc1")
+        .join(y, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            (inter / F.size("sh1")).alias("c_fwd"),
+            (inter / F.size("sh2")).alias("c_rev"),
+        )
+    )  # containments in their own projection: one intersect per pair
+    mx = F.greatest(F.col("c_fwd"), F.col("c_rev"))
+    return scored.filter(mx >= CONTAIN_THRESHOLD).select(
+        "doc1",
+        "doc2",
+        stable_round4(F.col("c_fwd")).alias("containment_fwd"),
+        stable_round4(F.col("c_rev")).alias("containment_rev"),
+        stable_round4(mx).alias("max_containment"),
+        (mx >= CONTAIN_THRESHOLD).alias("doc_in_doc"),
+    )

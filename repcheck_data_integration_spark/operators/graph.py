@@ -551,3 +551,87 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk.select(
         "start", F.col("cur").cast("long").alias("end_node")
     ).orderBy("start")
+
+
+_AA_SCALE = 1_000_000_000
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= {PAIR_MIN_QTY}),
+    deg AS (SELECT supp, count(*) AS d FROM edges GROUP BY supp),
+    w AS (
+        SELECT e1.cust AS c1, e2.cust AS c2, deg.d
+        FROM edges e1
+        JOIN edges e2 ON e1.supp = e2.supp AND e1.cust < e2.cust
+        JOIN deg ON e1.supp = deg.supp)
+    SELECT c1 AS cust1, c2 AS cust2,
+           CAST(count(*) AS BIGINT) AS n_common,
+           CAST(sum(CAST(floor({_AA_SCALE}.0 / ln(d) + 0.5) AS BIGINT))
+                AS BIGINT) AS aa_q,
+           floor(sum(CAST(floor({_AA_SCALE}.0 / ln(d) + 0.5) AS BIGINT))
+                 / {_AA_SCALE}.0 * 10000.0 + 0.5) / 10000.0 AS adamic_adar
+    FROM w GROUP BY c1, c2 HAVING count(*) >= {PAIR_MIN_SHARED}
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the high-volume co-purchase graph:
+    candidate customer pairs scored by Σ 1/ln(degree(z)) over their common
+    suppliers z — rare shared neighbors count more than promiscuous hubs
+    (the similarity refinement of graph_two_hop's raw common-neighbor
+    count; same {PAIR_MIN_SHARED}-shared gate bounds the output).
+
+    Determinism: each neighbor's 1/ln(d) term is quantized to a
+    {_AA_SCALE}-scaled BIGINT BEFORE the per-pair sum (the quantize-then-
+    sum discipline — a multi-term double sum is partition-order-dependent,
+    integer addition isn't); ranking/display derive from the integer.
+    A common neighbor always has d >= 2, so ln(d) is never 0.
+
+    Scale shape: the wedge self-join runs on the quantity-THINNED edge
+    list (graph_two_hop's density lesson: wedge cost is Σ_supp deg², so
+    dense hop nodes must be gated first), degrees join in on supp — the
+    same key the wedge join already shuffles on, so the degree attach is
+    co-located, then one hash agg on the pair."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= PAIR_MIN_QTY
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+        .persist()  # feeds the degree agg AND both wedge sides
+    )
+    deg = edges.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("cust").alias("c1"), "supp")
+    e2 = edges.select(F.col("cust").alias("c2"), "supp")
+    term = F.floor(_AA_SCALE / F.log(F.col("d")) + 0.5).cast("long")
+    w = (
+        e1.join(e2, "supp")
+        .filter(F.col("c1") < F.col("c2"))
+        .join(deg, "supp")
+    )
+    aa_q = F.sum(term)
+    return (
+        w.groupBy("c1", "c2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            aa_q.cast("long").alias("aa_q"),
+        )
+        .filter(F.col("n_common") >= PAIR_MIN_SHARED)
+        .select(
+            F.col("c1").alias("cust1"),
+            F.col("c2").alias("cust2"),
+            "n_common",
+            "aa_q",
+            (
+                F.floor(F.col("aa_q") / _AA_SCALE * 10000.0 + 0.5) / 10000.0
+            ).alias("adamic_adar"),
+        )
+    )

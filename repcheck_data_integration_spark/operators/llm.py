@@ -696,3 +696,111 @@ def _register_rag_query() -> None:
 
 
 _register_rag_query()
+
+
+# --- preference-pair construction (DPO/RLHF data prep) ---------------------
+
+PREF_BUCKETS = 100   # doc_id % PREF_BUCKETS ≙ "responses to the same prompt"
+_PREF_SCALE = 1_000_000_000
+
+
+def _register_preference_pairs() -> None:
+    from .dedup import TOKEN_RE
+
+    toks_sql = f"regexp_extract_all(text, '{TOKEN_RE}')"
+
+    @register(
+        "llm_preference_pairs",
+        oracle=f"""
+        WITH s AS (
+            SELECT doc_id, doc_id % {PREF_BUCKETS} AS prompt_id,
+                   (len(list_distinct({toks_sql})) * {_PREF_SCALE})
+                       // len({toks_sql}) AS score_q
+            FROM documents WHERE len({toks_sql}) > 0),
+        c AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY prompt_id
+                                      ORDER BY score_q DESC, doc_id) AS rc,
+                   row_number() OVER (PARTITION BY prompt_id
+                                      ORDER BY score_q ASC, doc_id DESC) AS rr
+            FROM s),
+        n AS (SELECT prompt_id, count(*) AS n_candidates
+              FROM s GROUP BY prompt_id),
+        ch AS (SELECT prompt_id, doc_id AS chosen_doc_id,
+                      score_q AS chosen_q FROM c WHERE rc = 1),
+        rj AS (SELECT prompt_id, doc_id AS rejected_doc_id,
+                      score_q AS rejected_q FROM c WHERE rr = 1)
+        SELECT ch.prompt_id, chosen_doc_id, rejected_doc_id,
+               CAST(chosen_q AS BIGINT) AS chosen_q,
+               CAST(rejected_q AS BIGINT) AS rejected_q,
+               CAST(chosen_q - rejected_q AS BIGINT) AS margin,
+               CAST(n_candidates AS BIGINT) AS n_candidates
+        FROM ch JOIN rj ON ch.prompt_id = rj.prompt_id
+                JOIN n ON ch.prompt_id = n.prompt_id
+        WHERE n_candidates >= 2
+        """,
+    )
+    def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """DPO/RLHF preference-pair construction: within each prompt group
+        (doc_id % {PREF_BUCKETS} stands in for "candidate responses to the
+        same prompt"; production keys on the prompt hash), emit ONE
+        (chosen, rejected) pair — the best- and worst-scoring candidates —
+        plus the score margin. The score here is the distinct-token ratio
+        as an exact {_PREF_SCALE}-scaled integer (production plugs in a
+        reward model; text_classifier_score shows that substitution).
+        Reference seed: the best-candidate selection idiom of
+        vote_matching.py:160-168, turned into pairwise training data.
+
+        Deterministic by construction: integer scores (integer division,
+        no floats anywhere), chosen = max(struct(score, -doc_id)) (ties →
+        lowest doc_id), rejected = min(struct(score, -doc_id)) (ties →
+        HIGHEST doc_id, so an all-tied group still yields chosen ≠
+        rejected). Groups of one are dropped.
+
+        Scale shape: per-row scoring is native-expression only (no
+        explode — distinct count via array_distinct on the token array),
+        then ONE hash agg on prompt_id computes both extremes map-side;
+        no window, no self-join, one small shuffle of per-group partials.
+        """
+        from .dedup import tokens
+
+        d = load(spark, sf_dir, "documents")
+        s = (
+            d.withColumn("toks", tokens(F.col("text")))
+            .filter(F.size("toks") > 0)
+            .select(
+                "doc_id",
+                (F.col("doc_id") % PREF_BUCKETS).alias("prompt_id"),
+                F.expr(
+                    f"size(array_distinct(toks)) * {_PREF_SCALE}L"
+                    " div size(toks)"
+                ).alias("score_q"),
+            )
+        )
+        g = s.groupBy("prompt_id").agg(
+            F.max(
+                F.struct(
+                    F.col("score_q").alias("q"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("ch"),
+            F.min(
+                F.struct(
+                    F.col("score_q").alias("q"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("rj"),
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
+        return g.filter(F.col("n_candidates") >= 2).select(
+            "prompt_id",
+            (-F.col("ch.neg_id")).cast("long").alias("chosen_doc_id"),
+            (-F.col("rj.neg_id")).cast("long").alias("rejected_doc_id"),
+            F.col("ch.q").cast("long").alias("chosen_q"),
+            F.col("rj.q").cast("long").alias("rejected_q"),
+            (F.col("ch.q") - F.col("rj.q")).cast("long").alias("margin"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+        )
+
+
+_register_preference_pairs()

@@ -387,3 +387,68 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+K_ANON = 3  # groups smaller than this re-identify their members
+
+
+@register(
+    "dq_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+        FROM customer GROUP BY c_nationkey, c_mktsegment),
+    s AS (
+        SELECT min(group_size) AS k_anonymity,
+               sum(CASE WHEN group_size < {K_ANON}
+                        THEN group_size ELSE 0 END) AS rows_at_risk,
+               sum(group_size) AS n_rows
+        FROM g)
+    SELECT g.c_nationkey, g.c_mktsegment,
+           CAST(g.group_size AS BIGINT) AS group_size,
+           g.group_size < {K_ANON} AS at_risk,
+           CAST(s.k_anonymity AS BIGINT) AS k_anonymity,
+           floor(s.rows_at_risk * 1.0 / s.n_rows * 10000.0 + 0.5) / 10000.0
+               AS pct_rows_at_risk
+    FROM g CROSS JOIN s
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (nation, market
+    segment): every QI equivalence class with its size, a re-identification
+    flag for classes smaller than k={K_ANON}, and the dataset-level
+    k-anonymity (the smallest class) + fraction of rows at risk — the
+    privacy gate a curation pipeline runs before releasing
+    user-attributable training data (Sweeney's k-anonymity, the PII
+    complement of text_pii_redact's content-level redaction).
+
+    Scale shape: one hash agg on the QI columns (map-side partials), then
+    a 1-row summary re-aggregation of the already-tiny class table,
+    broadcast back onto it — the corpus is scanned exactly once and the
+    only shuffle carries distinct QI classes (bounded by the QI domain,
+    not the row count)."""
+    from .dedup import stable_round4
+
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    s = g.agg(
+        F.min("group_size").alias("k_anonymity"),
+        F.sum(
+            F.when(F.col("group_size") < K_ANON, F.col("group_size")).otherwise(
+                0
+            )
+        ).alias("rows_at_risk"),
+        F.sum("group_size").alias("n_rows"),
+    )
+    return g.join(F.broadcast(s)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("group_size").cast("long").alias("group_size"),
+        (F.col("group_size") < K_ANON).alias("at_risk"),
+        F.col("k_anonymity").cast("long").alias("k_anonymity"),
+        stable_round4(
+            F.col("rows_at_risk") * 1.0 / F.col("n_rows")
+        ).alias("pct_rows_at_risk"),
+    )

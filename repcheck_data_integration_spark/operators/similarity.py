@@ -1433,3 +1433,81 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round4(F.col("mn")).alias("min_v"),
         stable_round4(F.col("mx")).alias("max_v"),
     )
+
+
+# --- semantic eval-set decontamination -------------------------------------
+
+SEMCON_EVAL_MOD = 50   # vec_id % 50 == 0 is the held-out eval-set proxy
+SEMCON_THETA = 0.25    # cosine radius that counts as leakage at fixture SF
+
+
+@register(
+    "dedup_semantic_contamination",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id AS eval_id, embedding AS e_emb
+        FROM embeddings WHERE vec_id % {SEMCON_EVAL_MOD} = 0),
+    tr AS (
+        SELECT vec_id AS train_id, embedding AS t_emb
+        FROM embeddings WHERE vec_id % {SEMCON_EVAL_MOD} <> 0),
+    sc AS (
+        SELECT train_id, eval_id,
+               {sql_cosine('t_emb', 'e_emb')} AS cos
+        FROM tr CROSS JOIN ev),
+    r AS (
+        SELECT *, row_number() OVER (
+                      PARTITION BY train_id
+                      ORDER BY cos DESC, eval_id) AS rn
+        FROM sc)
+    SELECT train_id, CAST(eval_id AS BIGINT) AS nearest_eval_id,
+           {sql_stable_round4('cos')} AS max_cosine,
+           cos >= {SEMCON_THETA} AS contaminated
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_semantic_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic eval-set decontamination: for every TRAINING vector, its
+    nearest held-out EVAL vector by cosine and a leakage flag (max cosine
+    >= {SEMCON_THETA}) — the embedding-space complement of
+    dedup_contamination_ngrams (paraphrased test questions slip past
+    n-gram overlap; this catches them). The vec_id % {SEMCON_EVAL_MOD}
+    slice stands in for the benchmark suite.
+
+    Scale shape mirrors the n-gram decontaminator: the eval side is tiny
+    by construction (benchmarks are MBs, training is the 100 TB side), so
+    it broadcasts and the corpus never shuffles its vectors — each train
+    row scores |eval| pairs IN PLACE and partial aggregation collapses
+    them to one row per train_id before the (tiny) final shuffle. The
+    argmax is a single max(struct(cos, -eval_id)) hash agg — no pair
+    window, and the negated id makes ties deterministic (lowest eval_id
+    wins, matching the oracle's rank order). Cosine is the sequential
+    double fold (dedup.dot_double), bit-identical to DuckDB."""
+    e = load(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") % SEMCON_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_emb")
+    )
+    tr = e.filter(F.col("vec_id") % SEMCON_EVAL_MOD != 0).select(
+        F.col("vec_id").alias("train_id"), F.col("embedding").alias("t_emb")
+    )
+    cos = cosine(F.col("t_emb"), F.col("e_emb"))
+    best = (
+        tr.join(F.broadcast(ev))
+        .select("train_id", "eval_id", cos.alias("cos"))
+        .groupBy("train_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos").alias("cos"),
+                    (-F.col("eval_id")).alias("neg_eval"),
+                )
+            ).alias("m")
+        )
+    )
+    return best.select(
+        "train_id",
+        (-F.col("m.neg_eval")).cast("long").alias("nearest_eval_id"),
+        stable_round4(F.col("m.cos")).alias("max_cosine"),
+        (F.col("m.cos") >= SEMCON_THETA).alias("contaminated"),
+    )

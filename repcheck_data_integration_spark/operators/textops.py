@@ -1796,3 +1796,119 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_tokens"
         ),
     )
+
+
+# --- BM25 ranked retrieval -------------------------------------------------
+
+BM25_QUERY = ("spark", "join", "dup")  # 'dup' is rare → high idf
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+_BM25_SCALE = 1_000_000_000  # per-term quantization (quantize-then-sum)
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH tc AS ({SQL_TERM_COUNTS}),
+    dl AS (SELECT doc_id, sum(cnt) AS dl FROM tc GROUP BY doc_id),
+    st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+    qdf AS (
+        SELECT tok, count(*) AS df FROM tc
+        WHERE tok IN {BM25_QUERY} GROUP BY tok),
+    m AS (
+        SELECT tc.doc_id, tc.cnt, dl.dl, qdf.df, st.n_docs, st.total_dl
+        FROM tc JOIN dl ON tc.doc_id = dl.doc_id
+                JOIN qdf ON tc.tok = qdf.tok
+                CROSS JOIN st),
+    s AS (
+        SELECT doc_id,
+               CAST(floor(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (cnt * {BM25_K1 + 1.0})
+                   / (cnt + {BM25_K1} * (1 - {BM25_B}
+                      + {BM25_B} * (dl::DOUBLE * n_docs / total_dl)))
+                   * {_BM25_SCALE} + 0.5) AS BIGINT) AS sq
+        FROM m),
+    a AS (
+        SELECT doc_id, count(*) AS n_terms, sum(sq) AS score_q
+        FROM s GROUP BY doc_id)
+    SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms_matched,
+           CAST(score_q AS BIGINT) AS score_q,
+           score_q / {float(_BM25_SCALE)} AS bm25
+    FROM a ORDER BY score_q DESC, doc_id LIMIT {BM25_TOP}
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones probabilistic idf,
+    k1={BM25_K1} b={BM25_B}): score every document against the fixed query
+    {BM25_QUERY} and return the top-{BM25_TOP} — the lexical leg of a RAG
+    retriever next to pipeline_rag_query's dense leg. Reference seed: the
+    best-match ranking idea behind vote_matching.py:160-168's extractOne,
+    lifted to corpus retrieval.
+
+    Determinism: each per-term score is a product of exactly-representable
+    integers and one ln() — quantized to a {_BM25_SCALE}-scaled BIGINT
+    BEFORE the per-doc sum (integer addition is order-independent; a
+    3-term double sum is not), ranking on the integer total with doc_id
+    tie-break. dl/avgdl is written `dl * n_docs / total_dl` on both
+    engines so the float op order is identical.
+
+    Scale shape: tc persisted once; document lengths are one hash agg of
+    it; the query-term df table and the 1-row corpus stats both broadcast
+    (a query touches ~|Q| vocab rows, never the full df relation); the
+    only shuffles are tc's (doc,term) collapse and the dl co-location
+    join on doc_id. Top-k is TakeOrderedAndProject — no global sort, no
+    single-partition window."""
+    d = load(spark, sf_dir, "documents")
+    tc = term_counts(d).persist()
+    dl = tc.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    qdf = (
+        tc.filter(F.col("tok").isin(*BM25_QUERY))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    m = (
+        tc.filter(F.col("tok").isin(*BM25_QUERY))
+        .join(dl, "doc_id")
+        .join(F.broadcast(qdf), "tok")
+        .join(F.broadcast(st))
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("cnt") * (BM25_K1 + 1.0)) / (
+        F.col("cnt")
+        + BM25_K1
+        * (
+            1
+            - BM25_B
+            + BM25_B
+            * (
+                F.col("dl").cast("double")
+                * F.col("n_docs")
+                / F.col("total_dl")
+            )
+        )
+    )
+    sq = F.floor(idf * tf_norm * _BM25_SCALE + 0.5).cast("long")
+    a = (
+        m.select("doc_id", sq.alias("sq"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"), F.sum("sq").alias("score_q")
+        )
+    )
+    return (
+        a.select(
+            "doc_id",
+            F.col("n_terms").cast("long").alias("n_terms_matched"),
+            F.col("score_q").cast("long").alias("score_q"),
+            (F.col("score_q") / float(_BM25_SCALE)).alias("bm25"),
+        )
+        .orderBy(F.col("score_q").desc(), "doc_id")
+        .limit(BM25_TOP)
+    )

@@ -1312,3 +1312,105 @@ def stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("n_tokens", "doc_id").cast("long").alias("n_tokens"),
         F.min_by("sum_w", "doc_id").cast("long").alias("sum_w"),
     )
+
+
+@register(
+    "events_attribution_linear",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+    t AS (
+        SELECT event_id AS t_id, user_id, ts AS t_ts,
+               event_type AS t_type
+        FROM events WHERE event_type IN ('click', 'view')),
+    j AS (
+        SELECT p.p_id, p.cents, t.t_id, t.t_type
+        FROM p LEFT JOIN t
+          ON p.user_id = t.user_id
+         AND (t.t_ts < p.p_ts OR (t.t_ts = p.p_ts AND t.t_id < p.p_id))
+         AND epoch(p.p_ts) - epoch(t.t_ts) <= {ATTR_WINDOW_S}),
+    c AS (
+        SELECT p_id, cents, t_id,
+               coalesce(t_type, 'organic') AS touch_type,
+               count(t_id) OVER (PARTITION BY p_id) AS n_touches
+        FROM j),
+    k AS (
+        SELECT p_id, touch_type,
+               CASE WHEN t_id IS NULL THEN cents * 1000000
+                    ELSE (cents * 1000000) // n_touches
+               END AS credit
+        FROM c)
+    SELECT touch_type,
+           CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(sum(credit) AS BIGINT) AS credited_microcents,
+           floor(sum(credit) / 100000000.0 * 10000.0 + 0.5) / 10000.0
+               AS credited_usd
+    FROM k GROUP BY touch_type
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution — the report-side
+    complement of events_attribution_last_touch: every click/view in the
+    {ATTR_WINDOW_S}s lookback strictly before a purchase (same (ts,
+    event_id) tie-break as last-touch) splits that purchase's revenue
+    equally; untouched purchases land in an 'organic' bucket at full
+    value. Output is the per-channel credited-revenue rollup.
+
+    Determinism: credit is integer micro-cents with INTEGER division
+    (cents*1e6 // n_touches) — order-independent sums, the division
+    remainder is deliberately dropped (documented; production would
+    assign it to the last touch). No floats until the final display
+    round.
+
+    Scale shape: purchases and touches co-shuffle ONCE on user_id (the
+    natural key; per-user fan-out is bounded by the lookback window),
+    the per-purchase touch count is a p_id window over the already-
+    joined pairs (second shuffle on p_id), and the final channel rollup
+    is a 3-row hash agg. No unbounded self-join: the time predicate is
+    applied inside the join, and AQE's skew-join split handles heavy
+    users."""
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_type"),
+    )
+    before = (F.col("t_ts") < F.col("p_ts")) | (
+        (F.col("t_ts") == F.col("p_ts")) & (F.col("t_id") < F.col("p_id"))
+    )
+    age_ok = (
+        F.col("p_ts").cast("double") - F.col("t_ts").cast("double")
+    ) <= ATTR_WINDOW_S
+    j = p.join(
+        t, (F.col("user_id") == F.col("t_user")) & before & age_ok, "left"
+    )
+    c = j.select(
+        "p_id",
+        "cents",
+        "t_id",
+        F.coalesce(F.col("t_type"), F.lit("organic")).alias("touch_type"),
+    ).withColumn(
+        "n_touches", F.count("t_id").over(W.partitionBy("p_id"))
+    )
+    credit = F.when(
+        F.col("t_id").isNull(), F.col("cents") * 1000000
+    ).otherwise(F.expr("(cents * 1000000L) div n_touches"))
+    k = c.select("p_id", "touch_type", credit.alias("credit"))
+    return k.groupBy("touch_type").agg(
+        F.countDistinct("p_id").cast("long").alias("n_purchases"),
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+        F.sum("credit").cast("long").alias("credited_microcents"),
+        (
+            F.floor(F.sum("credit") / 100000000.0 * 10000.0 + 0.5) / 10000.0
+        ).alias("credited_usd"),
+    )
