@@ -804,3 +804,165 @@ def _register_preference_pairs() -> None:
 
 
 _register_preference_pairs()
+
+
+# --- BLEU-2 evaluation ------------------------------------------------------
+
+BLEU_CAND_TOKENS = 12   # "model output" proxy: the first 12 tokens
+BLEU_REF_START = 4      # reference window starts shifted 3 tokens in
+
+
+def _register_eval_bleu() -> None:
+    from .dedup import TOKEN_RE, sql_stable_round4, stable_round4
+
+    @register(
+        "llm_eval_bleu",
+        oracle=f"""
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS toks
+            FROM documents),
+        s AS (
+            SELECT doc_id,
+                   toks[1:{BLEU_CAND_TOKENS}] AS cand,
+                   toks[{BLEU_REF_START}:len(toks)] AS ref
+            FROM t),
+        lens AS (
+            SELECT doc_id, len(cand) AS c_len, len(ref) AS r_len FROM s),
+        c1 AS (
+            SELECT doc_id, g, count(*) AS ccnt
+            FROM (SELECT doc_id, unnest(cand) AS g FROM s) GROUP BY 1, 2),
+        r1 AS (
+            SELECT doc_id, g, count(*) AS rcnt
+            FROM (SELECT doc_id, unnest(ref) AS g FROM s) GROUP BY 1, 2),
+        a1 AS (
+            SELECT c1.doc_id,
+                   sum(least(ccnt, coalesce(rcnt, 0))) AS p1_num,
+                   sum(ccnt) AS p1_den
+            FROM c1 LEFT JOIN r1
+              ON c1.doc_id = r1.doc_id AND c1.g = r1.g
+            GROUP BY c1.doc_id),
+        c2 AS (
+            SELECT doc_id, g, count(*) AS ccnt
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                             generate_series(1, greatest(len(cand) - 1, 0)),
+                             i -> cand[i] || ' ' || cand[i+1])) AS g
+                  FROM s) GROUP BY 1, 2),
+        r2 AS (
+            SELECT doc_id, g, count(*) AS rcnt
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                             generate_series(1, greatest(len(ref) - 1, 0)),
+                             i -> ref[i] || ' ' || ref[i+1])) AS g
+                  FROM s) GROUP BY 1, 2),
+        a2 AS (
+            SELECT c2.doc_id,
+                   sum(least(ccnt, coalesce(rcnt, 0))) AS p2_num,
+                   sum(ccnt) AS p2_den
+            FROM c2 LEFT JOIN r2
+              ON c2.doc_id = r2.doc_id AND c2.g = r2.g
+            GROUP BY c2.doc_id)
+        SELECT lens.doc_id,
+               CAST(c_len AS BIGINT) AS c_len,
+               CAST(r_len AS BIGINT) AS r_len,
+               {sql_stable_round4('p1_num * 1.0 / p1_den')} AS p1,
+               {sql_stable_round4('p2_num * 1.0 / p2_den')} AS p2,
+               {sql_stable_round4(
+                   'CASE WHEN c_len < r_len'
+                   ' THEN exp(1 - r_len * 1.0 / c_len) ELSE 1.0 END')}
+                   AS brevity_penalty,
+               {sql_stable_round4(
+                   '(CASE WHEN c_len < r_len'
+                   ' THEN exp(1 - r_len * 1.0 / c_len) ELSE 1.0 END)'
+                   ' * sqrt((p1_num * 1.0 / p1_den)'
+                   ' * (p2_num * 1.0 / p2_den))')} AS bleu2
+        FROM lens JOIN a1 ON lens.doc_id = a1.doc_id
+                  JOIN a2 ON lens.doc_id = a2.doc_id
+        WHERE p1_den > 0 AND p2_den > 0
+        """,
+    )
+    def llm_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BLEU-2 (Papineni 2002) of a candidate "model output" (the
+        document's first {BLEU_CAND_TOKENS} tokens) against a shifted
+        reference window — CLIPPED modified n-gram precision with
+        multiplicity, geometric mean of p1/p2, brevity penalty. The
+        candidate/reference columns swap for real model output; the
+        scoring plan is identical. Complements llm_eval_rouge (recall,
+        distinct-set) with the precision/multiplicity side.
+
+        Clipping needs per-gram COUNTS, not sets, so this is the
+        relational formulation: explode candidate and reference n-grams
+        to (doc, gram, cnt) and LEFT-join them — the inverted-index
+        shape that scales (shuffle carries distinct doc-gram pairs;
+        per-row nested HOF counting would re-scan the arrays per
+        distinct gram and run interpreted). All numerators/denominators
+        are exact integers; the single-divide metrics are
+        stable-rounded."""
+        d = load(spark, sf_dir, "documents")
+        toks = F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)
+        s = d.select("doc_id", toks.alias("toks")).select(
+            "doc_id",
+            F.slice("toks", 1, BLEU_CAND_TOKENS).alias("cand"),
+            F.expr(
+                f"slice(toks, {BLEU_REF_START},"
+                " greatest(size(toks) - {0}, 0))".format(BLEU_REF_START - 1)
+            ).alias("ref"),
+        ).persist()  # feeds lens + 4 gram relations
+
+        def grams(col_name: str, bigram: bool, cname: str):
+            g = (
+                F.expr(
+                    "transform(sequence(1, greatest(size(%s) - 1, 0)),"
+                    " i -> concat_ws(' ', %s[i-1], %s[i]))"
+                    % (col_name, col_name, col_name)
+                )
+                if bigram
+                else F.col(col_name)
+            )
+            return (
+                s.select("doc_id", F.explode(g).alias("g"))
+                .groupBy("doc_id", "g")
+                .agg(F.count(F.lit(1)).alias(cname))
+            )
+
+        def prec(bigram: bool, num: str, den: str):
+            c = grams("cand", bigram, "ccnt")
+            r = grams("ref", bigram, "rcnt")
+            j = c.join(r, ["doc_id", "g"], "left")
+            return j.groupBy("doc_id").agg(
+                F.sum(
+                    F.least(F.col("ccnt"), F.coalesce(F.col("rcnt"), F.lit(0)))
+                ).alias(num),
+                F.sum("ccnt").alias(den),
+            )
+
+        lens = s.select(
+            "doc_id",
+            F.size("cand").alias("c_len"),
+            F.size("ref").alias("r_len"),
+        )
+        a1 = prec(False, "p1_num", "p1_den")
+        a2 = prec(True, "p2_num", "p2_den")
+        bp = F.when(
+            F.col("c_len") < F.col("r_len"),
+            F.exp(1 - F.col("r_len") * 1.0 / F.col("c_len")),
+        ).otherwise(F.lit(1.0))
+        p1 = F.col("p1_num") * 1.0 / F.col("p1_den")
+        p2 = F.col("p2_num") * 1.0 / F.col("p2_den")
+        return (
+            lens.join(a1, "doc_id")
+            .join(a2, "doc_id")
+            .filter((F.col("p1_den") > 0) & (F.col("p2_den") > 0))
+            .select(
+                "doc_id",
+                F.col("c_len").cast("long").alias("c_len"),
+                F.col("r_len").cast("long").alias("r_len"),
+                stable_round4(p1).alias("p1"),
+                stable_round4(p2).alias("p2"),
+                stable_round4(bp).alias("brevity_penalty"),
+                stable_round4(bp * F.sqrt(p1 * p2)).alias("bleu2"),
+            )
+        )
+
+
+_register_eval_bleu()

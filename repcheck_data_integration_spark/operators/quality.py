@@ -452,3 +452,78 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rows_at_risk") * 1.0 / F.col("n_rows")
         ).alias("pct_rows_at_risk"),
     )
+
+
+L_DIV = 2          # classes with fewer distinct sensitive values re-identify
+ACCT_BAND = 2000.0  # account-balance banding for the QI
+
+
+@register(
+    "dq_l_diversity",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / {ACCT_BAND}) AS BIGINT) AS acct_band,
+               count(*) AS group_size,
+               count(DISTINCT c_mktsegment) AS n_sensitive
+        FROM customer GROUP BY 1, 2),
+    s AS (
+        SELECT min(n_sensitive) AS l_diversity,
+               sum(CASE WHEN n_sensitive < {L_DIV}
+                        THEN group_size ELSE 0 END) AS rows_at_risk,
+               sum(group_size) AS n_rows
+        FROM g)
+    SELECT g.c_nationkey, g.acct_band,
+           CAST(g.group_size AS BIGINT) AS group_size,
+           CAST(g.n_sensitive AS BIGINT) AS n_sensitive,
+           g.n_sensitive < {L_DIV} AS at_risk,
+           CAST(s.l_diversity AS BIGINT) AS l_diversity,
+           floor(s.rows_at_risk * 1.0 / s.n_rows * 10000.0 + 0.5) / 10000.0
+               AS pct_rows_at_risk
+    FROM g CROSS JOIN s
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007) — k-anonymity's sharper
+    sibling: a QI class can be large yet still leak if every member shares
+    the SAME sensitive value. QI here is (nation, account-balance band),
+    sensitive is the market segment; classes with fewer than l={L_DIV}
+    distinct segments are flagged, plus the dataset-level l (the minimum)
+    and the fraction of rows at risk.
+
+    Scale shape mirrors dq_k_anonymity: one hash agg on the QI (the
+    count(DISTINCT) rides a two-level partial — Spark expands it to a
+    (QI, segment) pre-aggregate map-side), a 1-row summary over the tiny
+    class table, broadcast back. One corpus scan total."""
+    from .dedup import stable_round4
+
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / ACCT_BAND).cast("long").alias(
+            "acct_band"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct("c_mktsegment").alias("n_sensitive"),
+    )
+    s = g.agg(
+        F.min("n_sensitive").alias("l_diversity"),
+        F.sum(
+            F.when(
+                F.col("n_sensitive") < L_DIV, F.col("group_size")
+            ).otherwise(0)
+        ).alias("rows_at_risk"),
+        F.sum("group_size").alias("n_rows"),
+    )
+    return g.join(F.broadcast(s)).select(
+        "c_nationkey",
+        "acct_band",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("n_sensitive").cast("long").alias("n_sensitive"),
+        (F.col("n_sensitive") < L_DIV).alias("at_risk"),
+        F.col("l_diversity").cast("long").alias("l_diversity"),
+        stable_round4(F.col("rows_at_risk") * 1.0 / F.col("n_rows")).alias(
+            "pct_rows_at_risk"
+        ),
+    )

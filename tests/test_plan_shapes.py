@@ -400,3 +400,38 @@ def test_web_corpus_pipeline_single_doc_text_scan(spark):
     text_reads = [r for r in reads if "text" in r.split("\n")[0]]
     assert len(text_reads) == 1, [r.split("\n")[0] for r in reads]
     assert "LeftSemi" in p
+
+
+def test_bloom_prune_broadcasts_bitmap_and_keeps_pushdown(spark):
+    p = plan(spark, "join_bloom_prune")
+    # the two bitmap word-lookups and the exact semi-join all broadcast
+    assert p.count("BroadcastHashJoin") >= 3
+    # the dim-side priority filter still reaches the orders scan
+    assert "PushedFilters" in p
+    # the final rollup is partial+final (map-side combine)
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_bm25_broadcasts_query_stats_and_takes_ordered_topk(spark):
+    p = plan(spark, "text_bm25_search")
+    # query-term df table and the 1-row corpus stats broadcast
+    assert p.count("BroadcastHashJoin") >= 2
+    # top-k is an ordered take, not a global sort
+    assert "TakeOrderedAndProject" in p
+
+
+def test_semantic_contamination_broadcast_and_single_agg(spark):
+    p = plan(spark, "dedup_semantic_contamination")
+    # eval side broadcasts; train side never shuffles its vectors
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # argmax is one partial+final aggregate (struct-max lowers to
+    # SortAggregate; the partial still combines map-side), no pair window
+    assert "partial_max" in p
+    assert "Window" not in p
+
+
+def test_adamic_adar_reuses_persisted_edges(spark):
+    p = plan(spark, "graph_adamic_adar")
+    # the thinned edge list is materialized once and reread from cache
+    assert "InMemoryTableScan" in p
+    assert "Window" not in p
