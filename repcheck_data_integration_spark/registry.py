@@ -76,6 +76,18 @@ DRIVER_PRIORITY: list[str] = [
     "sim_search_lsh",
     "sim_search_lsh_multiprobe",
     "sim_search_ivfpq",
+    # round-4 second-tranche ops (never driver-sampled before; the rows
+    # they displace at the tail are r3-driver-green AND in the local gate):
+    "text_bm25_search",
+    "dedup_semantic_contamination",
+    "llm_preference_pairs",
+    "events_attribution_linear",
+    "dq_k_anonymity",
+    "dq_l_diversity",
+    "graph_adamic_adar",
+    "text_minhash_containment",
+    "join_bloom_prune",
+    "llm_eval_bleu",
     # round-4 flagships (rotated in for driver visibility; the rotated-out
     # rows are r3-driver-green AND stay in the full local gate):
     "text_classifier_score",
