@@ -966,3 +966,115 @@ def _register_eval_bleu() -> None:
 
 
 _register_eval_bleu()
+
+
+# --- SFT chat-template formatting -------------------------------------------
+
+SFT_PROMPT_TOKENS = 8     # instruction proxy: the document's first 8 tokens
+SFT_BUDGET_TOKENS = 24    # prompt + response must fit this context budget
+
+
+def _register_sft_pack() -> None:
+    from .dedup import TOKEN_RE
+
+    @register(
+        "llm_sft_format",
+        oracle=f"""
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS toks
+            FROM documents),
+        s AS (
+            SELECT doc_id,
+                   array_to_string(toks[1:{SFT_PROMPT_TOKENS}], ' ')
+                       AS prompt,
+                   array_to_string(
+                       toks[{SFT_PROMPT_TOKENS + 1}:
+                            {SFT_PROMPT_TOKENS}
+                            + greatest({SFT_BUDGET_TOKENS}
+                                       - least(len(toks),
+                                               {SFT_PROMPT_TOKENS}), 0)],
+                       ' ') AS response,
+                   least(len(toks), {SFT_PROMPT_TOKENS}) AS n_prompt,
+                   least(greatest(len(toks) - {SFT_PROMPT_TOKENS}, 0),
+                         {SFT_BUDGET_TOKENS}
+                         - least(len(toks), {SFT_PROMPT_TOKENS}))
+                       AS n_response,
+                   len(toks) - {SFT_PROMPT_TOKENS}
+                       > {SFT_BUDGET_TOKENS}
+                         - least(len(toks), {SFT_PROMPT_TOKENS})
+                       AS truncated
+            FROM t WHERE len(toks) > 0)
+        SELECT doc_id,
+               md5('<|user|>' || chr(10) || prompt || chr(10)
+                   || '<|assistant|>' || chr(10) || response
+                   || '<|end|>') AS record_md5,
+               CAST(n_prompt AS BIGINT) AS n_prompt,
+               CAST(n_response AS BIGINT) AS n_response,
+               CAST(n_prompt + n_response AS BIGINT) AS n_total,
+               truncated
+        FROM s
+        """,
+    )
+    def llm_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SFT chat-template rendering: each document becomes one
+        instruction-tuning record — first {SFT_PROMPT_TOKENS} tokens as
+        the "instruction", the following tokens as the "response",
+        truncated so the pair fits a {SFT_BUDGET_TOKENS}-token context
+        budget, wrapped in <|user|>/<|assistant|>/<|end|> markers (the
+        record the tokenizer+packer downstream consume;
+        pack_token_sequences/pack_best_fit then bin these). The rendered
+        record is emitted as its md5 plus the token accounting, so the
+        oracle hash pins every byte of the template.
+
+        Single scan, zero shuffle, all native string/array expressions —
+        formatting belongs in codegen, not a UDF."""
+        d = load(spark, sf_dir, "documents")
+        toks = F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)
+        n_prompt = F.least(F.size("toks"), F.lit(SFT_PROMPT_TOKENS))
+        room = F.lit(SFT_BUDGET_TOKENS) - n_prompt
+        n_resp = F.least(
+            F.greatest(F.size("toks") - SFT_PROMPT_TOKENS, F.lit(0)), room
+        )
+        s = (
+            d.select("doc_id", toks.alias("toks"))
+            .filter(F.size("toks") > 0)
+            .select(
+                "doc_id",
+                F.concat_ws(
+                    " ", F.slice("toks", 1, SFT_PROMPT_TOKENS)
+                ).alias("prompt"),
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        f"slice(toks, {SFT_PROMPT_TOKENS + 1},"
+                        f" greatest({SFT_BUDGET_TOKENS}"
+                        f" - least(size(toks), {SFT_PROMPT_TOKENS}), 0))"
+                    ),
+                ).alias("response"),
+                n_prompt.alias("n_prompt"),
+                n_resp.alias("n_response"),
+                (
+                    F.size("toks") - SFT_PROMPT_TOKENS > room
+                ).alias("truncated"),
+            )
+        )
+        record = F.concat(
+            F.lit("<|user|>\n"),
+            F.col("prompt"),
+            F.lit("\n<|assistant|>\n"),
+            F.col("response"),
+            F.lit("<|end|>"),
+        )
+        return s.select(
+            "doc_id",
+            F.md5(record).alias("record_md5"),
+            F.col("n_prompt").cast("long").alias("n_prompt"),
+            F.col("n_response").cast("long").alias("n_response"),
+            (F.col("n_prompt") + F.col("n_response"))
+            .cast("long")
+            .alias("n_total"),
+            "truncated",
+        )
+
+
+_register_sft_pack()

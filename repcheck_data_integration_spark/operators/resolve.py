@@ -413,3 +413,261 @@ def join_fuzzy_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("probe_id", F.col("cand_id").alias("matched_id"), "score")
     )
+
+
+# --- Fellegi–Sunter probabilistic record linkage ---------------------------
+
+FS_BLOCK = 50          # household/geo blocking proxy: constant block size,
+#                        so candidate pairs grow LINEARLY with the data
+FS_B_OFFSET = 1_000_000_000
+FS_SCALE = 1_000_000   # micro-units for the quantized log2 weights
+FS_CUT = 3_000_000     # review threshold: 3.0 in log2 odds
+# m-probabilities (P(field agrees | true match)) — fixed model constants;
+# the perturbations below make them roughly true (name typo'd 1/3 of the
+# time, nation wrong 1/7, balance shifted 1/5, segment never touched)
+FS_M = {"name": 0.65, "nation": 0.85, "band": 0.8, "seg": 0.95}
+
+
+def _fs_weight_sql(field: str, num: str, den: str) -> tuple[str, str]:
+    """Quantized (agree, disagree) log2 weights from the m constant and the
+    exact-integer u estimate num/den: u = P(agree | random pair)."""
+    m = FS_M[field]
+    wa = (
+        f"CAST(floor(ln({m} * {den} / {num}) / ln(2.0)"
+        f" * {FS_SCALE} + 0.5) AS BIGINT)"
+    )
+    wd = (
+        f"CAST(floor(ln({1 - m} * {den} / ({den} - {num})) / ln(2.0)"
+        f" * {FS_SCALE} + 0.5) AS BIGINT)"
+    )
+    return wa, wd
+
+
+def _register_fs_score() -> None:
+    u_cte = """
+    a AS (
+        SELECT c_custkey AS a_id, c_name AS name_a,
+               c_nationkey AS nation_a,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band_a,
+               c_mktsegment AS seg_a,
+               c_custkey // {blk} AS blk
+        FROM customer),
+    b AS (
+        SELECT c_custkey + {off} AS b_id, c_custkey AS b_orig,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN substr(c_name, 1, length(c_name) - 1)
+                    ELSE c_name END AS name_b,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN (c_nationkey + 1) % 25
+                    ELSE c_nationkey END AS nation_b,
+               CAST(floor(CASE WHEN c_custkey % 5 = 0
+                               THEN c_acctbal + 10.0
+                               ELSE c_acctbal END / 1000.0) AS BIGINT)
+                   AS band_b,
+               c_mktsegment AS seg_b,
+               c_custkey // {blk} AS blk
+        FROM customer),
+    na AS (SELECT count(*) AS n FROM a),
+    nb AS (SELECT count(*) AS n FROM b),
+    u_name AS (
+        SELECT sum(ca.n * cb.n) AS num FROM
+            (SELECT name_a AS v, count(*) AS n FROM a GROUP BY 1) ca
+            JOIN (SELECT name_b AS v, count(*) AS n FROM b GROUP BY 1) cb
+              ON ca.v = cb.v),
+    u_nation AS (
+        SELECT sum(ca.n * cb.n) AS num FROM
+            (SELECT nation_a AS v, count(*) AS n FROM a GROUP BY 1) ca
+            JOIN (SELECT nation_b AS v, count(*) AS n FROM b GROUP BY 1) cb
+              ON ca.v = cb.v),
+    u_band AS (
+        SELECT sum(ca.n * cb.n) AS num FROM
+            (SELECT band_a AS v, count(*) AS n FROM a GROUP BY 1) ca
+            JOIN (SELECT band_b AS v, count(*) AS n FROM b GROUP BY 1) cb
+              ON ca.v = cb.v),
+    u_seg AS (
+        SELECT sum(ca.n * cb.n) AS num FROM
+            (SELECT seg_a AS v, count(*) AS n FROM a GROUP BY 1) ca
+            JOIN (SELECT seg_b AS v, count(*) AS n FROM b GROUP BY 1) cb
+              ON ca.v = cb.v)
+    """.format(blk=FS_BLOCK, off=FS_B_OFFSET)
+
+    wn = _fs_weight_sql("name", "u_name.num", "(na.n * nb.n)")
+    wt = _fs_weight_sql("nation", "u_nation.num", "(na.n * nb.n)")
+    wb = _fs_weight_sql("band", "u_band.num", "(na.n * nb.n)")
+    ws = _fs_weight_sql("seg", "u_seg.num", "(na.n * nb.n)")
+
+    @register(
+        "resolve_fs_score",
+        oracle=f"""
+        WITH {u_cte},
+        w AS (
+            SELECT {wn[0]} AS wa_name, {wn[1]} AS wd_name,
+                   {wt[0]} AS wa_nation, {wt[1]} AS wd_nation,
+                   {wb[0]} AS wa_band, {wb[1]} AS wd_band,
+                   {ws[0]} AS wa_seg, {ws[1]} AS wd_seg
+            FROM na, nb, u_name, u_nation, u_band, u_seg),
+        pairs AS (
+            SELECT a.a_id, b.b_id, b.b_orig,
+                   (CASE WHEN a.name_a = b.name_b
+                         THEN w.wa_name ELSE w.wd_name END)
+                 + (CASE WHEN a.nation_a = b.nation_b
+                         THEN w.wa_nation ELSE w.wd_nation END)
+                 + (CASE WHEN a.band_a = b.band_b
+                         THEN w.wa_band ELSE w.wd_band END)
+                 + (CASE WHEN a.seg_a = b.seg_b
+                         THEN w.wa_seg ELSE w.wd_seg END) AS score_q
+            FROM a JOIN b ON a.blk = b.blk CROSS JOIN w)
+        SELECT a_id, b_id,
+               CAST(score_q AS BIGINT) AS score_q,
+               floor(score_q / {FS_SCALE}.0 * 10000.0 + 0.5) / 10000.0
+                   AS log2_odds,
+               a_id = b_orig AS is_true_match
+        FROM pairs WHERE score_q >= {FS_CUT}
+        """,
+    )
+    def resolve_fs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Fellegi–Sunter probabilistic record linkage (the 1969 model
+        behind every production matcher, incl. the person-resolution the
+        reference does imperatively in scripts/people): source B is a
+        deterministically dirtied copy of the customer table (name typos,
+        wrong nations, shifted balances), candidate pairs come from a
+        constant-size household/geo block, and each pair's match score is
+        the sum of per-field log2(m/u) agreement / log2((1-m)/(1-u))
+        disagreement weights. m is the model constant; u — the chance a
+        RANDOM pair agrees — is ESTIMATED FROM THE DATA as an exact
+        integer ratio (Σ freqA·freqB over the cross size). Pairs above
+        the {FS_CUT / FS_SCALE} log2-odds review cut are emitted with
+        their truth bit, so precision/recall of the cut is visible.
+
+        Determinism: u ratios are exact integers, the eight weights are
+        quantized to {FS_SCALE}-scaled BIGINTs once (1-row frame), and
+        per-pair scores are 4-term INTEGER sums. Scale shape: the four
+        frequency joins and the weight row are tiny aggregates (domain-
+        bounded) joined in by broadcast; the pair join is a block
+        equi-join whose block size is CONSTANT ({FS_BLOCK}), so pair
+        count grows linearly with the sources, never quadratically."""
+        c = load(spark, sf_dir, "customer")
+        a = c.select(
+            F.col("c_custkey").alias("a_id"),
+            F.col("c_name").alias("name_a"),
+            F.col("c_nationkey").alias("nation_a"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias(
+                "band_a"
+            ),
+            F.col("c_mktsegment").alias("seg_a"),
+            F.expr(f"c_custkey div {FS_BLOCK}").alias("blk"),
+        )
+        b = c.select(
+            (F.col("c_custkey") + FS_B_OFFSET).alias("b_id"),
+            F.col("c_custkey").alias("b_orig"),
+            F.when(
+                F.col("c_custkey") % 3 == 0,
+                F.expr("substr(c_name, 1, length(c_name) - 1)"),
+            )
+            .otherwise(F.col("c_name"))
+            .alias("name_b"),
+            F.when(
+                F.col("c_custkey") % 7 == 0,
+                (F.col("c_nationkey") + 1) % 25,
+            )
+            .otherwise(F.col("c_nationkey"))
+            .alias("nation_b"),
+            F.floor(
+                F.when(
+                    F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 10.0
+                ).otherwise(F.col("c_acctbal"))
+                / 1000.0
+            )
+            .cast("long")
+            .alias("band_b"),
+            F.col("c_mktsegment").alias("seg_b"),
+            F.expr(f"c_custkey div {FS_BLOCK}").alias("blk"),
+        )
+
+        def freq_num(col_a: str, col_b: str) -> DataFrame:
+            ca = a.groupBy(F.col(col_a).alias("v")).agg(
+                F.count(F.lit(1)).alias("na_")
+            )
+            cb = b.groupBy(F.col(col_b).alias("v")).agg(
+                F.count(F.lit(1)).alias("nb_")
+            )
+            return ca.join(cb, "v").agg(
+                F.sum(F.col("na_") * F.col("nb_")).alias("num")
+            )
+
+        na = a.agg(F.count(F.lit(1)).alias("n_a"))
+        nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+
+        def weights(field: str, num_df: DataFrame, wa: str, wd: str):
+            m = FS_M[field]
+            den = F.col("n_a") * F.col("n_b")
+            j = num_df.join(na).join(nb)
+            return j.select(
+                F.floor(
+                    F.log(m * den / F.col("num")) / F.log(F.lit(2.0))
+                    * FS_SCALE
+                    + 0.5
+                )
+                .cast("long")
+                .alias(wa),
+                F.floor(
+                    F.log((1 - m) * den / (den - F.col("num")))
+                    / F.log(F.lit(2.0))
+                    * FS_SCALE
+                    + 0.5
+                )
+                .cast("long")
+                .alias(wd),
+            )
+
+        w = (
+            weights("name", freq_num("name_a", "name_b"), "wa_name", "wd_name")
+            .join(
+                weights(
+                    "nation",
+                    freq_num("nation_a", "nation_b"),
+                    "wa_nation",
+                    "wd_nation",
+                )
+            )
+            .join(
+                weights(
+                    "band", freq_num("band_a", "band_b"), "wa_band", "wd_band"
+                )
+            )
+            .join(
+                weights("seg", freq_num("seg_a", "seg_b"), "wa_seg", "wd_seg")
+            )
+        )
+        agree = lambda fa, fb, wa, wd: F.when(  # noqa: E731
+            F.col(fa) == F.col(fb), F.col(wa)
+        ).otherwise(F.col(wd))
+        pairs = a.join(b, "blk").join(F.broadcast(w))
+        score = (
+            agree("name_a", "name_b", "wa_name", "wd_name")
+            + agree("nation_a", "nation_b", "wa_nation", "wd_nation")
+            + agree("band_a", "band_b", "wa_band", "wd_band")
+            + agree("seg_a", "seg_b", "wa_seg", "wd_seg")
+        )
+        return (
+            pairs.select(
+                "a_id",
+                "b_id",
+                score.cast("long").alias("score_q"),
+                (F.col("a_id") == F.col("b_orig")).alias("is_true_match"),
+            )
+            .filter(F.col("score_q") >= FS_CUT)
+            .select(
+                "a_id",
+                "b_id",
+                "score_q",
+                (
+                    F.floor(F.col("score_q") / float(FS_SCALE) * 10000.0 + 0.5)
+                    / 10000.0
+                ).alias("log2_odds"),
+                "is_true_match",
+            )
+        )
+
+
+_register_fs_score()

@@ -1437,7 +1437,9 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- semantic eval-set decontamination -------------------------------------
 
-SEMCON_EVAL_MOD = 50   # vec_id % 50 == 0 is the held-out eval-set proxy
+SEMCON_EVAL_MOD = 50   # every 50th vec_id BELOW the cap is eval — the
+SEMCON_EVAL_CAP = 5000  # benchmark suite is a FIXED set (MBs), it must not
+#                         grow with the corpus or the scan goes quadratic
 SEMCON_THETA = 0.25    # cosine radius that counts as leakage at fixture SF
 
 
@@ -1446,10 +1448,12 @@ SEMCON_THETA = 0.25    # cosine radius that counts as leakage at fixture SF
     oracle=f"""
     WITH ev AS (
         SELECT vec_id AS eval_id, embedding AS e_emb
-        FROM embeddings WHERE vec_id % {SEMCON_EVAL_MOD} = 0),
+        FROM embeddings
+        WHERE vec_id % {SEMCON_EVAL_MOD} = 0 AND vec_id < {SEMCON_EVAL_CAP}),
     tr AS (
         SELECT vec_id AS train_id, embedding AS t_emb
-        FROM embeddings WHERE vec_id % {SEMCON_EVAL_MOD} <> 0),
+        FROM embeddings
+        WHERE vec_id % {SEMCON_EVAL_MOD} <> 0 OR vec_id >= {SEMCON_EVAL_CAP}),
     sc AS (
         SELECT train_id, eval_id,
                {sql_cosine('t_emb', 'e_emb')} AS cos
@@ -1472,8 +1476,10 @@ def dedup_semantic_contamination(
     nearest held-out EVAL vector by cosine and a leakage flag (max cosine
     >= {SEMCON_THETA}) — the embedding-space complement of
     dedup_contamination_ngrams (paraphrased test questions slip past
-    n-gram overlap; this catches them). The vec_id % {SEMCON_EVAL_MOD}
-    slice stands in for the benchmark suite.
+    n-gram overlap; this catches them). Every {SEMCON_EVAL_MOD}th vec_id
+    below {SEMCON_EVAL_CAP} stands in for the benchmark suite — a FIXED
+    set, capped so it cannot grow with the corpus (an eval side defined
+    as a corpus fraction would make this scan quadratic at 100 TB).
 
     Scale shape mirrors the n-gram decontaminator: the eval side is tiny
     by construction (benchmarks are MBs, training is the 100 TB side), so
@@ -1485,10 +1491,13 @@ def dedup_semantic_contamination(
     wins, matching the oracle's rank order). Cosine is the sequential
     double fold (dedup.dot_double), bit-identical to DuckDB."""
     e = load(spark, sf_dir, "embeddings")
-    ev = e.filter(F.col("vec_id") % SEMCON_EVAL_MOD == 0).select(
+    is_eval = (F.col("vec_id") % SEMCON_EVAL_MOD == 0) & (
+        F.col("vec_id") < SEMCON_EVAL_CAP
+    )
+    ev = e.filter(is_eval).select(
         F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_emb")
     )
-    tr = e.filter(F.col("vec_id") % SEMCON_EVAL_MOD != 0).select(
+    tr = e.filter(~is_eval).select(
         F.col("vec_id").alias("train_id"), F.col("embedding").alias("t_emb")
     )
     cos = cosine(F.col("t_emb"), F.col("e_emb"))

@@ -97,6 +97,16 @@ PROBES = [
     "sim_search_range",
     "events_user_features",
     "stream_dedup_minhash",
+    "text_bm25_search",
+    "dedup_semantic_contamination",
+    "llm_preference_pairs",
+    "events_attribution_linear",
+    "dq_k_anonymity",
+    "dq_l_diversity",
+    "graph_adamic_adar",
+    "text_minhash_containment",
+    "join_bloom_prune",
+    "llm_eval_bleu",
 ]
 
 
