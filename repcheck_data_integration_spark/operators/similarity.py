@@ -1520,3 +1520,101 @@ def dedup_semantic_contamination(
         stable_round4(F.col("m.cos")).alias("max_cosine"),
         (F.col("m.cos") >= SEMCON_THETA).alias("contaminated"),
     )
+
+
+KNN_K = 5
+
+
+@register(
+    "ml_knn_classify",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, label AS true_label
+        FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (
+        SELECT vec_id AS cand_id, embedding AS c_emb, label AS c_label
+        FROM embeddings),
+    scored AS (
+        SELECT query_id, true_label, cand_id, c_label,
+               {sql_cosine('q_emb', 'c_emb')} AS cos
+        FROM q JOIN c ON query_id <> cand_id),
+    r AS (
+        SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY cos DESC, cand_id) AS rn
+        FROM scored),
+    votes AS (
+        SELECT query_id, true_label, c_label, count(*) AS n_votes
+        FROM r WHERE rn <= {KNN_K}
+        GROUP BY query_id, true_label, c_label),
+    best AS (
+        SELECT query_id, true_label, c_label AS pred_label, n_votes,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY n_votes DESC, c_label) AS vr
+        FROM votes)
+    SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           true_label = pred_label AS correct
+    FROM best WHERE vr = 1
+    """,
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification eval: each probe vector (vec_id <
+    {N_QUERIES}) is labeled by majority vote of its {KNN_K} nearest
+    neighbors (cosine, self excluded), compared against its true label —
+    the embedding-quality eval every similarity index ships with (if
+    k-NN accuracy degrades after quantization/truncation, the index
+    recall numbers are lies). Ties break deterministically: neighbor
+    rank by (cos DESC, cand_id), vote by (count DESC, label ASC).
+
+    Plan shape is sim_search_topk's: the probe set broadcasts, the
+    corpus is scanned once in place, and the only shuffles carry the
+    |Q|·k neighbor rows — vote counting is a tiny two-level agg on the
+    already-ranked frame. The scale path swaps the exact scan for the
+    IVF/LSH candidate joins, identically to the search family."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("cand_id")
+    ).select(
+        "query_id",
+        "true_label",
+        "cand_id",
+        "c_label",
+        cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
+    )
+    votes = (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= KNN_K)
+        .groupBy("query_id", "true_label", "c_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    best = votes.withColumn(
+        "vr",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(
+                F.col("n_votes").desc(), "c_label"
+            )
+        ),
+    )
+    return best.filter(F.col("vr") == 1).select(
+        "query_id",
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("c_label").cast("long").alias("pred_label"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+        (F.col("true_label") == F.col("c_label")).alias("correct"),
+    )

@@ -1414,3 +1414,87 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum("credit") / 100000000.0 * 10000.0 + 0.5) / 10000.0
         ).alias("credited_usd"),
     )
+
+
+@register(
+    "events_type_hour_mi",
+    oracle=f"""
+    WITH xy AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n_xy
+        FROM events GROUP BY 1, 2),
+    x AS (SELECT event_type, sum(n_xy) AS n_x FROM xy GROUP BY 1),
+    y AS (SELECT hr, sum(n_xy) AS n_y FROM xy GROUP BY 1),
+    t AS (SELECT sum(n_xy) AS tot, count(*) AS n_cells FROM xy),
+    q AS (
+        SELECT sum(CAST(floor(
+                   n_xy * ln((t.tot * n_xy * 1.0) / (x.n_x * y.n_y))
+                   * {ENT_SCALE}) AS BIGINT)) AS mi_q,
+               max(t.tot) AS tot,
+               count(DISTINCT xy.event_type) AS n_types,
+               count(DISTINCT xy.hr) AS n_hours
+        FROM xy JOIN x ON xy.event_type = x.event_type
+                JOIN y ON xy.hr = y.hr
+                CROSS JOIN t)
+    SELECT CAST(tot AS BIGINT) AS n_events,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           floor(mi_q * 1.0 / {ENT_SCALE} / tot * 10000.0 + 0.5) / 10000.0
+               AS mi_nats
+    FROM q
+    """,
+)
+def events_type_hour_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day — the
+    dependence screen feature selection runs before building behavioral
+    features (MI 0 ⇒ the hour tells you nothing about the action; high
+    MI ⇒ time-of-day features carry signal). I(X;Y) = (1/N) Σ c_xy ·
+    ln(N·c_xy / (c_x·c_y)): every log argument is an exact integer
+    ratio, each term is quantized to a {ENT_SCALE}-scaled BIGINT before
+    the sum (events_type_entropy's order-independence discipline), and
+    only the final display value divides.
+
+    Scale shape: one (type, hour) hash agg over the corpus — the cell
+    table is domain-bounded (|types|×24), so the two marginal
+    re-aggregations and the joint join are all tiny; a single broadcast
+    attaches the 1-row total. One corpus scan, map-side combined."""
+    e = load(spark, sf_dir, "events")
+    xy = e.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    xy = xy.persist()  # feeds the joint term and both marginals
+    x = xy.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
+    y = xy.groupBy("hr").agg(F.sum("n_xy").alias("n_y"))
+    t = xy.agg(
+        F.sum("n_xy").alias("tot"), F.count(F.lit(1)).alias("n_cells")
+    )
+    term = F.floor(
+        F.col("n_xy")
+        * F.log(
+            (F.col("tot") * F.col("n_xy") * 1.0)
+            / (F.col("n_x") * F.col("n_y"))
+        )
+        * ENT_SCALE
+    ).cast("long")
+    q = (
+        xy.join(x, "event_type")
+        .join(y, "hr")
+        .join(F.broadcast(t))
+        .agg(
+            F.sum(term).alias("mi_q"),
+            F.max("tot").alias("tot"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.countDistinct("hr").alias("n_hours"),
+        )
+    )
+    return q.select(
+        F.col("tot").cast("long").alias("n_events"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_hours").cast("long").alias("n_hours"),
+        (
+            F.floor(
+                F.col("mi_q") * 1.0 / ENT_SCALE / F.col("tot") * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("mi_nats"),
+    )
