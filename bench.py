@@ -62,6 +62,15 @@ HEADLINE = [
     "llm_eval_rouge",
     "emb_dim_stats",
     "stream_curation_pipeline",
+    # round-4 second tranche
+    "text_bm25_search",
+    "dedup_semantic_contamination",
+    "resolve_fs_score",
+    "llm_eval_bleu",
+    "join_bloom_prune",
+    "events_attribution_linear",
+    "graph_adamic_adar",
+    "text_minhash_containment",
 ]
 
 

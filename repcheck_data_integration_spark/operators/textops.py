@@ -1912,3 +1912,126 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_q").desc(), "doc_id")
         .limit(BM25_TOP)
     )
+
+
+# --- DoReMi-style excess-loss mixture weights -------------------------------
+
+_XENT_SCALE = 1_000_000
+
+
+@register(
+    "mix_excess_loss_weights",
+    oracle=f"""
+    WITH tc AS (
+        SELECT source, tok, count(*) AS cnt
+        FROM (SELECT source,
+                     unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+              FROM documents)
+        GROUP BY source, tok),
+    corpus AS (SELECT tok, sum(cnt) AS ccount FROM tc GROUP BY tok),
+    total AS (SELECT sum(ccount) AS ctotal FROM corpus),
+    per_src AS (
+        SELECT tc.source,
+               sum(tc.cnt) AS n_tokens,
+               sum(CAST(floor(tc.cnt
+                       * ln(CAST(c.ccount AS DOUBLE) / t.ctotal)
+                       * {_XENT_SCALE}) AS BIGINT)) AS llq
+        FROM tc JOIN corpus c ON c.tok = tc.tok CROSS JOIN total t
+        GROUP BY tc.source),
+    base AS (
+        SELECT sum(llq) AS cllq, sum(n_tokens) AS n_total FROM per_src),
+    ex AS (
+        SELECT source, n_tokens, llq, cllq, n_total,
+               greatest(CAST(floor(
+                   ((-llq * 1.0 / {_XENT_SCALE} / n_tokens)
+                    - (-cllq * 1.0 / {_XENT_SCALE} / n_total))
+                   * {_XENT_SCALE} + 0.5) AS BIGINT), 0) AS ex_q
+        FROM per_src CROSS JOIN base),
+    s AS (SELECT sum(ex_q) AS ex_sum FROM ex)
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           floor((-llq * 1.0 / {_XENT_SCALE} / n_tokens) * 10000.0 + 0.5)
+               / 10000.0 AS xent,
+           floor((-cllq * 1.0 / {_XENT_SCALE} / n_total) * 10000.0 + 0.5)
+               / 10000.0 AS corpus_xent,
+           floor(ex_q * 1.0 / {_XENT_SCALE} * 10000.0 + 0.5) / 10000.0
+               AS excess,
+           CASE WHEN s.ex_sum > 0
+                THEN floor(ex_q * 1.0 / s.ex_sum * 10000.0 + 0.5) / 10000.0
+                ELSE 0.0 END AS weight
+    FROM ex CROSS JOIN s
+    """,
+)
+def mix_excess_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting signal (Xie 2023, simplified): each
+    source's unigram cross-entropy under the corpus LM, its EXCESS over
+    the corpus baseline, and the excess-proportional mixture weight —
+    up-sample the domains the reference model finds hardest. Production
+    swaps the unigram LM for proxy-model losses; the aggregation plan is
+    unchanged. Completes the mixing family next to
+    mix_temperature_weights (size-based) and mix_epoch_schedule.
+
+    Determinism: per-(source,term) log terms are quantized to
+    {_XENT_SCALE}-scaled BIGINTs before the per-source sum (sources span
+    many partitions — a double sum would be shuffle-order-dependent),
+    the baseline reuses those integer sums, excess is clamped in integer
+    space, and the weight is an integer ratio. Scale shape: the
+    (source, term) relation collapses map-side like term_counts; the
+    corpus LM join shuffles on term; the per-source and baseline rollups
+    are domain-bounded (|sources| rows)."""
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    corpus = tc.groupBy("tok").agg(F.sum("cnt").alias("ccount"))
+    total = corpus.agg(F.sum("ccount").alias("ctotal"))
+    per_src = (
+        tc.join(corpus, "tok")
+        .join(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(
+                F.floor(
+                    F.col("cnt")
+                    * F.log(
+                        F.col("ccount").cast("double") / F.col("ctotal")
+                    )
+                    * _XENT_SCALE
+                ).cast("long")
+            ).alias("llq"),
+        )
+    )
+    base = per_src.agg(
+        F.sum("llq").alias("cllq"), F.sum("n_tokens").alias("n_total")
+    )
+    src_xent = -F.col("llq") * 1.0 / _XENT_SCALE / F.col("n_tokens")
+    cor_xent = -F.col("cllq") * 1.0 / _XENT_SCALE / F.col("n_total")
+    ex = per_src.join(F.broadcast(base)).withColumn(
+        "ex_q",
+        F.greatest(
+            F.floor((src_xent - cor_xent) * _XENT_SCALE + 0.5).cast("long"),
+            F.lit(0),
+        ),
+    )
+    s = ex.agg(F.sum("ex_q").alias("ex_sum"))
+    return ex.join(F.broadcast(s)).select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.floor(src_xent * 10000.0 + 0.5) / 10000.0).alias("xent"),
+        (F.floor(cor_xent * 10000.0 + 0.5) / 10000.0).alias("corpus_xent"),
+        (
+            F.floor(F.col("ex_q") * 1.0 / _XENT_SCALE * 10000.0 + 0.5)
+            / 10000.0
+        ).alias("excess"),
+        F.when(
+            F.col("ex_sum") > 0,
+            F.floor(F.col("ex_q") * 1.0 / F.col("ex_sum") * 10000.0 + 0.5)
+            / 10000.0,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("weight"),
+    )
