@@ -880,3 +880,69 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("quality_prob"),
         ((F.col("n_tokens") > 0) & (F.col("sum_w") >= 0)).alias("keep"),
     )
+
+
+def _register_lang_id_eval() -> None:
+    from ..registry import ORACLE, QUERIES
+
+    base_sql = ORACLE["text_lang_id"]
+
+    @register(
+        "text_lang_id_eval",
+        oracle=f"""
+        WITH pred AS ({base_sql}),
+        cm AS (
+            SELECT labeled_lang, predicted_lang, count(*) AS n
+            FROM pred GROUP BY 1, 2),
+        t AS (
+            SELECT sum(n) AS tot,
+                   sum(CASE WHEN labeled_lang = predicted_lang
+                            THEN n ELSE 0 END) AS hits
+            FROM cm)
+        SELECT cm.labeled_lang, cm.predicted_lang,
+               CAST(cm.n AS BIGINT) AS n,
+               floor(cm.n * 1.0 / t.tot * 10000.0 + 0.5) / 10000.0
+                   AS cell_share,
+               floor(t.hits * 1.0 / t.tot * 10000.0 + 0.5) / 10000.0
+                   AS overall_accuracy
+        FROM cm CROSS JOIN t
+        """,
+    )
+    def text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Confusion matrix + accuracy of the marker-stopword language
+        identifier against the labeled lang column — the eval leg every
+        classifier in the curation pipeline needs next to its predict leg
+        (text_classifier_score ships the same pairing via its threshold
+        sweep). One aggregation over the predict output; the 1-row
+        accuracy total broadcasts back onto the (|langs|²-bounded)
+        matrix. Built ON the registered predict operator, so the two can
+        never drift apart."""
+        from .dedup import stable_round4
+
+        pred = QUERIES["text_lang_id"](spark, sf_dir)
+        cm = pred.groupBy("labeled_lang", "predicted_lang").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        t = cm.agg(
+            F.sum("n").alias("tot"),
+            F.sum(
+                F.when(
+                    F.col("labeled_lang") == F.col("predicted_lang"),
+                    F.col("n"),
+                ).otherwise(0)
+            ).alias("hits"),
+        )
+        return cm.join(F.broadcast(t)).select(
+            "labeled_lang",
+            "predicted_lang",
+            F.col("n").cast("long").alias("n"),
+            stable_round4(F.col("n") * 1.0 / F.col("tot")).alias(
+                "cell_share"
+            ),
+            stable_round4(F.col("hits") * 1.0 / F.col("tot")).alias(
+                "overall_accuracy"
+            ),
+        )
+
+
+_register_lang_id_eval()

@@ -1498,3 +1498,101 @@ def events_type_hour_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("mi_nats"),
     )
+
+
+@register(
+    "events_chi2_independence",
+    oracle=f"""
+    WITH xy AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n_xy
+        FROM events GROUP BY 1, 2),
+    x AS (SELECT event_type, sum(n_xy) AS n_x FROM xy GROUP BY 1),
+    y AS (SELECT hr, sum(n_xy) AS n_y FROM xy GROUP BY 1),
+    t AS (SELECT sum(n_xy) AS tot FROM xy),
+    grid AS (
+        SELECT x.event_type, y.hr, x.n_x, y.n_y, t.tot,
+               coalesce(xy.n_xy, 0) AS o
+        FROM x CROSS JOIN y CROSS JOIN t
+        LEFT JOIN xy ON xy.event_type = x.event_type AND xy.hr = y.hr),
+    q AS (
+        SELECT sum(CAST(floor(
+                   ((o * tot - n_x * n_y) * 1.0 * (o * tot - n_x * n_y))
+                   / (tot * 1.0 * n_x * n_y)
+                   * {ENT_SCALE}) AS BIGINT)) AS chi2_q,
+               max(tot) AS tot,
+               count(DISTINCT event_type) AS n_types,
+               count(DISTINCT hr) AS n_hours
+        FROM grid)
+    SELECT CAST(tot AS BIGINT) AS n_events,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           CAST((n_types - 1) * (n_hours - 1) AS BIGINT) AS dof,
+           floor(chi2_q * 1.0 / {ENT_SCALE} * 10000.0 + 0.5) / 10000.0
+               AS chi2,
+           floor(sqrt(chi2_q * 1.0 / {ENT_SCALE} / tot
+                      / least(n_types - 1, n_hours - 1)) * 10000.0 + 0.5)
+               / 10000.0 AS cramers_v
+    FROM q
+    """,
+)
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test between event type and
+    hour-of-day, with Cramér's V effect size — the classical-test
+    companion to events_type_hour_mi (MI says how much information, V
+    says how strong the association on a 0-1 scale; a pipeline alerts
+    when V drifts). Terms use the exact-integer identity (o·N −
+    cx·cy)²/(N·cx·cy) — numerator exactly representable, ONE division
+    per cell, quantized before the sum — and the FULL X×Y grid
+    contributes (zero-observed cells still add their expectation, which
+    per-cell skipping would silently drop).
+
+    Scale shape: the observed table is one corpus hash agg; the grid is
+    a cross join of two domain-bounded marginals (|types|×24 rows) —
+    nothing here grows with the data except the single scan."""
+    e = load(spark, sf_dir, "events")
+    xy = e.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n_xy")).persist()
+    x = xy.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
+    y = xy.groupBy("hr").agg(F.sum("n_xy").alias("n_y"))
+    t = xy.agg(F.sum("n_xy").alias("tot"))
+    grid = (
+        x.crossJoin(y)
+        .join(F.broadcast(t))
+        .join(xy, ["event_type", "hr"], "left")
+        .withColumn("o", F.coalesce(F.col("n_xy"), F.lit(0)))
+    )
+    dev = F.col("o") * F.col("tot") - F.col("n_x") * F.col("n_y")
+    term = F.floor(
+        (dev * 1.0 * dev)
+        / (F.col("tot") * 1.0 * F.col("n_x") * F.col("n_y"))
+        * ENT_SCALE
+    ).cast("long")
+    q = grid.agg(
+        F.sum(term).alias("chi2_q"),
+        F.max("tot").alias("tot"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("hr").alias("n_hours"),
+    )
+    chi2 = F.col("chi2_q") * 1.0 / ENT_SCALE
+    return q.select(
+        F.col("tot").cast("long").alias("n_events"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_hours").cast("long").alias("n_hours"),
+        ((F.col("n_types") - 1) * (F.col("n_hours") - 1))
+        .cast("long")
+        .alias("dof"),
+        (F.floor(chi2 * 10000.0 + 0.5) / 10000.0).alias("chi2"),
+        (
+            F.floor(
+                F.sqrt(
+                    chi2
+                    / F.col("tot")
+                    / F.least(F.col("n_types") - 1, F.col("n_hours") - 1)
+                )
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("cramers_v"),
+    )
