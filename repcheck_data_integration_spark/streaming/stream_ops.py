@@ -1014,3 +1014,146 @@ def stream_curation(docs_stream: DataFrame, target_path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- incremental linear attribution ----------------------------------------
+
+ATTR_LATE_SLACK_S = 600  # touch-history retention beyond the lookback
+
+
+def make_attribution_merge_batch(
+    target_path: str, run_id: str | None = None
+):
+    """Idempotent foreachBatch maintainer for LINEAR multi-touch
+    attribution — the streaming twin of events_attribution_linear
+    (batch_windows.py): each micro-batch's purchases are credited against
+    the accumulated TOUCH HISTORY (plus the batch's own touches), the
+    per-channel rollup folds additively (counts and integer micro-cents —
+    purchases are processed exactly once, so even the distinct-purchase
+    count adds), and the touch history is pruned to the lookback window
+    plus {ATTR_LATE_SLACK_S}s of lateness slack, so state is bounded by
+    event-rate × window, never by history length.
+
+    Contract (same as the watermark's): batches must arrive in event-time
+    order up to the slack — a touch arriving later than slack after a
+    purchase it should have credited is dropped, exactly as a watermarked
+    interval join would drop it. Under ordered replay the final rollup
+    equals the batch operator's output, asserted in tests.
+
+    Two state components (``<target>_rollup``, ``<target>_touch``), each
+    epoch-stamped and run-scoped independently; the delta is computed
+    from the PREVIOUS touch state, so a crash between the two commits
+    replays consistently (rollup skips its applied epoch, touch re-commits
+    the same value)."""
+    from .batch_windows import ATTR_WINDOW_S
+
+    rollup_t = target_path + "_rollup"
+    touch_t = target_path + "_touch"
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        b_touch = batch.filter(
+            F.col("event_type").isin("click", "view")
+        ).select(
+            F.col("event_id").alias("t_id"),
+            F.col("user_id").alias("t_user"),
+            F.col("ts").alias("t_ts"),
+            F.col("event_type").alias("t_type"),
+        )
+        if os.path.islink(touch_t):
+            hist = spark.read.parquet(touch_t).unionByName(b_touch)
+        else:
+            hist = b_touch
+        p = batch.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        before = (F.col("t_ts") < F.col("p_ts")) | (
+            (F.col("t_ts") == F.col("p_ts"))
+            & (F.col("t_id") < F.col("p_id"))
+        )
+        age_ok = (
+            F.col("p_ts").cast("double") - F.col("t_ts").cast("double")
+        ) <= ATTR_WINDOW_S
+        j = p.join(
+            hist,
+            (F.col("user_id") == F.col("t_user")) & before & age_ok,
+            "left",
+        )
+        from pyspark.sql.window import Window as W
+
+        c = j.select(
+            "p_id",
+            "cents",
+            "t_id",
+            F.coalesce(F.col("t_type"), F.lit("organic")).alias(
+                "touch_type"
+            ),
+        ).withColumn(
+            "n_touches", F.count("t_id").over(W.partitionBy("p_id"))
+        )
+        credit = F.when(
+            F.col("t_id").isNull(), F.col("cents") * 1000000
+        ).otherwise(F.expr("(cents * 1000000L) div n_touches"))
+        delta = (
+            c.select("p_id", "touch_type", credit.alias("credit"))
+            .groupBy("touch_type")
+            .agg(
+                F.countDistinct("p_id").alias("n_purchases"),
+                F.count(F.lit(1)).alias("n_credits"),
+                F.sum("credit").alias("credited_microcents"),
+            )
+        )
+        if epoch_id > rollup_applied_epoch(rollup_t, run_id):
+            if os.path.islink(rollup_t):
+                prev = spark.read.parquet(rollup_t).select(
+                    "touch_type",
+                    F.col("n_purchases").alias("pp"),
+                    F.col("n_credits").alias("pc"),
+                    F.col("credited_microcents").alias("pm"),
+                )
+                merged = delta.join(prev, "touch_type", "full_outer").select(
+                    "touch_type",
+                    (
+                        F.coalesce("n_purchases", F.lit(0))
+                        + F.coalesce("pp", F.lit(0))
+                    ).alias("n_purchases"),
+                    (
+                        F.coalesce("n_credits", F.lit(0))
+                        + F.coalesce("pc", F.lit(0))
+                    ).alias("n_credits"),
+                    (
+                        F.coalesce("credited_microcents", F.lit(0))
+                        + F.coalesce("pm", F.lit(0))
+                    ).alias("credited_microcents"),
+                )
+            else:
+                merged = delta
+            commit_epoch_version(rollup_t, epoch_id, merged, run_id)
+        if epoch_id > rollup_applied_epoch(touch_t, run_id):
+            horizon = hist.agg(F.max("t_ts").alias("mx"))
+            pruned = hist.join(F.broadcast(horizon)).filter(
+                F.col("t_ts").cast("double")
+                >= F.col("mx").cast("double")
+                - (ATTR_WINDOW_S + ATTR_LATE_SLACK_S)
+            ).drop("mx")
+            commit_epoch_version(touch_t, epoch_id, pruned, run_id)
+
+    return merge_batch
+
+
+def stream_attribution_linear(
+    events: DataFrame, target_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Run incremental linear attribution as an availableNow foreachBatch
+    query over an events-shaped stream."""
+    return (
+        events.writeStream.foreachBatch(
+            make_attribution_merge_batch(target_path, run_id=checkpoint)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

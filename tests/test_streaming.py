@@ -877,3 +877,70 @@ def test_stream_curation_incremental_equals_batch(spark, tmp_path):
         spark, SF).select(
         "content_hash", "doc_id", "n_tokens", "sum_w").collect()))
     assert inc == batch
+
+
+def test_stream_attribution_incremental_equals_batch(spark, tmp_path):
+    """Incremental linear attribution over three CHRONOLOGICAL
+    micro-batches must equal the batch events_attribution_linear rollup
+    on the same data (the ordered-arrival contract the watermark
+    implies), and replaying the last epoch must be a no-op."""
+    from repcheck_data_integration_spark import registry
+    from repcheck_data_integration_spark.streaming.stream_ops import (
+        make_attribution_merge_batch,
+        rollup_applied_epoch,
+    )
+
+    registry.load_all_modules()
+    target = str(tmp_path / "attr")
+    events = load(spark, SF, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    # three event-time-ordered splits (terciles of ts)
+    e = events.orderBy("ts", "event_id").collect()
+    n = len(e)
+    chunks = [e[: n // 3], e[n // 3 : 2 * n // 3], e[2 * n // 3 :]]
+    merge = make_attribution_merge_batch(target)
+    for i, chunk in enumerate(chunks):
+        merge(spark.createDataFrame(chunk, events.schema), i)
+
+    got = {
+        r["touch_type"]: (
+            r["n_purchases"],
+            r["n_credits"],
+            r["credited_microcents"],
+        )
+        for r in spark.read.parquet(target + "_rollup").collect()
+    }
+    want = {
+        r["touch_type"]: (
+            r["n_purchases"],
+            r["n_credits"],
+            r["credited_microcents"],
+        )
+        for r in registry.QUERIES["events_attribution_linear"](
+            spark, SF
+        ).collect()
+    }
+    assert got == want
+
+    # touch state is pruned to the lookback+slack horizon
+    touches = spark.read.parquet(target + "_touch")
+    mx = touches.agg(F.max(F.col("t_ts").cast("double"))).collect()[0][0]
+    mn = touches.agg(F.min(F.col("t_ts").cast("double"))).collect()[0][0]
+    assert mx - mn <= 1800 + 600
+
+    # replay: re-applying the final epoch with junk must change nothing
+    before = sorted(got.items())
+    merge(spark.createDataFrame(chunks[2], events.schema), 2)
+    after = sorted(
+        (
+            r["touch_type"],
+            (
+                r["n_purchases"],
+                r["n_credits"],
+                r["credited_microcents"],
+            ),
+        )
+        for r in spark.read.parquet(target + "_rollup").collect()
+    )
+    assert after == [(k, v) for k, v in before]
