@@ -1078,3 +1078,112 @@ def _register_sft_pack() -> None:
 
 
 _register_sft_pack()
+
+
+# --- DPO data-prep pipeline -------------------------------------------------
+
+DPO_TRAIN_PCT = 90  # per-PROMPT split: whole groups go to one side
+
+
+def _register_dpo_prep() -> None:
+    from .dedup import BENCH_MOD, CONTAM_THRESHOLD, SQL_SHINGLES, TOKEN_RE
+    from .sampling import hash_bucket, sql_hash_bucket
+
+    toks_sql = f"regexp_extract_all(text, '{TOKEN_RE}')"
+    bkt = sql_hash_bucket("CAST(prompt_id AS VARCHAR)", 100)
+
+    @register(
+        "pipeline_dpo_prep",
+        oracle=f"""
+        WITH s AS (
+            SELECT doc_id, doc_id % {PREF_BUCKETS} AS prompt_id,
+                   (len(list_distinct({toks_sql})) * {_PREF_SCALE})
+                       // len({toks_sql}) AS score_q
+            FROM documents WHERE len({toks_sql}) > 0),
+        c AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY prompt_id
+                                      ORDER BY score_q DESC, doc_id) AS rc,
+                   row_number() OVER (PARTITION BY prompt_id
+                                      ORDER BY score_q ASC, doc_id DESC) AS rr
+            FROM s),
+        n AS (SELECT prompt_id, count(*) AS n_candidates
+              FROM s GROUP BY prompt_id),
+        pairs AS (
+            SELECT ch.prompt_id, ch.doc_id AS chosen_doc_id,
+                   rj.doc_id AS rejected_doc_id,
+                   ch.score_q - rj.score_q AS margin
+            FROM (SELECT prompt_id, doc_id, score_q FROM c WHERE rc = 1) ch
+            JOIN (SELECT prompt_id, doc_id, score_q FROM c WHERE rr = 1) rj
+              ON ch.prompt_id = rj.prompt_id
+            JOIN n ON ch.prompt_id = n.prompt_id
+            WHERE n.n_candidates >= 2),
+        sh AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM documents),
+        shp AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+        bench AS (
+            SELECT DISTINCT unnest(sh) AS g FROM shp
+            WHERE doc_id % {BENCH_MOD} = 0),
+        exg AS (
+            SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS g
+            FROM shp WHERE doc_id % {BENCH_MOD} <> 0),
+        cont AS (
+            SELECT exg.doc_id,
+                   count(bench.g) * 1.0 / exg.n_grams
+                       >= {CONTAM_THRESHOLD} AS contaminated
+            FROM exg LEFT JOIN bench ON exg.g = bench.g
+            GROUP BY exg.doc_id, exg.n_grams)
+        SELECT p.prompt_id, p.chosen_doc_id, p.rejected_doc_id,
+               CAST(p.margin AS BIGINT) AS margin,
+               p.chosen_doc_id % {BENCH_MOD} = 0 AS chosen_is_bench,
+               coalesce(cont.contaminated, false) AS chosen_contaminated,
+               NOT (p.chosen_doc_id % {BENCH_MOD} = 0
+                    OR coalesce(cont.contaminated, false)) AS kept,
+               CASE WHEN {bkt} < {DPO_TRAIN_PCT}
+                    THEN 'train' ELSE 'valid' END AS split
+        FROM pairs p LEFT JOIN cont ON p.chosen_doc_id = cont.doc_id
+        """,
+    )
+    def pipeline_dpo_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """End-to-end DPO data prep as ONE DAG: preference-pair
+        construction (llm_preference_pairs) → decontamination gate (drop
+        pairs whose CHOSEN response is an eval-benchmark doc or n-gram-
+        contaminated by one, reusing dedup_contamination_ngrams'
+        machinery) → deterministic md5 split BY PROMPT GROUP (a prompt's
+        pairs never straddle train/valid — splitting by pair would leak
+        the prompt across the boundary). Composes three registered
+        operators without re-reading the corpus per stage: Catalyst sees
+        one plan, the documents scan is shared by the pair and shingle
+        branches.
+
+        All gating columns are emitted (is_bench / contaminated / kept /
+        split) rather than filtered away, matching how curation audits
+        want the decisions inspectable."""
+        from ..registry import QUERIES
+
+        pairs = QUERIES["llm_preference_pairs"](spark, sf_dir)
+        cont = (
+            QUERIES["dedup_contamination_ngrams"](spark, sf_dir)
+            .select(
+                F.col("doc_id").alias("chosen_doc_id"),
+                F.col("contaminated").alias("c_flag"),
+            )
+        )
+        j = pairs.join(cont, "chosen_doc_id", "left")
+        is_bench = F.col("chosen_doc_id") % BENCH_MOD == 0
+        contaminated = F.coalesce(F.col("c_flag"), F.lit(False))
+        b = hash_bucket(F.col("prompt_id").cast("string"), 100)
+        return j.select(
+            "prompt_id",
+            "chosen_doc_id",
+            "rejected_doc_id",
+            F.col("margin").cast("long").alias("margin"),
+            is_bench.alias("chosen_is_bench"),
+            contaminated.alias("chosen_contaminated"),
+            (~(is_bench | contaminated)).alias("kept"),
+            F.when(b < DPO_TRAIN_PCT, "train")
+            .otherwise("valid")
+            .alias("split"),
+        )
+
+
+_register_dpo_prep()
