@@ -1596,3 +1596,132 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("cramers_v"),
     )
+
+
+KM_CENSOR_GAP_S = 7 * 86400  # still active within 7 days of corpus end
+
+
+@register(
+    "events_kaplan_meier",
+    oracle=f"""
+    WITH bounds AS (SELECT max(ts) AS mx FROM events),
+    u AS (
+        SELECT user_id,
+               CAST(floor((epoch(max(ts)) - epoch(min(ts))) / 86400.0)
+                    AS BIGINT) AS dur_days,
+               epoch(max(b.mx)) - epoch(max(ts)) > {KM_CENSOR_GAP_S}
+                   AS churned
+        FROM events CROSS JOIN bounds b
+        GROUP BY user_id),
+    t AS (SELECT count(*) AS n_users FROM u),
+    d AS (
+        SELECT dur_days,
+               sum(CASE WHEN churned THEN 1 ELSE 0 END) AS d_i,
+               count(*) AS ending
+        FROM u GROUP BY dur_days),
+    r AS (
+        SELECT dur_days, d_i, ending,
+               t.n_users
+               - coalesce(sum(ending) OVER (
+                     ORDER BY dur_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_at_risk
+        FROM d CROSS JOIN t),
+    s AS (
+        SELECT dur_days, d_i, n_at_risk,
+               sum(CASE WHEN d_i > 0 THEN CAST(floor(
+                       ln((n_at_risk - d_i) * 1.0 / n_at_risk)
+                       * 1000000000) AS BIGINT) ELSE 0 END)
+                   OVER (ORDER BY dur_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS lnq
+        FROM r)
+    SELECT dur_days,
+           CAST(d_i AS BIGINT) AS n_churned,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           floor(exp(lnq * 1.0 / 1000000000) * 10000.0 + 0.5) / 10000.0
+               AS survival
+    FROM s
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of user lifetime (1958, the standard
+    right-censored churn estimator): per user, lifetime = days between
+    first and last event; users still active within {KM_CENSOR_GAP_S}s of
+    the corpus end are CENSORED (they leave the risk set without counting
+    as churn — the whole point of KM vs a naive churn histogram). Output
+    is one row per distinct lifetime: churn events, risk-set size, and
+    the product-limit survival estimate.
+
+    The product Π(1 − d/n) is computed as exp of a CUMULATIVE SUM of
+    per-time ln terms, each an exact-integer ratio quantized to a 1e9
+    BIGINT before the window sum — the running-product analogue of the
+    quantize-then-sum discipline (a float cumprod would accumulate
+    engine-specific rounding). The risk set comes from one total minus a
+    strictly-preceding cumulative of lifetimes ended — no self-join.
+
+    Scale shape: one user-keyed agg over the corpus (map-side combined),
+    then everything operates on the |distinct lifetimes|-bounded curve
+    table; the two curve windows are single-partition over that tiny
+    frame only."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(F.max("ts").alias("mx"))
+    u = (
+        e.join(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                (
+                    F.max(F.col("ts").cast("double"))
+                    - F.min(F.col("ts").cast("double"))
+                )
+                / 86400.0
+            )
+            .cast("long")
+            .alias("dur_days"),
+            (
+                F.max(F.col("mx").cast("double"))
+                - F.max(F.col("ts").cast("double"))
+                > KM_CENSOR_GAP_S
+            ).alias("churned"),
+        )
+    )
+    t = u.agg(F.count(F.lit(1)).alias("n_users"))
+    d = u.groupBy("dur_days").agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("d_i"),
+        F.count(F.lit(1)).alias("ending"),
+    )
+    wprev = (
+        W.orderBy("dur_days").rowsBetween(W.unboundedPreceding, -1)
+    )
+    wcur = W.orderBy("dur_days").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    r = d.join(F.broadcast(t)).withColumn(
+        "n_at_risk",
+        F.col("n_users")
+        - F.coalesce(F.sum("ending").over(wprev), F.lit(0)),
+    )
+    term = F.when(
+        F.col("d_i") > 0,
+        F.floor(
+            F.log(
+                (F.col("n_at_risk") - F.col("d_i"))
+                * 1.0
+                / F.col("n_at_risk")
+            )
+            * 1000000000
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    s = r.withColumn("lnq", F.sum(term).over(wcur))
+    return s.select(
+        "dur_days",
+        F.col("d_i").cast("long").alias("n_churned"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        (
+            F.floor(
+                F.exp(F.col("lnq") * 1.0 / 1000000000) * 10000.0 + 0.5
+            )
+            / 10000.0
+        ).alias("survival"),
+    )
