@@ -1,0 +1,830 @@
+"""Statistical-estimation / privacy / similarity-join extensions (round 4).
+
+Five operator families a 100 TB curation stack reaches for once the core
+dedup/quality ladder is in place, each expressed as a pure DataFrame plan
+with an exact DuckDB oracle twin:
+
+- agg_kmv_sketch        k-minimum-values distinct sketch: mergeable
+                        cardinality estimation (the bottom-k cousin of the
+                        HLL rollup in aggregates.py), including a sketch-
+                        union row built ONLY from the per-group sketches —
+                        the property that matters at scale, where re-scanning
+                        the raw data to union groups is not an option.
+- dq_t_closeness        completes the k-anonymity / l-diversity privacy
+                        audit family (quality.py) with the ordered-attribute
+                        EMD criterion of Li et al., ICDE 2007.
+- join_set_similarity   prefix-filtering set-similarity join (PPJoin family,
+                        Xiao et al., WWW 2008): candidate generation is an
+                        equi-join on rare-first prefix tokens, never all
+                        pairs — the scalable exact-Jaccard join that
+                        complements the probabilistic minhash-LSH in
+                        dedup.py.
+- ts_autocorr           autocorrelation function of the daily event series
+                        at lags 1..7 (seasonality detection for the
+                        forecasting family around events_seasonal_naive_mae).
+- ml_linreg_normal_eq   closed-form multiple regression via one-pass
+                        normal-equation sufficient statistics (DECIMAL(38)
+                        scaled-integer sums) and an explicit Cramer solve —
+                        distributed GD without the iterations.
+- ml_naive_bayes_lang   multinomial naive-Bayes language classifier trained
+                        and resubstitution-scored fully relationally
+                        (token-count model + quantized log-prob scoring),
+                        the learned counterpart of the heuristic
+                        text_lang_id.
+
+Reference seed: the reference repo's analytics are plain SQL aggregates
+(/root/reference/scripts/database/database.py:1); these extend the engine's
+§2-beyond inventory along the statistics/privacy axes its users would need
+next. Determinism follows the house rules (CLAUDE.md): integer arithmetic
+until the final division, quantized log terms (floor(x*1e6)) before any
+sum, stable_round4 on every rational output, full tie-break chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+from .dedup import SQL_SHINGLES, sql_stable_round4, stable_round4, tokens
+
+# --------------------------------------------------------------------------
+# agg_kmv_sketch
+# --------------------------------------------------------------------------
+
+KMV_K = 32
+# 16^12: the hash domain size for a 12-hex-digit (48-bit) md5 prefix. 48
+# bits keep every arithmetic step exactly representable in a double
+# (< 2^53), which is what lets the DuckDB twin fold the same hex digits
+# with power() and still match bit-for-bit.
+KMV_DOMAIN = float(16**12)
+
+# Shared estimator formula — interpolated VERBATIM into the Spark selectExpr
+# and the DuckDB SQL so the IEEE evaluation order is identical.
+_KMV_EST = (
+    f"CASE WHEN kn < {KMV_K} THEN CAST(kn AS DOUBLE) "
+    f"ELSE {float(KMV_K - 1)} * {KMV_DOMAIN!r} / CAST(kth AS DOUBLE) END"
+)
+
+
+@register(
+    "agg_kmv_sketch",
+    oracle=f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    hv AS (
+        SELECT event_type, user_id,
+               CAST(list_sum([
+                   (strpos('0123456789abcdef',
+                           substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+                   * power(16, 12 - i)
+                   for i in generate_series(1, 12)]) AS BIGINT) AS hv
+        FROM du),
+    ranked AS (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+        FROM hv),
+    sk AS (SELECT * FROM ranked WHERE rk <= {KMV_K}),
+    ex AS (SELECT event_type, count(*) AS exact_distinct FROM du GROUP BY 1),
+    kt AS (SELECT event_type, max(hv) AS kth, count(*) AS kn
+           FROM sk GROUP BY 1),
+    per_type AS (
+        SELECT ex.event_type,
+               CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+               {sql_stable_round4(_KMV_EST)} AS kmv_estimate
+        FROM ex JOIN kt ON kt.event_type = ex.event_type),
+    usk AS (SELECT DISTINCT hv FROM sk),
+    uranked AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rk FROM usk),
+    ukt AS (SELECT max(hv) AS kth, count(*) AS kn
+            FROM uranked WHERE rk <= {KMV_K}),
+    uex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM du)
+    SELECT * FROM per_type
+    UNION ALL
+    SELECT '__union__' AS event_type,
+           CAST(uex.exact_distinct AS BIGINT) AS exact_distinct,
+           {sql_stable_round4(_KMV_EST)} AS kmv_estimate
+    FROM uex CROSS JOIN ukt
+    ORDER BY event_type
+    """,
+)
+def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct sketch per event_type + a union estimate.
+
+    The per-type sketch is the k smallest 48-bit hashes of the distinct
+    member set; est = (k-1) / U_k with U_k the k-th normalized minimum
+    (Bar-Yossef et al., RANDOM 2002). The '__union__' row is estimated
+    from the UNION OF THE PER-TYPE SKETCHES alone (k smallest of the
+    merged bottom-k sets) — the mergeability that makes KMV usable as a
+    distributed accumulator at 100 TB: partial sketches of bounded size k
+    flow through a single reduce, the raw membership never re-scanned.
+    Exact counts are emitted next to the estimates as the quality gauge.
+
+    Scale shape: one distinct-shuffle on (event_type, user_id), one
+    k-bounded per-group top-k (rank window over groups), then
+    constant-size merges. The 48-bit md5-prefix hash is folded with
+    conv(); the oracle folds the same hex digits arithmetically — both
+    are exact integers below 2^53.
+    """
+    du = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hv = du.withColumn(
+        "hv",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        ).cast("long"),
+    )
+    ranked = hv.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("event_type").orderBy("hv")),
+    )
+    sk = ranked.filter(F.col("rk") <= KMV_K)
+    ex = du.groupBy("event_type").agg(
+        F.count("*").alias("exact_distinct")
+    )
+    kt = sk.groupBy("event_type").agg(
+        F.max("hv").alias("kth"), F.count("*").alias("kn")
+    )
+    per_type = (
+        ex.join(kt, "event_type")
+        .withColumn("kmv_estimate", stable_round4(F.expr(_KMV_EST)))
+        .select("event_type", "exact_distinct", "kmv_estimate")
+    )
+    usk = sk.select("hv").distinct()
+    uranked = usk.withColumn(
+        "rk", F.row_number().over(W.partitionBy().orderBy("hv"))
+    )
+    ukt = uranked.filter(F.col("rk") <= KMV_K).agg(
+        F.max("hv").alias("kth"), F.count("*").alias("kn")
+    )
+    uex = du.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    union_row = (
+        uex.crossJoin(ukt)
+        .withColumn("kmv_estimate", stable_round4(F.expr(_KMV_EST)))
+        .select(
+            F.lit("__union__").alias("event_type"),
+            "exact_distinct",
+            "kmv_estimate",
+        )
+    )
+    return per_type.unionByName(union_row).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# dq_t_closeness
+# --------------------------------------------------------------------------
+
+TC_BUCKETS = 10
+TC_WIDTH = 50000.0
+TC_THRESHOLD = 0.2
+
+
+@register(
+    "dq_t_closeness",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(least(floor(o_totalprice / {TC_WIDTH!r}),
+                          {TC_BUCKETS - 1}) AS INT) AS b
+        FROM orders),
+    gcnt AS (
+        SELECT o_orderpriority, o_orderstatus, b, count(*) AS c
+        FROM base GROUP BY 1, 2, 3),
+    grp AS (
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_g
+        FROM base GROUP BY 1, 2),
+    gall AS (SELECT b, count(*) AS cg FROM base GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM base),
+    dense AS (
+        SELECT g.o_orderpriority, g.o_orderstatus, g.n_g, s.i AS b
+        FROM grp g CROSS JOIN generate_series(0, {TC_BUCKETS - 1}) s(i)),
+    filled AS (
+        SELECT d.o_orderpriority, d.o_orderstatus, d.n_g, d.b,
+               COALESCE(gc.c, 0) AS c, COALESCE(gl.cg, 0) AS cg
+        FROM dense d
+        LEFT JOIN gcnt gc ON gc.o_orderpriority = d.o_orderpriority
+                         AND gc.o_orderstatus = d.o_orderstatus
+                         AND gc.b = d.b
+        LEFT JOIN gall gl ON gl.b = d.b),
+    cum AS (
+        SELECT o_orderpriority, o_orderstatus, n_g, b,
+               sum(c) OVER (PARTITION BY o_orderpriority, o_orderstatus
+                            ORDER BY b) AS cq,
+               sum(cg) OVER (PARTITION BY o_orderpriority, o_orderstatus
+                             ORDER BY b) AS cp
+        FROM filled),
+    emd AS (
+        SELECT o_orderpriority, o_orderstatus, n_g, t.n,
+               sum(abs(cq * t.n - cp * n_g)) AS ssum
+        FROM cum CROSS JOIN tot t
+        WHERE b < {TC_BUCKETS - 1}
+        GROUP BY 1, 2, 3, 4)
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(n_g AS BIGINT) AS n_rows,
+           {sql_stable_round4(
+               f'CAST(ssum AS DOUBLE) / (CAST(n_g AS DOUBLE)'
+               f' * CAST(n AS DOUBLE) * {float(TC_BUCKETS - 1)!r})')}
+               AS emd,
+           CAST(CASE WHEN {sql_stable_round4(
+               f'CAST(ssum AS DOUBLE) / (CAST(n_g AS DOUBLE)'
+               f' * CAST(n AS DOUBLE) * {float(TC_BUCKETS - 1)!r})')}
+               > {TC_THRESHOLD} THEN 1 ELSE 0 END AS INT) AS t_violation
+    FROM emd
+    ORDER BY o_orderpriority, o_orderstatus
+    """,
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al., ICDE 2007) over the quasi-identifier
+    (o_orderpriority, o_orderstatus) with o_totalprice as the ordered
+    sensitive attribute: per equivalence class, the Earth Mover's Distance
+    between the class's bucketed price distribution and the global one,
+    EMD = (1/(m-1)) * sum_i |cumQ_i - cumP_i| over the first m-1 buckets.
+
+    Completes quality.py's dq_k_anonymity / dq_l_diversity family — k and
+    l bound re-identification and attribute diversity, t bounds attribute
+    DISCLOSURE (a class whose salary distribution mirrors the global one
+    reveals nothing even at l=1).
+
+    Determinism: cumulative fractions are rationals, so the |cumQ - cumP|
+    terms are computed cross-multiplied in integers (|cq*n - cp*n_g|) and
+    summed exactly; one double division at the end, then stable_round4.
+    The violation flag compares the ROUNDED value so both engines flag
+    identically at the boundary. Scale shape: two grouped counts + a
+    (groups x m) densify cross join (m=10 constant) + an m-row window per
+    group — cost is O(|groups| * m) after the counts, nothing rescans the
+    fact table.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.least(
+            F.floor(F.col("o_totalprice") / F.lit(TC_WIDTH)),
+            F.lit(TC_BUCKETS - 1),
+        )
+        .cast("int")
+        .alias("b"),
+    )
+    gcnt = base.groupBy("o_orderpriority", "o_orderstatus", "b").agg(
+        F.count("*").alias("c")
+    )
+    grp = base.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_g")
+    )
+    glob = base.groupBy("b").agg(F.count("*").alias("cg"))
+    tot = base.agg(F.count("*").alias("n"))
+    dense = grp.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n_g",
+        F.explode(F.sequence(F.lit(0), F.lit(TC_BUCKETS - 1))).alias("b"),
+    )
+    filled = (
+        dense.join(gcnt, ["o_orderpriority", "o_orderstatus", "b"], "left")
+        .join(F.broadcast(glob), "b", "left")
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "n_g",
+            "b",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.coalesce("cg", F.lit(0)).alias("cg"),
+        )
+    )
+    wcum = (
+        W.partitionBy("o_orderpriority", "o_orderstatus")
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = filled.withColumn("cq", F.sum("c").over(wcum)).withColumn(
+        "cp", F.sum("cg").over(wcum)
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("b") < TC_BUCKETS - 1)
+        .groupBy("o_orderpriority", "o_orderstatus", "n_g", "n")
+        .agg(
+            F.sum(
+                F.abs(F.col("cq") * F.col("n") - F.col("cp") * F.col("n_g"))
+            ).alias("ssum")
+        )
+    )
+    emd_val = stable_round4(
+        F.col("ssum").cast("double")
+        / (
+            F.col("n_g").cast("double")
+            * F.col("n").cast("double")
+            * F.lit(float(TC_BUCKETS - 1))
+        )
+    )
+    return emd.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("n_g").cast("long").alias("n_rows"),
+        emd_val.alias("emd"),
+        F.when(emd_val > TC_THRESHOLD, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("t_violation"),
+    ).orderBy("o_orderpriority", "o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# join_set_similarity
+# --------------------------------------------------------------------------
+
+# Jaccard threshold 1/2, kept rational so the keep decision is integer-exact
+SS_NUM, SS_DEN = 1, 2
+
+
+@register(
+    "join_set_similarity",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, {SQL_SHINGLES} AS toks
+        FROM documents
+        WHERE len(regexp_extract_all(text, '[a-z0-9]+')) >= 3),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.toks, b.toks)) AS i,
+               len(a.toks) + len(b.toks)
+                   - len(list_intersect(a.toks, b.toks)) AS u
+        FROM tk a JOIN tk b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           {sql_stable_round4('CAST(i AS DOUBLE) / CAST(u AS DOUBLE)')}
+               AS jaccard
+    FROM pairs
+    WHERE {SS_DEN} * i >= {SS_NUM} * u
+    ORDER BY doc_a, doc_b
+    """,
+)
+def join_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join (shingle Jaccard >= 1/2) via PREFIX
+    FILTERING (PPJoin family — Xiao et al., WWW 2008; Vernica et al.,
+    SIGMOD 2010 for the MapReduce shape).
+
+    Candidate generation: order every 3-gram shingle set rare-first by
+    (global document frequency, shingle) — any total order works, rare-
+    first minimizes candidates — and emit only the first
+    ``n - ceil(t*n) + 1`` elements of each set (the prefix). Two sets
+    with Jaccard >= t MUST share a prefix element under a common total
+    order, so an equi-join of the exploded prefixes finds every
+    qualifying pair while never forming all pairs: at 100 TB the join
+    cost tracks prefix-shingle collisions (rare shingles collide
+    rarely), the same cost-proportional-to-candidates shape as the
+    minhash-LSH band join in dedup.py — but EXACT, no false negatives,
+    which is what contamination audits need (LSH at 8 hashes misses
+    borderline pairs with calculable probability; this misses none, and
+    the quadratic oracle is the ground truth that property is checked
+    against).
+
+    ceil(t*n) is evaluated as the integer floor((n + 1) / 2) — t*n in
+    doubles is not exact and could shift the prefix boundary by one;
+    the keep test is the cross-multiplied integer 2i >= u.
+    """
+    from .dedup import with_shingles
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = with_shingles(d).select(
+        "doc_id", F.explode("sh").alias("tok")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    tw = toks.join(dfreq, "tok")
+    arr = tw.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("sts"),
+        F.sort_array(F.collect_list("tok")).alias("toks"),
+    )
+    arr = arr.withColumn("n", F.size("sts")).withColumn(
+        "p",
+        F.col("n") - F.floor((F.col("n") + 1) / SS_DEN).cast("int") + 1,
+    )
+    prefix = arr.select(
+        "doc_id", F.explode(F.slice("sts", 1, F.col("p"))).alias("st")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.st") == F.col("b.st"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    full = arr.select("doc_id", "toks")
+    ver = (
+        cand.join(full.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("toks", "ta")
+        .join(full.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("toks", "tb")
+        .withColumn("i", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("u", F.size("ta") + F.size("tb") - F.col("i"))
+        .filter(F.lit(SS_DEN) * F.col("i") >= F.lit(SS_NUM) * F.col("u"))
+    )
+    return ver.select(
+        "doc_a",
+        "doc_b",
+        stable_round4(
+            F.col("i").cast("double") / F.col("u").cast("double")
+        ).alias("jaccard"),
+    ).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# ts_autocorr
+# --------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "ts_autocorr",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, count(*) AS c
+        FROM events GROUP BY 1),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    grid AS (
+        SELECT unnest(generate_series(
+                   0, CAST(date_diff('day', d0, d1) AS INT))) AS idx
+        FROM bounds),
+    di AS (
+        SELECT CAST(date_diff('day', b.d0, daily.d) AS INT) AS idx, daily.c
+        FROM daily CROSS JOIN bounds b),
+    series AS (
+        SELECT g.idx, COALESCE(di.c, 0) AS x
+        FROM grid g LEFT JOIN di ON di.idx = g.idx),
+    st AS (SELECT count(*) AS n, sum(x) AS sx FROM series),
+    den AS (
+        SELECT sum((st.n * s.x - st.sx) * (st.n * s.x - st.sx)) AS dd
+        FROM series s CROSS JOIN st),
+    lags AS (SELECT l FROM generate_series(1, {ACF_MAX_LAG}) t(l)),
+    num AS (
+        SELECT lags.l,
+               sum((st.n * a.x - st.sx) * (st.n * b.x - st.sx)) AS nn
+        FROM series a
+        CROSS JOIN lags
+        JOIN series b ON b.idx = a.idx + lags.l
+        CROSS JOIN st
+        GROUP BY lags.l)
+    SELECT CAST(num.l AS INT) AS lag,
+           CAST(st.n AS BIGINT) AS n_days,
+           {sql_stable_round4('CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE)')}
+               AS acf
+    FROM num CROSS JOIN den CROSS JOIN st
+    ORDER BY lag
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..7 — the seasonality detector behind events_seasonal_naive_mae's
+    weekly assumption: a peak at lag 7 is the evidence that model needs.
+
+    r_l = sum_t (x_t - mean)(x_{t+l} - mean) / sum_t (x_t - mean)^2 over
+    the GAP-FILLED daily grid (a missing day is a real zero, not an
+    absent row — computed on the sparse series the lags would silently
+    skip gaps). Centered terms are integers after cross-multiplying by n
+    ((n*x - S) with S = sum x), so both sums are exact; one double
+    division per lag, then stable_round4.
+
+    Scale shape: the raw scan reduces to |days| rows in one grouped
+    count; everything after (densify, lag self-join on day index, the
+    n/S scalars) operates on that bounded series, so the single-
+    partition day-index join is safe at any fact-table scale.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count("*").alias("c"))
+    bounds = daily.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.datediff(F.col("d1"), F.col("d0")),
+            )
+        ).alias("idx")
+    )
+    di = daily.crossJoin(F.broadcast(bounds)).select(
+        F.datediff(F.col("d"), F.col("d0")).cast("int").alias("idx"), "c"
+    )
+    series = (
+        grid.join(di, "idx", "left")
+        .select("idx", F.coalesce("c", F.lit(0)).alias("x"))
+    )
+    st = series.agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx")
+    )
+    den = (
+        series.crossJoin(F.broadcast(st))
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("x") - F.col("sx"))
+                * (F.col("n") * F.col("x") - F.col("sx"))
+            ).alias("dd")
+        )
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("l")
+    )
+    a = series.alias("a").crossJoin(F.broadcast(lags))
+    num = (
+        a.join(
+            series.alias("b"),
+            F.col("b.idx") == F.col("a.idx") + F.col("l"),
+        )
+        .crossJoin(F.broadcast(st))
+        .groupBy("l")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("a.x") - F.col("sx"))
+                * (F.col("n") * F.col("b.x") - F.col("sx"))
+            ).alias("nn")
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(st))
+        .select(
+            F.col("l").cast("int").alias("lag"),
+            F.col("n").cast("long").alias("n_days"),
+            stable_round4(
+                F.col("nn").cast("double") / F.col("dd").cast("double")
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# --------------------------------------------------------------------------
+# ml_linreg_normal_eq
+# --------------------------------------------------------------------------
+
+# Cramer 3x3 solve over UNSCALED double sufficient statistics
+# (n, sq, sd, sp, sqq, sqd, sdd, sqp, sdp, spp). One shared expression
+# string per output, interpolated into BOTH engines verbatim.
+_M11 = "(sqq * sdd - sqd * sqd)"
+_M12 = "(sq * sdd - sqd * sd)"
+_M13 = "(sq * sqd - sqq * sd)"
+_DET = f"(n * {_M11} - sq * {_M12} + sd * {_M13})"
+_DET0 = (
+    f"(sp * {_M11} - sq * (sqp * sdd - sqd * sdp)"
+    f" + sd * (sqp * sqd - sqq * sdp))"
+)
+_DET1 = (
+    f"(n * (sqp * sdd - sqd * sdp) - sp * {_M12}"
+    f" + sd * (sq * sdp - sqp * sd))"
+)
+_DET2 = (
+    f"(n * (sqq * sdp - sqp * sqd) - sq * (sq * sdp - sqp * sd)"
+    f" + sp * {_M13})"
+)
+_B0, _B1, _B2 = f"({_DET0} / {_DET})", f"({_DET1} / {_DET})", f"({_DET2} / {_DET})"
+# SSE = y'y - beta' X'y ;  SST = y'y - (sum y)^2 / n  (exact for OLS)
+_R2 = (
+    f"(1.0 - (spp - ({_B0} * sp + {_B1} * sqp + {_B2} * sdp))"
+    f" / (spp - sp * sp / n))"
+)
+
+_LINREG_STATS_SQL = """
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(q2 AS HUGEINT)) AS DOUBLE) / 100.0 AS sq,
+           CAST(sum(CAST(d2 AS HUGEINT)) AS DOUBLE) / 100.0 AS sd,
+           CAST(sum(CAST(p2 AS HUGEINT)) AS DOUBLE) / 100.0 AS sp,
+           CAST(sum(CAST(q2 * q2 AS HUGEINT)) AS DOUBLE) / 10000.0 AS sqq,
+           CAST(sum(CAST(q2 * d2 AS HUGEINT)) AS DOUBLE) / 10000.0 AS sqd,
+           CAST(sum(CAST(d2 * d2 AS HUGEINT)) AS DOUBLE) / 10000.0 AS sdd,
+           CAST(sum(CAST(q2 * p2 AS HUGEINT)) AS DOUBLE) / 10000.0 AS sqp,
+           CAST(sum(CAST(d2 * p2 AS HUGEINT)) AS DOUBLE) / 10000.0 AS sdp,
+           CAST(sum(CAST(p2 * p2 AS HUGEINT)) AS DOUBLE) / 10000.0 AS spp
+    FROM (SELECT CAST(round(l_quantity * 100, 0) AS BIGINT) AS q2,
+                 CAST(round(l_discount * 100, 0) AS BIGINT) AS d2,
+                 CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p2
+          FROM lineitem)
+"""
+
+
+@register(
+    "ml_linreg_normal_eq",
+    oracle=f"""
+    WITH st AS ({_LINREG_STATS_SQL})
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           {sql_stable_round4(_B0)} AS beta_intercept,
+           {sql_stable_round4(_B1)} AS beta_quantity,
+           {sql_stable_round4(_B2)} AS beta_discount,
+           {sql_stable_round4(_R2)} AS r2
+    FROM st
+    """,
+)
+def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple linear regression l_extendedprice ~ l_quantity
+    + l_discount via normal equations: ONE distributed pass accumulates
+    the 10 sufficient statistics (n, X'X, X'y, y'y), then a 3x3 Cramer
+    solve runs as scalar expressions on the single stats row — no
+    iterations, no driver-side data movement, the textbook way to fit a
+    small-d linear model at 100 TB (d^2 accumulators, one map-side-
+    combined aggregate; contrast ml_kmeans_refine's per-iteration scans).
+
+    Determinism: every statistic is summed as scaled integers (2-dec
+    money/quantity columns -> x100 longs, pairwise products still < 2^63
+    per row) in DECIMAL(38)/HUGEINT, then unscaled into doubles with the
+    same literal divisions on both engines; the Cramer and R^2 formulas
+    are interpolated VERBATIM into the Spark selectExpr and the DuckDB
+    SQL, so the IEEE evaluation order matches step for step.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("q2"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d2"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("p2"),
+    )
+
+    def dsum(expr: str, scale: float) -> Column:
+        return (
+            F.sum(F.expr(expr).cast("decimal(38,0)")).cast("double")
+            / F.lit(scale)
+        )
+
+    st = li.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("q2", 100.0).alias("sq"),
+        dsum("d2", 100.0).alias("sd"),
+        dsum("p2", 100.0).alias("sp"),
+        dsum("q2 * q2", 10000.0).alias("sqq"),
+        dsum("q2 * d2", 10000.0).alias("sqd"),
+        dsum("d2 * d2", 10000.0).alias("sdd"),
+        dsum("q2 * p2", 10000.0).alias("sqp"),
+        dsum("d2 * p2", 10000.0).alias("sdp"),
+        dsum("p2 * p2", 10000.0).alias("spp"),
+    )
+    # CAST(... AS DOUBLE): Spark parses the 10000.0 literal in
+    # stable-round4 as DECIMAL(5,1), so floor()/10000.0 is a DECIMAL
+    # division there (exact 4-decimal, correctly rounded on the cast back
+    # to double — the same value DuckDB's double division produces, both
+    # being single correct roundings of the same rational).
+    return st.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        f"CAST({sql_stable_round4(_B0)} AS DOUBLE) AS beta_intercept",
+        f"CAST({sql_stable_round4(_B1)} AS DOUBLE) AS beta_quantity",
+        f"CAST({sql_stable_round4(_B2)} AS DOUBLE) AS beta_discount",
+        f"CAST({sql_stable_round4(_R2)} AS DOUBLE) AS r2",
+    )
+
+
+# --------------------------------------------------------------------------
+# ml_naive_bayes_lang
+# --------------------------------------------------------------------------
+
+NB_LOG_SCALE = 1_000_000.0
+
+
+@register(
+    "ml_naive_bayes_lang",
+    oracle=f"""
+    WITH tc AS (
+        SELECT doc_id, lang, tok, count(*) AS cnt
+        FROM (SELECT doc_id, lang,
+                     unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+              FROM documents)
+        GROUP BY 1, 2, 3),
+    model_c AS (SELECT lang, tok, sum(cnt) AS c FROM tc GROUP BY 1, 2),
+    lt AS (SELECT lang, sum(cnt) AS t_l FROM tc GROUP BY 1),
+    vocab AS (SELECT DISTINCT tok FROM tc),
+    vsize AS (SELECT count(*) AS v FROM vocab),
+    priors AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+    ndocs AS (SELECT count(*) AS nd FROM documents),
+    model AS (
+        SELECT lt.lang, vocab.tok,
+               CAST(floor(ln((COALESCE(mc.c, 0) + 1.0)
+                             / CAST(lt.t_l + vs.v AS DOUBLE))
+                          * {NB_LOG_SCALE!r}) AS BIGINT) AS logp_q
+        FROM lt CROSS JOIN vocab CROSS JOIN vsize vs
+        LEFT JOIN model_c mc ON mc.lang = lt.lang AND mc.tok = vocab.tok),
+    prior_q AS (
+        SELECT p.lang,
+               CAST(floor(ln(CAST(p.n_l AS DOUBLE) / CAST(nd.nd AS DOUBLE))
+                          * {NB_LOG_SCALE!r}) AS BIGINT) AS pq
+        FROM priors p CROSS JOIN ndocs nd),
+    scores AS (
+        SELECT tc.doc_id, tc.lang AS lang_true, m.lang AS cand,
+               CAST(sum(tc.cnt * m.logp_q) AS BIGINT) + any_value(pq.pq)
+                   AS s
+        FROM tc
+        JOIN model m ON m.tok = tc.tok
+        JOIN prior_q pq ON pq.lang = m.lang
+        GROUP BY 1, 2, 3),
+    pred AS (
+        SELECT doc_id, lang_true, cand AS lang_pred,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY s DESC, cand) AS rk
+        FROM scores)
+    SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rk = 1
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier, trained and
+    resubstitution-evaluated fully relationally: per-(lang, token) counts
+    with add-one smoothing form the model; scoring is
+    ``log prior_l + sum_tok cnt * log((c_lt + 1) / (T_l + V))`` computed
+    as QUANTIZED integer log terms (floor(log*1e6) per model cell, so
+    the per-doc sums are order-independent); argmax per doc with a full
+    (score desc, lang asc) tie-break; output is the confusion matrix
+    against the fixture's true labels — the learned counterpart of the
+    heuristic text_lang_id / text_lang_id_eval pair.
+
+    Scale shape: the model is the standard |vocab| x |langs| densified
+    table (a cross join of two aggregates, linear in model size, not in
+    corpus size); scoring is an equi-join on token between the doc term
+    counts and the model — shuffle carries distinct (doc, token) pairs x
+    |langs| — followed by one partial-aggregated (doc, lang) sum. No
+    all-pairs stage, no driver-side model materialization (contrast: a
+    broadcast dict would die at web-scale vocab; the join does not).
+    """
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(tokens(F.col("text"))).alias("tok"),
+        )
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    model_c = tc.groupBy("lang", "tok").agg(F.sum("cnt").alias("c"))
+    lt = tc.groupBy("lang").agg(F.sum("cnt").alias("t_l"))
+    vocab = tc.select("tok").distinct()
+    vsize = vocab.agg(F.count("*").alias("v"))
+    priors = d.groupBy("lang").agg(F.count("*").alias("n_l"))
+    ndocs = d.agg(F.count("*").alias("nd"))
+    model = (
+        F.broadcast(lt)
+        .crossJoin(vocab)
+        .crossJoin(F.broadcast(vsize))
+        .join(model_c, ["lang", "tok"], "left")
+        .select(
+            "lang",
+            "tok",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("t_l") + F.col("v")).cast("double")
+                )
+                * F.lit(NB_LOG_SCALE)
+            )
+            .cast("long")
+            .alias("logp_q"),
+        )
+    )
+    prior_q = (
+        priors.crossJoin(F.broadcast(ndocs))
+        .select(
+            "lang",
+            F.floor(
+                F.log(
+                    F.col("n_l").cast("double") / F.col("nd").cast("double")
+                )
+                * F.lit(NB_LOG_SCALE)
+            )
+            .cast("long")
+            .alias("pq"),
+        )
+    )
+    scores = (
+        tc.withColumnRenamed("lang", "lang_true")
+        .join(
+            model.withColumnRenamed("lang", "cand"),
+            "tok",
+        )
+        .join(
+            F.broadcast(prior_q.withColumnRenamed("lang", "cand")), "cand"
+        )
+        .groupBy("doc_id", "lang_true", "cand")
+        .agg(
+            (
+                F.sum(F.col("cnt") * F.col("logp_q")).cast("long")
+                + F.first("pq")
+            ).alias("s")
+        )
+    )
+    pred = scores.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("cand"))
+        ),
+    ).filter(F.col("rk") == 1)
+    return (
+        pred.groupBy(
+            F.col("lang_true"), F.col("cand").alias("lang_pred")
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    )

@@ -51,7 +51,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # hash fix, the approx aggs that rotated out unverified) — never rotate a
 # failure out of the window.
 DRIVER_PRIORITY: list[str] = [
-    # r3 failures, fixed this round:
+    # r3 failures, fixed this round (never rotate a failure out):
     "win_session_features",
     "snk_scd2",
     "emb_normalize",
@@ -60,24 +60,18 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q12_priority_counts",
     "agg_approx_distinct",
     "agg_approx_percentile",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "dedup_exact",
+    # LLM-pipeline north stars (r3-driver-green but contract-pinned by
+    # tests/test_entry.py — they stay in every window):
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_winnowing",
-    "dedup_contamination_ngrams",
-    "dedup_keep_canonical",
-    "sim_search_topk",
     "sim_search_ivf",
-    "sim_search_lsh",
-    "sim_search_lsh_multiprobe",
-    "sim_search_ivfpq",
-    # round-4 second-tranche ops (never driver-sampled before; the rows
-    # they displace at the tail are r3-driver-green AND in the local gate):
+    "text_tfidf_topterms",
+    "pipeline_corpus_curation",
+    "llm_summarize",
+    "mm_binary_meta",
+    "join_fuzzy_topk",
+    "stream_tumbling_window",
+    # round-4 ops the driver has NEVER sampled (the r3-green rows they
+    # displace remain covered by the full local gate):
     "text_bm25_search",
     "dedup_semantic_contamination",
     "llm_preference_pairs",
@@ -88,8 +82,6 @@ DRIVER_PRIORITY: list[str] = [
     "text_minhash_containment",
     "join_bloom_prune",
     "llm_eval_bleu",
-    # round-4 flagships (rotated in for driver visibility; the rotated-out
-    # rows are r3-driver-green AND stay in the full local gate):
     "text_classifier_score",
     "text_perplexity_buckets",
     "pipeline_corpus_curation_v3",
@@ -98,30 +90,24 @@ DRIVER_PRIORITY: list[str] = [
     "src_avro_scan",
     "stream_dedup_minhash",
     "llm_eval_rouge",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_tfidf_topterms",
-    "text_unigram_xent",
-    "pipeline_corpus_curation",
-    "pipeline_corpus_curation_v2",
-    "llm_summarize",
-    "mm_binary_meta",
-    "join_fuzzy_topk",
-    "join_fuzzy_tokensort",
-    "join_spatial",
-    "join_spatial_knn",
-    "join_asof",
-    "join_range_interval",
-    "snk_upsert",
-    "snk_scd2",
-    "win_current_role",
-    "win_grouped_zscore",
-    "win_session_features",
-    "stream_tumbling_window",
-    "stream_stream_join",
-    "stream_rollup_hourly",
-    "graph_pagerank",
+    "events_kaplan_meier",
+    "pipeline_dpo_prep",
+    "events_chi2_independence",
+    "text_lang_id_eval",
+    "mix_excess_loss_weights",
+    "ml_knn_classify",
+    "llm_sft_format",
+    "resolve_fs_score",
+    "pipeline_rag_index",
+    "pipeline_rag_query",
+    "src_xml_scan",
+    # round-4 statsml tranche (new this commit):
+    "agg_kmv_sketch",
+    "dq_t_closeness",
+    "join_set_similarity",
+    "ts_autocorr",
+    "ml_linreg_normal_eq",
+    "ml_naive_bayes_lang",
 ]
 
 
@@ -157,6 +143,7 @@ def load_all_modules() -> None:
         textops,
         skew,
         sampling,
+        statsml,
     )
     from .functions import scalar_queries  # noqa: F401
     from .sources import file_sources, pyds  # noqa: F401
