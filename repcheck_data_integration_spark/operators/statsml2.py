@@ -1,0 +1,768 @@
+"""Evaluation / robust-statistics / recsys / privacy extensions (round 4b).
+
+Six more operator families on the statistics axis opened by statsml.py,
+each a pure DataFrame plan with an exact DuckDB oracle twin:
+
+- ml_auc_roc            Mann-Whitney rank-sum AUC of a score column
+                        against a binary label, per segment plus a
+                        pooled row — THE model-eval metric the quality
+                        ladder (text_classifier_score, quality_logreg)
+                        was missing; exact tie handling via integer
+                        2x-average-ranks.
+- ml_decision_stump     best single-split classifier per feature by
+                        exact misclassification count (pure-integer
+                        criterion: no rational impurity compare, so no
+                        cross-engine float ordering risk).
+- ts_theil_sen          Theil-Sen robust trend: median of pairwise
+                        slopes of the weekly order series (+ median-
+                        residual intercept), the outlier-proof
+                        counterpart of ml_linreg_normal_eq.
+- ts_cross_correlation  lead/lag cross-correlation between two event
+                        streams at lags -7..+7 (does 'click' lead
+                        'purchase'?) — the bivariate sibling of
+                        ts_autocorr.
+- rec_item_item_cosine  item-item collaborative filtering: top-3
+                        cosine neighbors per part from co-purchase
+                        baskets; candidates come from an equi-join on
+                        the order key (basket-bounded), never all
+                        item pairs.
+- priv_dp_counts        epsilon-differentially-private released counts
+                        via an inverse-CDF Laplace mechanism driven by
+                        a deterministic md5 uniform — reproducible
+                        noise, so the release is testable; completes
+                        the privacy family (dq_k_anonymity /
+                        dq_l_diversity / dq_t_closeness).
+
+Reference seed: the reference repo's analytics are plain SQL aggregates
+(/root/reference/scripts/database/database.py:1); these extend the §2-beyond
+inventory along the evaluation/robustness/privacy axes. House determinism
+rules apply (CLAUDE.md): integer arithmetic until the final division,
+midpoint-offset quantization for libm terms, full tie-break chains,
+identical expression strings interpolated into BOTH engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+from .dedup import sql_stable_round4, stable_round4
+
+# --------------------------------------------------------------------------
+# ml_auc_roc
+# --------------------------------------------------------------------------
+
+# Shared AUC formula over integer sufficient stats: s2r = sum over
+# positives of (2*rank + ties - 1) == twice the tie-averaged positive
+# rank-sum, so AUC = (s2r - P(P+1)) / (2 P N) with every term exact.
+_AUC = (
+    "(CAST(s2r AS DOUBLE) - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1.0))"
+    " / (2.0 * CAST(p AS DOUBLE) * CAST(q AS DOUBLE))"
+)
+
+
+@register(
+    "ml_auc_roc",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority AS segment,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+    pooled AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT '__all__' AS segment, pos, cents FROM base),
+    r AS (
+        SELECT segment, pos,
+               rank() OVER (PARTITION BY segment ORDER BY cents) AS rk,
+               count(*) OVER (PARTITION BY segment, cents) AS ce
+        FROM pooled),
+    s AS (
+        SELECT segment, sum(pos) AS p, sum(1 - pos) AS q,
+               sum(pos * (2 * rk + ce - 1)) AS s2r
+        FROM r GROUP BY 1)
+    SELECT segment,
+           CAST(p AS BIGINT) AS n_pos,
+           CAST(q AS BIGINT) AS n_neg,
+           {sql_stable_round4(_AUC)} AS auc
+    FROM s
+    ORDER BY segment
+    """,
+)
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney AUC of o_totalprice as a ranker for the binary label
+    o_orderstatus = 'F', per o_orderpriority segment plus a pooled
+    '__all__' row: does price predict order finality, and does the
+    signal hold within each priority class?
+
+    AUC == P(score_pos > score_neg) + 0.5 * P(tie), computed WITHOUT
+    sampling pairs: rank-sum with exact tie correction. Twice the
+    tie-averaged rank of a row is the integer 2*rank(<=) + ties - 1, so
+    s2r (the positive rank-sum doubled) is an exact integer sum and
+    AUC = (s2r - P(P+1)) / (2PN) needs one double division at the end.
+
+    Scale shape: one window sort per segment partition (the shuffle key
+    is the segment, skew bounded by segment cardinality), one grouped
+    sum; the pooled row costs a second pass over the projected 3-column
+    base, not the raw table. No pair materialization — AUC over n rows
+    is O(n log n), not the O(n_pos * n_neg) a naive pairwise count
+    would be at 100 TB.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("segment"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    pooled = base.unionByName(
+        base.withColumn("segment", F.lit("__all__"))
+    )
+    r = pooled.select(
+        "segment",
+        "pos",
+        F.rank().over(W.partitionBy("segment").orderBy("cents")).alias("rk"),
+        F.count("*").over(W.partitionBy("segment", "cents")).alias("ce"),
+    )
+    s = r.groupBy("segment").agg(
+        F.sum("pos").alias("p"),
+        F.sum(1 - F.col("pos")).alias("q"),
+        F.sum(
+            F.col("pos") * (2 * F.col("rk") + F.col("ce") - 1)
+        ).alias("s2r"),
+    )
+    return s.select(
+        "segment",
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("q").cast("long").alias("n_neg"),
+        stable_round4(F.expr(_AUC)).alias("auc"),
+    ).orderBy("segment")
+
+
+# --------------------------------------------------------------------------
+# ml_decision_stump
+# --------------------------------------------------------------------------
+
+STUMP_TOPK = 3
+
+
+@register(
+    "ml_decision_stump",
+    oracle=f"""
+    WITH base AS (
+        SELECT 'l_quantity' AS feature,
+               CAST(l_quantity AS BIGINT) AS val,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount_pct' AS feature,
+               CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS val,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        FROM lineitem),
+    pv AS (
+        SELECT feature, val, sum(pos) AS p, sum(1 - pos) AS q
+        FROM base GROUP BY 1, 2),
+    cum AS (
+        SELECT feature, val,
+               sum(p) OVER (PARTITION BY feature ORDER BY val) AS cp,
+               sum(q) OVER (PARTITION BY feature ORDER BY val) AS cq,
+               sum(p) OVER (PARTITION BY feature) AS tp,
+               sum(q) OVER (PARTITION BY feature) AS tq,
+               max(val) OVER (PARTITION BY feature) AS vmax
+        FROM pv),
+    sc AS (
+        SELECT feature, val AS threshold,
+               cp + cq AS n_left, (tp - cp) + (tq - cq) AS n_right,
+               least(cp, cq) + least(tp - cp, tq - cq) AS errors,
+               least(tp, tq) AS baseline_errors, tp + tq AS n_tot
+        FROM cum WHERE val < vmax),
+    rk AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY feature ORDER BY errors, threshold) AS rk
+        FROM sc)
+    SELECT feature, CAST(rk AS INT) AS rk,
+           CAST(threshold AS BIGINT) AS threshold,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(errors AS BIGINT) AS errors,
+           CAST(baseline_errors AS BIGINT) AS baseline_errors,
+           {sql_stable_round4(
+               '(CAST(n_tot AS DOUBLE) - CAST(errors AS DOUBLE))'
+               ' / CAST(n_tot AS DOUBLE)')} AS accuracy
+    FROM rk WHERE rk <= {STUMP_TOPK}
+    ORDER BY feature, rk
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-threshold classifier (decision stump) for the label
+    l_returnflag = 'R' over two integerized features (l_quantity,
+    l_discount_pct), top-{STUMP_TOPK} thresholds per feature.
+
+    The split criterion is the exact MISCLASSIFICATION COUNT
+    min(posL,negL) + min(posR,negR) (each side predicts its majority) —
+    deliberately NOT Gini/entropy: impurity ratios are rationals whose
+    cross-engine ordering would need cross-multiplied comparisons
+    inside an ORDER BY; error counts are integers, so the ranking is
+    exact by construction. The accuracy column is the only division.
+
+    Scale shape: one scan melts both features via a 2-way stack (no
+    second fact-table pass), aggregates to |distinct values| rows per
+    feature (bounded: 50 quantities, 11 discount ticks), then windows
+    over those tiny per-feature series. The threshold search never
+    re-touches the raw data — the classic one-pass histogram-split of
+    distributed decision trees (PLANET, Panda et al., VLDB 2009).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.expr(
+            "stack(2, 'l_quantity', CAST(l_quantity AS BIGINT),"
+            " 'l_discount_pct',"
+            " CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))"
+        ).alias("feature", "val"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    )
+    pv = base.groupBy("feature", "val").agg(
+        F.sum("pos").alias("p"), F.sum(1 - F.col("pos")).alias("q")
+    )
+    wcum = W.partitionBy("feature").orderBy("val")
+    wall = W.partitionBy("feature")
+    cum = pv.select(
+        "feature",
+        "val",
+        F.sum("p").over(wcum).alias("cp"),
+        F.sum("q").over(wcum).alias("cq"),
+        F.sum("p").over(wall).alias("tp"),
+        F.sum("q").over(wall).alias("tq"),
+        F.max("val").over(wall).alias("vmax"),
+    )
+    sc = cum.filter(F.col("val") < F.col("vmax")).select(
+        "feature",
+        F.col("val").alias("threshold"),
+        (F.col("cp") + F.col("cq")).alias("n_left"),
+        (F.col("tp") - F.col("cp") + F.col("tq") - F.col("cq")).alias(
+            "n_right"
+        ),
+        (
+            F.least("cp", "cq")
+            + F.least(F.col("tp") - F.col("cp"), F.col("tq") - F.col("cq"))
+        ).alias("errors"),
+        F.least("tp", "tq").alias("baseline_errors"),
+        (F.col("tp") + F.col("tq")).alias("n_tot"),
+    )
+    rk = sc.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("feature").orderBy("errors", "threshold")
+        ),
+    ).filter(F.col("rk") <= STUMP_TOPK)
+    return rk.select(
+        "feature",
+        F.col("rk").cast("int"),
+        F.col("threshold").cast("long"),
+        F.col("n_left").cast("long"),
+        F.col("n_right").cast("long"),
+        F.col("errors").cast("long"),
+        F.col("baseline_errors").cast("long"),
+        stable_round4(
+            (F.col("n_tot").cast("double") - F.col("errors").cast("double"))
+            / F.col("n_tot").cast("double")
+        ).alias("accuracy"),
+    ).orderBy("feature", "rk")
+
+
+# --------------------------------------------------------------------------
+# ts_theil_sen
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_theil_sen",
+    oracle=f"""
+    WITH d0 AS (SELECT min(o_orderdate) AS d0 FROM orders),
+    wk AS (
+        SELECT CAST(floor(date_diff('day', d0.d0, o_orderdate) / 7)
+                    AS BIGINT) AS w, count(*) AS c
+        FROM orders CROSS JOIN d0 GROUP BY 1),
+    grid AS (
+        SELECT unnest(generate_series(0, (SELECT max(w) FROM wk))) AS w),
+    series AS (
+        SELECT g.w, COALESCE(wk.c, 0) AS c
+        FROM grid g LEFT JOIN wk ON wk.w = g.w),
+    pairs AS (
+        SELECT b.c - a.c AS num, b.w - a.w AS den,
+               CAST(b.c - a.c AS DOUBLE) / CAST(b.w - a.w AS DOUBLE)
+                   AS slope
+        FROM series a JOIN series b ON b.w > a.w),
+    m AS (SELECT count(*) AS m FROM pairs),
+    ps AS (
+        SELECT slope,
+               row_number() OVER (ORDER BY slope, num, den) AS rn
+        FROM pairs),
+    med AS (
+        SELECT avg(slope) AS slope_med FROM ps CROSS JOIN m
+        WHERE rn BETWEEN (m + 1) // 2 AND m // 2 + 1),
+    sl AS (SELECT {sql_stable_round4('slope_med')} AS slope FROM med),
+    resid AS (
+        SELECT s.c - sl.slope * s.w AS r, s.w,
+               row_number() OVER (
+                   ORDER BY s.c - sl.slope * s.w, s.w) AS rn
+        FROM series s CROSS JOIN sl),
+    nw AS (SELECT count(*) AS nw FROM series),
+    icept AS (
+        SELECT avg(r) AS icept FROM resid CROSS JOIN nw
+        WHERE rn BETWEEN (nw + 1) // 2 AND nw // 2 + 1)
+    SELECT CAST(nw.nw AS BIGINT) AS n_weeks,
+           CAST(m.m AS BIGINT) AS n_pairs,
+           sl.slope AS slope,
+           {sql_stable_round4('icept.icept')} AS intercept
+    FROM nw CROSS JOIN m CROSS JOIN sl CROSS JOIN icept
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the weekly order-count series: the
+    median of all pairwise slopes (c_j - c_i)/(w_j - w_i), plus the
+    median-residual intercept — a slope estimate with a 29.3% breakdown
+    point, immune to the outlier weeks that would drag the OLS line of
+    ml_linreg_normal_eq.
+
+    Determinism: each slope is ONE IEEE division of exact integers
+    (< 2^53), which is correctly rounded and therefore bit-identical in
+    both engines; the median sort tie-breaks through (slope, num, den).
+    The even/odd median is avg(rows rn in [(m+1)//2, m//2+1]) — one or
+    two rows, the same arithmetic everywhere. The intercept reuses the
+    ROUNDED slope so both engines subtract the identical double.
+
+    Scale shape: the fact scan reduces to |weeks| rows in one grouped
+    count; the O(weeks^2) pair join (~60k pairs for 7 years) and the
+    single-partition median sorts operate on that bounded series —
+    calendar time does not grow with fact-table bytes, so this is flat
+    at 100 TB. (Daily resolution would still only be ~2.9M pairs.)
+    """
+    o = load(spark, sf_dir, "orders")
+    d0 = o.agg(F.min("o_orderdate").alias("d0"))
+    wk = (
+        o.crossJoin(F.broadcast(d0))
+        .select(
+            F.floor(F.datediff(F.col("o_orderdate"), F.col("d0")) / 7)
+            .cast("long")
+            .alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    wmax = wk.agg(F.max("w").alias("wmax"))
+    grid = wmax.select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("wmax"))).alias(
+            "w"
+        )
+    )
+    series = grid.join(wk, "w", "left").select(
+        "w", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    a, b = series.alias("a"), series.alias("b")
+    pairs = a.join(b, F.col("b.w") > F.col("a.w")).select(
+        (F.col("b.c") - F.col("a.c")).alias("num"),
+        (F.col("b.w") - F.col("a.w")).alias("den"),
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / (F.col("b.w") - F.col("a.w")).cast("double")
+        ).alias("slope"),
+    )
+    m = pairs.agg(F.count("*").alias("m"))
+    ps = pairs.select(
+        "slope",
+        F.row_number().over(W.orderBy("slope", "num", "den")).alias("rn"),
+    )
+    med = (
+        ps.crossJoin(F.broadcast(m))
+        .filter(
+            (F.col("rn") >= (F.col("m") + 1) / 2)
+            & (F.col("rn") <= F.floor(F.col("m") / 2) + 1)
+        )
+        .agg(F.avg("slope").alias("slope_med"))
+    )
+    sl = med.select(stable_round4(F.col("slope_med")).alias("slope"))
+    resid = series.crossJoin(F.broadcast(sl)).select(
+        (F.col("c") - F.col("slope") * F.col("w")).alias("r"), "w"
+    )
+    resid = resid.select(
+        "r", F.row_number().over(W.orderBy("r", "w")).alias("rn")
+    )
+    nw = series.agg(F.count("*").alias("nw"))
+    icept = (
+        resid.crossJoin(F.broadcast(nw))
+        .filter(
+            (F.col("rn") >= (F.col("nw") + 1) / 2)
+            & (F.col("rn") <= F.floor(F.col("nw") / 2) + 1)
+        )
+        .agg(F.avg("r").alias("icept"))
+    )
+    return (
+        nw.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(sl))
+        .crossJoin(F.broadcast(icept))
+        .select(
+            F.col("nw").cast("long").alias("n_weeks"),
+            F.col("m").cast("long").alias("n_pairs"),
+            F.col("slope"),
+            stable_round4(F.col("icept")).alias("intercept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ts_cross_correlation
+# --------------------------------------------------------------------------
+
+CCF_MAX_LAG = 7
+CCF_A, CCF_B = "click", "purchase"
+
+# r_l = sum_t (n*a_t - SA)(n*b_{t+l} - SB) / (sqrt(da) * sqrt(db)):
+# integer numerator, two correctly-rounded sqrts of exact integers.
+_CCF = (
+    "CAST(nn AS DOUBLE)"
+    " / (sqrt(CAST(da AS DOUBLE)) * sqrt(CAST(db AS DOUBLE)))"
+)
+
+
+@register(
+    "ts_cross_correlation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+               count(*) AS c
+        FROM events WHERE event_type IN ('{CCF_A}', '{CCF_B}')
+        GROUP BY 1, 2),
+    bounds AS (
+        SELECT min(d) AS d0, max(d) AS d1
+        FROM (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+              FROM events)),
+    grid AS (
+        SELECT unnest(generate_series(
+                   0, CAST(date_diff('day', d0, d1) AS INT))) AS idx
+        FROM bounds),
+    di AS (
+        SELECT event_type,
+               CAST(date_diff('day', b.d0, daily.d) AS INT) AS idx, c
+        FROM daily CROSS JOIN bounds b),
+    sa AS (
+        SELECT g.idx, COALESCE(di.c, 0) AS x FROM grid g
+        LEFT JOIN di ON di.idx = g.idx AND di.event_type = '{CCF_A}'),
+    sb AS (
+        SELECT g.idx, COALESCE(di.c, 0) AS x FROM grid g
+        LEFT JOIN di ON di.idx = g.idx AND di.event_type = '{CCF_B}'),
+    st AS (
+        SELECT (SELECT count(*) FROM sa) AS n,
+               (SELECT sum(x) FROM sa) AS sxa,
+               (SELECT sum(x) FROM sb) AS sxb),
+    den AS (
+        SELECT (SELECT sum((st.n * x - st.sxa) * (st.n * x - st.sxa))
+                FROM sa) AS da,
+               (SELECT sum((st.n * x - st.sxb) * (st.n * x - st.sxb))
+                FROM sb) AS db
+        FROM st),
+    lags AS (SELECT l FROM generate_series(-{CCF_MAX_LAG}, {CCF_MAX_LAG}) t(l)),
+    num AS (
+        SELECT lags.l,
+               sum((st.n * a.x - st.sxa) * (st.n * b.x - st.sxb)) AS nn,
+               count(*) AS n_overlap
+        FROM sa a CROSS JOIN lags
+        JOIN sb b ON b.idx = a.idx + lags.l
+        CROSS JOIN st GROUP BY lags.l)
+    SELECT CAST(num.l AS INT) AS lag,
+           CAST(num.n_overlap AS BIGINT) AS n_overlap,
+           {sql_stable_round4(_CCF)} AS ccf
+    FROM num CROSS JOIN den
+    ORDER BY lag
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the daily '{CCF_A}' and '{CCF_B}'
+    event series at lags -{CCF_MAX_LAG}..+{CCF_MAX_LAG}: ccf(l) > 0 at
+    positive l means {CCF_A} activity LEADS {CCF_B} activity by l days
+    — the lead/lag detector behind attribution (events_attribution_*)
+    and the bivariate sibling of ts_autocorr's seasonality probe.
+
+    Both series are gap-filled on the same day grid (a missing day is a
+    real zero); normalization uses full-series moments, so the centered
+    cross-products (n*a - SA)(n*b - SB) are exact integers and the only
+    floating steps are two correctly-rounded sqrts and one division,
+    shared verbatim with the oracle.
+
+    Scale shape: identical to ts_autocorr — the fact scan reduces to
+    2*|days| rows; the 15-lag shifted join runs on that bounded series.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type").isin(CCF_A, CCF_B))
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    bounds = e.agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("d0"),
+        F.max(F.date_trunc("day", F.col("ts"))).alias("d1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), F.datediff(F.col("d1"), F.col("d0")))
+        ).alias("idx")
+    )
+    di = daily.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.datediff(F.col("d"), F.col("d0")).cast("int").alias("idx"),
+        "c",
+    )
+
+    def side(tag: str) -> DataFrame:
+        return grid.join(
+            di.filter(F.col("event_type") == tag).select("idx", "c"),
+            "idx",
+            "left",
+        ).select("idx", F.coalesce("c", F.lit(0)).alias("x"))
+
+    sa, sb = side(CCF_A), side(CCF_B)
+    st = (
+        sa.agg(
+            F.count("*").alias("n"), F.sum("x").alias("sxa")
+        )
+        .crossJoin(sb.agg(F.sum("x").alias("sxb")))
+    )
+    da = sa.crossJoin(F.broadcast(st)).agg(
+        F.sum(
+            (F.col("n") * F.col("x") - F.col("sxa"))
+            * (F.col("n") * F.col("x") - F.col("sxa"))
+        ).alias("da")
+    )
+    db = sb.crossJoin(F.broadcast(st)).agg(
+        F.sum(
+            (F.col("n") * F.col("x") - F.col("sxb"))
+            * (F.col("n") * F.col("x") - F.col("sxb"))
+        ).alias("db")
+    )
+    lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("l")
+    )
+    num = (
+        sa.alias("a")
+        .crossJoin(F.broadcast(lags))
+        .join(sb.alias("b"), F.col("b.idx") == F.col("a.idx") + F.col("l"))
+        .crossJoin(F.broadcast(st))
+        .groupBy("l")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("a.x") - F.col("sxa"))
+                * (F.col("n") * F.col("b.x") - F.col("sxb"))
+            ).alias("nn"),
+            F.count("*").alias("n_overlap"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(da))
+        .crossJoin(F.broadcast(db))
+        .select(
+            F.col("l").cast("int").alias("lag"),
+            F.col("n_overlap").cast("long"),
+            stable_round4(F.expr(_CCF)).alias("ccf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# --------------------------------------------------------------------------
+# rec_item_item_cosine
+# --------------------------------------------------------------------------
+
+REC_TOPK = 3
+REC_MIN_CO = 2
+
+
+@register(
+    "rec_item_item_cosine",
+    oracle=f"""
+    WITH bi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    ci AS (SELECT pk, count(*) AS c FROM bi GROUP BY 1),
+    pr AS (
+        SELECT a.pk AS pa, b.pk AS pb, count(*) AS cij
+        FROM bi a JOIN bi b ON a.ok = b.ok AND a.pk <> b.pk
+        GROUP BY 1, 2 HAVING count(*) >= {REC_MIN_CO}),
+    sc AS (
+        SELECT pr.pa, pr.pb, pr.cij,
+               CAST(pr.cij AS DOUBLE)
+                   / sqrt(CAST(ca.c * cb.c AS DOUBLE)) AS cosv
+        FROM pr JOIN ci ca ON ca.pk = pr.pa
+                JOIN ci cb ON cb.pk = pr.pb),
+    rk AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY pa
+                   ORDER BY cosv DESC, cij DESC, pb) AS rk
+        FROM sc)
+    SELECT CAST(pa AS BIGINT) AS part, CAST(rk AS INT) AS rk,
+           CAST(pb AS BIGINT) AS neighbor,
+           CAST(cij AS BIGINT) AS co_count,
+           {sql_stable_round4('cosv')} AS cosine
+    FROM rk WHERE rk <= {REC_TOPK}
+    ORDER BY part, rk
+    """,
+)
+def rec_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-{REC_TOPK} cosine
+    neighbors per part from co-purchase baskets (cos = c_ij /
+    sqrt(c_i * c_j) over binary order-part incidence), support floor
+    c_ij >= {REC_MIN_CO} — the 'customers who bought X also bought Y'
+    primitive (Sarwar et al., WWW 2001).
+
+    Determinism of the DESC-cosine ranking: cos is one division of
+    c_ij by the correctly-rounded sqrt of an exact integer product
+    (< 2^53), so both engines materialize the identical double; ties
+    then fall through (cij DESC, pb ASC).
+
+    Scale shape: candidate pairs come from the basket self-join on the
+    ORDER KEY — cost is sum of basket-size^2 (TPC-H baskets <= 7 lines,
+    web baskets similarly bounded), LINEAR in orders, never the |items|^2
+    cross of naive item-item. The c_i vector is a part-keyed aggregate
+    joined back by part key; the support floor prunes the long tail
+    before the per-item top-k window.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    bi = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    ci = bi.groupBy("pk").agg(F.count("*").alias("c"))
+    a, b = bi.alias("a"), bi.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") != F.col("b.pk")),
+        )
+        .groupBy(
+            F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb")
+        )
+        .agg(F.count("*").alias("cij"))
+        .filter(F.col("cij") >= REC_MIN_CO)
+    )
+    sc = (
+        pr.join(ci.withColumnRenamed("pk", "pa").withColumnRenamed("c", "ca"), "pa")
+        .join(ci.withColumnRenamed("pk", "pb").withColumnRenamed("c", "cb"), "pb")
+        .select(
+            "pa",
+            "pb",
+            "cij",
+            (
+                F.col("cij").cast("double")
+                / F.sqrt((F.col("ca") * F.col("cb")).cast("double"))
+            ).alias("cosv"),
+        )
+    )
+    rk = sc.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("pa").orderBy(
+                F.col("cosv").desc(), F.col("cij").desc(), F.col("pb")
+            )
+        ),
+    ).filter(F.col("rk") <= REC_TOPK)
+    return rk.select(
+        F.col("pa").cast("long").alias("part"),
+        F.col("rk").cast("int"),
+        F.col("pb").cast("long").alias("neighbor"),
+        F.col("cij").cast("long").alias("co_count"),
+        stable_round4(F.col("cosv")).alias("cosine"),
+    ).orderBy("part", "rk")
+
+
+# --------------------------------------------------------------------------
+# priv_dp_counts
+# --------------------------------------------------------------------------
+
+DP_EPSILON = 1.0
+DP_DOMAIN = float(16**12)
+
+# Inverse-CDF Laplace(b = 1/eps) driven by the 48-bit md5 uniform:
+# u = h/D - 0.5 in [-0.5, 0.5); noise = -b * sign(u) * ln(1 - 2|u|).
+# The single libm ln is quantized with a midpoint offset (floor(x*1e6
+# + 0.5)/1e6) so a JVM-vs-libm ulp cannot flip the 4-decimal output
+# (the guard band ADVICE.md r3 recommends for quantized libm terms).
+_DP_NOISE = (
+    f"(CASE WHEN u >= 0.0 THEN -1.0 ELSE 1.0 END * (1.0 / {DP_EPSILON!r})"
+    f" * floor(ln(CASE WHEN 1.0 - 2.0 * abs(u) > 1e-12"
+    f" THEN 1.0 - 2.0 * abs(u) ELSE 1e-12 END) * 1000000.0 + 0.5)"
+    f" / 1000000.0)"
+)
+
+
+@register(
+    "priv_dp_counts",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, count(*) AS true_count FROM events GROUP BY 1),
+    h AS (
+        SELECT event_type, true_count,
+               CAST(list_sum([
+                   (strpos('0123456789abcdef',
+                           substr(md5(event_type || '|dp1'), i, 1)) - 1)
+                   * power(16, 12 - i)
+                   for i in generate_series(1, 12)]) AS BIGINT) AS hv
+        FROM c),
+    u AS (
+        SELECT event_type, true_count,
+               CAST(hv AS DOUBLE) / {DP_DOMAIN!r} - 0.5 AS u
+        FROM h)
+    SELECT event_type,
+           CAST(true_count AS BIGINT) AS true_count,
+           CAST({DP_EPSILON!r} AS DOUBLE) AS epsilon,
+           {sql_stable_round4(f'CAST(true_count AS DOUBLE) + {_DP_NOISE}')}
+               AS noisy_count
+    FROM u
+    ORDER BY event_type
+    """,
+)
+def priv_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-differentially-private release of per-event_type counts
+    (Dwork et al., TCC 2006): count + Laplace(sensitivity/eps) noise,
+    eps = {DP_EPSILON}, sensitivity 1 for a single-count release.
+
+    The noise is drawn by inverse-CDF from a DETERMINISTIC uniform (the
+    48-bit md5 prefix of the group key + a release salt) rather than an
+    RNG: the release is reproducible and oracle-testable, and swapping
+    the salt per release restores the fresh-draw semantics. This is the
+    release half of the privacy-audit family — dq_k_anonymity /
+    dq_l_diversity / dq_t_closeness measure disclosure risk,
+    priv_dp_counts bounds it mechanically.
+
+    Determinism: the uniform is exact-integer-derived; the one libm ln
+    term is quantized with a midpoint offset before the b-scale, so the
+    4-decimal output cannot flip on a JVM-vs-libm ulp. Scale shape: one
+    grouped count; the noise is a per-GROUP scalar expression — released
+    aggregates are tiny regardless of fact-table size.
+    """
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("event_type").agg(F.count("*").alias("true_count"))
+    u = c.withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_type"), F.lit("|dp1"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(DP_DOMAIN)
+        - 0.5,
+    )
+    return u.select(
+        "event_type",
+        F.col("true_count").cast("long"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+        stable_round4(
+            F.col("true_count").cast("double") + F.expr(_DP_NOISE)
+        ).alias("noisy_count"),
+    ).orderBy("event_type")

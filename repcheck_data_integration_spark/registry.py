@@ -144,6 +144,7 @@ def load_all_modules() -> None:
         skew,
         sampling,
         statsml,
+        statsml2,
     )
     from .functions import scalar_queries  # noqa: F401
     from .sources import file_sources, pyds  # noqa: F401

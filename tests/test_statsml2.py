@@ -1,0 +1,241 @@
+"""Behavioral tests for the round-4b eval/robust-stats/recsys/privacy
+tranche (operators/statsml2.py) on tiny hand-built parquet fixtures —
+known-answer properties the DuckDB oracle twin can't state (perfect/
+random-ranker recovery, separability, planted trends, mechanism
+reproducibility)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+from pyspark.sql import functions as F
+
+from repcheck_data_integration_spark.operators.statsml2 import (
+    DP_EPSILON,
+    REC_MIN_CO,
+    ml_auc_roc,
+    ml_decision_stump,
+    priv_dp_counts,
+    rec_item_item_cosine,
+    ts_cross_correlation,
+    ts_theil_sen,
+)
+
+
+def _write(spark, tmp_path, name, rows, cols):
+    spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(str(tmp_path), f"{name}.parquet"))
+
+
+def _orders(spark, tmp_path, rows):
+    """rows: (priority, status, totalprice)."""
+    _write(
+        spark,
+        tmp_path,
+        "orders",
+        [(i, i, st, p, pri) for i, (pri, st, p) in enumerate(rows)],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority"],
+    )
+
+
+def test_auc_perfect_random_and_pooled(spark, tmp_path):
+    """Segment A: every positive outranks every negative -> AUC 1.0.
+    Segment B: all scores tied -> AUC exactly 0.5 (tie correction).
+    The pooled row must equal the python rank-sum ground truth."""
+    rows = (
+        [("A", "F", 100.0 + i) for i in range(5)]
+        + [("A", "O", 1.0 + i) for i in range(5)]
+        + [("B", "F", 50.0)] * 3
+        + [("B", "O", 50.0)] * 3
+    )
+    _orders(spark, tmp_path, rows)
+    out = {r["segment"]: r for r in ml_auc_roc(spark, str(tmp_path)).collect()}
+    assert out["A"]["auc"] == 1.0
+    assert out["B"]["auc"] == 0.5
+    assert (out["A"]["n_pos"], out["A"]["n_neg"]) == (5, 5)
+
+    # pooled ground truth: P(pos > neg) + 0.5 * P(tie), exhaustive pairs
+    pos = [p for _, s, p in rows if s == "F"]
+    neg = [p for _, s, p in rows if s != "F"]
+    wins = sum(1 for a in pos for b in neg if a > b)
+    ties = sum(1 for a in pos for b in neg if a == b)
+    want = math.floor(
+        (wins + 0.5 * ties) / (len(pos) * len(neg)) * 10000 + 0.5
+    ) / 10000
+    assert out["__all__"]["auc"] == want
+
+
+def test_stump_finds_planted_separating_threshold(spark, tmp_path):
+    """Label == (quantity <= 5): the quantity stump at threshold 5 must
+    have 0 errors and accuracy 1; the discount feature (constant within
+    each class but overlapping) cannot reach 0."""
+    rows = []
+    k = 0
+    for q in range(1, 11):
+        for _ in range(4):
+            flag = "R" if q <= 5 else "N"
+            disc = 0.01 if k % 2 == 0 else 0.05  # uninformative
+            rows.append((k, k, k, 1, float(q), 10.0, disc, 0.0, flag, "O"))
+            k += 1
+    _write(
+        spark, tmp_path, "lineitem", rows,
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+         "l_returnflag", "l_linestatus"],
+    )
+    out = ml_decision_stump(spark, str(tmp_path)).collect()
+    byfeat = {}
+    for r in out:
+        byfeat.setdefault(r["feature"], []).append(r)
+    best_q = byfeat["l_quantity"][0]
+    assert best_q["rk"] == 1
+    assert best_q["threshold"] == 5
+    assert best_q["errors"] == 0
+    assert best_q["accuracy"] == 1.0
+    assert best_q["n_left"] == 20 and best_q["n_right"] == 20
+    assert best_q["baseline_errors"] == 20
+    assert all(r["errors"] > 0 for r in byfeat["l_discount_pct"])
+
+
+def test_theil_sen_recovers_planted_linear_trend(spark, tmp_path):
+    """Weekly order counts c_w = 3 + 2w exactly -> every pairwise slope
+    is 2, so median slope 2.0 and median residual intercept 3.0."""
+    rows = []
+    k = 0
+    for w in range(8):
+        for i in range(3 + 2 * w):
+            # spread inside the week so the day->week floor matters
+            day = w * 7 + (i % 7)
+            rows.append((k, k, "O", 10.0, f"2024-01-{1:02d}", day))
+            k += 1
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[5]) for r in rows],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "doff"],
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,doff,0,0,0)")
+        .alias("o_orderdate"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "orders.parquet")
+    )
+    row = ts_theil_sen(spark, str(tmp_path)).collect()[0]
+    assert row["n_weeks"] == 8
+    assert row["n_pairs"] == 8 * 7 // 2
+    assert row["slope"] == 2.0
+    assert row["intercept"] == 3.0
+
+
+def test_cross_correlation_finds_planted_lead(spark, tmp_path):
+    """clicks spike on day 3, purchases spike on day 5 over a flat
+    baseline -> the CCF must peak exactly at lag +2 (clicks lead)."""
+    rows = []
+    eid = 0
+    for d in range(14):
+        n_click = 20 if d == 3 else 2
+        n_buy = 20 if d == 5 else 2
+        for _ in range(n_click):
+            rows.append((eid, f"2024-03-{d + 1:02d} 10:00:00", 1, "click"))
+            eid += 1
+        for _ in range(n_buy):
+            rows.append((eid, f"2024-03-{d + 1:02d} 11:00:00", 1, "purchase"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "user_id", "event_type"]
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+    out = {r["lag"]: r for r in
+           ts_cross_correlation(spark, str(tmp_path)).collect()}
+    assert set(out) == set(range(-7, 8))
+    peak = max(out.values(), key=lambda r: r["ccf"])
+    assert peak["lag"] == 2
+    assert peak["ccf"] > 0.9
+    assert out[2]["n_overlap"] == 14 - 2
+
+
+def test_item_item_cosine_known_baskets(spark, tmp_path):
+    """Baskets {A,B} x2 and {A,C} x2: c_AB=2 and c_AC=2 survive the
+    support floor, cosines match the closed form, and each item's
+    neighbor list is ranked by cosine."""
+    assert REC_MIN_CO == 2
+    baskets = [(1, ["A", "B"]), (2, ["A", "B"]), (3, ["A", "C"]),
+               (4, ["A", "C"]), (5, ["B"])]
+    pk = {"A": 100, "B": 200, "C": 300}
+    rows = []
+    ln = 0
+    for ok, items in baskets:
+        for it in items:
+            rows.append((ok, pk[it], 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O"))
+            ln += 1
+    _write(
+        spark, tmp_path, "lineitem", rows,
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+         "l_returnflag", "l_linestatus"],
+    )
+    out = rec_item_item_cosine(spark, str(tmp_path)).collect()
+    got = {(r["part"], r["neighbor"]): r for r in out}
+    # c_A=4, c_B=3, c_C=2; cos(A,B)=2/sqrt(12), cos(A,C)=2/sqrt(8)
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000
+    assert got[(100, 200)]["cosine"] == r4(2 / math.sqrt(12))
+    assert got[(100, 300)]["cosine"] == r4(2 / math.sqrt(8))
+    assert got[(200, 100)]["co_count"] == 2
+    # A's top neighbor is C (higher cosine), rank order enforced
+    assert got[(100, 300)]["rk"] == 1 and got[(100, 200)]["rk"] == 2
+
+
+def test_dp_counts_reproducible_inverse_cdf(spark, tmp_path):
+    """The released value must equal the python replica of the salted
+    inverse-CDF Laplace draw exactly — reproducibility is the point of
+    the deterministic mechanism — and distinct groups get distinct
+    noise."""
+    rows = []
+    eid = 0
+    for et, n in [("alpha", 40), ("beta", 25)]:
+        for _ in range(n):
+            rows.append((eid, "2024-01-01 00:00:00", 1, et, 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "user_id", "event_type", "value", "props"]
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+    out = {r["event_type"]: r for r in
+           priv_dp_counts(spark, str(tmp_path)).collect()}
+
+    def replica(et, c):
+        h = int(hashlib.md5(f"{et}|dp1".encode()).hexdigest()[:12], 16)
+        u = h / float(16**12) - 0.5
+        arg = max(1.0 - 2.0 * abs(u), 1e-12)
+        noise = (
+            (-1.0 if u >= 0 else 1.0)
+            * (1.0 / DP_EPSILON)
+            * math.floor(math.log(arg) * 1e6 + 0.5)
+            / 1e6
+        )
+        return math.floor((c + noise) * 10000 + 0.5) / 10000
+
+    assert out["alpha"]["noisy_count"] == replica("alpha", 40)
+    assert out["beta"]["noisy_count"] == replica("beta", 25)
+    assert out["alpha"]["true_count"] == 40
+    assert (out["alpha"]["noisy_count"] - 40) != (
+        out["beta"]["noisy_count"] - 25
+    )
