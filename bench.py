@@ -71,6 +71,12 @@ HEADLINE = [
     "events_attribution_linear",
     "graph_adamic_adar",
     "text_minhash_containment",
+    # round-4 stats/ML + eval tranches
+    "agg_kmv_sketch",
+    "join_set_similarity",
+    "ml_naive_bayes_lang",
+    "ml_auc_roc",
+    "rec_item_item_cosine",
 ]
 
 

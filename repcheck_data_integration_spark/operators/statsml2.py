@@ -631,9 +631,16 @@ def rec_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the per-item top-k window.
     """
     li = load(spark, sf_dir, "lineitem")
-    bi = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # The binary incidence table feeds FOUR plan references (both sides
+    # of the basket self-join and both c_i lookups) — persist it once or
+    # the distinct-shuffle over the fact table executes four times.
+    bi = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .persist()
+    )
     ci = bi.groupBy("pk").agg(F.count("*").alias("c"))
     a, b = bi.alias("a"), bi.alias("b")
     pr = (

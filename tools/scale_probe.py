@@ -107,6 +107,14 @@ PROBES = [
     "text_minhash_containment",
     "join_bloom_prune",
     "llm_eval_bleu",
+    # round-4 stats/ML + eval tranches
+    "agg_kmv_sketch",
+    "join_set_similarity",
+    "ml_naive_bayes_lang",
+    "ml_auc_roc",
+    "ml_decision_stump",
+    "rec_item_item_cosine",
+    "ts_theil_sen",
 ]
 
 
