@@ -1,6 +1,6 @@
 """Evaluation / robust-statistics / recsys / privacy extensions (round 4b).
 
-Six more operator families on the statistics axis opened by statsml.py,
+Eleven more operator families on the statistics axis opened by statsml.py,
 each a pure DataFrame plan with an exact DuckDB oracle twin:
 
 - ml_auc_roc            Mann-Whitney rank-sum AUC of a score column
@@ -32,6 +32,19 @@ each a pure DataFrame plan with an exact DuckDB oracle twin:
                         noise, so the release is testable; completes
                         the privacy family (dq_k_anonymity /
                         dq_l_diversity / dq_t_closeness).
+- ml_lift_gains         cumulative gains / lift table by exact integer
+                        deciles — what acting on the top k% buys.
+- ml_ks_statistic       Kolmogorov-Smirnov max CDF separation with the
+                        achieving threshold (cross-multiplied integer
+                        gaps, division after the max).
+- ml_calibration_bins   reliability diagram + ECE of the percent-rank-
+                        calibrated score; every bin metric an exact
+                        integer ratio over the common denominator n-1.
+- ts_ses_forecast       exponential-smoothing backtest with alpha = 1/2
+                        chosen so every weight is a power of two and
+                        the level is an exact dyadic rational.
+- agg_theil_index       decomposable entropy inequality index next to
+                        agg_gini_revenue (quantize-then-sum ln terms).
 
 Reference seed: the reference repo's analytics are plain SQL aggregates
 (/root/reference/scripts/database/database.py:1); these extend the §2-beyond
@@ -773,3 +786,552 @@ def priv_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("true_count").cast("double") + F.expr(_DP_NOISE)
         ).alias("noisy_count"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# ml_lift_gains
+# --------------------------------------------------------------------------
+
+LIFT_DECILES = 10
+
+
+@register(
+    "ml_lift_gains",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+    r AS (
+        SELECT pos,
+               row_number() OVER (ORDER BY cents DESC, o_orderkey) AS rn,
+               count(*) OVER () AS n, sum(pos) OVER () AS p
+        FROM base),
+    b AS (
+        SELECT CAST((rn - 1) * {LIFT_DECILES} // n AS INT) + 1 AS decile,
+               pos, n, p
+        FROM r),
+    g AS (
+        SELECT decile, n, p, count(*) AS n_b, sum(pos) AS pos_b
+        FROM b GROUP BY 1, 2, 3),
+    c AS (
+        SELECT decile, n, p, n_b, pos_b,
+               sum(n_b) OVER (ORDER BY decile) AS cum_n,
+               sum(pos_b) OVER (ORDER BY decile) AS cum_pos
+        FROM g)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_b AS BIGINT) AS n_bucket,
+           CAST(pos_b AS BIGINT) AS n_pos,
+           {sql_stable_round4(
+               'CAST(cum_pos AS DOUBLE) / CAST(p AS DOUBLE)')} AS gain,
+           {sql_stable_round4(
+               'CAST(cum_pos * n AS DOUBLE) / CAST(cum_n * p AS DOUBLE)')}
+               AS lift
+    FROM c ORDER BY decile
+    """,
+)
+def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table of o_totalprice as a ranker for the
+    o_orderstatus = 'F' label: rank all rows by score descending, cut
+    into {LIFT_DECILES} equal deciles, and report per decile the
+    cumulative capture rate (gain = cum_pos / P) and lift
+    (= capture / depth). The campaign-targeting companion of
+    ml_auc_roc — AUC summarizes the whole curve, the lift table says
+    what acting on the top k% actually buys.
+
+    Determinism: the decile cut is the INTEGER (rn-1)*{LIFT_DECILES}
+    div n over a fully tie-broken row_number (cents DESC, o_orderkey) —
+    no percentile doubles anywhere; gains/lift are exact-integer ratios
+    divided once. Scale shape: one global sort-rank (the same shape any
+    top-k% targeting job needs), one grouped count over
+    {LIFT_DECILES} rows, one {LIFT_DECILES}-row cumsum.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    r = base.select(
+        "pos",
+        F.row_number()
+        .over(W.orderBy(F.col("cents").desc(), F.col("o_orderkey")))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+        F.sum("pos").over(W.partitionBy()).alias("p"),
+    )
+    b = r.select(
+        (
+            F.expr(f"CAST((rn - 1) * {LIFT_DECILES} DIV n AS INT)") + 1
+        ).alias("decile"),
+        "pos",
+        "n",
+        "p",
+    )
+    g = b.groupBy("decile", "n", "p").agg(
+        F.count("*").alias("n_b"), F.sum("pos").alias("pos_b")
+    )
+    c = g.select(
+        "decile",
+        "n",
+        "p",
+        "n_b",
+        "pos_b",
+        F.sum("n_b").over(W.orderBy("decile")).alias("cum_n"),
+        F.sum("pos_b").over(W.orderBy("decile")).alias("cum_pos"),
+    )
+    return c.select(
+        F.col("decile").cast("int"),
+        F.col("n_b").cast("long").alias("n_bucket"),
+        F.col("pos_b").cast("long").alias("n_pos"),
+        stable_round4(
+            F.col("cum_pos").cast("double") / F.col("p").cast("double")
+        ).alias("gain"),
+        stable_round4(
+            (F.col("cum_pos") * F.col("n")).cast("double")
+            / (F.col("cum_n") * F.col("p")).cast("double")
+        ).alias("lift"),
+    ).orderBy("decile")
+
+
+# --------------------------------------------------------------------------
+# ml_ks_statistic
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ml_ks_statistic",
+    oracle=f"""
+    WITH base AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+    g AS (
+        SELECT cents, sum(pos) AS p_c, sum(1 - pos) AS q_c
+        FROM base GROUP BY 1),
+    c AS (
+        SELECT cents,
+               sum(p_c) OVER (ORDER BY cents) AS cp,
+               sum(q_c) OVER (ORDER BY cents) AS cq,
+               sum(p_c) OVER () AS p, sum(q_c) OVER () AS q
+        FROM g),
+    d AS (
+        SELECT cents, p, q, abs(cp * q - cq * p) AS dnum,
+               row_number() OVER (
+                   ORDER BY abs(cp * q - cq * p) DESC, cents) AS rn
+        FROM c)
+    SELECT CAST(p AS BIGINT) AS n_pos, CAST(q AS BIGINT) AS n_neg,
+           CAST(cents AS BIGINT) AS ks_at_cents,
+           {sql_stable_round4(
+               'CAST(dnum AS DOUBLE) / CAST(p * q AS DOUBLE)')} AS ks
+    FROM d WHERE rn = 1
+    """,
+)
+def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov separation of the positive vs negative score
+    distributions: KS = max over thresholds of |CDF_pos - CDF_neg|,
+    with the achieving threshold — the credit-scoring standard that
+    complements ml_auc_roc (AUC integrates separation, KS locates the
+    single best operating point).
+
+    Determinism: the CDF gap is the cross-multiplied integer
+    |cp*Q - cq*P| (never a float subtraction), the argmax tie-breaks on
+    the smaller threshold, and the single division happens after the
+    max. Scale shape: scores collapse to distinct-value counts first,
+    then one ordered cumsum window and a top-1 over the distinct-score
+    series — never a row-level sort of the raw table.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    g = base.groupBy("cents").agg(
+        F.sum("pos").alias("p_c"), F.sum(1 - F.col("pos")).alias("q_c")
+    )
+    c = g.select(
+        "cents",
+        F.sum("p_c").over(W.orderBy("cents")).alias("cp"),
+        F.sum("q_c").over(W.orderBy("cents")).alias("cq"),
+        F.sum("p_c").over(W.partitionBy()).alias("p"),
+        F.sum("q_c").over(W.partitionBy()).alias("q"),
+    )
+    d = c.select(
+        "cents",
+        "p",
+        "q",
+        F.abs(F.col("cp") * F.col("q") - F.col("cq") * F.col("p")).alias(
+            "dnum"
+        ),
+    ).withColumn(
+        "rn",
+        F.row_number().over(W.orderBy(F.col("dnum").desc(), F.col("cents"))),
+    )
+    return d.filter(F.col("rn") == 1).select(
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("q").cast("long").alias("n_neg"),
+        F.col("cents").cast("long").alias("ks_at_cents"),
+        stable_round4(
+            F.col("dnum").cast("double")
+            / (F.col("p") * F.col("q")).cast("double")
+        ).alias("ks"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ml_calibration_bins
+# --------------------------------------------------------------------------
+
+CAL_BINS = 10
+
+
+@register(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+    r AS (
+        SELECT pos, rank() OVER (ORDER BY cents) AS rk,
+               count(*) OVER () AS n
+        FROM base),
+    b AS (
+        SELECT least(CAST((rk - 1) * {CAL_BINS} // (n - 1) AS INT),
+                     {CAL_BINS - 1}) AS bin,
+               pos, rk, n
+        FROM r),
+    g AS (
+        SELECT bin, n, count(*) AS n_b, sum(pos) AS pos_b,
+               sum(rk - 1) AS srk
+        FROM b GROUP BY 1, 2),
+    e AS (
+        SELECT *, sum(abs(srk - pos_b * (n - 1))) OVER () AS ece_num
+        FROM g)
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(n_b AS BIGINT) AS n_bin,
+           {sql_stable_round4(
+               'CAST(srk AS DOUBLE) / (CAST(n - 1 AS DOUBLE)'
+               ' * CAST(n_b AS DOUBLE))')} AS confidence,
+           {sql_stable_round4(
+               'CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE)')} AS accuracy,
+           {sql_stable_round4(
+               'CAST(abs(srk - pos_b * (n - 1)) AS DOUBLE)'
+               ' / (CAST(n - 1 AS DOUBLE) * CAST(n_b AS DOUBLE))')} AS gap,
+           {sql_stable_round4(
+               'CAST(ece_num AS DOUBLE)'
+               ' / (CAST(n - 1 AS DOUBLE) * CAST(n AS DOUBLE))')} AS ece
+    FROM e ORDER BY bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for the
+    percentile-calibrated score: prediction = percent_rank of the score
+    (the rank transform IS the calibration map), cut into {CAL_BINS}
+    equal-width bins; per bin the mean prediction (confidence) vs the
+    empirical positive rate (accuracy), plus the n-weighted ECE
+    repeated on every row.
+
+    Every quantity is an exact integer ratio over the common
+    denominator (n-1): confidence_b = sum(rank-1) / ((n-1) * n_b),
+    |conf - acc| = |sum(rank-1) - pos_b*(n-1)| / ((n-1) * n_b), and
+    ECE = sum_b |...| / ((n-1) * n) — the bin cut itself is integer
+    (rk-1)*{CAL_BINS} div (n-1). No float enters before the final
+    divisions. Scale shape: one rank window (ties share ranks, so
+    distinct-value skew is harmless), one {CAL_BINS}-row aggregate.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    r = base.select(
+        "pos",
+        F.rank().over(W.orderBy("cents")).alias("rk"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    b = r.select(
+        F.least(
+            F.expr(f"CAST((rk - 1) * {CAL_BINS} DIV (n - 1) AS INT)"),
+            F.lit(CAL_BINS - 1),
+        ).alias("bin"),
+        "pos",
+        "rk",
+        "n",
+    )
+    g = b.groupBy("bin", "n").agg(
+        F.count("*").alias("n_b"),
+        F.sum("pos").alias("pos_b"),
+        F.sum(F.col("rk") - 1).alias("srk"),
+    )
+    e = g.withColumn(
+        "ece_num",
+        F.sum(
+            F.abs(F.col("srk") - F.col("pos_b") * (F.col("n") - 1))
+        ).over(W.partitionBy()),
+    )
+    nm1 = (F.col("n") - 1).cast("double")
+    return e.select(
+        F.col("bin").cast("int"),
+        F.col("n_b").cast("long").alias("n_bin"),
+        stable_round4(
+            F.col("srk").cast("double") / (nm1 * F.col("n_b").cast("double"))
+        ).alias("confidence"),
+        stable_round4(
+            F.col("pos_b").cast("double") / F.col("n_b").cast("double")
+        ).alias("accuracy"),
+        stable_round4(
+            F.abs(F.col("srk") - F.col("pos_b") * (F.col("n") - 1)).cast(
+                "double"
+            )
+            / (nm1 * F.col("n_b").cast("double"))
+        ).alias("gap"),
+        stable_round4(
+            F.col("ece_num").cast("double") / (nm1 * F.col("n").cast("double"))
+        ).alias("ece"),
+    ).orderBy("bin")
+
+
+# --------------------------------------------------------------------------
+# ts_ses_forecast
+# --------------------------------------------------------------------------
+
+SES_WINDOW = 20  # truncated smoothing horizon (alpha = 1/2)
+
+
+@register(
+    "ts_ses_forecast",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, count(*) AS c
+        FROM events GROUP BY 1),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    grid AS (
+        SELECT unnest(generate_series(
+                   0, CAST(date_diff('day', d0, d1) AS INT))) AS idx
+        FROM bounds),
+    di AS (
+        SELECT CAST(date_diff('day', b.d0, daily.d) AS INT) AS idx, daily.c
+        FROM daily CROSS JOIN bounds b),
+    series AS (
+        SELECT g.idx, COALESCE(di.c, 0) AS x
+        FROM grid g LEFT JOIN di ON di.idx = g.idx),
+    sp AS (
+        SELECT count(*) AS nn,
+               CAST(count(*) * 8 // 10 AS INT) AS t,
+               least({SES_WINDOW}, CAST(count(*) * 8 // 10 AS INT)) AS k
+        FROM series),
+    lvl AS (
+        SELECT sum(CASE WHEN s.idx = sp.t - sp.k THEN s.x
+                        ELSE s.x * (CAST(1 AS BIGINT)
+                                    << (s.idx - (sp.t - sp.k) - 1))
+                   END) AS lnum,
+               (CAST(1 AS BIGINT) << (sp.k - 1)) AS lden,
+               max(CASE WHEN s.idx = sp.t - 1 THEN s.x END) AS last_x
+        FROM series s CROSS JOIN sp
+        WHERE s.idx >= sp.t - sp.k AND s.idx < sp.t
+        GROUP BY sp.k),
+    test AS (
+        SELECT count(*) AS n_test,
+               sum(abs(s.x * lvl.lden - lvl.lnum)) AS err_ses_num,
+               sum(abs(s.x - lvl.last_x)) AS err_naive
+        FROM series s CROSS JOIN sp CROSS JOIN lvl
+        WHERE s.idx >= sp.t)
+    SELECT CAST(sp.t AS BIGINT) AS n_train,
+           CAST(test.n_test AS BIGINT) AS n_test,
+           {sql_stable_round4(
+               'CAST(lvl.lnum AS DOUBLE) / CAST(lvl.lden AS DOUBLE)')}
+               AS ses_level,
+           {sql_stable_round4(
+               'CAST(test.err_ses_num AS DOUBLE)'
+               ' / (CAST(lvl.lden AS DOUBLE) * CAST(test.n_test AS DOUBLE))')}
+               AS mae_ses,
+           {sql_stable_round4(
+               'CAST(test.err_naive AS DOUBLE) / CAST(test.n_test AS DOUBLE)')}
+               AS mae_naive
+    FROM sp CROSS JOIN lvl CROSS JOIN test
+    """,
+)
+def ts_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing backtest on the daily event series:
+    train on the first 80% of the gap-filled day grid, smooth with
+    alpha = 1/2 truncated to the last {SES_WINDOW} train days, forecast
+    the constant level over the holdout, and report MAE against both
+    the SES level and the naive last-train-value baseline (the model
+    ladder above events_seasonal_naive_mae).
+
+    alpha = 1/2 is chosen for EXACTNESS, not just simplicity: the
+    weights are powers of two, so level * 2^(k-1) =
+    sum x_t * 2^(t - t0 - 1) (+ the oldest term at weight 1) is an
+    exact BIGINT — shiftleft in Spark, << in DuckDB — and the holdout
+    errors are the cross-multiplied integers |x * 2^(k-1) - lnum|. The
+    level is a dyadic rational, exact in a double; one division per
+    output column at the end.
+
+    Scale shape: the fact scan collapses to |days| rows; everything
+    after (the k-term weighted sum, the holdout MAE) is bounded by
+    calendar length, independent of fact bytes.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count("*").alias("c"))
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), F.datediff(F.col("d1"), F.col("d0")))
+        ).alias("idx")
+    )
+    di = daily.crossJoin(F.broadcast(bounds)).select(
+        F.datediff(F.col("d"), F.col("d0")).cast("int").alias("idx"), "c"
+    )
+    series = grid.join(di, "idx", "left").select(
+        "idx", F.coalesce("c", F.lit(0)).alias("x")
+    )
+    sp = series.agg(
+        F.count("*").alias("nn"),
+        F.expr("CAST(count(*) * 8 DIV 10 AS INT)").alias("t"),
+        F.least(
+            F.lit(SES_WINDOW), F.expr("CAST(count(*) * 8 DIV 10 AS INT)")
+        ).alias("k"),
+    )
+    lvl = (
+        series.crossJoin(F.broadcast(sp))
+        .filter(
+            (F.col("idx") >= F.col("t") - F.col("k"))
+            & (F.col("idx") < F.col("t"))
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("idx") == F.col("t") - F.col("k"), F.col("x"))
+                .otherwise(
+                    F.expr(
+                        "x * (shiftleft(CAST(1 AS BIGINT),"
+                        " idx - (t - k) - 1))"
+                    )
+                )
+            ).alias("lnum"),
+            F.max(
+                F.when(F.col("idx") == F.col("t") - 1, F.col("x"))
+            ).alias("last_x"),
+        )
+        .withColumn(
+            "lden", F.expr("shiftleft(CAST(1 AS BIGINT), k - 1)")
+        )
+    )
+    test = (
+        series.crossJoin(F.broadcast(sp))
+        .crossJoin(F.broadcast(lvl))
+        .filter(F.col("idx") >= F.col("t"))
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                F.abs(F.col("x") * F.col("lden") - F.col("lnum"))
+            ).alias("err_ses_num"),
+            F.sum(F.abs(F.col("x") - F.col("last_x"))).alias("err_naive"),
+            F.first("lnum").alias("lnum"),
+            F.first("lden").alias("lden"),
+        )
+    )
+    return (
+        sp.crossJoin(F.broadcast(test))
+        .select(
+            F.col("t").cast("long").alias("n_train"),
+            F.col("n_test").cast("long"),
+            stable_round4(
+                F.col("lnum").cast("double") / F.col("lden").cast("double")
+            ).alias("ses_level"),
+            stable_round4(
+                F.col("err_ses_num").cast("double")
+                / (
+                    F.col("lden").cast("double")
+                    * F.col("n_test").cast("double")
+                )
+            ).alias("mae_ses"),
+            stable_round4(
+                F.col("err_naive").cast("double")
+                / F.col("n_test").cast("double")
+            ).alias("mae_naive"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_theil_index
+# --------------------------------------------------------------------------
+
+THEIL_SCALE = 1_000_000_000
+
+# shared per-term expression: ratio = x*n/S (one division of exact
+# integers), term = quantized ratio*ln(ratio) with the midpoint offset.
+_THEIL_TERM = (
+    "floor((CAST(x * n AS DOUBLE) / CAST(s AS DOUBLE))"
+    " * ln(CAST(x * n AS DOUBLE) / CAST(s AS DOUBLE))"
+    f" * {float(THEIL_SCALE)!r} + 0.5)"
+)
+
+
+@register(
+    "agg_theil_index",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS x
+        FROM orders GROUP BY 1),
+    st AS (SELECT count(*) AS n, sum(x) AS s FROM rev),
+    terms AS (
+        SELECT {_THEIL_TERM} AS term
+        FROM rev CROSS JOIN st),
+    agg AS (SELECT sum(term) AS tsum, count(*) AS cnt FROM terms)
+    SELECT CAST(st.n AS BIGINT) AS n_customers,
+           CAST(st.s AS BIGINT) AS total_cents,
+           {sql_stable_round4(
+               f'CAST(tsum AS DOUBLE) / (CAST(st.n AS DOUBLE)'
+               f' * {float(THEIL_SCALE)!r})')} AS theil_t
+    FROM agg CROSS JOIN st
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of per-customer revenue:
+    T = (1/n) * sum_i (x_i/mu) * ln(x_i/mu) — 0 for perfect equality,
+    ln(n) for total concentration; the decomposable entropy-based
+    companion of agg_gini_revenue (Theil splits additively into
+    between-group + within-group, Gini does not).
+
+    Determinism: x_i/mu == x_i*n/S is ONE correctly-rounded division of
+    exact integers; each x*ln(x) term is quantized to a
+    {THEIL_SCALE}-scaled integer WITH the midpoint offset before the
+    order-sensitive sum (the quantize-then-sum discipline, ADVICE r3
+    guard band); one double division at the end. Scale shape: one
+    grouped sum per customer, one scalar total, one map-side term per
+    customer row — a two-aggregate pipeline, no joins on the fact table.
+    """
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+        ).alias("x")
+    )
+    st = rev.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    terms = rev.crossJoin(F.broadcast(st)).select(
+        F.expr(_THEIL_TERM).alias("term"), "n", "s"
+    )
+    agg = terms.groupBy("n", "s").agg(F.sum("term").alias("tsum"))
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("s").cast("long").alias("total_cents"),
+        stable_round4(
+            F.col("tsum").cast("double")
+            / (F.col("n").cast("double") * F.lit(float(THEIL_SCALE)))
+        ).alias("theil_t"),
+    )

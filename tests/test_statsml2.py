@@ -13,6 +13,11 @@ import os
 from pyspark.sql import functions as F
 
 from repcheck_data_integration_spark.operators.statsml2 import (
+    agg_theil_index,
+    ml_calibration_bins,
+    ml_ks_statistic,
+    ml_lift_gains,
+    ts_ses_forecast,
     DP_EPSILON,
     REC_MIN_CO,
     ml_auc_roc,
@@ -239,3 +244,119 @@ def test_dp_counts_reproducible_inverse_cdf(spark, tmp_path):
     assert (out["alpha"]["noisy_count"] - 40) != (
         out["beta"]["noisy_count"] - 25
     )
+
+
+def test_lift_gains_perfect_ranker_front_loads(spark, tmp_path):
+    """40 rows, top decile = all 4 positives: gain hits 1.0 at decile 1
+    and lift_1 = n/P = 10; deciles are exact 4-row cuts."""
+    rows = [("A", "F", 1000.0 - i) for i in range(4)] + [
+        ("A", "O", 500.0 - i) for i in range(36)
+    ]
+    _orders(spark, tmp_path, rows)
+    out = {r["decile"]: r for r in ml_lift_gains(spark, str(tmp_path)).collect()}
+    assert len(out) == 10
+    assert all(r["n_bucket"] == 4 for r in out.values())
+    assert out[1]["n_pos"] == 4
+    assert out[1]["gain"] == 1.0
+    assert out[1]["lift"] == 10.0
+    assert out[10]["gain"] == 1.0
+    assert out[10]["lift"] == 1.0
+
+
+def test_ks_statistic_disjoint_distributions(spark, tmp_path):
+    """Fully separated scores -> KS = 1.0 exactly at the top negative
+    score; equal distributions -> KS = 0."""
+    rows = [("A", "F", 100.0 + i) for i in range(5)] + [
+        ("A", "O", 10.0 + i) for i in range(5)
+    ]
+    _orders(spark, tmp_path, rows)
+    row = ml_ks_statistic(spark, str(tmp_path)).collect()[0]
+    assert row["ks"] == 1.0
+    assert row["ks_at_cents"] == int((10.0 + 4) * 100)
+
+    rows2 = [("A", "F", 50.0), ("A", "O", 50.0)] * 5
+    _orders(spark, tmp_path, rows2)
+    row2 = ml_ks_statistic(spark, str(tmp_path)).collect()[0]
+    assert row2["ks"] == 0.0
+
+
+def test_calibration_percentile_identity(spark, tmp_path):
+    """Labels assigned by score percentile (top half positive) make the
+    rank calibration nearly perfect in the extreme bins: accuracy is 0
+    in the bottom bins and 1 in the top bins, and ECE equals the python
+    replica of the integer formula."""
+    n = 100
+    rows = [("A", "F" if i >= n // 2 else "O", 100.0 + i) for i in range(n)]
+    _orders(spark, tmp_path, rows)
+    out = ml_calibration_bins(spark, str(tmp_path)).collect()
+    byb = {r["bin"]: r for r in out}
+    assert byb[0]["accuracy"] == 0.0 and byb[9]["accuracy"] == 1.0
+    # python replica: unique scores, rank = i+1, bin = i*10 // (n-1)
+    import collections
+    agg = collections.defaultdict(lambda: [0, 0, 0])  # n_b, pos_b, srk
+    for i in range(n):
+        bb = min((i * 10) // (n - 1), 9)
+        agg[bb][0] += 1
+        agg[bb][1] += 1 if i >= n // 2 else 0
+        agg[bb][2] += i
+    ece_num = sum(abs(srk - pos * (n - 1)) for (_, pos, srk) in agg.values())
+    want = math.floor(ece_num / ((n - 1) * n) * 10000 + 0.5) / 10000
+    assert out[0]["ece"] == want
+    for r in out:
+        nb, pos, srk = agg[r["bin"]]
+        assert r["n_bin"] == nb
+        assert r["confidence"] == math.floor(
+            srk / ((n - 1) * nb) * 10000 + 0.5
+        ) / 10000
+
+
+def test_ses_forecast_constant_series_zero_error(spark, tmp_path):
+    """A constant daily series: SES level == the constant, both MAEs 0;
+    a step in the holdout is tracked by neither (equal MAEs)."""
+    rows = []
+    eid = 0
+    for d in range(30):
+        for _ in range(7):
+            rows.append((eid, f"2024-03-{d + 1:02d} 09:00:00", 1, "t"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "user_id", "event_type"]
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+    row = ts_ses_forecast(spark, str(tmp_path)).collect()[0]
+    assert row["n_train"] == 24 and row["n_test"] == 6
+    assert row["ses_level"] == 7.0
+    assert row["mae_ses"] == 0.0 and row["mae_naive"] == 0.0
+
+
+def test_theil_zero_for_equal_and_positive_for_skew(spark, tmp_path):
+    """Equal per-customer revenue -> T = 0 (each term ln(1)); moving all
+    revenue to one customer pushes T toward ln(n)."""
+    rows = [(i, i % 4, "O", 100.0, "1-URGENT") for i in range(8)]
+    _write(
+        spark, tmp_path, "orders",
+        [(r[0], r[1], r[2], r[3], r[4]) for r in rows],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority"],
+    )
+    row = agg_theil_index(spark, str(tmp_path)).collect()[0]
+    assert row["n_customers"] == 4
+    assert row["theil_t"] == 0.0
+
+    rows2 = [(0, 0, "O", 1000.0, "x")] + [
+        (i, i, "O", 0.01, "x") for i in range(1, 4)
+    ]
+    _write(
+        spark, tmp_path, "orders",
+        [(r[0], r[1], r[2], r[3], "1-URGENT") for r in rows2],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority"],
+    )
+    row2 = agg_theil_index(spark, str(tmp_path)).collect()[0]
+    assert 1.0 < row2["theil_t"] < math.log(4) + 0.01
