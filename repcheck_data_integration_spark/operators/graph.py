@@ -635,3 +635,87 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adamic_adar"),
         )
     )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= {PAIR_MIN_QTY}),
+    degc AS (SELECT cust, count(*) AS d FROM edges GROUP BY cust),
+    w AS (
+        SELECT e1.cust AS c1, e2.cust AS c2, count(*) AS n_common
+        FROM edges e1 JOIN edges e2
+             ON e1.supp = e2.supp AND e1.cust < e2.cust
+        GROUP BY 1, 2 HAVING count(*) >= {PAIR_MIN_SHARED})
+    SELECT w.c1 AS cust1, w.c2 AS cust2,
+           CAST(w.n_common AS BIGINT) AS n_common,
+           CAST(d1.d AS BIGINT) AS deg1, CAST(d2.d AS BIGINT) AS deg2,
+           floor(CAST(w.n_common AS DOUBLE)
+                 / CAST(d1.d + d2.d - w.n_common AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM w JOIN degc d1 ON d1.cust = w.c1
+           JOIN degc d2 ON d2.cust = w.c2
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard neighborhood-overlap link prediction over the high-volume
+    co-purchase graph: |N(a) ∩ N(b)| / |N(a) ∪ N(b)| for customer pairs
+    sharing >= {PAIR_MIN_SHARED} suppliers — the normalized companion of
+    graph_adamic_adar (AA weights rarity of shared neighbors, Jaccard
+    normalizes by total neighborhood size, so hub customers with huge
+    degree stop dominating the candidate ranking).
+
+    Determinism: the score is one division of exact integers
+    (n_common / (d1 + d2 - n_common)), then the 4-decimal floor. Scale
+    shape: identical to the AA wedge — quantity-thinned edges, the
+    self-join shuffles on supp, then one pair aggregate; customer
+    degrees attach by cust key AFTER the pair aggregate, so the join
+    input is the (gated) pair list, not the wedge expansion.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= PAIR_MIN_QTY
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+        .persist()  # degree agg + both wedge sides
+    )
+    degc = edges.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("cust").alias("c1"), "supp")
+    e2 = edges.select(F.col("cust").alias("c2"), "supp")
+    w = (
+        e1.join(e2, "supp")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= PAIR_MIN_SHARED)
+    )
+    return (
+        w.join(degc.withColumnRenamed("cust", "c1").withColumnRenamed("d", "d1"), "c1")
+        .join(degc.withColumnRenamed("cust", "c2").withColumnRenamed("d", "d2"), "c2")
+        .select(
+            F.col("c1").alias("cust1"),
+            F.col("c2").alias("cust2"),
+            "n_common",
+            F.col("d1").cast("long").alias("deg1"),
+            F.col("d2").cast("long").alias("deg2"),
+            (
+                F.floor(
+                    F.col("n_common").cast("double")
+                    / (F.col("d1") + F.col("d2") - F.col("n_common")).cast(
+                        "double"
+                    )
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("jaccard"),
+        )
+    )

@@ -1335,3 +1335,171 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") * F.lit(float(THEIL_SCALE)))
         ).alias("theil_t"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_bootstrap_ci
+# --------------------------------------------------------------------------
+
+BOOT_B = 40  # resamples; 40 * 0.025 = 1 makes the CI ranks exact integers
+# Poisson(1) CDF thresholds scaled to the 48-bit hash domain:
+# floor(P(X <= k) * 2^48) for k = 0..7 (weights capped at 8; the tail
+# beyond 8 has probability < 2^-17). Integer constants, identical in
+# both engines — the draw w(u) = #{k: u >= T_k} needs no float at all.
+BOOT_T = [
+    103548857136060, 207097714272121, 258872142840152, 276130285696162,
+    280444821410164, 281307728552965, 281451546410098, 281472091818260,
+]
+
+_BOOT_W = " + ".join(
+    f"(CASE WHEN hv >= {t} THEN 1 ELSE 0 END)" for t in BOOT_T
+)
+
+
+@register(
+    "agg_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority AS segment,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+    reps AS (
+        SELECT segment, cents,
+               CAST(list_sum([
+                   (strpos('0123456789abcdef',
+                           substr(md5(CAST(o_orderkey AS VARCHAR)
+                                      || '|' || CAST(b.b AS VARCHAR)
+                                      || '|bs1'), i, 1)) - 1)
+                   * power(16, 12 - i)
+                   for i in generate_series(1, 12)]) AS BIGINT) AS hv,
+               b.b AS b
+        FROM base CROSS JOIN generate_series(0, {BOOT_B - 1}) b(b)),
+    wtd AS (SELECT segment, b, cents, {_BOOT_W} AS w FROM reps),
+    bm AS (
+        SELECT segment, b,
+               CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+                   AS mean_b
+        FROM wtd GROUP BY 1, 2),
+    rk AS (
+        SELECT segment, mean_b,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY mean_b, b) AS rn
+        FROM bm),
+    pick AS (
+        SELECT segment,
+               max(CASE WHEN rn = {BOOT_B // 40} THEN mean_b END) AS lo,
+               max(CASE WHEN rn = {BOOT_B - BOOT_B // 40} THEN mean_b END)
+                   AS hi
+        FROM rk GROUP BY 1),
+    pt AS (
+        SELECT segment, count(*) AS n, sum(cents) AS sc
+        FROM base GROUP BY 1)
+    SELECT pt.segment, CAST(pt.n AS BIGINT) AS n_rows,
+           {sql_stable_round4(
+               'CAST(pt.sc AS DOUBLE) / CAST(pt.n AS DOUBLE)')}
+               AS mean_cents,
+           {sql_stable_round4('pick.lo')} AS ci_lo,
+           {sql_stable_round4('pick.hi')} AS ci_hi
+    FROM pt JOIN pick ON pick.segment = pt.segment
+    ORDER BY pt.segment
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order value per
+    priority segment via the POISSON BOOTSTRAP (Chamandy et al., 2012;
+    the streaming-friendly resampling of Kleiner et al.'s scalable
+    bootstrap): each of {BOOT_B} resamples weights every row by an iid
+    Poisson(1) draw, so a resample never needs n or a shuffle of the
+    raw data — the single-pass trick that makes bootstrapping possible
+    at 100 TB where sample-with-replacement cannot run.
+
+    The draws are DETERMINISTIC: w = #(Poisson CDF thresholds <= the
+    48-bit md5 of (orderkey, replicate, salt)), thresholds pre-scaled
+    to integers — the whole mechanism is exact integer comparisons, so
+    both engines produce identical resamples. Replicate means are one
+    exact-int division each; the CI picks ranked replicates 1 and
+    {BOOT_B - 1} of {BOOT_B} (2.5% / 97.5% with B chosen so the ranks
+    are integers), tie-broken by replicate id.
+
+    Scale shape: the {BOOT_B}x row expansion collapses map-side — the
+    partial aggregate reduces to |segments| x {BOOT_B} partial sums
+    before any shuffle (kept as an explode + ONE two-level aggregate
+    rather than {BOOT_B * 2} aggregate columns, which would blow the
+    whole-stage-codegen field budget — CLAUDE.md perf trap).
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("segment"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    reps = base.select(
+        "segment",
+        "cents",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(BOOT_B - 1))
+        ).alias("b"),
+        "o_orderkey",
+    ).select(
+        "segment",
+        "cents",
+        "b",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("b").cast("string"),
+                        F.lit("bs1"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    wtd = reps.withColumn("w", F.expr(_BOOT_W))
+    bm = wtd.groupBy("segment", "b").agg(
+        (
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("mean_b")
+    )
+    rk = bm.select(
+        "segment",
+        "mean_b",
+        F.row_number()
+        .over(W.partitionBy("segment").orderBy("mean_b", "b"))
+        .alias("rn"),
+    )
+    pick = rk.groupBy("segment").agg(
+        F.max(
+            F.when(F.col("rn") == BOOT_B // 40, F.col("mean_b"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == BOOT_B - BOOT_B // 40, F.col("mean_b"))
+        ).alias("hi"),
+    )
+    pt = base.groupBy("segment").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("sc")
+    )
+    return (
+        pt.join(pick, "segment")
+        .select(
+            "segment",
+            F.col("n").cast("long").alias("n_rows"),
+            stable_round4(
+                F.col("sc").cast("double") / F.col("n").cast("double")
+            ).alias("mean_cents"),
+            stable_round4(F.col("lo")).alias("ci_lo"),
+            stable_round4(F.col("hi")).alias("ci_hi"),
+        )
+        .orderBy("segment")
+    )

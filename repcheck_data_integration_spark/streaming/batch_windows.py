@@ -1725,3 +1725,145 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("survival"),
     )
+
+
+WF_WINDOW_H = 48  # max hours allowed between consecutive funnel steps
+
+
+@register(
+    "events_window_funnel",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM events GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND s1.t1 IS NOT NULL
+          AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL {WF_WINDOW_H} HOUR
+        GROUP BY e.user_id),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND e.ts <= s2.t2 + INTERVAL {WF_WINDOW_H} HOUR
+        GROUP BY e.user_id),
+    j AS (
+        SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+        FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+                LEFT JOIN s3 ON s3.user_id = s1.user_id
+        WHERE s1.t1 IS NOT NULL)
+    SELECT count(*) AS n_view,
+           count(t2) AS n_click_48h,
+           count(t3) AS n_purchase_48h,
+           floor(CAST(count(t2) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS conv_click,
+           floor(CASE WHEN count(t2) = 0 THEN 0.0
+                      ELSE CAST(count(t3) AS DOUBLE)
+                           / CAST(count(t2) AS DOUBLE) END
+                 * 10000.0 + 0.5) / 10000.0 AS conv_purchase,
+           floor(CASE WHEN count(t3) = 0 THEN 0.0
+                      ELSE CAST(sum(date_diff('microsecond', t1, t3))
+                                AS DOUBLE)
+                           / (CAST(count(t3) AS DOUBLE) * 3600000000.0) END
+                 * 10000.0 + 0.5) / 10000.0 AS avg_hours_to_convert
+    FROM j
+    """,
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-CONSTRAINED conversion funnel (the windowFunnel analytic):
+    view → click within {WF_WINDOW_H}h → purchase within {WF_WINDOW_H}h
+    of that click, earliest-qualifying-step semantics per user, plus
+    per-step conversion rates and the mean view→purchase latency.
+    events_funnel answers "did the sequence ever happen"; this one
+    answers the product question — "did it happen FAST enough to credit
+    the journey" — which changes both counts and the latency metric.
+
+    The step gate is interval arithmetic (ts <= prev + INTERVAL), never
+    an epoch cast, so it is TIMESTAMP_NTZ-safe under the driver session
+    (the win_session_features lesson, CLAUDE.md); the latency aggregate
+    sums exact microsecond diffs as integers with one division at the
+    end. Scale shape: same as events_funnel — three conditional-min
+    aggregates re-using the user_id shuffle, two left joins on that
+    same key, one global count row.
+    """
+    e = load(spark, sf_dir, "events")
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    ).filter(F.col("t1").isNotNull())
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (
+                F.col("ts")
+                <= F.col("t1") + F.expr(f"INTERVAL {WF_WINDOW_H} HOUR")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (
+                F.col("ts")
+                <= F.col("t2") + F.expr(f"INTERVAL {WF_WINDOW_H} HOUR")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    j = s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.count("t2").alias("n_click_48h"),
+        F.count("t3").alias("n_purchase_48h"),
+        F.sum(
+            F.unix_micros(F.col("t3")) - F.unix_micros(F.col("t1"))
+        ).alias("us_sum"),
+    )
+    return agg.select(
+        F.col("n_view").cast("long"),
+        F.col("n_click_48h").cast("long"),
+        F.col("n_purchase_48h").cast("long"),
+        (
+            F.floor(
+                F.col("n_click_48h").cast("double")
+                / F.col("n_view").cast("double")
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("conv_click"),
+        (
+            F.floor(
+                F.when(F.col("n_click_48h") == 0, F.lit(0.0)).otherwise(
+                    F.col("n_purchase_48h").cast("double")
+                    / F.col("n_click_48h").cast("double")
+                )
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("conv_purchase"),
+        (
+            F.floor(
+                F.when(F.col("n_purchase_48h") == 0, F.lit(0.0)).otherwise(
+                    F.col("us_sum").cast("double")
+                    / (
+                        F.col("n_purchase_48h").cast("double")
+                        * 3600000000.0
+                    )
+                )
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("avg_hours_to_convert"),
+    )

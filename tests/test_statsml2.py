@@ -360,3 +360,57 @@ def test_theil_zero_for_equal_and_positive_for_skew(spark, tmp_path):
     )
     row2 = agg_theil_index(spark, str(tmp_path)).collect()[0]
     assert 1.0 < row2["theil_t"] < math.log(4) + 0.01
+
+
+def test_bootstrap_ci_brackets_mean_and_reproduces(spark, tmp_path):
+    """The 95% Poisson-bootstrap CI must bracket the exact mean for a
+    well-behaved sample, and the deterministic mechanism must reproduce
+    identical intervals across runs."""
+    rows = [("A", "O", 100.0 + (i % 11)) for i in range(200)]
+    _orders(spark, tmp_path, rows)
+    from repcheck_data_integration_spark.operators.statsml2 import (
+        agg_bootstrap_ci,
+    )
+    r1 = agg_bootstrap_ci(spark, str(tmp_path)).collect()[0]
+    assert r1["n_rows"] == 200
+    assert r1["ci_lo"] <= r1["mean_cents"] <= r1["ci_hi"]
+    assert r1["ci_lo"] < r1["ci_hi"]
+    r2 = agg_bootstrap_ci(spark, str(tmp_path)).collect()[0]
+    assert (r1["ci_lo"], r1["ci_hi"]) == (r2["ci_lo"], r2["ci_hi"])
+
+
+def test_window_funnel_enforces_step_deadline(spark, tmp_path):
+    """User 1 converts view->click->purchase inside 48h windows; user 2
+    clicks 3 days after viewing (excluded); user 3 purchases 3 days
+    after clicking (counted at click, not purchase)."""
+    from repcheck_data_integration_spark.streaming.batch_windows import (
+        events_window_funnel,
+    )
+    rows = [
+        (1, "2024-03-01 00:00:00", 1, "view"),
+        (2, "2024-03-01 10:00:00", 1, "click"),
+        (3, "2024-03-02 10:00:00", 1, "purchase"),
+        (4, "2024-03-01 00:00:00", 2, "view"),
+        (5, "2024-03-04 00:00:00", 2, "click"),
+        (6, "2024-03-04 01:00:00", 2, "purchase"),
+        (7, "2024-03-01 00:00:00", 3, "view"),
+        (8, "2024-03-01 01:00:00", 3, "click"),
+        (9, "2024-03-05 00:00:00", 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "user_id", "event_type"]
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+    r = events_window_funnel(spark, str(tmp_path)).collect()[0]
+    assert r["n_view"] == 3
+    assert r["n_click_48h"] == 2       # users 1 and 3
+    assert r["n_purchase_48h"] == 1    # user 1 only
+    assert r["conv_click"] == math.floor(2 / 3 * 10000 + 0.5) / 10000
+    assert r["conv_purchase"] == 0.5
+    assert r["avg_hours_to_convert"] == 34.0  # user 1: 34h view->purchase
