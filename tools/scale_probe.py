@@ -196,7 +196,11 @@ def main() -> None:
         "temporal DENSITY (same date range), so points×intervals per time",
         f"bucket grows {factor}×{factor} = {factor*factor}× — its measured ratio is",
         "SUBlinear in true pair work; real growth extends the timeline and",
-        "stays linear per bucket.\n",
+        "stays linear per bucket. join_set_similarity inherits the dedup",
+        "caveat in the strongest form: every doc gains factor-1 exact",
+        "twins, so its OUTPUT grows ~1000x (256 -> 250k pairs) — its time",
+        "ratio measures pair-work explosion by construction, not a scale",
+        "bug (per emitted pair it is strongly sublinear).\n",
         f"| query | 1× sec (rows) | {factor}× sec (rows) | time ratio |",
         "|---|---|---|---|",
     ]
