@@ -743,9 +743,7 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 NB_LOG_SCALE = 1_000_000.0
 
 
-@register(
-    "ml_naive_bayes_lang",
-    oracle=f"""
+_NB_ORACLE = f"""
     WITH tc AS (
         SELECT doc_id, lang, tok, count(*) AS cnt
         FROM (SELECT doc_id, lang,
@@ -787,7 +785,12 @@ NB_LOG_SCALE = 1_000_000.0
     FROM pred WHERE rk = 1
     GROUP BY 1, 2
     ORDER BY 1, 2
-    """,
+    """
+
+
+@register(
+    "ml_naive_bayes_lang",
+    oracle=_NB_ORACLE,
 )
 def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial naive-Bayes language classifier, trained and
@@ -887,3 +890,102 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy("lang_true", "lang_pred")
     )
+
+
+# --------------------------------------------------------------------------
+# ml_confusion_prf
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ml_confusion_prf",
+    oracle=f"""
+    WITH cm AS ({{nb}}),
+    t AS (
+        SELECT lang_true AS lang, sum(n_docs) AS n_true,
+               sum(CASE WHEN lang_pred = lang_true THEN n_docs ELSE 0 END)
+                   AS tp
+        FROM cm GROUP BY 1),
+    p AS (SELECT lang_pred AS lang, sum(n_docs) AS n_pred FROM cm GROUP BY 1),
+    j AS (
+        SELECT t.lang, t.n_true, t.tp, COALESCE(p.n_pred, 0) AS n_pred
+        FROM t LEFT JOIN p ON p.lang = t.lang),
+    m AS (
+        SELECT j.*,
+               {sql_stable_round4(
+                   'CASE WHEN n_pred = 0 THEN 0.0 ELSE'
+                   ' CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END')}
+                   AS precision_,
+               {sql_stable_round4(
+                   'CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)')}
+                   AS recall_,
+               {sql_stable_round4(
+                   '2.0 * CAST(tp AS DOUBLE)'
+                   ' / CAST(n_pred + n_true AS DOUBLE)')} AS f1_
+        FROM j)
+    SELECT lang, CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+           precision_ AS precision, recall_ AS recall, f1_ AS f1,
+           {sql_stable_round4('avg(f1_) OVER ()')} AS macro_f1
+    FROM m ORDER BY lang
+    """.replace("{{nb}}", "{nb}").format(nb=_NB_ORACLE),
+)
+def ml_confusion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 (+ macro-F1) derived from the
+    naive-Bayes confusion matrix — the metric layer every classifier in
+    the engine reports through (composes ml_naive_bayes_lang the same
+    way the oracle composes its SQL as a CTE).
+
+    F1 is computed as the EXACT integer form 2*tp / (n_pred + n_true)
+    (algebraically 2PR/(P+R), but with one division instead of three,
+    so no compounded rounding); a class never predicted gets
+    precision 0 by convention rather than NULL. macro_f1 averages the
+    ROUNDED per-class F1s so both engines average identical doubles.
+
+    Scale shape: the confusion matrix is |langs|^2 rows out of the NB
+    pipeline; everything here is arithmetic on that tiny relation.
+    """
+    cm = ml_naive_bayes_lang(spark, sf_dir)
+    t = cm.groupBy(F.col("lang_true").alias("lang")).agg(
+        F.sum("n_docs").alias("n_true"),
+        F.sum(
+            F.when(
+                F.col("lang_pred") == F.col("lang_true"), F.col("n_docs")
+            ).otherwise(0)
+        ).alias("tp"),
+    )
+    p = cm.groupBy(F.col("lang_pred").alias("lang")).agg(
+        F.sum("n_docs").alias("n_pred")
+    )
+    j = t.join(p, "lang", "left").withColumn(
+        "n_pred", F.coalesce("n_pred", F.lit(0))
+    )
+    m = j.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "tp",
+        stable_round4(
+            F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(
+                F.col("tp").cast("double") / F.col("n_pred").cast("double")
+            )
+        ).alias("precision"),
+        stable_round4(
+            F.col("tp").cast("double") / F.col("n_true").cast("double")
+        ).alias("recall"),
+        stable_round4(
+            2.0
+            * F.col("tp").cast("double")
+            / (F.col("n_pred") + F.col("n_true")).cast("double")
+        ).alias("f1"),
+    )
+    return m.select(
+        "lang",
+        F.col("n_true").cast("long"),
+        F.col("n_pred").cast("long"),
+        F.col("tp").cast("long"),
+        "precision",
+        "recall",
+        "f1",
+        stable_round4(F.avg("f1").over(W.partitionBy())).alias("macro_f1"),
+    ).orderBy("lang")

@@ -915,3 +915,45 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(v1, v2)
         .select("doc_id", "lang", "quality_tier", "schema_version")
     )
+
+
+@register(
+    "snk_csv_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def snk_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + re-scan roundtrip with an EXPLICIT schema on the read
+    (inference would promote s_nationkey to BIGINT and could mis-type
+    empty partitions — the schema contract is part of the sink's spec,
+    matching how the reference loads its CSVs with typed models,
+    /root/reference/scripts/*/load*.py). Doubles survive exactly: Spark
+    writes the shortest round-trippable decimal repr and parses it back
+    to the identical bits.
+    """
+    out = _fixture_dir(sf_dir, "csv_sink")
+    src = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    if not _done(out):
+        src.write.mode("overwrite").option("header", "true").csv(out)
+        _mark_done(out)
+    return spark.read.schema(src.schema).option("header", "true").csv(out)
+
+
+@register(
+    "snk_json_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def snk_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + re-scan roundtrip, explicit schema on the read
+    (same contract as snk_csv_roundtrip; completes the sink matrix:
+    parquet / orc / csv / jsonl / jdbc / upsert / scd2 / partitioned
+    overwrite / compaction)."""
+    out = _fixture_dir(sf_dir, "json_sink")
+    src = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    if not _done(out):
+        src.write.mode("overwrite").json(out)
+        _mark_done(out)
+    return spark.read.schema(src.schema).json(out)
