@@ -2035,3 +2035,142 @@ def mix_excess_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# text_pmi_pairs
+# --------------------------------------------------------------------------
+
+PMI_MIN_DF = 20    # a token must appear in >= this many docs to pair
+PMI_MIN_CO = 10    # a pair must co-occur in >= this many docs
+PMI_TOPK = 50
+PMI_SCALE = 1_000_000.0
+
+# shared quantized-PMI expression: one division of exact integers, one
+# libm ln, midpoint-offset quantization (ADVICE r3 guard band).
+_PMI_Q = (
+    "CAST(floor(ln(CAST(cxy * nd AS DOUBLE) / CAST(cx * cy AS DOUBLE))"
+    f" * {PMI_SCALE!r} + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "text_pmi_pairs",
+    oracle=f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+              FROM documents)),
+    nd AS (SELECT count(DISTINCT doc_id) AS nd FROM dt),
+    df AS (
+        SELECT tok, count(*) AS c FROM dt GROUP BY 1
+        HAVING count(*) >= {PMI_MIN_DF}),
+    dtf AS (SELECT dt.doc_id, dt.tok FROM dt JOIN df ON df.tok = dt.tok),
+    co AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS cxy
+        FROM dtf a JOIN dtf b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_CO}),
+    sc AS (
+        SELECT co.tok_a, co.tok_b, co.cxy, da.c AS cx, db.c AS cy, nd.nd,
+               {_PMI_Q} AS pmi_q
+        FROM co JOIN df da ON da.tok = co.tok_a
+                JOIN df db ON db.tok = co.tok_b
+                CROSS JOIN nd),
+    rk AS (
+        SELECT *, row_number() OVER (
+                   ORDER BY pmi_q DESC, cxy DESC, tok_a, tok_b) AS rk
+        FROM sc)
+    SELECT CAST(rk AS INT) AS rk, tok_a, tok_b,
+           CAST(cxy AS BIGINT) AS n_co,
+           CAST(cx AS BIGINT) AS df_a, CAST(cy AS BIGINT) AS df_b,
+           floor(CAST(pmi_q AS DOUBLE) / {PMI_SCALE!r} * 10000.0 + 0.5)
+               / 10000.0 AS pmi
+    FROM rk WHERE rk <= {PMI_TOPK}
+    ORDER BY rk
+    """,
+)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOPK} token pairs by pointwise mutual information over
+    document co-occurrence: PMI(x,y) = ln(P(x,y) / (P(x)P(y))) with
+    document-level probabilities — the collocation detector (Church &
+    Hanks 1990) that complements tf-idf (which ranks tokens alone) and
+    RAKE (contiguous phrases): PMI finds non-adjacent associations.
+
+    Determinism: PMI's argument is ONE correctly-rounded division of
+    exact integers (cxy * N / (cx * cy)); the single ln term is
+    quantized with the midpoint offset before ranking, and the ranking
+    tie-breaks through (pmi_q, cxy, tok_a, tok_b).
+
+    Scale shape: the pair generation is a self-join on doc_id, so cost
+    is sum over docs of (distinct qualifying tokens per doc)^2 —
+    bounded by document length, linear in corpus size — NOT |vocab|^2.
+    The df floor ({PMI_MIN_DF}) prunes the vocabulary tail BEFORE the
+    self-join (a pair can't reach the {PMI_MIN_CO} co-occurrence floor
+    if either member is rarer than that), and the (doc, tok) incidence
+    is materialized once for its three consumers (df counts + both join
+    sides) — the explode-reuse discipline from join_set_similarity.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dt = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+        .persist()
+    )
+    nd = dt.agg(F.countDistinct("doc_id").alias("nd"))
+    df = (
+        dt.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= PMI_MIN_DF)
+    )
+    dtf = dt.join(df.select("tok"), "tok").select("doc_id", "tok")
+    a, b = dtf.alias("a"), dtf.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(F.count("*").alias("cxy"))
+        .filter(F.col("cxy") >= PMI_MIN_CO)
+    )
+    sc = (
+        co.join(
+            df.withColumnRenamed("tok", "tok_a").withColumnRenamed("c", "cx"),
+            "tok_a",
+        )
+        .join(
+            df.withColumnRenamed("tok", "tok_b").withColumnRenamed("c", "cy"),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(nd))
+        .withColumn("pmi_q", F.expr(_PMI_Q))
+    )
+    rk = sc.withColumn(
+        "rk",
+        F.row_number().over(
+            W.orderBy(
+                F.col("pmi_q").desc(),
+                F.col("cxy").desc(),
+                "tok_a",
+                "tok_b",
+            )
+        ),
+    ).filter(F.col("rk") <= PMI_TOPK)
+    return rk.select(
+        F.col("rk").cast("int"),
+        "tok_a",
+        "tok_b",
+        F.col("cxy").cast("long").alias("n_co"),
+        F.col("cx").cast("long").alias("df_a"),
+        F.col("cy").cast("long").alias("df_b"),
+        (
+            F.floor(
+                F.col("pmi_q").cast("double") / PMI_SCALE * 10000.0 + 0.5
+            )
+            / 10000.0
+        ).alias("pmi"),
+    ).orderBy("rk")

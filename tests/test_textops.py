@@ -268,3 +268,44 @@ def test_compression_ratio_separates_repetition(spark, monkeypatch):
         for r in textstats.text_compression_ratio(spark, "unused").collect()
     }
     assert again == {k: v["n_deflate"] for k, v in rows.items()}
+
+
+def test_pmi_pairs_planted_collocation(spark, tmp_path):
+    """Two tokens that ALWAYS co-occur in a quarter of the corpus get
+    PMI = ln(4); a pair co-occurring at independence rate gets ~0; rare
+    tokens below the df floor never appear."""
+    import math
+    import os
+    from repcheck_data_integration_spark.operators.textops import (
+        PMI_MIN_CO,
+        PMI_MIN_DF,
+        text_pmi_pairs,
+    )
+
+    n = 80
+    docs = []
+    for i in range(n):
+        toks = ["common"]  # df = n, pairs with everything at chance
+        if i < n // 4:
+            toks += ["alpha", "beta"]  # perfect collocation in n/4 docs
+        if i % 2 == 0:
+            toks += ["even"]
+        docs.append((i, " ".join(toks), "en", "s", 10))
+    assert n // 4 >= max(PMI_MIN_DF, PMI_MIN_CO)
+    spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    out = {(r["tok_a"], r["tok_b"]): r for r in
+           text_pmi_pairs(spark, str(tmp_path)).collect()}
+    ab = out[("alpha", "beta")]
+    assert ab["n_co"] == n // 4 and ab["df_a"] == n // 4
+    want = math.floor(
+        math.floor(math.log(n / (n // 4)) * 1e6 + 0.5) / 1e6 * 1e4 + 0.5
+    ) / 1e4
+    assert ab["pmi"] == want
+    assert ab["rk"] == 1  # strongest association ranks first
+    # 'common' pairs sit at PMI ~ 0 (independence)
+    ce = out[("common", "even")]
+    assert abs(ce["pmi"]) < 0.001
