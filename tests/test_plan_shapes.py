@@ -435,3 +435,55 @@ def test_adamic_adar_reuses_persisted_edges(spark):
     # the thinned edge list is materialized once and reread from cache
     assert "InMemoryTableScan" in p
     assert "Window" not in p
+
+
+def test_set_similarity_no_cartesian_and_cached_tokens(spark):
+    p = plan(spark, "join_set_similarity")
+    # candidate generation is an equi-join on the prefix token, never a
+    # cross product; the exploded token incidence is read from cache for
+    # its three consumers (df counts + both verify sides)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "InMemoryTableScan" in p
+
+
+def test_kmv_two_level_bottom_k(spark):
+    p = plan(spark, "agg_kmv_sketch")
+    # level-1 prune partitions by (event_type, pid) IN PARALLEL before
+    # the per-type merge window; Spark additionally pushes the rank
+    # filter into WindowGroupLimit so neither level buffers past k rows
+    assert p.count("+- Window ") >= 2
+    assert "WindowGroupLimit" in p
+    assert "SPARK_PARTITION_ID" in p.upper()
+
+
+def test_bootstrap_ci_partial_aggregation_after_explode(spark):
+    p = plan(spark, "agg_bootstrap_ci")
+    # the B-fold expansion collapses map-side: partial + final aggregate
+    # around the shuffle, generator present, scan reads only 3 columns
+    assert "Generate" in p
+    assert p.count("HashAggregate") >= 2
+    # no scan reads beyond the three needed columns
+    assert "o_orderdate" not in p and "o_custkey" not in p
+
+
+def test_item_item_no_cartesian_cached_incidence(spark):
+    p = plan(spark, "rec_item_item_cosine")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "InMemoryTableScan" in p  # incidence table cached for 4 readers
+
+
+def test_auc_prunes_scan_to_three_columns(spark):
+    p = plan(spark, "ml_auc_roc")
+    rs = p.split("ReadSchema")[1][:250]
+    assert "o_orderpriority" in rs and "o_totalprice" in rs
+    assert "o_orderdate" not in rs and "o_custkey" not in rs
+
+
+def test_pmi_df_floor_prunes_before_self_join(spark):
+    p = plan(spark, "text_pmi_pairs")
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p  # (doc, tok) incidence cached
+    # final ranking is a bounded top-k window, no global sort of pairs
+    assert "TakeOrderedAndProject" in p or "Window" in p
