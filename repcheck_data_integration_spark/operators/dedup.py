@@ -1237,3 +1237,150 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round4(mx).alias("max_containment"),
         (mx >= CONTAIN_THRESHOLD).alias("doc_in_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_repeated_ngrams — corpus-wide repeated-span statistics
+# ---------------------------------------------------------------------------
+
+REP_NGRAM_N = 5      # span unit: 5-token n-grams
+REP_MIN_DOCS = 2     # "repeated" = the exact n-gram occurs in ≥2 documents
+
+
+@register(
+    "dedup_repeated_ngrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t
+        FROM documents),
+    grams AS (
+        SELECT doc_id, u.p AS p, u.g AS g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(t) - {REP_NGRAM_N - 1}, 0)),
+                       i -> struct_pack(
+                           p := i,
+                           g := t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                || ' ' || t[i+3] || ' ' || t[i+4]))) AS u
+            FROM toks)),
+    rep AS (SELECT g FROM grams GROUP BY g
+            HAVING count(DISTINCT doc_id) >= {REP_MIN_DOCS}),
+    hits AS (SELECT grams.doc_id, grams.p FROM grams JOIN rep USING (g)),
+    cov AS (
+        SELECT DISTINCT doc_id, p + off AS ipos
+        FROM hits, generate_series(0, {REP_NGRAM_N - 1}) AS gs(off)),
+    isl AS (
+        SELECT doc_id, ipos,
+               ipos - row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY ipos) AS grp
+        FROM cov),
+    spans AS (
+        SELECT doc_id, grp, count(*) AS span_len
+        FROM isl GROUP BY 1, 2),
+    per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(span_len) AS BIGINT) AS toks_flagged,
+               CAST(max(span_len) AS BIGINT) AS longest_span
+        FROM spans GROUP BY 1)
+    SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_toks,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.toks_flagged, 0) AS toks_flagged,
+           COALESCE(p.longest_span, 0) AS longest_span,
+           {sql_stable_round4(
+               "CAST(COALESCE(p.toks_flagged, 0) AS DOUBLE)"
+               " / CAST(len(toks.t) AS DOUBLE)")} AS flagged_share
+    FROM toks LEFT JOIN per_doc p ON p.doc_id = toks.doc_id
+    WHERE len(toks.t) > 0
+    ORDER BY toks.doc_id
+    """,
+)
+def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication audit (Lee et al., ACL 2022,
+    "Deduplicating Training Data Makes Language Models Better" — their
+    ExactSubstr pass, token-granular): find every {REP_NGRAM_N}-token
+    n-gram that occurs in ≥{REP_MIN_DOCS} distinct documents, merge the
+    hit positions per document into maximal repeated SPANS
+    (gaps-and-islands), and report per-doc span counts / coverage — the
+    numbers a curation pipeline uses to cut boilerplate spans (as opposed
+    to whole-doc near-dup removal, which is the minhash family's job;
+    Lee et al. run both, and so does pipeline_corpus_curation +
+    this).
+
+    Determinism: everything is integer positions and exact string
+    equality; the only rational (coverage share) goes through
+    stable_round4. Span merge is the classic ``ipos − row_number()``
+    island key — deterministic because ipos is unique per doc after the
+    DISTINCT.
+
+    Scale shape: positional n-grams are built from the token array with
+    one ``transform`` projection (no self-join); the corpus-wide
+    doc-frequency filter is a single groupBy on the gram (map-side
+    partial agg collapses within-doc repeats first); flagged starts come
+    back via equi-join on the gram; span merge shuffles once on doc_id
+    (the window). Suffix-array construction — Lee et al.'s single-node
+    approach — is exactly what does NOT distribute; the n-gram join is
+    the standard scale-out equivalent. Cost is linear in corpus tokens ×
+    1 shuffle + the (small) repeated-gram join.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+    k = F.size("t") - (REP_NGRAM_N - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("t"), i + j) for j in range(REP_NGRAM_N)]
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                k >= 1, F.transform(F.sequence(F.lit(1), k), gram)
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("p0", "g"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "g")
+    rep = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= REP_MIN_DOCS)
+        .select("g")
+    )
+    hits = grams.join(rep, "g").select("doc_id", "p")
+    cov = hits.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("p"), F.col("p") + F.lit(REP_NGRAM_N - 1))
+        ).alias("ipos"),
+    ).distinct()
+    isl = cov.withColumn(
+        "grp",
+        F.col("ipos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("ipos")),
+    )
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("span_len")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("span_len").cast("long").alias("toks_flagged"),
+        F.max("span_len").cast("long").alias("longest_span"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("long").alias("n_toks"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("toks_flagged", F.lit(0))
+            .cast("long")
+            .alias("toks_flagged"),
+            F.coalesce("longest_span", F.lit(0))
+            .cast("long")
+            .alias("longest_span"),
+            stable_round4(
+                F.coalesce("toks_flagged", F.lit(0)).cast("double")
+                / F.col("n_toks").cast("double")
+            ).alias("flagged_share"),
+        )
+        .orderBy("doc_id")
+    )

@@ -719,3 +719,121 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities in exact integer fixed-point arithmetic
+# ---------------------------------------------------------------------------
+
+HITS_SCALE = 1_000_000  # scores carried as millionth-shares of the L1 mass
+
+
+@register(
+    "graph_hits",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    a1 AS (SELECT supp, CAST(count(*) AS BIGINT) * {HITS_SCALE} AS a
+           FROM edges GROUP BY supp),
+    at1 AS (SELECT sum(a) AS t FROM a1),
+    a1q AS (SELECT supp, (a * {HITS_SCALE}) // t AS aq
+            FROM a1 CROSS JOIN at1),
+    h1 AS (SELECT e.cust, sum(q.aq) AS h
+           FROM edges e JOIN a1q q ON q.supp = e.supp GROUP BY e.cust),
+    ht1 AS (SELECT sum(h) AS t FROM h1),
+    h1q AS (SELECT cust, (h * {HITS_SCALE}) // t AS hq
+            FROM h1 CROSS JOIN ht1),
+    a2 AS (SELECT e.supp, sum(q.hq) AS a
+           FROM edges e JOIN h1q q ON q.cust = e.cust GROUP BY e.supp),
+    at2 AS (SELECT sum(a) AS t FROM a2),
+    a2q AS (SELECT supp, (a * {HITS_SCALE}) // t AS aq
+            FROM a2 CROSS JOIN at2)
+    SELECT 'authority' AS role, supp AS node, CAST(aq AS BIGINT) AS score_q
+    FROM a2q
+    UNION ALL
+    SELECT 'hub' AS role, cust AS node, CAST(hq AS BIGINT) AS score_q
+    FROM h1q
+    ORDER BY role, node
+    """,
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999) over the bipartite
+    purchase graph: customers are hubs, suppliers are authorities. One and
+    a half power iterations (auth ← hubs, hub ← auths, auth ← hubs), each
+    followed by L1 normalization — all in scaled-integer fixed point so an
+    ITERATIVE spectral method stays bit-identical under any partitioning
+    and the DuckDB twin can unroll the same iterations as CTEs (the
+    graph_pagerank discipline; reference analytics are single-pass SQL,
+    /root/reference/scripts/database/database.py:1 — this extends the
+    graph family along the ranking axis).
+
+    Determinism: every update is an exact integer sum over edges; the L1
+    normalization is one truncated integer division per node,
+    ``(score * SCALE) div total``, where ``total`` is an exact integer —
+    no float enters the pipeline, so no summation-order sensitivity.
+    Overflow headroom is arithmetic, not hopeful: after each
+    normalization the vector sums to ~SCALE (1e6), so the next raw update
+    is bounded by SCALE per node and the ``* SCALE`` renormalation
+    numerator by ~1e12 per node (× n_nodes ≤ ~1e7 for the totals at any
+    plausible node count) — well inside int64.
+
+    Scale shape: each half-iteration is one equi-join of the edge list
+    against the current score vector (shuffle on the joined endpoint —
+    the natural bucketing key) plus one hash aggregate; the L1 totals are
+    single-row aggregates broadcast back with a crossJoin. Edge list is
+    persisted once; nothing driver-side ever exceeds one row per
+    normalization constant.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+        .persist()  # three score-update joins over the same edge list
+    )
+
+    def l1_normalize(df: DataFrame, score: str) -> DataFrame:
+        total = df.agg(F.sum(score).alias("__t"))
+        return df.crossJoin(F.broadcast(total)).select(
+            *[c for c in df.columns if c != score],
+            F.expr(f"({score} * {HITS_SCALE}L) div __t").alias(score),
+        )
+
+    # auth ← hubs (h0 = SCALE for every customer collapses to count*SCALE)
+    a1 = edges.groupBy("supp").agg(
+        (F.count(F.lit(1)) * F.lit(HITS_SCALE)).cast("long").alias("a")
+    )
+    a1q = l1_normalize(a1, "a")
+    # hub ← auths
+    h1 = (
+        edges.join(a1q, "supp")
+        .groupBy("cust")
+        .agg(F.sum("a").alias("h"))
+    )
+    h1q = l1_normalize(h1, "h")
+    # auth ← hubs, second pass
+    a2 = (
+        edges.join(h1q, "cust")
+        .groupBy("supp")
+        .agg(F.sum("h").alias("a"))
+    )
+    a2q = l1_normalize(a2, "a")
+    return (
+        a2q.select(
+            F.lit("authority").alias("role"),
+            F.col("supp").alias("node"),
+            F.col("a").cast("long").alias("score_q"),
+        )
+        .unionAll(
+            h1q.select(
+                F.lit("hub").alias("role"),
+                F.col("cust").alias("node"),
+                F.col("h").cast("long").alias("score_q"),
+            )
+        )
+        .orderBy("role", "node")
+    )

@@ -716,3 +716,165 @@ def pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " bin_fill long, is_overflow boolean"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_dsir_weights — hashed-n-gram importance resampling weights
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 512  # hashed feature space size (DSIR uses 10⁴; scaled down
+#                     to the fixture corpus so buckets stay well-populated)
+DSIR_LOG_SCALE = 1_000_000.0
+DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "text_dsir_weights",
+    oracle=f"""
+    WITH tb AS (
+        SELECT doc_id, lang,
+               {sql_hash_bucket("tok", DSIR_BUCKETS)} AS b
+        FROM (SELECT doc_id, lang,
+                     unnest(regexp_extract_all(text, '{TOK_RE}')) AS tok
+              FROM documents)),
+    dc AS (SELECT doc_id, b, count(*) AS cnt FROM tb GROUP BY 1, 2),
+    rc AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+    tc AS (SELECT b, count(*) AS ct FROM tb
+           WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+    tot AS (SELECT count(*) AS tr,
+                   sum(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                            THEN 1 ELSE 0 END) AS tt
+            FROM tb),
+    model AS (
+        SELECT rc.b,
+               CAST(floor(ln((COALESCE(tc.ct, 0) + 1.0)
+                             / CAST(tot.tt + {DSIR_BUCKETS} AS DOUBLE))
+                          * {DSIR_LOG_SCALE!r}) AS BIGINT)
+             - CAST(floor(ln((rc.cr + 1.0)
+                             / CAST(tot.tr + {DSIR_BUCKETS} AS DOUBLE))
+                          * {DSIR_LOG_SCALE!r}) AS BIGINT) AS lq
+        FROM rc CROSS JOIN tot LEFT JOIN tc ON tc.b = rc.b),
+    w AS (
+        SELECT dc.doc_id,
+               CAST(sum(dc.cnt) AS BIGINT) AS n_toks,
+               CAST(sum(dc.cnt * m.lq) AS BIGINT) AS dsir_weight_q
+        FROM dc JOIN model m ON m.b = dc.b GROUP BY 1)
+    SELECT d.doc_id, d.lang, w.n_toks, w.dsir_weight_q,
+           CAST(CASE WHEN w.dsir_weight_q > 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS keep
+    FROM w JOIN documents d ON d.doc_id = w.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al., NeurIPS 2023, "Data
+    Selection for Language Models via Importance Resampling"): score every
+    raw document by how much more likely its hashed bag-of-n-grams is
+    under a TARGET distribution (here: the '{DSIR_TARGET_LANG}' slice)
+    than under the raw corpus — ``w(x) = Σ_f cnt_x(f) · (log p_tgt(f) −
+    log p_raw(f))`` over {DSIR_BUCKETS} hashed unigram features. The paper
+    hashes unigrams+bigrams into 10⁴ buckets; the feature key here is the
+    md5 bucket of the token ({DSIR_BUCKETS} buckets for the fixture-sized
+    corpus) and a bigram variant is the same plan with the hash taken over
+    ``tok_i || ' ' || tok_{{i+1}}``. Completes the data-mixture family
+    (mix_temperature_weights = share-based, mix_excess_loss_weights =
+    loss-based, this = distribution-matching) — the third published
+    reweighting rule a pretraining pipeline chooses between.
+
+    Determinism: both bucket LMs are add-one-smoothed exact integer
+    counts; each log-probability is quantized (floor(ln·1e6)) BEFORE the
+    difference and the per-doc sum, so the weight is an exact integer sum
+    of integers — order-independent under any partitioning. ``keep`` is
+    the sign test (weight > 0 ⇔ doc looks more target- than raw-like);
+    thresholded resampling composes downstream exactly like
+    sample_weighted.
+
+    Scale shape: ONE token explode, collapsed by map-side partial agg
+    into the persisted (doc, lang, bucket, cnt) incidence — the only
+    corpus-sized shuffle. The two bucket LMs ({DSIR_BUCKETS} rows each)
+    and the 1-row totals are tiny reaggregates of that cache, and the
+    model is broadcast into the scoring join, so the corpus is never
+    shuffled a second time; the final join back to documents attaches
+    metadata by doc_id. No all-pairs stage, no driver-side model.
+    """
+    d = load(spark, sf_dir, "documents")
+    # one tokenize+explode pass, collapsed straight to (doc, lang, bucket)
+    # counts and persisted: the two bucket LMs, the totals AND the scoring
+    # side all reaggregate this narrow cached frame instead of re-running
+    # the corpus scan four times (the ml_naive_bayes_lang lesson)
+    dcl = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.regexp_extract_all("text", F.lit(TOK_RE), 0)).alias(
+                "tok"
+            ),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            hash_bucket(F.col("tok"), DSIR_BUCKETS).alias("b"),
+        )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    dc = dcl.select("doc_id", "b", "cnt")
+    rc = dcl.groupBy("b").agg(F.sum("cnt").alias("cr"))
+    tc = (
+        dcl.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("ct"))
+    )
+    tot = dcl.agg(
+        F.sum("cnt").alias("tr"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("cnt")).otherwise(
+                0
+            )
+        ).alias("tt"),
+    )
+    logq = lambda num, den: F.floor(  # noqa: E731
+        F.log(num / den.cast("double")) * F.lit(DSIR_LOG_SCALE)
+    ).cast("long")
+    model = (
+        rc.crossJoin(F.broadcast(tot))
+        .join(tc, "b", "left")
+        .select(
+            "b",
+            (
+                logq(
+                    F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0),
+                    F.col("tt") + F.lit(DSIR_BUCKETS),
+                )
+                - logq(
+                    F.col("cr") + F.lit(1.0),
+                    F.col("tr") + F.lit(DSIR_BUCKETS),
+                )
+            ).alias("lq"),
+        )
+    )
+    w = (
+        dc.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_toks"),
+            F.sum(F.col("cnt") * F.col("lq")).cast("long").alias(
+                "dsir_weight_q"
+            ),
+        )
+    )
+    return (
+        w.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_toks",
+            "dsir_weight_q",
+            F.when(F.col("dsir_weight_q") > 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

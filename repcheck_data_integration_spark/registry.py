@@ -101,7 +101,13 @@ DRIVER_PRIORITY: list[str] = [
     "pipeline_rag_index",
     "pipeline_rag_query",
     "src_xml_scan",
-    # round-4 statsml tranche (new this commit):
+    # round-4 continuation tranche (HITS ranking, DSIR reweighting,
+    # Lee-et-al repeated-span audit — newest code gets driver eyes):
+    "graph_hits",
+    "text_dsir_weights",
+    "dedup_repeated_ngrams",
+    # round-4 statsml tranche (the two names past position 50 stay under
+    # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",
     "dq_t_closeness",
     "join_set_similarity",

@@ -487,3 +487,35 @@ def test_pmi_df_floor_prunes_before_self_join(spark):
     assert "InMemoryTableScan" in p  # (doc, tok) incidence cached
     # final ranking is a bounded top-k window, no global sort of pairs
     assert "TakeOrderedAndProject" in p or "Window" in p
+
+
+def test_hits_broadcasts_norm_totals_and_caches_edges(spark):
+    p = plan(spark, "graph_hits")
+    # the 1-row L1 totals join back as broadcasts, never a shuffled join;
+    # the edge list is persisted once for its three score-update passes
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p
+    assert "BroadcastExchange" in p
+
+
+def test_dsir_model_broadcast_scoring_single_shuffle(spark):
+    p = plan(spark, "text_dsir_weights")
+    # the 512-bucket model side is broadcast into the scoring join — the
+    # corpus-sized (doc,bucket) frame is never shuffled a second time —
+    # and the (doc,lang,bucket) incidence is cached for its 4 consumers
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p
+    # no scan reads beyond the needed document columns
+    assert "n_chars" not in p
+
+
+def test_repeated_ngrams_no_cartesian_pruned_scan(spark):
+    p = plan(spark, "dedup_repeated_ngrams")
+    # gram doc-frequency filter joins back by equality on the gram; the
+    # span merge is the only window, partitioned by doc_id
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "doc_id" in rs and "text" in rs
+    assert "lang" not in rs and "source" not in rs
