@@ -115,6 +115,13 @@ PROBES = [
     "ml_decision_stump",
     "rec_item_item_cosine",
     "ts_theil_sen",
+    # round-4 continuation (HITS / DSIR / repeated-span audit). The
+    # repeated-ngrams row inherits the dedup caveat: key-shifted copies
+    # are exact text twins, so EVERY 5-gram becomes corpus-repeated and
+    # the flagged-coverage work legitimately saturates at ~all positions.
+    "graph_hits",
+    "text_dsir_weights",
+    "dedup_repeated_ngrams",
 ]
 
 
