@@ -837,3 +837,122 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("role", "node")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore — unrolled k-core peeling over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3       # core threshold: keep nodes with >= K surviving neighbors
+KCORE_ROUNDS = 3  # unrolled peel rounds (the oracle unrolls the same three)
+
+
+@register(
+    "graph_kcore",
+    oracle=f"""
+    WITH {SQL_PAIRS},
+    und AS (SELECT c1 AS n, c2 AS m FROM p UNION ALL SELECT c2, c1 FROM p),
+    d0 AS (SELECT n, count(*) AS d FROM und GROUP BY n),
+    k1 AS (SELECT n FROM d0 WHERE d >= {KCORE_K}),
+    e1 AS (SELECT u.n, u.m FROM und u
+           JOIN k1 a ON a.n = u.n JOIN k1 b ON b.n = u.m),
+    d1 AS (SELECT n, count(*) AS d FROM e1 GROUP BY n),
+    k2 AS (SELECT n FROM d1 WHERE d >= {KCORE_K}),
+    e2 AS (SELECT u.n, u.m FROM e1 u
+           JOIN k2 a ON a.n = u.n JOIN k2 b ON b.n = u.m),
+    d2 AS (SELECT n, count(*) AS d FROM e2 GROUP BY n),
+    k3 AS (SELECT n FROM d2 WHERE d >= {KCORE_K}),
+    e3 AS (SELECT u.n, u.m FROM e2 u
+           JOIN k3 a ON a.n = u.n JOIN k3 b ON b.n = u.m),
+    d3 AS (SELECT n, count(*) AS d FROM e3 GROUP BY n)
+    SELECT d0.n AS node,
+           CAST(d0.d AS BIGINT) AS deg0,
+           CAST(COALESCE(d3.d, 0) AS BIGINT) AS deg_r{KCORE_ROUNDS},
+           CAST(CASE WHEN d0.d < {KCORE_K} THEN 1
+                     WHEN COALESCE(d1.d, 0) < {KCORE_K} THEN 2
+                     WHEN COALESCE(d2.d, 0) < {KCORE_K} THEN 3
+                     ELSE 0 END AS INTEGER) AS removed_round
+    FROM d0
+    LEFT JOIN d1 ON d1.n = d0.n
+    LEFT JOIN d2 ON d2.n = d0.n
+    LEFT JOIN d3 ON d3.n = d0.n
+    ORDER BY node
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (Seidman 1983; the distributed formulation is
+    Montresor et al., "Distributed k-Core Decomposition", PODC 2011):
+    repeatedly delete nodes with degree < {KCORE_K} from the co-purchase
+    similarity graph, {KCORE_ROUNDS} unrolled rounds. The surviving
+    subgraph approaches the {KCORE_K}-core — the standard dense-community
+    seed and the 'is this account embedded or peripheral?' screen that
+    runs before any community detection. Output per original node: its
+    starting degree, its degree after round {KCORE_ROUNDS}, and the round
+    that removed it (0 = survived all rounds). Deletion CASCADES —
+    removing a peripheral node can drag its neighbors below K — which is
+    what the round-by-round column makes visible and what a single
+    degree threshold (graph_degree) cannot express.
+
+    Determinism: pure integer degree counts and threshold compares; no
+    scores, no ties. A fixed unroll depth (not run-to-convergence) keeps
+    the Spark plan static and lets the DuckDB twin unroll the identical
+    three rounds as CTEs — same discipline as graph_pagerank's fixed
+    two iterations.
+
+    Scale shape: each round is one hash aggregate (degree) plus two
+    semi-shaped equi-joins of the edge list against the (node-sized)
+    survivor set — never an all-pairs product. Edges are shuffled on the
+    endpoint key, the natural bucketing; survivor sets are orders of
+    magnitude smaller than edges (broadcast here; at 100 TB they stay
+    equi-joins on the bucketed key). The peeled edge list shrinks
+    monotonically, so later rounds cost less, and the unionAll'd
+    direction doubling is a projection, not a shuffle.
+    """
+    p = _copurchase_pairs(spark, sf_dir).select("cust1", "cust2")
+    und = (
+        p.select(F.col("cust1").alias("n"), F.col("cust2").alias("m"))
+        .unionAll(p.select(F.col("cust2").alias("n"), F.col("cust1").alias("m")))
+        .persist()  # four degree passes + three peels read it
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return e.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+
+    def peel(e: DataFrame, deg: DataFrame) -> DataFrame:
+        keep = deg.filter(F.col("d") >= KCORE_K).select("n")
+        return (
+            e.join(F.broadcast(keep), "n")
+            .join(
+                F.broadcast(keep.select(F.col("n").alias("m"))), "m"
+            )
+            .select("n", "m")
+        )
+
+    d0 = degrees(und)
+    e1 = peel(und, d0)
+    d1 = degrees(e1)
+    e2 = peel(e1, d1)
+    d2 = degrees(e2)
+    e3 = peel(e2, d2)
+    d3 = degrees(e3)
+
+    def side(deg: DataFrame, name: str) -> DataFrame:
+        return deg.select("n", F.col("d").alias(name))
+
+    out = (
+        side(d0, "deg0")
+        .join(side(d1, "d1"), "n", "left")
+        .join(side(d2, "d2"), "n", "left")
+        .join(side(d3, "d3"), "n", "left")
+    )
+    return out.select(
+        F.col("n").alias("node"),
+        F.col("deg0").cast("long"),
+        F.coalesce("d3", F.lit(0)).cast("long").alias(f"deg_r{KCORE_ROUNDS}"),
+        F.when(F.col("deg0") < KCORE_K, 1)
+        .when(F.coalesce("d1", F.lit(0)) < KCORE_K, 2)
+        .when(F.coalesce("d2", F.lit(0)) < KCORE_K, 3)
+        .otherwise(0)
+        .cast("int")
+        .alias("removed_round"),
+    ).orderBy("node")

@@ -1182,9 +1182,13 @@ def ts_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar length, independent of fact bytes.
     """
     e = load(spark, sf_dir, "events")
-    daily = e.groupBy(
-        F.date_trunc("day", F.col("ts")).alias("d")
-    ).agg(F.count("*").alias("c"))
+    daily = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count("*").alias("c"))
+        # |days|-row frame read by bounds, the grid join and the series:
+        # without the cache each consumer re-scans the fact table
+        .persist()
+    )
     bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     grid = bounds.select(
         F.explode(

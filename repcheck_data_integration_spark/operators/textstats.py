@@ -946,3 +946,101 @@ def _register_lang_id_eval() -> None:
 
 
 _register_lang_id_eval()
+
+
+# ---------------------------------------------------------------------------
+# text_readability — Flesch reading ease / FK grade from exact counts
+# ---------------------------------------------------------------------------
+
+SYLL_RE = "[aeiouy]+"   # syllable ~ maximal vowel group (house heuristic)
+SENT_RE = "[.!?]+"      # sentence terminator runs
+
+# Shared formula strings evaluated verbatim by BOTH engines over the exact
+# integer counts (w = words, s = sentences, y = syllables, each floored to
+# 1): identical IEEE mul/add/div sequences, then stable_round4.
+_FLESCH = (
+    "206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))"
+    " - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))"
+)
+_FKGRADE = (
+    "0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))"
+    " + 11.8 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59"
+)
+
+
+@register(
+    "text_readability",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-z0-9]+')) AS n_words,
+               len(regexp_extract_all(text, '{SYLL_RE}')) AS n_syllables,
+               len(regexp_extract_all(text, '{SENT_RE}')) AS n_sentences
+        FROM documents),
+    f AS (
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               greatest(n_words, 1) AS w,
+               greatest(n_sentences, 1) AS s,
+               n_syllables AS y
+        FROM c)
+    SELECT doc_id, n_words, n_syllables, n_sentences,
+           {sql_stable_round4(_FLESCH)} AS flesch_ease,
+           {sql_stable_round4(_FKGRADE)} AS fk_grade
+    FROM f
+    ORDER BY doc_id
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (Flesch 1948 reading ease; Kincaid et al. 1975
+    grade level) — the classic curation signal next to text_quality_score:
+    fluent prose scores mid-range, keyword-stuffed or boilerplate text
+    scores at the extremes, and a grade-level band is a standard corpus
+    filter (e.g. keep 3 <= FK grade <= 16).
+
+    Both formulas need only three exact integer counts per document —
+    words (house tokenizer regex), sentences (terminator runs), and
+    syllables, approximated as maximal vowel-group runs '{SYLL_RE}' (the
+    standard dictionary-free heuristic; fixture text is already
+    lowercase). The rational words-per-sentence and syllables-per-word
+    ratios go through the SAME formula string in Spark and DuckDB
+    (identical IEEE operation sequence), then stable_round4 — the house
+    discipline for rationals of exact integers. Zero-word / zero-sentence
+    docs are floored to 1 in the ratios only; the raw counts stay honest.
+
+    Scale shape: one projection over the documents scan — three regexp
+    counts per row, no shuffle, no UDF, fully whole-stage-codegen. The
+    ORDER BY is presentation-only (the driver canonicalizes); at 100 TB
+    this is a map-only pass that pushes the doc_id/text column pruning
+    into the parquet scan.
+    """
+    d = load(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(SYLL_RE), 0)).alias(
+            "n_syllables"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(SENT_RE), 0)).alias(
+            "n_sentences"
+        ),
+    )
+    f = c.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.greatest("n_words", F.lit(1)).alias("w"),
+        F.greatest("n_sentences", F.lit(1)).alias("s"),
+        F.col("n_syllables").alias("y"),
+    )
+    return f.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        "n_sentences",
+        stable_round4(F.expr(_FLESCH)).alias("flesch_ease"),
+        stable_round4(F.expr(_FKGRADE)).alias("fk_grade"),
+    ).orderBy("doc_id")

@@ -106,6 +106,10 @@ DRIVER_PRIORITY: list[str] = [
     "graph_hits",
     "text_dsir_weights",
     "dedup_repeated_ngrams",
+    "graph_kcore",
+    "text_readability",
+    "ts_holt_linear",
+    "ts_decompose_seasonal",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",
@@ -151,6 +155,7 @@ def load_all_modules() -> None:
         sampling,
         statsml,
         statsml2,
+        statsml3,
     )
     from .functions import scalar_queries  # noqa: F401
     from .sources import file_sources, pyds  # noqa: F401

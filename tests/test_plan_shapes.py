@@ -519,3 +519,46 @@ def test_repeated_ngrams_no_cartesian_pruned_scan(spark):
     rs = p.split("ReadSchema", 1)[1][:250]
     assert "doc_id" in rs and "text" in rs
     assert "lang" not in rs and "source" not in rs
+
+
+def test_kcore_peels_with_broadcast_semis_no_cartesian(spark):
+    p = plan(spark, "graph_kcore")
+    # survivor sets join the edge list as broadcasts; the undirected edge
+    # list is persisted once for its four degree passes
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "InMemoryTableScan" in p
+
+
+def test_readability_single_map_pass_pruned_scan(spark):
+    p = plan(spark, "text_readability")
+    # pure projection over the documents scan: no join, no aggregate
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "doc_id" in rs and "text" in rs
+    assert "lang" not in rs and "n_chars" not in rs
+
+
+def test_holt_caches_daily_frame_broadcast_constants(spark):
+    p = plan(spark, "ts_holt_linear")
+    # the |days|-row daily frame is cached (one fact scan, not four);
+    # split/level/test constants come back as broadcasts
+    assert "InMemoryTableScan" in p
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    rs = p.split("ReadSchema", 1)[1][:200]
+    assert "ts" in rs and "event_type" not in rs and "props" not in rs
+
+
+def test_seasonal_decompose_caches_daily_no_fact_window(spark):
+    p = plan(spark, "ts_decompose_seasonal")
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
+    # the moving-average window runs over the calendar series built from
+    # the cached daily aggregate, never over fact rows: the events scan
+    # is pruned to ts only and feeds a HashAggregate
+    assert "Window" in p
+    rs = p.split("ReadSchema", 1)[1][:200]
+    assert "ts" in rs and "event_type" not in rs and "props" not in rs
