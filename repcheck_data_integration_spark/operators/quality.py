@@ -527,3 +527,101 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_rows_at_risk"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_fk_coverage — whole-schema referential-integrity audit
+# ---------------------------------------------------------------------------
+
+# (fk label, child table, child key col, parent table, parent key col) —
+# every FK edge of the fixture star/snowflake schema, audited in one op.
+FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+]
+
+_FK_SQL = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{label}' AS fk,
+           CAST(sum(c.cnt) AS BIGINT) AS child_rows,
+           CAST(count(*) AS BIGINT) AS child_keys,
+           CAST(sum(CASE WHEN p.{pk} IS NULL THEN c.cnt ELSE 0 END)
+                AS BIGINT) AS orphan_rows,
+           CAST(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS orphan_keys
+    FROM (SELECT {ck} AS k, count(*) AS cnt FROM {child}
+          WHERE {ck} IS NOT NULL GROUP BY 1) c
+    LEFT JOIN {parent} p ON p.{pk} = c.k
+    """
+    for label, child, ck, parent, pk in FK_EDGES
+)
+
+
+@register(
+    "dq_fk_coverage",
+    oracle=f"""
+    WITH rows_per_fk AS ({_FK_SQL})
+    SELECT fk, child_rows, child_keys, orphan_rows, orphan_keys
+    FROM rows_per_fk
+    ORDER BY fk
+    """,
+)
+def dq_fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema referential-integrity audit: one row per foreign-key
+    edge of the star/snowflake schema with child-row, distinct-key and
+    orphan counts — the set-oriented generalization of
+    join_fk_missing_check (one FK, row-level output) to the report a
+    nightly ingest gate actually publishes. The reference validates
+    references imperatively per pipeline (fail-fast lookups,
+    /root/reference/scripts/state_house_districts.py:132-135); here the
+    whole schema is audited in one declarative pass.
+
+    Scale shape: each child scan collapses to DISTINCT child keys via a
+    map-side partial aggregate BEFORE the parent join (orphan ROWS are
+    recovered from the carried per-key counts), so the join input is
+    |distinct keys|, not |child rows|; parent key columns are
+    dimension-sized and broadcast. Seven independent branches union into
+    a 7-row result — each branch prunes its scans to the single key
+    column. Everything is exact integer counting; no rationals at all.
+    """
+    parts = []
+    for label, child, ck, parent, pk in FK_EDGES:
+        c = (
+            load(spark, sf_dir, child)
+            .filter(F.col(ck).isNotNull())
+            .groupBy(F.col(ck).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        p = load(spark, sf_dir, parent).select(F.col(pk).alias("pkey"))
+        j = c.join(F.broadcast(p), c.k == F.col("pkey"), "left")
+        parts.append(
+            j.agg(
+                F.lit(label).alias("fk"),
+                F.sum("cnt").cast("long").alias("child_rows"),
+                F.count(F.lit(1)).cast("long").alias("child_keys"),
+                F.sum(
+                    F.when(F.col("pkey").isNull(), F.col("cnt")).otherwise(0)
+                )
+                .cast("long")
+                .alias("orphan_rows"),
+                F.sum(F.when(F.col("pkey").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("orphan_keys"),
+            )
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionAll(q)
+    return out.orderBy("fk")

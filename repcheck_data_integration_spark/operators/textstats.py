@@ -1044,3 +1044,80 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round4(F.expr(_FLESCH)).alias("flesch_ease"),
         stable_round4(F.expr(_FKGRADE)).alias("fk_grade"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# text_tokenizer_fertility — per-language tokenizer efficiency audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '[a-z0-9]+')) AS w,
+               len(regexp_extract_all(text, '{BPE_RE}')) AS t,
+               length(text) AS ch
+        FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CAST(sum(t) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(ch) AS BIGINT) AS n_chars,
+           {sql_stable_round4(
+               "CAST(sum(t) AS DOUBLE) / CAST(greatest(sum(w), 1) AS DOUBLE)"
+           )} AS fertility,
+           {sql_stable_round4(
+               "CAST(sum(ch) AS DOUBLE) / CAST(greatest(sum(t), 1) AS DOUBLE)"
+           )} AS chars_per_token
+    FROM c GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language — tokens-per-word and
+    chars-per-token of the BPE-ish segmentation, the standard multilingual
+    tokenizer-efficiency report (fertility ≫ 1 for a language means its
+    text costs disproportionate sequence length, the metric driving
+    vocabulary-allocation decisions in multilingual pretraining; see e.g.
+    Rust et al., ACL 2021, "How Good is Your Tokenizer?"). Complements
+    text_token_count (per-doc counts) with the per-language corpus roll-up
+    that the mixing stage (mix_temperature_weights) consumes.
+
+    Exactness: three integer counts per doc, summed exactly; the two
+    ratios are rationals of exact integers through stable_round4 with a
+    greatest(·,1) floor — the house discipline.
+
+    Scale shape: one map pass (three regexp counts) collapsed by a
+    map-side partial aggregate into |langs| rows; the only shuffle
+    carries one row per language. Scan prunes to (lang, text).
+    """
+    d = load(spark, sf_dir, "documents")
+    c = d.select(
+        "lang",
+        F.size(tokens(F.col("text"))).alias("w"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("t"),
+        F.length("text").alias("ch"),
+    )
+    g = c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("t").cast("long").alias("n_bpe_tokens"),
+        F.sum("ch").cast("long").alias("n_chars"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        stable_round4(
+            F.col("n_bpe_tokens").cast("double")
+            / F.greatest("n_words", F.lit(1)).cast("double")
+        ).alias("fertility"),
+        stable_round4(
+            F.col("n_chars").cast("double")
+            / F.greatest("n_bpe_tokens", F.lit(1)).cast("double")
+        ).alias("chars_per_token"),
+    ).orderBy("lang")

@@ -110,6 +110,10 @@ DRIVER_PRIORITY: list[str] = [
     "text_readability",
     "ts_holt_linear",
     "ts_decompose_seasonal",
+    "text_tokenizer_fertility",
+    "dq_fk_coverage",
+    "events_regularity_score",
+    "win_hampel_filter",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

@@ -1867,3 +1867,213 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("avg_hours_to_convert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_regularity_score — metronome detection via inter-event gap CV
+# ---------------------------------------------------------------------------
+
+REG_MIN_GAPS = 5    # users with fewer gaps aren't scored (cv is noise)
+REG_CV_BOT = 0.1    # coefficient of variation below this = metronomic
+
+
+@register(
+    "events_regularity_score",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events),
+    s AS (
+        SELECT user_id,
+               count(gap_us) AS n_gaps,
+               sum(gap_us) AS s1,
+               sum(CAST(gap_us AS HUGEINT) * gap_us) AS s2
+        FROM g GROUP BY user_id
+        HAVING count(gap_us) >= {REG_MIN_GAPS}),
+    c AS (
+        SELECT user_id, n_gaps,
+               floor((CAST(s1 AS DOUBLE)
+                      / (CAST(n_gaps AS DOUBLE) * 1000000.0))
+                     * 10000.0 + 0.5) / 10000.0 AS mean_gap_s,
+               floor((sqrt(CAST(CAST(n_gaps AS HUGEINT) * s2
+                                - CAST(s1 AS HUGEINT) * s1 AS DOUBLE))
+                      / CAST(s1 AS DOUBLE))
+                     * 10000.0 + 0.5) / 10000.0 AS cv_gap
+        FROM s)
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps, mean_gap_s, cv_gap,
+           CAST(CASE WHEN cv_gap < {REG_CV_BOT} THEN 1 ELSE 0 END
+                AS INTEGER) AS is_metronomic
+    FROM c
+    ORDER BY user_id
+    """,
+)
+def events_regularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-gap regularity per user — the classic bot/automation
+    screen: organic users emit bursty, high-variance gaps, while scripted
+    traffic fires on a timer and its coefficient of variation collapses
+    toward 0 (a Poisson process has CV = 1). Flags users whose gap CV
+    falls below {REG_CV_BOT} — the feature a traffic-quality gate feeds
+    into curation of interaction logs.
+
+    Exactness: gaps are whole microseconds (integer lag differences over
+    a fully tie-broken per-user order); the moments n, Σg, Σg² are exact
+    integer sums (Σg² in DECIMAL(38)/HUGEINT — a day-sized gap squared
+    overflows int64). CV = sqrt(n·Σg² − (Σg)²)/Σg enters floating point
+    only in the final sqrt/divide; both engines convert the SAME exact
+    integers, and IEEE-754 sqrt is correctly rounded, so the doubles
+    agree bit-for-bit before stable_round4. The metronome flag compares
+    the ROUNDED cv, so the threshold can't straddle an ulp.
+
+    Scale shape: one user-keyed shuffle for the lag window, then a hash
+    aggregate on the same key (no second shuffle — partial aggregation
+    collapses per partition). Scan prunes to (user_id, ts, event_id).
+    """
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = e.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").alias("s1"),
+            F.sum(
+                F.col("gap_us").cast("decimal(38,0)") * F.col("gap_us")
+            ).alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= REG_MIN_GAPS)
+    )
+    from ..operators.dedup import stable_round4
+
+    cv = stable_round4(
+        F.sqrt(
+            (
+                F.col("n_gaps").cast("decimal(38,0)") * F.col("s2")
+                - F.col("s1").cast("decimal(38,0)")
+                * F.col("s1").cast("decimal(38,0)")
+            ).cast("double")
+        )
+        / F.col("s1").cast("double")
+    )
+    c = s.select(
+        "user_id",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        stable_round4(
+            F.col("s1").cast("double") / (F.col("n_gaps") * F.lit(1000000.0))
+        ).alias("mean_gap_s"),
+        cv.alias("cv_gap"),
+    )
+    return c.select(
+        "user_id",
+        "n_gaps",
+        "mean_gap_s",
+        "cv_gap",
+        F.when(F.col("cv_gap") < REG_CV_BOT, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_metronomic"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# win_hampel_filter — rolling median/MAD outlier filter (exact integers)
+# ---------------------------------------------------------------------------
+
+HAMPEL_HALF = 2   # centered window of 2*HALF + 1 = 5 observations
+HAMPEL_K = 3      # flag when |x - med| > K * MAD
+
+
+@register(
+    "win_hampel_filter",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_id, user_id,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+               list(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {HAMPEL_HALF} PRECEDING
+                            AND {HAMPEL_HALF} FOLLOWING) AS l
+        FROM events),
+    f AS (
+        SELECT event_id, user_id, cents,
+               list_sort(l)[{HAMPEL_HALF + 1}] AS med
+        FROM w WHERE len(l) = {2 * HAMPEL_HALF + 1}),
+    m AS (
+        SELECT f.event_id, f.user_id, f.cents, f.med,
+               list_sort(list_transform(w.l, x -> abs(x - f.med)))
+                   [{HAMPEL_HALF + 1}] AS mad
+        FROM f JOIN w ON w.event_id = f.event_id)
+    SELECT event_id, user_id, cents, med, mad,
+           CAST(CASE WHEN abs(cents - med) > {HAMPEL_K} * mad
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+    FROM m
+    ORDER BY event_id
+    """,
+)
+def win_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter (Hampel 1974; the rolling-median despiking
+    standard for sensor/telemetry streams): for each event, the median
+    and the median-absolute-deviation of the {2 * HAMPEL_HALF + 1}-point
+    centered window of the user's value series; flag points more than
+    {HAMPEL_K}·MAD from the rolling median. The per-point counterpart of
+    dq_outliers_mad (global MAD) — a level shift in a series poisons the
+    global screen, while the rolling window tracks it.
+
+    Exactness: values are integer cents; the window has an ODD length
+    and edge rows without a full window are excluded, so every median is
+    a sorted-array middle ELEMENT (no interpolation, no float) and the
+    MAD is the middle of the 5 integer absolute deviations. The flag is
+    a pure integer compare — no rationals anywhere in this op.
+
+    Scale shape: one user-keyed shuffle for the window; the rolling
+    5-element array is built by the window frame itself (collect_list
+    over ROWS BETWEEN), and both medians are O(w log w) array sorts on
+    w = 5 elements inside whole-stage codegen — no self-join, no explode.
+    Scan prunes to (event_id, user_id, ts, value).
+    """
+    e = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-HAMPEL_HALF, HAMPEL_HALF)
+    )
+    w = e.select(
+        "event_id",
+        "user_id",
+        cents.alias("cents"),
+        F.collect_list(cents).over(win).alias("l"),
+    )
+    f = w.filter(F.size("l") == 2 * HAMPEL_HALF + 1).select(
+        "event_id",
+        "user_id",
+        "cents",
+        "l",
+        F.element_at(F.array_sort("l"), HAMPEL_HALF + 1).alias("med"),
+    )
+    m = f.select(
+        "event_id",
+        "user_id",
+        "cents",
+        "med",
+        F.element_at(
+            F.array_sort(
+                F.transform("l", lambda x: F.abs(x - F.col("med")))
+            ),
+            HAMPEL_HALF + 1,
+        ).alias("mad"),
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "cents",
+        "med",
+        "mad",
+        (F.abs(F.col("cents") - F.col("med")) > HAMPEL_K * F.col("mad"))
+        .cast("int")
+        .alias("is_outlier"),
+    ).orderBy("event_id")

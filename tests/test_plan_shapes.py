@@ -562,3 +562,44 @@ def test_seasonal_decompose_caches_daily_no_fact_window(spark):
     assert "Window" in p
     rs = p.split("ReadSchema", 1)[1][:200]
     assert "ts" in rs and "event_type" not in rs and "props" not in rs
+
+
+def test_fertility_partial_agg_pruned_scan(spark):
+    p = plan(spark, "text_tokenizer_fertility")
+    # map-side partial aggregation before the |langs|-row shuffle
+    assert p.count("HashAggregate") >= 2
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "lang" in rs and "text" in rs
+    assert "doc_id" not in rs and "source" not in rs
+
+
+def test_fk_coverage_broadcast_parents_key_only_scans(spark):
+    p = plan(spark, "dq_fk_coverage")
+    # parent key columns broadcast into every branch; child scans collapse
+    # to distinct keys before the join
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # the lineitem branches read ONLY their key column
+    assert "ReadSchema: struct<l_orderkey:bigint>" in p
+
+
+def test_regularity_single_user_shuffle(spark):
+    p = plan(spark, "events_regularity_score")
+    # lag window and the moment aggregate share the user_id partitioning:
+    # exactly one user-keyed exchange (plus the presentation range sort)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert p.count("hashpartitioning(user_id") == 1
+    rs = p.split("ReadSchema", 1)[1][:200]
+    assert "user_id" in rs and "ts" in rs
+    assert "props" not in rs and "value" not in rs
+
+
+def test_hampel_window_no_self_join_pruned(spark):
+    p = plan(spark, "win_hampel_filter")
+    # rolling arrays come from the window frame, not a self-join/explode
+    assert "Join" not in p
+    assert "Generate" not in p  # no explode
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "value" in rs and "props" not in rs and "event_type" not in rs
