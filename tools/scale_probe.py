@@ -122,6 +122,14 @@ PROBES = [
     "graph_hits",
     "text_dsir_weights",
     "dedup_repeated_ngrams",
+    "graph_kcore",
+    "text_readability",
+    "ts_holt_linear",
+    "ts_decompose_seasonal",
+    "text_tokenizer_fertility",
+    "dq_fk_coverage",
+    "events_regularity_score",
+    "win_hampel_filter",
 ]
 
 
