@@ -77,6 +77,15 @@ HEADLINE = [
     "ml_naive_bayes_lang",
     "ml_auc_roc",
     "rec_item_item_cosine",
+    # round-4 continuation tranches
+    "graph_hits",
+    "text_dsir_weights",
+    "dedup_repeated_ngrams",
+    "graph_kcore",
+    "ts_holt_linear",
+    "win_hampel_filter",
+    "events_regularity_score",
+    "dq_fk_coverage",
 ]
 
 

@@ -1618,3 +1618,94 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_votes").cast("long").alias("n_votes"),
         (F.col("true_label") == F.col("c_label")).alias("correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_search_mips — max-inner-product retrieval via norm augmentation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_search_mips",
+    oracle=f"""
+    WITH norms AS (
+        SELECT vec_id, embedding,
+               {SQL_DOT.format(a='embedding', b='embedding')} AS sq
+        FROM embeddings),
+    mx AS (SELECT max(sq) AS m2 FROM norms),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {SQL_DOT.format(a='q.embedding', b='c.embedding')} AS dot,
+               sqrt(q.sq) AS qn
+        FROM norms q JOIN norms c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}),
+    ranked AS (
+        SELECT query_id, cand_id, dot, qn,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, cand_id) AS rn
+        FROM scored)
+    SELECT query_id, cand_id,
+           {sql_stable_round4('dot')} AS inner_product,
+           {sql_stable_round4('dot / (qn * sqrt(mx.m2))')} AS aug_cosine
+    FROM ranked CROSS JOIN mx
+    WHERE rn <= {TOP_K}
+    """,
+)
+def sim_search_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-k — the retrieval mode dense-passage /
+    recommender scoring actually uses (unnormalized dot, where a vector's
+    MAGNITUDE carries signal: popularity, confidence), which cosine ANN
+    cannot serve directly. Alongside the exact scores, emits the
+    norm-augmentation value from the published MIPS→cosine reduction
+    (Bachrach et al., RecSys 2014): append sqrt(M² − ‖x‖²) to each
+    candidate and 0 to each query, and the augmented-space cosine is
+    dot/(‖q‖·M) — a STRICTLY MONOTONE transform of the dot for each
+    query, so the exact top-k here is simultaneously the augmented-cosine
+    top-k. That identity is the scale path: at 100 TB you run the
+    existing bucketed sim_search_lsh / ivf machinery over the augmented
+    vectors unchanged, and this op is its exact baseline (the recall
+    denominator, same role sim_search_topk plays for cosine ANN).
+
+    Determinism: the dot is the house sequential double fold
+    (dedup.dot_double == DuckDB list_aggregate order), M² is a 1-row
+    exact max broadcast to every row, ranking carries the full
+    (dot DESC, cand_id) tie-break, and both emitted scores go through
+    stable_round4.
+
+    Scale shape: queries broadcast against the corpus (the documented
+    exact-baseline shape); one window per query partition for top-k; the
+    max-norm is a single-row aggregate broadcast, never a shuffle.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    sq = dot_double(F.col("embedding"), F.col("embedding"))
+    norms = e.select("vec_id", "embedding", sq.alias("sq"))
+    mx = norms.agg(F.max("sq").alias("m2"))
+    q = norms.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(F.col("sq")).alias("qn"),
+    )
+    c = norms.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("cand_id"))
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            dot_double(F.col("q_emb"), F.col("c_emb")).alias("dot"),
+            "qn",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "query_id",
+            "cand_id",
+            stable_round4(F.col("dot")).alias("inner_product"),
+            stable_round4(
+                F.col("dot") / (F.col("qn") * F.sqrt(F.col("m2")))
+            ).alias("aug_cosine"),
+        )
+    )

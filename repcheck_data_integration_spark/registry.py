@@ -114,6 +114,8 @@ DRIVER_PRIORITY: list[str] = [
     "dq_fk_coverage",
     "events_regularity_score",
     "win_hampel_filter",
+    "sim_search_mips",
+    "events_late_data_audit",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

@@ -2077,3 +2077,129 @@ def win_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_outlier"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# events_late_data_audit — watermark lateness profile via distributed scan
+# ---------------------------------------------------------------------------
+
+LATE_DELAY_US = 300 * 1_000_000   # allowed lateness: 5 minutes
+LATE_BUCKET = 4096                # arrival-order scan bucket width
+
+
+@register(
+    "events_late_data_audit",
+    oracle=f"""
+    WITH arr AS (
+        SELECT event_id, epoch_us(ts) AS ts_us,
+               CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_id,
+               max(epoch_us(ts)) OVER (
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS wm_us
+        FROM events),
+    l AS (
+        SELECT hour_id, ts_us, wm_us,
+               CASE WHEN wm_us IS NOT NULL
+                     AND ts_us < wm_us - {LATE_DELAY_US}
+                    THEN 1 ELSE 0 END AS late
+        FROM arr)
+    SELECT hour_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(late) AS BIGINT) AS n_late,
+           CAST(max(CASE WHEN late = 1
+                         THEN wm_us - {LATE_DELAY_US} - ts_us END)
+                AS BIGINT) AS max_lateness_us
+    FROM l GROUP BY hour_id
+    ORDER BY hour_id
+    """,
+)
+def events_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness profile — the operational audit behind every
+    Structured Streaming watermark choice: replay the stream in arrival
+    order (event_id is the ingest sequence), maintain the running
+    max-event-time watermark, and count per event-hour how many rows
+    would have arrived more than the allowed 5 minutes behind it (i.e.
+    rows a `withWatermark("ts", "5 minutes")` pipeline would DROP). The
+    number this emits is exactly what you tune the delay against; the
+    streaming ops (stream_tumbling_window etc.) consume the chosen value.
+
+    The running max over the whole arrival order is the textbook
+    NON-distributable window (one global partition — the WindowExec
+    collapse the plan tests ban elsewhere). It is computed here as the
+    classic two-level parallel prefix scan instead: bucket the arrival
+    axis (event_id div {LATE_BUCKET}), take per-bucket maxima (a hash
+    aggregate), prefix-max THOSE on the |buckets|-sized table (the only
+    single-partition window, bounded by buckets not rows), broadcast the
+    bucket prefixes back, and combine with a within-bucket running max
+    (windows partitioned BY BUCKET — bounded {LATE_BUCKET}-row
+    partitions). greatest(bucket-prefix, within-bucket) == the global
+    prefix max, exactly.
+
+    Determinism: everything is integer microseconds and integer compares;
+    the arrival order is the unique event_id; no rationals at all.
+
+    Scale shape: one shuffle on the bucket key for the within-bucket
+    window, one tiny aggregate + broadcast join for the bucket prefixes,
+    one hash aggregate to hours. Scan prunes to (event_id, ts).
+    """
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    arr = e.select(
+        "event_id",
+        us.alias("ts_us"),
+        (F.floor(us / 1_000_000 / 3600) * 3600).cast("long").alias("hour_id"),
+        F.expr(f"event_id div {LATE_BUCKET}").alias("b"),
+    )
+    bmax = arr.groupBy("b").agg(F.max("ts_us").alias("bmax"))
+    # |buckets|-sized prefix table: the single-partition window is bounded
+    # by bucket count, not event count
+    bpre = bmax.select(
+        "b",
+        F.max("bmax")
+        .over(
+            W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+        )
+        .alias("prefix_us"),
+    )
+    within = F.max("ts_us").over(
+        W.partitionBy("b")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    l = (
+        arr.join(F.broadcast(bpre), "b")
+        .select(
+            "hour_id",
+            "ts_us",
+            F.greatest(within, F.col("prefix_us")).alias("wm_us"),
+        )
+        .select(
+            "hour_id",
+            "ts_us",
+            "wm_us",
+            F.when(
+                F.col("wm_us").isNotNull()
+                & (F.col("ts_us") < F.col("wm_us") - LATE_DELAY_US),
+                1,
+            )
+            .otherwise(0)
+            .alias("late"),
+        )
+    )
+    return (
+        l.groupBy("hour_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("late").cast("long").alias("n_late"),
+            F.max(
+                F.when(
+                    F.col("late") == 1,
+                    F.col("wm_us") - LATE_DELAY_US - F.col("ts_us"),
+                )
+            )
+            .cast("long")
+            .alias("max_lateness_us"),
+        )
+        .orderBy("hour_id")
+    )

@@ -603,3 +603,23 @@ def test_hampel_window_no_self_join_pruned(spark):
     assert "Generate" not in p  # no explode
     rs = p.split("ReadSchema", 1)[1][:250]
     assert "value" in rs and "props" not in rs and "event_type" not in rs
+
+
+def test_mips_broadcast_queries_single_window(spark):
+    p = plan(spark, "sim_search_mips")
+    # queries and the 1-row max-norm broadcast; ranking is one window per
+    # query partition; no shuffled join of the corpus
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_late_audit_two_level_scan_no_global_row_window(spark):
+    p = plan(spark, "events_late_data_audit")
+    # the within-bucket window partitions by the bucket key — the ONLY
+    # unpartitioned window is the |buckets|-sized prefix table
+    assert "hashpartitioning(b" in p
+    assert "BroadcastHashJoin" in p
+    rs = p.split("ReadSchema", 1)[1][:200]
+    assert "event_id" in rs and "ts" in rs
+    assert "props" not in rs and "value" not in rs and "user_id" not in rs
