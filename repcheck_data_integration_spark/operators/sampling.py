@@ -878,3 +878,120 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# mix_annealing_schedule — two-phase quality-annealed data mixture
+# ---------------------------------------------------------------------------
+
+ANNEAL_FRAC = 0.1     # final fraction of training spent on the anneal phase
+ANNEAL_QUALITY = 0.7  # quality_score gate for the anneal pool (rounded scale)
+
+# Shared share arithmetic, evaluated verbatim by both engines over exact
+# integer token counts: blended = (1-f)*main_share + f*anneal_share.
+_BLEND = (
+    f"(1.0 - {ANNEAL_FRAC}) * (CAST(src_toks AS DOUBLE)"
+    " / CAST(tot_toks AS DOUBLE))"
+    f" + {ANNEAL_FRAC} * (CAST(src_hq AS DOUBLE)"
+    " / CAST(tot_hq AS DOUBLE))"
+)
+
+
+def _annealing_oracle() -> str:
+    from ..registry import ORACLE
+
+    return f"""
+    WITH q AS ({ORACLE["text_quality_score"]}),
+    j AS (
+        SELECT d.source, q.n_tokens, q.quality_score
+        FROM q JOIN documents d ON d.doc_id = q.doc_id),
+    s AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS src_toks,
+               CAST(sum(CASE WHEN quality_score >= {ANNEAL_QUALITY}
+                             THEN n_tokens ELSE 0 END) AS BIGINT) AS src_hq
+        FROM j GROUP BY source),
+    t AS (SELECT sum(src_toks) AS tot_toks, sum(src_hq) AS tot_hq FROM s)
+    SELECT source, n_docs, src_toks, src_hq,
+           {sql_stable_round4(
+               'CAST(src_toks AS DOUBLE) / CAST(tot_toks AS DOUBLE)')}
+               AS main_share,
+           {sql_stable_round4(
+               'CAST(src_hq AS DOUBLE) / CAST(tot_hq AS DOUBLE)')}
+               AS anneal_share,
+           {sql_stable_round4(_BLEND)} AS blended_share
+    FROM s CROSS JOIN t
+    ORDER BY source
+    """
+
+
+@register("mix_annealing_schedule", oracle=_annealing_oracle())
+def mix_annealing_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase annealed data mixture — the published end-of-training
+    recipe (MiniCPM, Hu et al. 2024; the Llama-3 report's 'annealing on
+    high-quality data'): spend the first 1−{ANNEAL_FRAC:.0%} of training
+    on the natural token mixture, then anneal the final {ANNEAL_FRAC:.0%}
+    on ONLY the high-quality pool (quality_score ≥ {ANNEAL_QUALITY},
+    reusing the registered text_quality_score — predict and schedule
+    cannot drift apart). Emits per source its main-phase share,
+    anneal-phase share and the blended effective share — the knob a
+    pretraining run hands to its sampler; completes the mixture family
+    (temperature = share-based, excess-loss = loss-based, DSIR =
+    distribution-matching, this = schedule-based).
+
+    Determinism: token counts are exact integers; the quality gate
+    compares the stable_round4-rounded score (identical in both engines,
+    so the threshold cannot straddle an ulp); the three shares are
+    rationals of exact integer sums evaluated through the SAME expression
+    string on both sides.
+
+    Scale shape: one quality pass over documents (map-only, no shuffle)
+    followed by one hash aggregate to |sources| rows; the 1-row token
+    totals broadcast back. Nothing downstream of the scan exceeds source
+    cardinality.
+    """
+    from .textstats import text_quality_score
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    q = text_quality_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    s = (
+        q.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("src_toks"),
+            F.sum(
+                F.when(
+                    F.col("quality_score") >= ANNEAL_QUALITY,
+                    F.col("n_tokens"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("src_hq"),
+        )
+    )
+    t = s.agg(
+        F.sum("src_toks").alias("tot_toks"), F.sum("src_hq").alias("tot_hq")
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            "src_toks",
+            "src_hq",
+            stable_round4(
+                F.col("src_toks").cast("double")
+                / F.col("tot_toks").cast("double")
+            ).alias("main_share"),
+            stable_round4(
+                F.col("src_hq").cast("double")
+                / F.col("tot_hq").cast("double")
+            ).alias("anneal_share"),
+            stable_round4(F.expr(_BLEND)).alias("blended_share"),
+        )
+        .orderBy("source")
+    )

@@ -623,3 +623,12 @@ def test_late_audit_two_level_scan_no_global_row_window(spark):
     rs = p.split("ReadSchema", 1)[1][:200]
     assert "event_id" in rs and "ts" in rs
     assert "props" not in rs and "value" not in rs and "user_id" not in rs
+
+
+def test_annealing_single_doc_pass_broadcast_totals(spark):
+    p = plan(spark, "mix_annealing_schedule")
+    # quality pass + source rollup; the 1-row totals broadcast back —
+    # nothing after the scan shuffles more than |sources| rows
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2
