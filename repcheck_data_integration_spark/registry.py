@@ -117,6 +117,7 @@ DRIVER_PRIORITY: list[str] = [
     "sim_search_mips",
     "events_late_data_audit",
     "mix_annealing_schedule",
+    "src_parquet_metadata",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

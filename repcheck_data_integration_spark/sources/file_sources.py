@@ -957,3 +957,123 @@ def snk_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.write.mode("overwrite").json(out)
         _mark_done(out)
     return spark.read.schema(src.schema).json(out)
+
+
+# ---------------------------------------------------------------------------
+# src_parquet_metadata — distributed parquet-footer statistics relation
+# ---------------------------------------------------------------------------
+
+# (table, audited columns) — int/string/timestamp columns only: their
+# footer stats stringify identically in pyarrow and DuckDB (floats are
+# excluded: -0.0 vs 0.0 and shortest-repr differences make their string
+# forms engine-sensitive).
+_PQMETA_COLS = {
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus",
+               "o_orderpriority", "o_orderdate"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+}
+
+_PQMETA_SCHEMA = (
+    "table_name string, row_group_id int, column_name string,"
+    " num_values long, min_value string, max_value string"
+)
+
+_PQMETA_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{t}' AS table_name, CAST(0 AS INTEGER) AS row_group_id,
+           '{c}' AS column_name,
+           CAST(count({c}) AS BIGINT) AS num_values,
+           CAST(min({c}) AS VARCHAR) AS min_value,
+           CAST(max({c}) AS VARCHAR) AS max_value
+    FROM {t}
+    """
+    for t, cols in _PQMETA_COLS.items()
+    for c in cols
+)
+
+
+@register(
+    "src_parquet_metadata",
+    oracle=f"""
+    WITH stats AS ({_PQMETA_ORACLE})
+    SELECT * FROM stats
+    ORDER BY table_name, row_group_id, column_name
+    """,
+)
+def src_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet row-group statistics as a RELATION — per (table, row group,
+    column): non-null value count and min/max bounds read from the file
+    FOOTER, never the data pages. This is the metadata predicate pushdown
+    acts on (`PushedFilters` skips a row group exactly when these bounds
+    exclude the predicate), surfaced as a queryable table — the
+    skip-effectiveness / layout diagnostic a 100 TB lake audits before
+    re-sorting or re-compacting (the physical-design feedback loop next
+    to fn_zorder_key + maint_compact_files).
+
+    The footer read is DISTRIBUTED: one task per file opens only its
+    footer via pyarrow (mapInPandas over the file list — thousands of
+    files fan out across executors, bytes read ∝ footers, not data).
+    The oracle recomputes the same counts/bounds from the table CONTENT,
+    so the gate doubles as a stats-integrity audit: footer stats must
+    equal full-scan aggregates (the parquet writer contract; the fixture
+    files are single-row-group, which the row_group_id column pins).
+    Compressed-size bytes are available on the same path but are layout-
+    not content-derived, so they stay out of the oracle-checked surface.
+
+    Reference seed: the reference trusts its store's metadata implicitly
+    (psycopg2/Postgres, scripts/database/database.py:22-28); a columnar
+    lake makes that metadata a first-class, auditable input.
+    """
+    files = spark.createDataFrame(
+        [
+            (t, os.path.join(sf_dir, f"{t}.parquet"), cols)
+            for t, cols in _PQMETA_COLS.items()
+        ],
+        "table_name string, path string, cols array<string>",
+    ).repartition(len(_PQMETA_COLS))
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            rows = []
+            for tname, path, cols in zip(
+                b["table_name"], b["path"], b["cols"]
+            ):
+                want = set(cols)
+                md = pq.ParquetFile(path).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        if c.path_in_schema not in want:
+                            continue
+                        st = c.statistics
+                        ok = st is not None and st.has_min_max
+                        rows.append(
+                            (
+                                tname,
+                                rg,
+                                c.path_in_schema,
+                                c.num_values,
+                                str(st.min) if ok else None,
+                                str(st.max) if ok else None,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "table_name",
+                    "row_group_id",
+                    "column_name",
+                    "num_values",
+                    "min_value",
+                    "max_value",
+                ],
+            )
+
+    return files.mapInPandas(read_footers, schema=_PQMETA_SCHEMA).orderBy(
+        "table_name", "row_group_id", "column_name"
+    )
