@@ -1340,3 +1340,124 @@ def agg_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("target").cast("long").alias("target_rank"),
         est.alias("est_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_market_basket_rules — association rules with support/confidence/lift
+# ---------------------------------------------------------------------------
+
+MBR_MIN_SUP = 3  # pair must co-occur in >= this many baskets
+
+
+@register(
+    "agg_market_basket_rules",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM op),
+    isup AS (SELECT l_partkey AS item, count(*) AS s FROM op GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS np
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= {MBR_MIN_SUP}),
+    rules AS (
+        SELECT p1 AS antecedent, p2 AS consequent, np FROM pairs
+        UNION ALL
+        SELECT p2, p1, np FROM pairs)
+    SELECT r.antecedent, r.consequent,
+           CAST(r.np AS BIGINT) AS n_both,
+           CAST(sa.s AS BIGINT) AS n_antecedent,
+           CAST(sc.s AS BIGINT) AS n_consequent,
+           floor((CAST(r.np AS DOUBLE) / CAST(sa.s AS DOUBLE))
+                 * 10000.0 + 0.5) / 10000.0 AS confidence,
+           floor((CAST(r.np AS DOUBLE) * CAST(nb.n AS DOUBLE)
+                  / (CAST(sa.s AS DOUBLE) * CAST(sc.s AS DOUBLE)))
+                 * 10000.0 + 0.5) / 10000.0 AS lift
+    FROM rules r
+    JOIN isup sa ON sa.item = r.antecedent
+    JOIN isup sc ON sc.item = r.consequent
+    CROSS JOIN nb
+    ORDER BY antecedent, consequent
+    """,
+)
+def agg_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (Agrawal & Srikant, VLDB 1994 — the Apriori
+    output at itemset size 2): for every part pair co-bought in
+    ≥{MBR_MIN_SUP} baskets, both directed rules A→B with support counts,
+    confidence P(B|A) and lift P(A,B)/(P(A)P(B)) — the
+    'customers-who-bought' rule table that rec_item_item_cosine's
+    similarity scores don't express (lift is normalized against item
+    POPULARITY, so a pair of merely-popular parts scores ~1 while a true
+    affinity scores ≫ 1).
+
+    Determinism: every count is an exact integer (distinct basket-item
+    incidence, basket self-join pair counts, item supports, one global
+    basket total); confidence and lift are rationals of those integers
+    through the stable_round4 form. No window, no ties to break.
+
+    Scale shape: same pair-generation as agg_copurchase_pairs (self
+    equi-join on the basket key, work Σk²/2 with basket size bounded;
+    the {MBR_MIN_SUP}-basket support floor prunes before the rule
+    expansion); item supports are an item-keyed aggregate broadcast into
+    the rule join; the basket total is a 1-row singleton. The basket
+    incidence is persisted once for its three readers (pair join ×2 legs,
+    supports, total).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().persist()
+    nb = op.agg(F.countDistinct("l_orderkey").alias("n"))
+    isup = op.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("np"))
+        .filter(F.col("np") >= MBR_MIN_SUP)
+    )
+    rules = pairs.select(
+        F.col("p1").alias("antecedent"), F.col("p2").alias("consequent"), "np"
+    ).unionAll(
+        pairs.select(
+            F.col("p2").alias("antecedent"),
+            F.col("p1").alias("consequent"),
+            "np",
+        )
+    )
+    from .dedup import stable_round4
+
+    return (
+        rules.join(
+            F.broadcast(isup.select(F.col("item").alias("antecedent"),
+                                    F.col("s").alias("sa"))),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(isup.select(F.col("item").alias("consequent"),
+                                    F.col("s").alias("sc"))),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("np").cast("long").alias("n_both"),
+            F.col("sa").cast("long").alias("n_antecedent"),
+            F.col("sc").cast("long").alias("n_consequent"),
+            stable_round4(
+                F.col("np").cast("double") / F.col("sa").cast("double")
+            ).alias("confidence"),
+            stable_round4(
+                F.col("np").cast("double") * F.col("n").cast("double")
+                / (F.col("sa").cast("double") * F.col("sc").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )

@@ -2174,3 +2174,155 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("pmi"),
     ).orderBy("rk")
+
+
+# ---------------------------------------------------------------------------
+# text_keyphrase_textrank — TextRank keywords via quantized PageRank
+# ---------------------------------------------------------------------------
+
+TR_DF_MIN = 5      # word must appear in >= this many docs to enter the graph
+TR_TOP = 30        # keywords reported
+TR_SCALE = 1_000_000
+TR_DAMP_NUM, TR_DAMP_DEN = 85, 100
+
+
+@register(
+    "text_keyphrase_textrank",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS t
+        FROM documents),
+    words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    keep AS (SELECT w FROM words GROUP BY w
+             HAVING count(DISTINCT doc_id) >= {TR_DF_MIN}),
+    adj AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2),
+    e0 AS (
+        SELECT w1, w2, count(*) AS c
+        FROM adj JOIN keep k1 ON k1.w = adj.w1
+                 JOIN keep k2 ON k2.w = adj.w2
+        GROUP BY 1, 2),
+    ew AS (
+        SELECT src, dst, sum(c) AS cw FROM (
+            SELECT w1 AS src, w2 AS dst, c FROM e0
+            UNION ALL SELECT w2, w1, c FROM e0)
+        GROUP BY 1, 2),
+    deg AS (SELECT src, sum(cw) AS wdeg FROM ew GROUP BY src),
+    r0 AS (SELECT src AS node, CAST({TR_SCALE} AS BIGINT) AS r FROM deg),
+    c1 AS (
+        SELECT e.dst AS node, sum((r0.r * e.cw) // d.wdeg) AS contrib
+        FROM ew e JOIN deg d ON d.src = e.src JOIN r0 ON r0.node = e.src
+        GROUP BY 1),
+    r1 AS (SELECT node, {TR_SCALE * 15 // 100}
+                        + ({TR_DAMP_NUM} * contrib) // {TR_DAMP_DEN} AS r
+           FROM c1),
+    c2 AS (
+        SELECT e.dst AS node, sum((r1.r * e.cw) // d.wdeg) AS contrib
+        FROM ew e JOIN deg d ON d.src = e.src JOIN r1 ON r1.node = e.src
+        GROUP BY 1),
+    r2 AS (SELECT node, {TR_SCALE * 15 // 100}
+                        + ({TR_DAMP_NUM} * contrib) // {TR_DAMP_DEN} AS r
+           FROM c2)
+    SELECT CAST(rk AS INT) AS rk, node AS keyword,
+           CAST(r AS BIGINT) AS rank_scaled
+    FROM (SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS rk
+          FROM r2)
+    WHERE rk <= {TR_TOP}
+    ORDER BY rk
+    """,
+)
+def text_keyphrase_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): build
+    the word co-occurrence graph (adjacent-token edges, weighted by
+    adjacency count, restricted to words appearing in ≥{TR_DF_MIN} docs)
+    and rank words with two weighted-PageRank iterations — the
+    graph-centrality counterpart of text_rake_keywords (degree-scoring)
+    and text_tfidf_topterms (frequency-scoring); the three are the
+    standard unsupervised keyword ladder.
+
+    Exactness: the graph_pagerank integer discipline verbatim — ranks in
+    millionths, per-edge contributions are floor-divided integers
+    weighted by edge count over weighted degree, damping is the rational
+    85/100 applied as integer multiply-then-floor-div; the oracle unrolls
+    the identical two iterations as CTEs. Top-{TR_TOP} carries the full
+    (rank DESC, word) tie-break.
+
+    Scale shape: adjacency pairs come from a zero-shuffle array transform
+    over each doc's token array (no positional self-join); the df floor
+    prunes the graph BEFORE edge aggregation (the text_pmi_pairs lever);
+    each PR iteration is one equi-join of the edge list against the
+    current rank vector + a hash aggregate on the destination — the
+    bucketed iteration shape shared with graph_pagerank/graph_hits. The
+    edge+degree frames are persisted once for both iterations.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    words = toks.select("doc_id", F.explode("t").alias("w"))
+    keep = (
+        words.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= TR_DF_MIN)
+        .select("w")
+    )
+    n = F.size("t")
+    adj = toks.filter(n >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("w1"),
+                    F.element_at(F.col("t"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    e0 = (
+        adj.join(F.broadcast(keep.select(F.col("w").alias("w1"))), "w1")
+        .join(F.broadcast(keep.select(F.col("w").alias("w2"))), "w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ew = (
+        e0.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), "c")
+        .unionAll(
+            e0.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "c")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("c").alias("cw"))
+        .persist()  # both PR iterations read the edge list
+    )
+    deg = ew.groupBy("src").agg(F.sum("cw").alias("wdeg")).persist()
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(TR_SCALE).cast("long").alias("r")
+    )
+    for _ in range(2):
+        contrib = (
+            ew.join(deg, "src")
+            .join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    F.expr("(r * cw) div wdeg")
+                ).alias("contrib")
+            )
+        )
+        ranks = contrib.select(
+            "node",
+            (
+                F.lit(TR_SCALE * 15 // 100)
+                + F.expr(f"({TR_DAMP_NUM} * contrib) div {TR_DAMP_DEN}")
+            ).alias("r"),
+        )
+    w = W.orderBy(F.col("r").desc(), F.col("node"))
+    return (
+        ranks.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TR_TOP)
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            F.col("node").alias("keyword"),
+            F.col("r").cast("long").alias("rank_scaled"),
+        )
+        .orderBy("rk")
+    )

@@ -118,6 +118,8 @@ DRIVER_PRIORITY: list[str] = [
     "events_late_data_audit",
     "mix_annealing_schedule",
     "src_parquet_metadata",
+    "text_keyphrase_textrank",
+    "agg_market_basket_rules",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

@@ -637,3 +637,25 @@ def test_annealing_single_doc_pass_broadcast_totals(spark):
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_textrank_df_floor_before_edges_cached_graph(spark):
+    p = plan(spark, "text_keyphrase_textrank")
+    # adjacency from an array transform (no positional self-join); the
+    # df-floored vocabulary broadcast-prunes edges before aggregation;
+    # edge/degree frames cached for both PR iterations
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "InMemoryTableScan" in p
+
+
+def test_basket_rules_broadcast_supports_no_cartesian(spark):
+    p = plan(spark, "agg_market_basket_rules")
+    # item supports broadcast into the rule join; the only nested-loop is
+    # the 1-row basket total
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("BroadcastNestedLoopJoin Inner") <= 1
+    rs = p.split("ReadSchema", 1)[1][:200]
+    assert "l_orderkey" in rs and "l_partkey" in rs
+    assert "l_quantity" not in rs
