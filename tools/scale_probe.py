@@ -130,6 +130,11 @@ PROBES = [
     "dq_fk_coverage",
     "events_regularity_score",
     "win_hampel_filter",
+    "sim_search_mips",
+    "events_late_data_audit",
+    "mix_annealing_schedule",
+    "text_keyphrase_textrank",
+    "agg_market_basket_rules",
 ]
 
 
