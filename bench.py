@@ -86,6 +86,11 @@ HEADLINE = [
     "win_hampel_filter",
     "events_regularity_score",
     "dq_fk_coverage",
+    "sim_search_mips",
+    "events_late_data_audit",
+    "mix_annealing_schedule",
+    "text_keyphrase_textrank",
+    "agg_market_basket_rules",
 ]
 
 

@@ -946,6 +946,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.broadcast(keep.select(F.col("n").alias("m"))), "m"
             )
             .select("n", "m")
+            # iterative-op hygiene (the label_propagation lesson): flatten
+            # lineage each round, or the degree/peel subtrees re-expand
+            # combinatorially — the un-checkpointed plan printed 15k lines
+            # and re-ran earlier rounds inside later rounds' DAGs
+            .localCheckpoint(eager=True)
         )
 
     d0 = degrees(und)
