@@ -386,3 +386,194 @@ def ts_decompose_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("idx")
     )
+
+
+# --------------------------------------------------------------------------
+# ts_anomaly_seasonal — STL-residual anomaly days
+# --------------------------------------------------------------------------
+
+ANOM_K = 3  # flag when |remainder - median| > K * MAD
+
+
+def _anomaly_oracle() -> str:
+    from ..registry import ORACLE
+
+    return f"""
+    WITH dec AS ({ORACLE["ts_decompose_seasonal"]}),
+    interior AS (SELECT * FROM dec WHERE remainder IS NOT NULL),
+    m AS (SELECT median(remainder) AS med FROM interior),
+    d AS (SELECT i.*, abs(i.remainder - m.med) AS dev
+          FROM interior i CROSS JOIN m),
+    s AS (SELECT median(dev) AS mad FROM d)
+    SELECT d.idx, d.weekday, d.x, d.remainder,
+           CAST(CASE WHEN d.dev > {ANOM_K} * s.mad
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+    FROM d CROSS JOIN s
+    ORDER BY d.idx
+    """
+
+
+@register("ts_anomaly_seasonal", oracle=_anomaly_oracle())
+def ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-aware anomaly days: flag days whose DECOMPOSITION
+    REMAINDER sits more than {ANOM_K}·MAD from the median remainder —
+    the robust residual test run on ts_decompose_seasonal's output (the
+    registered op is reused directly, so the decomposition and the
+    anomaly screen cannot drift). This is the seasonality-adjusted member
+    of the anomaly family: events_rate_spike trips on raw volume (every
+    weekend), dq_outliers_mad on the global distribution (misses a level
+    shift), win_hampel_filter on per-point windows; the residual screen
+    only fires when a day deviates from BOTH its trend and its weekday
+    pattern.
+
+    Determinism: remainders are stable_round4 outputs (exact 4-decimal
+    doubles, identical in both engines); the two medians interpolate the
+    average of middle elements — an exact IEEE half of 4-decimal values,
+    computed identically by Spark's percentile() and DuckDB's median();
+    deviations, the MAD and the {ANOM_K}·MAD compare are then exact
+    double arithmetic on those values.
+
+    Scale shape: the decomposition collapses to |days| rows; both median
+    aggregates and the flag projection run on that calendar-bounded
+    series. Nothing here ever exceeds |days| rows past the first
+    aggregate.
+    """
+    dec = ts_decompose_seasonal(spark, sf_dir)
+    interior = dec.filter(F.col("remainder").isNotNull())
+    m = interior.agg(F.expr("percentile(remainder, 0.5)").alias("med"))
+    d = interior.crossJoin(F.broadcast(m)).select(
+        "idx",
+        "weekday",
+        "x",
+        "remainder",
+        F.abs(F.col("remainder") - F.col("med")).alias("dev"),
+    )
+    s = d.agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    return (
+        d.crossJoin(F.broadcast(s))
+        .select(
+            "idx",
+            "weekday",
+            "x",
+            "remainder",
+            (F.col("dev") > ANOM_K * F.col("mad"))
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+        .orderBy("idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_entropy_rate — Markov conditional entropy of the event stream
+# --------------------------------------------------------------------------
+
+ER_SCALE = 1_000_000
+
+
+@register(
+    "events_entropy_rate",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    tr AS (SELECT prev_type, event_type AS next_type FROM seq
+           WHERE prev_type IS NOT NULL),
+    pc AS (SELECT prev_type, next_type, count(*) AS n
+           FROM tr GROUP BY 1, 2),
+    sc AS (SELECT prev_type, sum(n) AS ns,
+                  CAST(floor(sum(n) * ln(sum(n)) * {ER_SCALE}) AS BIGINT)
+                      AS q1,
+                  sum(CAST(floor(n * ln(n) * {ER_SCALE}) AS BIGINT)) AS q2,
+                  count(*) AS n_pairs
+           FROM pc GROUP BY prev_type),
+    t AS (SELECT sum(ns) AS big_n, count(*) AS n_states,
+                 sum(n_pairs) AS n_pairs,
+                 sum(q1) AS q1, sum(q2) AS q2
+          FROM sc)
+    SELECT CAST(big_n AS BIGINT) AS n_transitions,
+           CAST(n_states AS BIGINT) AS n_states,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           floor(((q1 - q2) * 1.0 / {ER_SCALE} / big_n / ln(2))
+                 * 10000.0 + 0.5) / 10000.0 AS entropy_rate_bits,
+           floor((ln(n_states) / ln(2)) * 10000.0 + 0.5) / 10000.0
+               AS max_bits,
+           floor((1.0 - ((q1 - q2) * 1.0 / {ER_SCALE} / big_n)
+                        / ln(n_states)) * 10000.0 + 0.5) / 10000.0
+               AS predictability
+    FROM t
+    """,
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical entropy rate of the event stream as a first-order Markov
+    chain: H(next | prev) = (Σ_s n_s·ln n_s − Σ_st n_st·ln n_st) / N in
+    nats, reported in bits with the predictability index 1 − H/ln|S| —
+    the single-number summary of events_markov_transitions (how
+    predictable is user behavior overall?), used to decide whether a
+    sequence model is worth training on the stream at all (Song et al.,
+    Science 2010 popularized the same limit for mobility traces).
+
+    Determinism: the events_type_entropy discipline on the transition
+    alphabet — every float term is floor(c·ln c·1e6) quantized to an
+    integer per (prev,next) or per prev BEFORE summation, so shuffles
+    cannot reorder float adds; ln of identical integers is bit-identical
+    across engines; three final IEEE divisions through stable_round4
+    form.
+
+    Scale shape: one user-keyed shuffle for the lag, one hash aggregate
+    to the |S|² alphabet, then |S|-row and 1-row rollups — output is a
+    single row regardless of input size.
+    """
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("next_type"),
+        )
+        .withColumn("prev_type", F.lag("next_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    pc = tr.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    qint = lambda c: F.floor(  # noqa: E731
+        c * F.log(c) * F.lit(ER_SCALE)
+    ).cast("long")
+    sc = pc.groupBy("prev_type").agg(
+        F.sum("n").alias("ns"),
+        F.sum(qint(F.col("n"))).alias("q2"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    ).select(
+        "prev_type", "ns", qint(F.col("ns")).alias("q1"), "q2", "n_pairs"
+    )
+    t = sc.agg(
+        F.sum("ns").alias("big_n"),
+        F.count(F.lit(1)).alias("n_states"),
+        F.sum("n_pairs").alias("n_pairs"),
+        F.sum("q1").alias("q1"),
+        F.sum("q2").alias("q2"),
+    )
+    h_nats = (
+        (F.col("q1") - F.col("q2"))
+        * 1.0
+        / F.lit(ER_SCALE)
+        / F.col("big_n")
+    )
+    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return t.select(
+        F.col("big_n").cast("long").alias("n_transitions"),
+        F.col("n_states").cast("long").alias("n_states"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        r4(h_nats / F.log(F.lit(2.0))).alias("entropy_rate_bits"),
+        r4(F.log(F.col("n_states").cast("double")) / F.log(F.lit(2.0))).alias(
+            "max_bits"
+        ),
+        r4(
+            F.lit(1.0) - h_nats / F.log(F.col("n_states").cast("double"))
+        ).alias("predictability"),
+    )

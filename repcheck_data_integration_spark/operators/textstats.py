@@ -1121,3 +1121,89 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest("n_bpe_tokens", F.lit(1)).cast("double")
         ).alias("chars_per_token"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# text_distinct_ngrams — distinct-1 / distinct-2 diversity metrics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_distinct_ngrams",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+        FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_toks,
+               len(list_distinct(toks)) AS d1,
+               CASE WHEN len(toks) >= 2 THEN len(list_distinct(
+                   list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1])))
+                    ELSE 0 END AS d2
+        FROM t WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(d1 AS BIGINT) AS distinct_unigrams,
+           CAST(d2 AS BIGINT) AS distinct_bigrams,
+           floor((CAST(d1 AS DOUBLE) / CAST(n_toks AS DOUBLE))
+                 * 10000.0 + 0.5) / 10000.0 AS distinct1,
+           floor((CAST(d2 AS DOUBLE) / CAST(greatest(n_toks - 1, 1)
+                 AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS distinct2
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity metrics (Li et al., NAACL 2016 — distinct-1 /
+    distinct-2): the share of unigram and bigram slots occupied by UNIQUE
+    n-grams per document. THE standard degeneracy screen for generated
+    text (repetition loops crater distinct-2 long before humans notice),
+    complementing text_repetition_stats (longest run) with the ratio form
+    model-eval reports quote; over a training corpus it is the diversity
+    gate next to quality/gopher scoring.
+
+    Exactness: pure integer counts from one array projection —
+    array_distinct on the token array and on the adjacent-bigram
+    transform — and two rationals through the stable_round4 form with
+    the (n−1) floor. No shuffle, no UDF, no join.
+
+    Scale shape: map-only over the documents scan (the text_readability
+    shape); the n-gram arrays never leave their row, so memory is
+    bounded by document length, not corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+        ),
+    )
+    m = t.select(
+        "doc_id",
+        n.alias("n_toks"),
+        F.size(F.array_distinct("toks")).alias("d1"),
+        F.when(n >= 2, F.size(F.array_distinct(bigrams)))
+        .otherwise(0)
+        .alias("d2"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.col("d1").cast("long").alias("distinct_unigrams"),
+        F.col("d2").cast("long").alias("distinct_bigrams"),
+        stable_round4(
+            F.col("d1").cast("double") / F.col("n_toks").cast("double")
+        ).alias("distinct1"),
+        stable_round4(
+            F.col("d2").cast("double")
+            / F.greatest(F.col("n_toks") - 1, F.lit(1)).cast("double")
+        ).alias("distinct2"),
+    ).orderBy("doc_id")

@@ -120,6 +120,9 @@ DRIVER_PRIORITY: list[str] = [
     "src_parquet_metadata",
     "text_keyphrase_textrank",
     "agg_market_basket_rules",
+    "ts_anomaly_seasonal",
+    "events_entropy_rate",
+    "text_distinct_ngrams",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

@@ -659,3 +659,30 @@ def test_basket_rules_broadcast_supports_no_cartesian(spark):
     rs = p.split("ReadSchema", 1)[1][:200]
     assert "l_orderkey" in rs and "l_partkey" in rs
     assert "l_quantity" not in rs
+
+
+def test_anomaly_seasonal_calendar_bounded(spark):
+    p = plan(spark, "ts_anomaly_seasonal")
+    # decomposition + both medians run above the cached |days| aggregate
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
+    rs = p.split("ReadSchema", 1)[1][:200]
+    assert "ts" in rs and "props" not in rs
+
+
+def test_entropy_rate_quantized_two_level_agg(spark):
+    p = plan(spark, "events_entropy_rate")
+    # lag shuffle on user_id, then alphabet-sized aggregates — the only
+    # Exchange with data volume is the user window
+    assert p.count("hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in p
+    rs = p.split("ReadSchema", 1)[1][:200]
+    assert "event_type" in rs and "value" not in rs and "props" not in rs
+
+
+def test_distinct_ngrams_map_only(spark):
+    p = plan(spark, "text_distinct_ngrams")
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "text" in rs and "lang" not in rs and "source" not in rs
