@@ -135,6 +135,9 @@ PROBES = [
     "mix_annealing_schedule",
     "text_keyphrase_textrank",
     "agg_market_basket_rules",
+    "ts_anomaly_seasonal",
+    "events_entropy_rate",
+    "text_distinct_ngrams",
 ]
 
 
