@@ -476,3 +476,94 @@ def fn_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         gy.alias("gy"),
         zorder_key(gx, gy).cast("long").alias("zkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_spatial_area_weight — areal-interpolation apportionment weights
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_spatial_area_weight",
+    oracle=f"""
+    WITH {SQL_RECTS},
+    pairs AS (
+        SELECT n_nationkey, c_custkey,
+               greatest(0.0, least(d_xmax, z_xmax)
+                             - greatest(d_xmin, z_xmin)) AS iw,
+               greatest(0.0, least(d_ymax, z_ymax)
+                             - greatest(d_ymin, z_ymin)) AS ih,
+               (z_xmax - z_xmin) * (z_ymax - z_ymin) AS z_area
+        FROM districts JOIN zips
+          ON d_xmin <= z_xmax AND d_xmax >= z_xmin
+         AND d_ymin <= z_ymax AND d_ymax >= z_ymin)
+    SELECT n_nationkey, c_custkey,
+           floor((iw * ih) * 10000.0 + 0.5) / 10000.0 AS inter_area,
+           floor(((iw * ih) / z_area) * 10000.0 + 0.5) / 10000.0 AS weight
+    FROM pairs
+    WHERE iw > 0 AND ih > 0
+    ORDER BY n_nationkey, c_custkey
+    """,
+)
+def join_spatial_area_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal-interpolation weights — THE computation the reference's
+    zip_code_overlap pipeline exists for
+    (/root/reference/scripts/census/zip_code_overlap.py:25-38: assign each
+    person's zip to districts by polygon overlap): for every intersecting
+    (district, zip) pair, the intersection area and the SHARE of the
+    zip's area falling inside the district. Downstream, zip-level counts
+    are apportioned to districts as count × weight — the standard
+    census areal-interpolation method; join_spatial answers WHETHER the
+    pair overlaps, this answers HOW MUCH. Weights for one zip sum to ≤ 1
+    (= 1 exactly when districts tile the zip; overlapping districts are
+    reported as-is, deliberately — the apportioning consumer chooses the
+    normalization).
+
+    Determinism: fixture rectangle coordinates are integer-valued
+    doubles, so the clipped intersection width/height and areas are
+    EXACT IEEE doubles on both engines; the single rational (the share)
+    goes through the stable_round4 form.
+
+    Scale shape: the same grid-bucketed equi-join as join_spatial
+    (reference-cell dedup, no distinct, no theta join); the area
+    arithmetic is a per-pair projection. The oracle is the equivalent
+    theta join over the un-bucketed relations.
+    """
+    d = _district_rects(spark, sf_dir)
+    z = _zip_rects(spark, sf_dir)
+    pairs = bbox_grid_join(
+        d,
+        z,
+        cell=16.0,
+        left_bbox=("d_xmin", "d_ymin", "d_xmax", "d_ymax"),
+        right_bbox=("z_xmin", "z_ymin", "z_xmax", "z_ymax"),
+    )
+    iw = F.greatest(
+        F.lit(0.0),
+        F.least("d_xmax", "z_xmax") - F.greatest("d_xmin", "z_xmin"),
+    )
+    ih = F.greatest(
+        F.lit(0.0),
+        F.least("d_ymax", "z_ymax") - F.greatest("d_ymin", "z_ymin"),
+    )
+    z_area = (F.col("z_xmax") - F.col("z_xmin")) * (
+        F.col("z_ymax") - F.col("z_ymin")
+    )
+    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return (
+        pairs.select(
+            "n_nationkey",
+            "c_custkey",
+            iw.alias("iw"),
+            ih.alias("ih"),
+            z_area.alias("z_area"),
+        )
+        .filter((F.col("iw") > 0) & (F.col("ih") > 0))
+        .select(
+            "n_nationkey",
+            "c_custkey",
+            r4(F.col("iw") * F.col("ih")).alias("inter_area"),
+            r4(F.col("iw") * F.col("ih") / F.col("z_area")).alias("weight"),
+        )
+        .orderBy("n_nationkey", "c_custkey")
+    )

@@ -123,6 +123,7 @@ DRIVER_PRIORITY: list[str] = [
     "ts_anomaly_seasonal",
     "events_entropy_rate",
     "text_distinct_ngrams",
+    "join_spatial_area_weight",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

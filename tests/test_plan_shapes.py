@@ -686,3 +686,12 @@ def test_distinct_ngrams_map_only(spark):
     assert "HashAggregate" not in p
     rs = p.split("ReadSchema", 1)[1][:250]
     assert "text" in rs and "lang" not in rs and "source" not in rs
+
+
+def test_area_weight_grid_join_no_theta(spark):
+    p = plan(spark, "join_spatial_area_weight")
+    # same grid-bucketed equi-join as join_spatial; the area arithmetic
+    # is a projection, not a second join
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
