@@ -138,6 +138,7 @@ PROBES = [
     "ts_anomaly_seasonal",
     "events_entropy_rate",
     "text_distinct_ngrams",
+    "join_spatial_area_weight",
 ]
 
 
