@@ -577,3 +577,256 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - h_nats / F.log(F.col("n_states").cast("double"))
         ).alias("predictability"),
     )
+
+
+# --------------------------------------------------------------------------
+# ml_sprt_ab — Wald sequential probability ratio test per experiment arm
+# --------------------------------------------------------------------------
+
+# H0: p = 0.45 vs H1: p = 0.55, alpha = beta = 0.05. The four log terms
+# are pre-quantized to integer millionths HERE (plain Python floor(ln·1e6))
+# and inlined as literals into BOTH engines, so neither engine ever
+# evaluates a logarithm — the whole test is integer arithmetic.
+SPRT_POS = 200_670      # floor(ln(0.55/0.45) * 1e6)  per success
+SPRT_NEG = -200_671     # floor(ln(0.45/0.55) * 1e6)  per failure
+SPRT_UPPER = 2_944_438  # floor(ln((1-beta)/alpha) * 1e6) → accept H1
+SPRT_LOWER = -2_944_439  # floor(ln(beta/(1-alpha)) * 1e6) → accept H0
+SPRT_BUCKET = 4096      # arrival-order scan bucket width (prefix-sum scan)
+
+
+@register(
+    "ml_sprt_ab",
+    oracle=f"""
+    WITH obs AS (
+        SELECT o_custkey % 2 AS arm, o_orderkey,
+               CASE WHEN o_orderstatus = 'F'
+                    THEN {SPRT_POS} ELSE {SPRT_NEG} END AS step
+        FROM orders),
+    cum AS (
+        SELECT arm, o_orderkey,
+               sum(step) OVER (PARTITION BY arm ORDER BY o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS llr,
+               row_number() OVER (PARTITION BY arm
+                                  ORDER BY o_orderkey) AS rn
+        FROM obs),
+    crossed AS (
+        SELECT arm, rn, llr FROM cum
+        WHERE llr >= {SPRT_UPPER} OR llr <= {SPRT_LOWER}),
+    firstx AS (
+        SELECT arm, min(rn) AS n_at_decision,
+               arg_min(llr, rn) AS llr_at_decision
+        FROM crossed GROUP BY arm),
+    tot AS (SELECT arm, count(*) AS n_obs FROM obs GROUP BY arm)
+    SELECT t.arm AS arm,
+           CAST(t.n_obs AS BIGINT) AS n_obs,
+           CAST(f.n_at_decision AS BIGINT) AS n_at_decision,
+           CAST(f.llr_at_decision AS BIGINT) AS llr_at_decision_q,
+           CASE WHEN f.llr_at_decision >= {SPRT_UPPER} THEN 'accept_h1'
+                WHEN f.llr_at_decision <= {SPRT_LOWER} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM tot t LEFT JOIN firstx f ON f.arm = t.arm
+    ORDER BY arm
+    """,
+)
+def ml_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test (Wald 1945) per experiment
+    arm: replay each arm's Bernoulli outcome stream (order finality, arms
+    split by customer-key parity) in arrival order, accumulate the
+    log-likelihood ratio, and report WHEN the test first crosses a
+    decision boundary and which hypothesis it accepts — the sequential
+    (early-stopping) counterpart of agg_ab_ttest's fixed-horizon test;
+    this is how an experimentation platform stops an A/B test the moment
+    evidence suffices instead of at a preplanned N.
+
+    Determinism: all four log constants are pre-quantized integers
+    inlined into BOTH engines (no runtime ln anywhere), so the cumulative
+    LLR is an exact integer prefix sum and boundary crossings are integer
+    compares; the first crossing index is unique by construction.
+
+    Scale shape: the global per-arm running sum is the textbook
+    non-distributable window, computed here as the two-level parallel
+    prefix SCAN (the events_late_data_audit pattern, with + instead of
+    max): per-(arm, bucket) sums via one hash aggregate, an exclusive
+    prefix over the |buckets|-sized table (the only single-partition
+    window, bounded by buckets), broadcast back, and a within-bucket
+    running sum over bounded {SPRT_BUCKET}-row partitions. One shuffle on
+    the bucket key; output is two rows.
+    """
+    o = load(spark, sf_dir, "orders")
+    obs = o.select(
+        (F.col("o_custkey") % 2).alias("arm"),
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", SPRT_POS)
+        .otherwise(SPRT_NEG)
+        .alias("step"),
+        F.expr(f"o_orderkey div {SPRT_BUCKET}").alias("b"),
+    )
+    bagg = obs.groupBy("arm", "b").agg(
+        F.sum("step").alias("bsum"), F.count(F.lit(1)).alias("bcnt")
+    )
+    wpre = W.partitionBy("arm").orderBy("b").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    bpre = bagg.select(
+        "arm",
+        "b",
+        F.coalesce(F.sum("bsum").over(wpre), F.lit(0)).alias("pre_sum"),
+        F.coalesce(F.sum("bcnt").over(wpre), F.lit(0)).alias("pre_cnt"),
+    )
+    win = (
+        W.partitionBy("arm", "b")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = (
+        obs.join(F.broadcast(bpre), ["arm", "b"])
+        .select(
+            "arm",
+            (F.col("pre_sum") + F.sum("step").over(win)).alias("llr"),
+            (F.col("pre_cnt") + F.row_number().over(
+                W.partitionBy("arm", "b").orderBy("o_orderkey")
+            )).alias("rn"),
+        )
+    )
+    firstx = (
+        cum.filter(
+            (F.col("llr") >= SPRT_UPPER) | (F.col("llr") <= SPRT_LOWER)
+        )
+        .groupBy("arm")
+        .agg(
+            F.min("rn").alias("n_at_decision"),
+            F.min_by("llr", "rn").alias("llr_at_decision"),
+        )
+    )
+    tot = obs.groupBy("arm").agg(F.count(F.lit(1)).alias("n_obs"))
+    return (
+        tot.join(F.broadcast(firstx), "arm", "left")
+        .select(
+            "arm",
+            F.col("n_obs").cast("long"),
+            F.col("n_at_decision").cast("long"),
+            F.col("llr_at_decision").cast("long").alias(
+                "llr_at_decision_q"
+            ),
+            F.when(F.col("llr_at_decision") >= SPRT_UPPER, "accept_h1")
+            .when(F.col("llr_at_decision") <= SPRT_LOWER, "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+        )
+        .orderBy("arm")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_markov_stationary — fixed-point power iteration to pi
+# --------------------------------------------------------------------------
+
+MS_SCALE = 1_000_000
+
+
+@register(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    tr AS (SELECT prev_type, event_type AS next_type FROM seq
+           WHERE prev_type IS NOT NULL),
+    pc AS (SELECT prev_type, next_type, count(*) AS n
+           FROM tr GROUP BY 1, 2),
+    rs AS (SELECT prev_type, sum(n) AS ns FROM pc GROUP BY prev_type),
+    states AS (SELECT prev_type AS s FROM rs),
+    ns AS (SELECT count(*) AS k FROM states),
+    p0 AS (SELECT s AS node, CAST({MS_SCALE} AS BIGINT) // k AS r
+           FROM states CROSS JOIN ns),
+    p1 AS (
+        SELECT pc.next_type AS node,
+               sum((p0.r * pc.n) // rs.ns) AS r
+        FROM pc JOIN rs ON rs.prev_type = pc.prev_type
+                JOIN p0 ON p0.node = pc.prev_type
+        GROUP BY 1),
+    p2 AS (
+        SELECT pc.next_type AS node,
+               sum((p1.r * pc.n) // rs.ns) AS r
+        FROM pc JOIN rs ON rs.prev_type = pc.prev_type
+                JOIN p1 ON p1.node = pc.prev_type
+        GROUP BY 1),
+    emp AS (
+        SELECT next_type AS node, sum(n) AS cnt FROM pc GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS t FROM emp)
+    SELECT p2.node AS state,
+           CAST(p2.r AS BIGINT) AS stationary_q,
+           CAST((emp.cnt * {MS_SCALE}) // tot.t AS BIGINT)
+               AS empirical_q
+    FROM p2 JOIN emp ON emp.node = p2.node CROSS JOIN tot
+    ORDER BY state
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain: two exact
+    fixed-point power iterations π' = πP from the uniform start over the
+    transition matrix of events_markov_transitions, next to each state's
+    EMPIRICAL share — how far the chain's long-run behavior sits from
+    today's observed mix (the load-forecasting question: if users keep
+    behaving like this, what does steady-state traffic look like?).
+    Completes the Markov family: transitions (the matrix), entropy rate
+    (its information content), stationary (its fixed point).
+
+    Determinism: the graph_pagerank/graph_hits integer discipline —
+    probabilities in millionths, every update term the floor-divided
+    integer (π(s)·n_st) div n_s·, summed exactly; the oracle unrolls the
+    same two iterations as CTEs.
+
+    Scale shape: one user-keyed lag shuffle collapses the stream to the
+    |S|² alphabet; both iterations are joins over that tiny matrix —
+    cost is alphabet-, not event-, sized after the first aggregate.
+    """
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.select(
+            "user_id", "ts", "event_id",
+            F.col("event_type").alias("next_type"),
+        )
+        .withColumn("prev_type", F.lag("next_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    pc = tr.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    ).persist()  # both iterations + the row sums + empirical read it
+    rs = pc.groupBy("prev_type").agg(F.sum("n").alias("ns"))
+    k = rs.count()  # |S| — singleton driver scalar (house-allowed)
+    ranks = rs.select(
+        F.col("prev_type").alias("node"),
+        F.lit(MS_SCALE // k).cast("long").alias("r"),
+    )
+    for _ in range(2):
+        ranks = (
+            pc.join(rs, "prev_type")
+            .join(
+                F.broadcast(ranks.select(F.col("node").alias("prev_type"), "r")),
+                "prev_type",
+            )
+            .groupBy(F.col("next_type").alias("node"))
+            .agg(F.sum(F.expr("(r * n) div ns")).alias("r"))
+            .localCheckpoint(eager=True)
+        )
+    emp = pc.groupBy(F.col("next_type").alias("node")).agg(
+        F.sum("n").alias("cnt")
+    )
+    tot = emp.agg(F.sum("cnt").alias("t"))
+    return (
+        ranks.join(emp, "node")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("node").alias("state"),
+            F.col("r").cast("long").alias("stationary_q"),
+            F.expr(f"(cnt * {MS_SCALE}L) div t").cast("long").alias(
+                "empirical_q"
+            ),
+        )
+        .orderBy("state")
+    )

@@ -124,6 +124,8 @@ DRIVER_PRIORITY: list[str] = [
     "events_entropy_rate",
     "text_distinct_ngrams",
     "join_spatial_area_weight",
+    "ml_sprt_ab",
+    "events_markov_stationary",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

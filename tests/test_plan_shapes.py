@@ -695,3 +695,23 @@ def test_area_weight_grid_join_no_theta(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Join" in p
+
+
+def test_sprt_two_level_scan_no_global_window(spark):
+    p = plan(spark, "ml_sprt_ab")
+    # the per-arm cumulative LLR runs as the two-level prefix scan: the
+    # data-sized window partitions by (arm, bucket); no runtime logarithm
+    # exists anywhere in the plan
+    assert "hashpartitioning(arm" in p
+    assert "CartesianProduct" not in p
+    assert "LOG(" not in p.upper() or "ln(" not in p
+    # scans stay key/status-only (the tot branch reads just o_custkey)
+    assert "o_orderstatus" in p and "o_totalprice" not in p
+
+
+def test_markov_stationary_alphabet_sized_iterations(spark):
+    p = plan(spark, "events_markov_stationary")
+    # the event stream collapses once; both fixed-point iterations join
+    # over the cached alphabet matrix with broadcast rank vectors
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p

@@ -139,6 +139,8 @@ PROBES = [
     "events_entropy_rate",
     "text_distinct_ngrams",
     "join_spatial_area_weight",
+    "ml_sprt_ab",
+    "events_markov_stationary",
 ]
 
 
