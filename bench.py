@@ -91,6 +91,9 @@ HEADLINE = [
     "mix_annealing_schedule",
     "text_keyphrase_textrank",
     "agg_market_basket_rules",
+    "join_spatial_area_weight",
+    "ts_anomaly_seasonal",
+    "ml_sprt_ab",
 ]
 
 
