@@ -94,6 +94,9 @@ HEADLINE = [
     "join_spatial_area_weight",
     "ts_anomaly_seasonal",
     "ml_sprt_ab",
+    "rec_slope_one",
+    "graph_bfs_distance",
+    "text_zipf_fit",
 ]
 
 

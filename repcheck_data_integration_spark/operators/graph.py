@@ -981,3 +981,109 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("removed_round"),
     ).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# graph_bfs_distance — unrolled breadth-first distance histogram
+# --------------------------------------------------------------------------
+
+BFS_ROUNDS = 3
+
+
+@register(
+    "graph_bfs_distance",
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (
+        SELECT 'c' || CAST(cust AS VARCHAR) AS src,
+               's' || CAST(supp AS VARCHAR) AS dst FROM e0
+        UNION ALL
+        SELECT 's' || CAST(supp AS VARCHAR), 'c' || CAST(cust AS VARCHAR)
+        FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    d0 AS (SELECT min(node) AS node FROM nodes),
+    f1 AS (
+        SELECT DISTINCT e.dst AS node FROM edges e
+        JOIN d0 ON d0.node = e.src
+        EXCEPT SELECT node FROM d0),
+    f2 AS (
+        SELECT DISTINCT e.dst AS node FROM edges e
+        JOIN f1 ON f1.node = e.src
+        EXCEPT (SELECT node FROM d0 UNION ALL SELECT node FROM f1)),
+    f3 AS (
+        SELECT DISTINCT e.dst AS node FROM edges e
+        JOIN f2 ON f2.node = e.src
+        EXCEPT (SELECT node FROM d0 UNION ALL SELECT node FROM f1
+                UNION ALL SELECT node FROM f2)),
+    unreached AS (
+        SELECT node FROM nodes
+        EXCEPT (SELECT node FROM d0 UNION ALL SELECT node FROM f1
+                UNION ALL SELECT node FROM f2
+                UNION ALL SELECT node FROM f3))
+    SELECT * FROM (
+        SELECT 0 AS dist, CAST(count(*) AS BIGINT) AS n_nodes FROM d0
+        UNION ALL SELECT 1, CAST(count(*) AS BIGINT) FROM f1
+        UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM f2
+        UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM f3
+        UNION ALL SELECT -1, CAST(count(*) AS BIGINT) FROM unreached)
+    ORDER BY dist
+    """,
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first distance histogram from a deterministic seed (the
+    lexicographically smallest node) over the undirected purchase graph:
+    how much of the graph is within 1, 2, 3 hops, plus the unreached
+    remainder — the reachability/diameter probe (and the building block
+    of Pregel-style shortest paths; Malewicz et al., SIGMOD 2010).
+
+    Each of the {BFS_ROUNDS} unrolled rounds is frontier-expand
+    (equi-join frontier -> edges on the source key) then anti-join
+    against the visited set — the exact message-passing step every BSP
+    graph engine runs, expressed relationally. No broadcast hint on the
+    frontier on purpose: round-1 frontiers are tiny but web-scale BFS
+    frontiers explode by round 2, so the join must be allowed to stay a
+    shuffle join (AQE broadcasts the small rounds on its own).
+
+    Determinism: the seed is min(node) (byte-wise string order on both
+    engines), expansion is set-valued (distinct/anti-join, no float, no
+    tie-breaks needed); counts are exact.
+
+    Scale shape: the edge list is persisted once (the pagerank lesson);
+    per round, cost is one equi-join shuffle on the frontier keys plus
+    one anti-join on the visited set — both hash-partitioned by node id,
+    never all-pairs. The visited set grows monotonically but stays
+    node-, not edge-, sized.
+    """
+    edges = _pr_edges(spark, sf_dir).persist()
+    nodes = edges.select("src").distinct().persist()
+    seed = nodes.agg(F.min("src").alias("node"))
+    reached = seed.select("node", F.lit(0).alias("dist"))
+    frontier = seed.select("node")
+    for k in range(1, BFS_ROUNDS + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = nxt.join(
+            reached.select("node"), "node", "left_anti"
+        ).persist()  # read twice: next round's expand + the visited union
+        reached = reached.unionAll(
+            frontier.select("node", F.lit(k).alias("dist"))
+        )
+    hist = reached.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    un = (
+        nodes.withColumnRenamed("src", "node")
+        .join(reached.select("node"), "node", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select(F.lit(-1).alias("dist"), "n_nodes")
+    )
+    return (
+        hist.unionAll(un)
+        .select(F.col("dist").cast("int"), "n_nodes")
+        .orderBy("dist")
+    )

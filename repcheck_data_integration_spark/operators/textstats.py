@@ -1207,3 +1207,137 @@ def text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("n_toks") - 1, F.lit(1)).cast("double")
         ).alias("distinct2"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# text_zipf_fit — rank-frequency power-law exponent of the corpus vocab
+# --------------------------------------------------------------------------
+
+ZIPF_TOP = 500  # head of the rank-frequency curve the line is fit to
+ZIPF_LN_SCALE = 1_000_000
+
+# OLS of y = ln(freq) on x = ln(rank) over quantized-ln integer points:
+_ZF_COV = "(n * sxy - sx * sy)"
+_ZF_VARX = "(n * sxx - sx * sx)"
+_ZF_SLOPE = f"({_ZF_COV} / {_ZF_VARX})"
+_ZF_INTERCEPT = f"((sy - {_ZF_SLOPE} * sx) / n)"
+_ZF_R2 = f"({_ZF_COV} * {_ZF_COV} / ({_ZF_VARX} * (n * syy - sy * sy)))"
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tc AS (
+        SELECT tok, count(*) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+              FROM documents)
+        GROUP BY 1),
+    rk AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS r
+        FROM tc),
+    pts AS (
+        SELECT CAST(floor(ln(r) * {ZIPF_LN_SCALE}) AS BIGINT) AS qx,
+               CAST(floor(ln(cnt) * {ZIPF_LN_SCALE}) AS BIGINT) AS qy
+        FROM rk WHERE r <= {ZIPF_TOP}),
+    st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(qx AS HUGEINT)) AS DOUBLE) / 1e6 AS sx,
+               CAST(sum(CAST(qy AS HUGEINT)) AS DOUBLE) / 1e6 AS sy,
+               CAST(sum(CAST(qx * qx AS HUGEINT)) AS DOUBLE) / 1e12 AS sxx,
+               CAST(sum(CAST(qx * qy AS HUGEINT)) AS DOUBLE) / 1e12 AS sxy,
+               CAST(sum(CAST(qy * qy AS HUGEINT)) AS DOUBLE) / 1e12 AS syy
+        FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           {sql_stable_round4(f'(0.0 - {_ZF_SLOPE})')} AS zipf_exponent,
+           {sql_stable_round4(_ZF_INTERCEPT)} AS ln_c_intercept,
+           {sql_stable_round4(_ZF_R2)} AS r2
+    FROM st
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus rank-frequency curve: OLS of
+    ln(freq) on ln(rank) for the top {ZIPF_TOP} vocabulary terms; the
+    NEGATED slope is the Zipf exponent (~1 for natural language —
+    Zipf 1949; Piantadosi 2014 for the modern treatment) and r2 says how
+    power-law the head actually is. A corpus whose exponent drifts far
+    from 1 (too flat = boilerplate/ID spam, too steep = tiny effective
+    vocabulary) fails the language-likeness gate — the corpus-level
+    companion of the per-doc text_repetition_stats / text_distinct_ngrams
+    screens.
+
+    Determinism: ranks come from a full (cnt DESC, tok) tie-broken
+    window; both ln terms are quantized floor(ln * 1e6) on exact
+    integers BEFORE any summation (ln of identical integers is
+    bit-identical across engines — the events_type_entropy discipline),
+    so the six OLS sufficient statistics are exact integer sums; the
+    slope/intercept/r2 strings are interpolated verbatim into both
+    engines, stable_round4 at the end.
+
+    Scale shape: one token shuffle to vocabulary counts (map-side
+    combined), a top-{ZIPF_TOP} rank window over the vocab relation
+    (WindowGroupLimit prunes it to a per-partition top-k before the
+    single-partition sort), then a 1-row aggregate over {ZIPF_TOP}
+    points. The fact-table cost is exactly one tokenize+explode pass.
+    """
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window as _W
+
+    # Two-level top-k (the agg_kmv_sketch shape): a bare global window
+    # would serialize the whole vocabulary through one sort task. Level 1
+    # prunes to ZIPF_TOP rows per physical partition IN PARALLEL under
+    # the same total order (top-k is mergeable), level 2 ranks only the
+    # <= ZIPF_TOP * n_parts survivors.
+    lvl1 = (
+        tc.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "rk1",
+            F.row_number().over(
+                _W.partitionBy("pid").orderBy(
+                    F.col("cnt").desc(), F.col("tok")
+                )
+            ),
+        )
+        .filter(F.col("rk1") <= ZIPF_TOP)
+    )
+    rk = lvl1.select(
+        "cnt",
+        F.row_number()
+        .over(_W.orderBy(F.col("cnt").desc(), F.col("tok")))
+        .alias("r"),
+    ).filter(F.col("r") <= ZIPF_TOP)
+    pts = rk.select(
+        F.floor(F.log(F.col("r")) * ZIPF_LN_SCALE)
+        .cast("long")
+        .alias("qx"),
+        F.floor(F.log(F.col("cnt")) * ZIPF_LN_SCALE)
+        .cast("long")
+        .alias("qy"),
+    )
+
+    def dsum(expr: str, scale: float) -> Column:
+        return (
+            F.sum(F.expr(expr).cast("decimal(38,0)")).cast("double")
+            / F.lit(scale)
+        )
+
+    st = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("qx", 1e6).alias("sx"),
+        dsum("qy", 1e6).alias("sy"),
+        dsum("qx * qx", 1e12).alias("sxx"),
+        dsum("qx * qy", 1e12).alias("sxy"),
+        dsum("qy * qy", 1e12).alias("syy"),
+    )
+    return st.selectExpr(
+        "CAST(n AS BIGINT) AS n_terms",
+        f"CAST({sql_stable_round4(f'(0.0 - {_ZF_SLOPE})')} AS DOUBLE)"
+        " AS zipf_exponent",
+        f"CAST({sql_stable_round4(_ZF_INTERCEPT)} AS DOUBLE)"
+        " AS ln_c_intercept",
+        f"CAST({sql_stable_round4(_ZF_R2)} AS DOUBLE) AS r2",
+    )

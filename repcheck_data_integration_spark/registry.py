@@ -126,6 +126,15 @@ DRIVER_PRIORITY: list[str] = [
     "join_spatial_area_weight",
     "ml_sprt_ab",
     "events_markov_stationary",
+    # round-4 causal/one-step-ML tranche (past the driver's 50-query
+    # window; covered by the full local gate):
+    "ml_logreg_newton",
+    "agg_cuped",
+    "ts_granger_causality",
+    "ts_changepoint_binseg",
+    "rec_slope_one",
+    "text_zipf_fit",
+    "graph_bfs_distance",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",
@@ -172,6 +181,7 @@ def load_all_modules() -> None:
         statsml,
         statsml2,
         statsml3,
+        statsml4,
     )
     from .functions import scalar_queries  # noqa: F401
     from .sources import file_sources, pyds  # noqa: F401

@@ -720,3 +720,79 @@ def test_markov_stationary_alphabet_sized_iterations(spark):
     # over the cached alphabet matrix with broadcast rank vectors
     assert "InMemoryTableScan" in p
     assert "CartesianProduct" not in p
+
+
+def test_logreg_newton_single_pass_pruned(spark):
+    p = plan(spark, "ml_logreg_newton")
+    # one map-side-combined aggregate over the fact scan — no join, no
+    # window; the d^2 sufficient statistics are the only shuffled bytes
+    assert "Join" not in p
+    assert "Window" not in p
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "l_quantity" in rs and "l_discount" in rs
+    assert "l_extendedprice" not in rs
+
+
+def test_cuped_single_custkey_shuffle_broadcast_pooled(spark):
+    p = plan(spark, "agg_cuped")
+    # per-customer collapse is the only data-sized exchange; the pooled
+    # 1-row stats frame broadcasts onto the 2-row per-arm frame
+    assert p.count("hashpartitioning(o_custkey") <= 1
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "o_totalprice" in rs and "o_comment" not in rs
+
+
+def test_granger_lag_join_on_bounded_daily_series(spark):
+    p = plan(spark, "ts_granger_causality")
+    # the event stream collapses once to the daily grid; the lag
+    # self-join runs on the |days|-sized post-agg frame
+    assert "CartesianProduct" not in p
+    # multiple scans: the bounds scan prunes to ts alone, the daily scan
+    # to (ts, event_type); props/value never leave the files anywhere
+    schemas = [s[:200] for s in p.split("ReadSchema")[1:]]
+    assert any("event_type" in s for s in schemas)
+    assert all("props" not in s and "value" not in s for s in schemas)
+
+
+def test_changepoint_prefix_scan_after_daily_collapse(spark):
+    spark.catalog.clearCache()
+    p = plan(spark, "ts_changepoint_binseg")
+    # persisted daily frame feeds both the prefix window and the totals;
+    # the totals row reaches the candidates via broadcast
+    assert "InMemoryTableScan" in p
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    rs = p.split("ReadSchema", 1)[1][:200]
+    assert "o_totalprice" in rs and "o_comment" not in rs
+
+
+def test_slope_one_user_keyed_join_cached_ratings(spark):
+    spark.catalog.clearCache()
+    p = plan(spark, "rec_slope_one")
+    # the deviation matrix comes from a user-keyed equi self-join over
+    # the persisted ratings frame — never an all-pairs item stage
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_zipf_two_level_topk_no_full_vocab_sort(spark):
+    p = plan(spark, "text_zipf_fit")
+    # level-1 per-partition top-k prunes the vocabulary before the
+    # single-partition rank window (WindowGroupLimit on both levels)
+    assert "WindowGroupLimit" in p
+    assert "Join" not in p
+    rs = p.split("ReadSchema", 1)[1][:200]
+    assert "text" in rs and "lang" not in rs and "source" not in rs
+
+
+def test_bfs_equi_joins_cached_edges_no_cartesian(spark):
+    spark.catalog.clearCache()
+    p = plan(spark, "graph_bfs_distance")
+    # every frontier expansion is an equi-join on the node key over the
+    # persisted edge list; visited-set maintenance is anti-join only
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -141,6 +141,13 @@ PROBES = [
     "join_spatial_area_weight",
     "ml_sprt_ab",
     "events_markov_stationary",
+    # round-4 causal/one-step-ML tranche: the item-item self-join, the
+    # unrolled-BFS frontier joins, the prefix-sum changepoint scan, and
+    # the tokenize->vocab->top-k Zipf fit all have real scale shapes
+    "rec_slope_one",
+    "graph_bfs_distance",
+    "ts_changepoint_binseg",
+    "text_zipf_fit",
 ]
 
 
