@@ -97,6 +97,8 @@ HEADLINE = [
     "rec_slope_one",
     "graph_bfs_distance",
     "text_zipf_fit",
+    "ml_spearman_corr",
+    "graph_degree_assortativity",
 ]
 
 

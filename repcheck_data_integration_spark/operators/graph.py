@@ -10,11 +10,12 @@ endpoint so hops are co-located joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
+from .dedup import sql_stable_round4
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1086,4 +1087,97 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist.unionAll(un)
         .select(F.col("dist").cast("int"), "n_nodes")
         .orderBy("dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_degree_assortativity — degree-degree correlation across edges
+# --------------------------------------------------------------------------
+
+# Pearson over the (deg(src), deg(dst)) pairs of the doubled edge list —
+# exactly Newman's assortativity coefficient r for an undirected graph
+# (the doubling supplies both orientations the formula averages over).
+_ASSORT_R = (
+    "((m * sxy - sx * sy)"
+    " / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)))"
+)
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH e0 AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (
+        SELECT 'c' || CAST(cust AS VARCHAR) AS src,
+               's' || CAST(supp AS VARCHAR) AS dst FROM e0
+        UNION ALL
+        SELECT 's' || CAST(supp AS VARCHAR), 'c' || CAST(cust AS VARCHAR)
+        FROM e0),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS k
+            FROM edges GROUP BY 1),
+    st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS m,
+               CAST(sum(CAST(ds.k AS HUGEINT)) AS DOUBLE) AS sx,
+               CAST(sum(CAST(dd.k AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(sum(CAST(ds.k AS HUGEINT) * ds.k) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(ds.k AS HUGEINT) * dd.k) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(dd.k AS HUGEINT) * dd.k) AS DOUBLE) AS syy
+        FROM edges e
+        JOIN deg ds ON ds.node = e.src
+        JOIN deg dd ON dd.node = e.dst)
+    SELECT CAST(m AS BIGINT) // 2 AS n_edges,
+           {sql_stable_round4('(sx / m)')} AS mean_degree,
+           {sql_stable_round4(_ASSORT_R)} AS assortativity
+    FROM st
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the undirected purchase graph (Newman,
+    PRL 2002): the Pearson correlation of the endpoint degrees over all
+    edges. Positive r = hubs attach to hubs (social-network shape),
+    negative r = hubs attach to leaves (the hub-and-spoke shape
+    bipartite commerce graphs usually show) — the one-number structural
+    fingerprint that decides whether degree-targeted sampling or
+    skew-salting will be needed downstream.
+
+    Determinism: degrees are exact counts, all five sufficient
+    statistics are exact DECIMAL(38)/HUGEINT sums over the edge list,
+    and the single r expression (IEEE sqrt of exact doubles) is
+    interpolated verbatim into both engines; stable_round4 on the two
+    reported rationals.
+
+    Scale shape: the degree table is node-sized and the enrichment is
+    two hash equi-joins of edges->degree on the endpoint keys — the
+    standard message-passing join, hash-partitioned by node id, never
+    all-pairs. The persisted doubled edge list is built once; one
+    moment aggregate (map-side combined) finishes the job.
+    """
+    edges = _pr_edges(spark, sf_dir).persist()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    ds = deg.select(F.col("node").alias("sn"), F.col("k").alias("kx"))
+    dd = deg.select(F.col("node").alias("dn"), F.col("k").alias("ky"))
+
+    def dsum(expr: str) -> Column:
+        return F.sum(F.expr(expr).cast("decimal(38,0)")).cast("double")
+
+    st = (
+        edges.join(ds, edges.src == ds.sn)
+        .join(dd, edges.dst == dd.dn)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("m"),
+            dsum("kx").alias("sx"),
+            dsum("ky").alias("sy"),
+            dsum("kx * kx").alias("sxx"),
+            dsum("kx * ky").alias("sxy"),
+            dsum("ky * ky").alias("syy"),
+        )
+    )
+    return st.selectExpr(
+        "CAST(m AS BIGINT) div 2 AS n_edges",
+        f"CAST({sql_stable_round4('(sx / m)')} AS DOUBLE) AS mean_degree",
+        f"CAST({sql_stable_round4(_ASSORT_R)} AS DOUBLE) AS assortativity",
     )

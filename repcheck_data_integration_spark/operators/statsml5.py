@@ -1,0 +1,499 @@
+"""Rank-statistics / concentration extensions (round-4 continuation).
+
+Nonparametric and market-structure analytics completing the
+experimentation axis (agg_ab_ttest -> ml_sprt_ab -> agg_cuped), each a
+pure DataFrame plan with an exact DuckDB oracle twin (the same tranche
+adds graph_degree_assortativity in graph.py):
+
+- ml_spearman_corr    Spearman rank correlation of quantity vs discount
+                      with textbook AVERAGE (mid) ranks under ties —
+                      computed WITHOUT ranking a single fact row: both
+                      columns have bounded alphabets, so mid-ranks come
+                      from prefix sums over the value-level marginals
+                      and the correlation from the (q, d) joint
+                      contingency table. 2x the mid-rank is an integer,
+                      so every sufficient statistic is an exact sum.
+- ml_mann_whitney_u   Mann-Whitney/Wilcoxon rank-sum test (returned vs
+                      kept lineitems over quantity): tie-averaged rank
+                      sum, U statistic, and the tie-corrected normal
+                      z — again purely from the 50-row value-level
+                      table, never a per-row rank.
+- agg_anova_oneway    one-way ANOVA F across the five order priorities
+                      on order value: between/within sums of squares
+                      from per-group integer sufficient statistics;
+                      group means quantized by exact integer division
+                      (1e-6 cent) so the between-group sum is a sum of
+                      DECIMALs, not of order-dependent doubles.
+- agg_hhi_concentration  Herfindahl-Hirschman supplier-revenue
+                      concentration per nation on the 0..10000 scale —
+                      sum of squared shares as an exact integer ratio
+                      num/den^2, one division per nation at the end.
+
+Reference seed: the reference repo's analytics are single-pass SQL
+aggregates (/root/reference/scripts/database/database.py:1); these extend
+the §2-beyond inventory along the nonparametric-testing axis. House
+determinism rules (CLAUDE.md): integer arithmetic until one final
+division per output column, identical expression strings interpolated
+into BOTH engines, stable_round4 on every rational. sqrt is IEEE
+correctly-rounded (unlike ln/exp) so sqrt-of-exact-double is safe —
+the agg_corr_matrix precedent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+from .dedup import sql_stable_round4
+
+# --------------------------------------------------------------------------
+# ml_spearman_corr
+# --------------------------------------------------------------------------
+
+# Pearson over the doubled mid-ranks (rx2 = 2 * average rank, integer):
+# the doubling cancels in the correlation, so rho_s is textbook-exact.
+_SP_RHO = (
+    "((n * sxy - sx * sy)"
+    " / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))"
+)
+
+# value-level mid-rank construction shared by both engines: with cum =
+# running count through value v and c = count at v, the doubled average
+# rank of the tied block is 2*cum - c + 1.
+_SPEARMAN_SQL = """
+    joint AS (
+        SELECT CAST(round(l_quantity, 0) AS BIGINT) AS q,
+               CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2),
+    mq AS (
+        SELECT q, 2 * sum(cq) OVER (ORDER BY q) - cq + 1 AS rx2
+        FROM (SELECT q, sum(c) AS cq FROM joint GROUP BY q)),
+    md AS (
+        SELECT d, 2 * sum(cd) OVER (ORDER BY d) - cd + 1 AS ry2
+        FROM (SELECT d, sum(c) AS cd FROM joint GROUP BY d)),
+    st AS (
+        SELECT CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) AS n,
+               CAST(sum(CAST(c AS HUGEINT) * rx2) AS DOUBLE) AS sx,
+               CAST(sum(CAST(c AS HUGEINT) * ry2) AS DOUBLE) AS sy,
+               CAST(sum(CAST(c AS HUGEINT) * rx2 * rx2) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(c AS HUGEINT) * rx2 * ry2) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(c AS HUGEINT) * ry2 * ry2) AS DOUBLE) AS syy,
+               CAST(count(*) AS BIGINT) AS cells
+        FROM joint JOIN mq USING (q) JOIN md USING (d))
+"""
+
+
+@register(
+    "ml_spearman_corr",
+    oracle=f"""
+    WITH {_SPEARMAN_SQL}
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           cells AS n_cells,
+           {sql_stable_round4(_SP_RHO)} AS spearman_rho
+    FROM st
+    """,
+)
+def ml_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between lineitem quantity and discount
+    (Spearman 1904), with the textbook average-rank treatment of ties —
+    the monotone-association counterpart of agg_corr_matrix's Pearson
+    (rank correlation is what survives heavy-tailed money columns).
+
+    The trick that makes it scale: NO fact row is ever ranked. Both
+    columns live on bounded alphabets (50 quantities x 11 discounts),
+    so the fact table collapses once into the (q, d) contingency table;
+    mid-ranks come from prefix sums over the two marginals (alphabet-
+    sized windows) and every Pearson sufficient statistic is a count-
+    weighted sum over <= 550 cells. Doubled mid-ranks (2*cum - c + 1)
+    are integers, so the sums are exact in DECIMAL(38)/HUGEINT; the
+    doubling cancels in the correlation.
+
+    Determinism: exact integer sums -> one rho expression interpolated
+    verbatim into both engines; sqrt is IEEE correctly-rounded, so
+    sqrt-of-exact-double matches bit-for-bit (agg_corr_matrix
+    precedent). stable_round4 on the reported rho.
+
+    Scale shape: one map-side-combined shuffle to the contingency
+    table; everything downstream is alphabet-sized. At 100 TB the plan
+    cost is exactly one fact scan + one tiny shuffle.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    joint = (
+        li.groupBy(
+            F.round("l_quantity", 0).cast("long").alias("q"),
+            F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .persist()  # joint + both marginals read it: one fact shuffle
+    )
+    mq = (
+        joint.groupBy("q")
+        .agg(F.sum("c").alias("cq"))
+        .select(
+            "q",
+            (
+                2 * F.sum("cq").over(W.orderBy("q"))
+                - F.col("cq")
+                + 1
+            ).alias("rx2"),
+        )
+    )
+    md = (
+        joint.groupBy("d")
+        .agg(F.sum("c").alias("cd"))
+        .select(
+            "d",
+            (
+                2 * F.sum("cd").over(W.orderBy("d"))
+                - F.col("cd")
+                + 1
+            ).alias("ry2"),
+        )
+    )
+
+    def dsum(expr: str) -> F.Column:
+        return F.sum(F.expr(expr).cast("decimal(38,0)")).cast("double")
+
+    st = (
+        joint.join(F.broadcast(mq), "q")
+        .join(F.broadcast(md), "d")
+        .agg(
+            dsum("c").alias("n"),
+            dsum("c * rx2").alias("sx"),
+            dsum("c * ry2").alias("sy"),
+            dsum("c * rx2 * rx2").alias("sxx"),
+            dsum("c * rx2 * ry2").alias("sxy"),
+            dsum("c * ry2 * ry2").alias("syy"),
+            F.count("*").cast("long").alias("cells"),
+        )
+    )
+    return st.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        "cells AS n_cells",
+        f"CAST({sql_stable_round4(_SP_RHO)} AS DOUBLE) AS spearman_rho",
+    )
+
+
+# --------------------------------------------------------------------------
+# ml_mann_whitney_u
+# --------------------------------------------------------------------------
+
+# From doubled tie-averaged rank sum r12 = 2*R1: U1 = R1 - n1(n1+1)/2,
+# E[U] = n1*n2/2, Var[U] = n1*n2/12 * ((n+1) - T/(n(n-1))) with the tie
+# term T = sum(t^3 - t). All inputs exact integers; doubles only in the
+# final interpolated expressions.
+_MW_U1 = "((r12 - n1 * (n1 + 1)) / 2.0)"
+_MW_VAR = (
+    "(n1 * n2 / 12.0"
+    " * ((n + 1.0) - tie / (n * (n - 1.0))))"
+)
+_MW_Z = f"(({_MW_U1} - n1 * n2 / 2.0) / sqrt({_MW_VAR}))"
+
+_MW_SQL = """
+    vl AS (
+        SELECT CAST(round(l_quantity, 0) AS BIGINT) AS q,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1
+        FROM lineitem GROUP BY 1),
+    rk AS (
+        SELECT q, c, c1,
+               2 * sum(c) OVER (ORDER BY q) - c + 1 AS r2
+        FROM vl),
+    st AS (
+        SELECT CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) AS n,
+               CAST(sum(CAST(c1 AS HUGEINT)) AS DOUBLE) AS n1,
+               CAST(sum(CAST(c - c1 AS HUGEINT)) AS DOUBLE) AS n2,
+               CAST(sum(CAST(c1 AS HUGEINT) * r2) AS DOUBLE) AS r12,
+               CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE) AS tie
+        FROM rk)
+"""
+
+
+@register(
+    "ml_mann_whitney_u",
+    oracle=f"""
+    WITH {_MW_SQL}
+    SELECT CAST(n1 AS BIGINT) AS n_returned,
+           CAST(n2 AS BIGINT) AS n_kept,
+           {sql_stable_round4(_MW_U1)} AS u_stat,
+           {sql_stable_round4(_MW_Z)} AS z_score
+    FROM st
+    """,
+)
+def ml_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: do RETURNED lineitems
+    (l_returnflag = 'R') come from a different quantity distribution
+    than kept ones? (Mann & Whitney 1947.) The nonparametric sibling of
+    agg_ab_ttest — no normality assumption, driven entirely by ranks —
+    with the standard tie-averaged ranks and tie-corrected normal
+    approximation z.
+
+    Like ml_spearman_corr, NO fact row is ranked: quantity's 50-value
+    alphabet means the whole test reduces to the value-level table
+    (count + returned-count per value), a prefix sum over 50 ordered
+    values for the doubled mid-ranks, and one weighted sum for the
+    doubled rank sum r12 = 2*R1. U, E[U] and the tie term
+    T = sum(t^3 - t) are then exact integers; z is a single
+    interpolated double expression (IEEE sqrt of exact inputs).
+
+    Scale shape: one map-side-combined aggregate to 50 rows; the window
+    and final statistics are alphabet-sized. One fact scan, one tiny
+    shuffle, regardless of table size.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    vl = li.groupBy(
+        F.round("l_quantity", 0).cast("long").alias("q")
+    ).agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c1"),
+    )
+    rk = vl.select(
+        "c",
+        "c1",
+        (2 * F.sum("c").over(W.orderBy("q")) - F.col("c") + 1).alias(
+            "r2"
+        ),
+    )
+
+    def dsum(expr: str) -> F.Column:
+        return F.sum(F.expr(expr).cast("decimal(38,0)")).cast("double")
+
+    st = rk.agg(
+        dsum("c").alias("n"),
+        dsum("c1").alias("n1"),
+        dsum("c - c1").alias("n2"),
+        dsum("c1 * r2").alias("r12"),
+        dsum("c * c * c - c").alias("tie"),
+    )
+    return st.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_returned",
+        "CAST(n2 AS BIGINT) AS n_kept",
+        f"CAST({sql_stable_round4(_MW_U1)} AS DOUBLE) AS u_stat",
+        f"CAST({sql_stable_round4(_MW_Z)} AS DOUBLE) AS z_score",
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_anova_oneway
+# --------------------------------------------------------------------------
+
+ANOVA_MEAN_SCALE = 1_000_000  # group means quantized to 1e-6 cent
+
+# ssb/sst in cents^2 from the quantized group means (t = sum n_g*m_g^2,
+# nm2 = n*m^2, both DECIMAL-exact in 1e-12 cent^2):
+_AN_SSB = f"((t - nm2) / {float(ANOVA_MEAN_SCALE) ** 2})"
+_AN_SST = "(svv - s * s / n)"
+_AN_F = f"(({_AN_SSB} / (k - 1.0)) / (({_AN_SST} - {_AN_SSB}) / (n - k)))"
+_AN_ETA2 = f"({_AN_SSB} / {_AN_SST})"
+
+_ANOVA_SQL = f"""
+    grp AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS HUGEINT) AS sg,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                        * CAST(round(o_totalprice * 100, 0) AS HUGEINT))
+                    AS HUGEINT) AS svvg
+        FROM orders GROUP BY 1),
+    qm AS (
+        SELECT ng, svvg, sg,
+               (sg * {ANOVA_MEAN_SCALE}) // ng AS mg
+        FROM grp),
+    st AS (
+        SELECT CAST(sum(CAST(ng AS HUGEINT)) AS DOUBLE) AS n,
+               CAST(count(*) AS DOUBLE) AS k,
+               CAST(sum(sg) AS DOUBLE) / 100.0 AS s_d,
+               CAST(sum(sg) AS HUGEINT) AS s_raw,
+               CAST(sum(svvg) AS DOUBLE) AS svv,
+               CAST(sum(ng * mg * mg) AS DOUBLE) AS t,
+               CAST(sum(CAST(ng AS HUGEINT)) AS HUGEINT) AS n_raw
+        FROM qm),
+    fin AS (
+        SELECT n, k, svv, t,
+               CAST(s_d * 100.0 AS DOUBLE) AS s,
+               CAST((s_raw * {ANOVA_MEAN_SCALE}) // n_raw AS DOUBLE)
+                   AS m_q,
+               CAST(n AS DOUBLE)
+                   * CAST((s_raw * {ANOVA_MEAN_SCALE}) // n_raw AS DOUBLE)
+                   * CAST((s_raw * {ANOVA_MEAN_SCALE}) // n_raw AS DOUBLE)
+                   AS nm2
+        FROM st)
+"""
+
+
+@register(
+    "agg_anova_oneway",
+    oracle=f"""
+    WITH {_ANOVA_SQL}
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(k AS BIGINT) AS n_groups,
+           {sql_stable_round4(_AN_F)} AS f_stat,
+           {sql_stable_round4(_AN_ETA2)} AS eta_squared
+    FROM fin
+    """,
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the five order priorities on order value
+    (Fisher 1925): the k-group generalization of agg_ab_ttest. Reports
+    the F statistic and eta^2 (the between-group share of variance).
+
+    Determinism is the interesting part: SSB = sum_g n_g*(mean_g -
+    mean)^2 naively sums k DOUBLES (one per group) — order-dependent
+    across engines. Instead each group mean is quantized by EXACT
+    integer division (sg * 1e6) div ng — the quotient fits int64
+    because it is mean-sized, not sum-of-squares-sized (Spark's
+    DECIMAL `div` returns LONG and silently wraps past 2^63, measured,
+    so quantities that grow with SF^2 must never pass through it) —
+    and sum_g n_g*m_g^2 accumulates in DECIMAL(38)/HUGEINT, exactly.
+    The statistic is then defined on the 1e-6-cent-quantized means,
+    identical on both engines; SST comes from exact raw moments.
+    stable_round4 on F and eta^2.
+
+    Scale shape: one map-side-combined aggregate to k = 5 rows carrying
+    (n_g, sum, sum-of-squares); everything downstream is k-sized. One
+    fact scan, one 5-row shuffle at any SF.
+    """
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    grp = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum(cents.cast("decimal(38,0)")).alias("sg"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("svvg"),
+    )
+    qm = grp.select(
+        "ng",
+        "sg",
+        "svvg",
+        F.expr(f"(sg * {ANOVA_MEAN_SCALE}) div ng").alias("mg"),
+    )
+    st = qm.agg(
+        F.sum(F.col("ng").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("n"),
+        F.count("*").cast("double").alias("k"),
+        F.sum("sg").cast("double").alias("s"),
+        F.sum("sg").alias("s_raw"),
+        F.sum("svvg").cast("double").alias("svv"),
+        F.sum(
+            F.col("ng").cast("decimal(38,0)")
+            * F.col("mg")
+            * F.col("mg")
+        )
+        .cast("double")
+        .alias("t"),
+        F.sum(F.col("ng").cast("decimal(38,0)")).alias("n_raw"),
+    )
+    fin = st.select(
+        "n",
+        "k",
+        "svv",
+        "t",
+        "s",
+        (
+            F.col("n")
+            * F.expr(
+                f"CAST((s_raw * {ANOVA_MEAN_SCALE}) div n_raw AS DOUBLE)"
+            )
+            * F.expr(
+                f"CAST((s_raw * {ANOVA_MEAN_SCALE}) div n_raw AS DOUBLE)"
+            )
+        ).alias("nm2"),
+    )
+    return fin.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        "CAST(k AS BIGINT) AS n_groups",
+        f"CAST({sql_stable_round4(_AN_F)} AS DOUBLE) AS f_stat",
+        f"CAST({sql_stable_round4(_AN_ETA2)} AS DOUBLE) AS eta_squared",
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_hhi_concentration
+# --------------------------------------------------------------------------
+
+# HHI on the industry 0..10000 scale: 10000 * sum(rev_s^2) / (sum rev_s)^2
+_HHI = "(10000.0 * num / (den * den))"
+
+_HHI_SQL = """
+    srev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                    AS HUGEINT) AS rev
+        FROM lineitem GROUP BY 1),
+    nat AS (
+        SELECT n.n_name AS nation,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(rev * rev) AS DOUBLE) AS num,
+               CAST(sum(rev) AS DOUBLE) AS den
+        FROM srev
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n ON n_nationkey = s_nationkey
+        GROUP BY 1)
+"""
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle=f"""
+    WITH {_HHI_SQL}
+    SELECT nation, n_suppliers,
+           {sql_stable_round4(_HHI)} AS hhi
+    FROM nat ORDER BY nation
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-revenue concentration per nation on
+    the regulator's 0..10000 scale (Herfindahl 1950; the DOJ merger-
+    guideline statistic): HHI = 10000 * sum_s share_s^2. A market where
+    one supplier takes all revenue scores 10000; perfectly even
+    competition among m suppliers scores 10000/m — the market-structure
+    companion of agg_gini_revenue's inequality curve.
+
+    Determinism: supplier revenue is the exact discounted-cents integer
+    sum_s(ep_cents * (100 - d2)) (the TPC-H money discipline); HHI =
+    10000 * sum(rev^2) / (sum rev)^2 keeps numerator and denominator as
+    exact DECIMAL(38)/HUGEINT sums — shares are never materialized, so
+    there is no per-supplier double division to order. One interpolated
+    division per nation, stable_round4.
+
+    Scale shape: the fact table collapses to supplier grain in ONE
+    map-side-combined aggregate keyed by l_suppkey (no join below the
+    agg); the supplier->nation enrichment joins DIMENSION-sized
+    relations (broadcast), and the nation rollup is 25 rows. At 100 TB:
+    one fact scan, one supplier-cardinality shuffle.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
+    srev = li.groupBy("l_suppkey").agg(
+        F.sum(rev.cast("decimal(38,0)")).alias("rev")
+    )
+    nat = (
+        srev.join(F.broadcast(s), srev.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.sum(F.col("rev") * F.col("rev")).cast("double").alias("num"),
+            F.sum("rev").cast("double").alias("den"),
+        )
+    )
+    return nat.selectExpr(
+        "nation",
+        "n_suppliers",
+        f"CAST({sql_stable_round4(_HHI)} AS DOUBLE) AS hhi",
+    ).orderBy("nation")

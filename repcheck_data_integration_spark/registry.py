@@ -135,6 +135,12 @@ DRIVER_PRIORITY: list[str] = [
     "rec_slope_one",
     "text_zipf_fit",
     "graph_bfs_distance",
+    # round-4 rank-statistics/concentration tranche:
+    "ml_spearman_corr",
+    "ml_mann_whitney_u",
+    "agg_anova_oneway",
+    "agg_hhi_concentration",
+    "graph_degree_assortativity",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",
@@ -182,6 +188,7 @@ def load_all_modules() -> None:
         statsml2,
         statsml3,
         statsml4,
+        statsml5,
     )
     from .functions import scalar_queries  # noqa: F401
     from .sources import file_sources, pyds  # noqa: F401

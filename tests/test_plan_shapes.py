@@ -796,3 +796,56 @@ def test_bfs_equi_joins_cached_edges_no_cartesian(spark):
     assert "InMemoryTableScan" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_spearman_alphabet_sized_after_joint_collapse(spark):
+    spark.catalog.clearCache()
+    p = plan(spark, "ml_spearman_corr")
+    # the fact table collapses once into the persisted (q, d) joint;
+    # both marginal mid-rank frames broadcast back onto it
+    assert "InMemoryTableScan" in p
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "l_quantity" in rs and "l_discount" in rs
+    assert "l_extendedprice" not in rs
+
+
+def test_mann_whitney_single_pass_no_join(spark):
+    p = plan(spark, "ml_mann_whitney_u")
+    # value-level stats only: one map-side-combined aggregate, an
+    # alphabet-sized window, no join anywhere
+    assert "Join" not in p
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "l_quantity" in rs and "l_returnflag" in rs
+    assert "l_extendedprice" not in rs
+
+
+def test_anova_five_row_rollup_no_join_no_window(spark):
+    p = plan(spark, "agg_anova_oneway")
+    assert "Join" not in p
+    assert "Window" not in p
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "o_totalprice" in rs and "o_orderpriority" in rs
+    assert "o_comment" not in rs
+
+
+def test_hhi_supplier_collapse_below_broadcast_dims(spark):
+    p = plan(spark, "agg_hhi_concentration")
+    # fact collapses to supplier grain BEFORE any join; both dimension
+    # joins broadcast
+    assert p.count("hashpartitioning(l_suppkey") <= 1
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "l_extendedprice" in rs and "l_comment" not in rs
+
+
+def test_assortativity_equi_joins_cached_edges(spark):
+    spark.catalog.clearCache()
+    p = plan(spark, "graph_degree_assortativity")
+    # degree enrichment is two hash equi-joins on the endpoint keys
+    # over the persisted edge list — never nested-loop
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

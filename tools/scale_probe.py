@@ -148,6 +148,11 @@ PROBES = [
     "graph_bfs_distance",
     "ts_changepoint_binseg",
     "text_zipf_fit",
+    # round-4 rank-statistics tranche: the contingency collapse, the
+    # supplier-grain rollup, and the degree-degree edge enrichment
+    "ml_spearman_corr",
+    "agg_hhi_concentration",
+    "graph_degree_assortativity",
 ]
 
 
