@@ -99,6 +99,8 @@ HEADLINE = [
     "text_zipf_fit",
     "ml_spearman_corr",
     "graph_degree_assortativity",
+    "text_heaps_fit",
+    "llm_eval_chrf",
 ]
 
 

@@ -1187,3 +1187,178 @@ def _register_dpo_prep() -> None:
 
 
 _register_dpo_prep()
+
+
+# --- chrF evaluation --------------------------------------------------------
+
+CHRF_MAX_N = 4        # character n-gram orders 1..4 (chrF default is 6;
+                      # 4 bounds the gram blow-up at identical ranking)
+CHRF_CAND_CHARS = 48  # "model output" proxy: first 48 chars
+CHRF_REF_START = 13   # reference window starts shifted 12 chars in
+
+# Per-order quantized F_{beta=2} = 5PR/(4P+R) with P = m/cd, R = m/rd —
+# pure arithmetic on exact integers, so floor is bit-identical on both
+# engines; and the per-doc mean over the surviving orders:
+_CHRF_FQ = (
+    "CASE WHEN m > 0 THEN CAST(floor(1000000000.0"
+    " * (5.0 * (m * 1.0 / cd) * (m * 1.0 / rd))"
+    " / (4.0 * (m * 1.0 / cd) + (m * 1.0 / rd))) AS BIGINT)"
+    " ELSE 0 END"
+)
+_CHRF_SCORE = "(sfq / (n_orders * 1000000000.0))"
+
+
+def _register_eval_chrf() -> None:
+    from .dedup import TOKEN_RE, sql_stable_round4
+
+    @register(
+        "llm_eval_chrf",
+        oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   array_to_string(regexp_extract_all(text, '{TOKEN_RE}'),
+                                   '') AS cs
+            FROM documents),
+        s AS (
+            SELECT doc_id, substr(cs, 1, {CHRF_CAND_CHARS}) AS cand,
+                   substr(cs, {CHRF_REF_START}) AS ref
+            FROM t),
+        cg AS (
+            SELECT doc_id, g, CAST(count(*) AS BIGINT) AS ccnt
+            FROM (SELECT doc_id,
+                         unnest(flatten(list_transform(
+                             generate_series(1, {CHRF_MAX_N}), n ->
+                             list_transform(
+                                 generate_series(1,
+                                     greatest(length(cand) - n + 1, 0)),
+                                 i -> substr(cand, i, n))))) AS g
+                  FROM s) GROUP BY 1, 2),
+        rg AS (
+            SELECT doc_id, g, CAST(count(*) AS BIGINT) AS rcnt
+            FROM (SELECT doc_id,
+                         unnest(flatten(list_transform(
+                             generate_series(1, {CHRF_MAX_N}), n ->
+                             list_transform(
+                                 generate_series(1,
+                                     greatest(length(ref) - n + 1, 0)),
+                                 i -> substr(ref, i, n))))) AS g
+                  FROM s) GROUP BY 1, 2),
+        ma AS (
+            SELECT cg.doc_id, length(cg.g) AS n,
+                   CAST(sum(least(ccnt, coalesce(rcnt, 0))) AS BIGINT) AS m,
+                   CAST(sum(ccnt) AS BIGINT) AS cd
+            FROM cg LEFT JOIN rg
+              ON cg.doc_id = rg.doc_id AND cg.g = rg.g
+            GROUP BY 1, 2),
+        ra AS (
+            SELECT doc_id, length(g) AS n,
+                   CAST(sum(rcnt) AS BIGINT) AS rd
+            FROM rg GROUP BY 1, 2),
+        pn AS (
+            SELECT ma.doc_id, {_CHRF_FQ} AS fq
+            FROM ma JOIN ra ON ma.doc_id = ra.doc_id AND ma.n = ra.n),
+        agg AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(fq) AS BIGINT) AS sfq
+            FROM pn GROUP BY 1),
+        lens AS (
+            SELECT doc_id, CAST(length(cand) AS BIGINT) AS c_len,
+                   CAST(length(ref) AS BIGINT) AS r_len
+            FROM s)
+        SELECT lens.doc_id, c_len, r_len, n_orders,
+               {sql_stable_round4(_CHRF_SCORE)} AS chrf2
+        FROM lens JOIN agg ON lens.doc_id = agg.doc_id
+        """,
+    )
+    def llm_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """chrF with beta = 2 (Popovic, WMT 2015) — the character-n-gram
+        F-score that tracks human MT judgment better than BLEU on
+        morphology-rich output — of the same candidate/reference proxy
+        pair llm_eval_bleu scores (first {CHRF_CAND_CHARS} chars of the
+        token-joined, space-stripped document vs a {CHRF_REF_START}-
+        shifted reference window; swap in real model output columns and
+        the scoring plan is unchanged). Completes the eval triad:
+        ROUGE = recall, BLEU = clipped precision, chrF = char-level F.
+
+        Per order n = 1..{CHRF_MAX_N}: clipped match m = sum over grams
+        of min(cand-count, ref-count) — per-gram COUNTS, not sets, so
+        like BLEU it uses the relational inverted-index shape: explode
+        grams of all orders in ONE pass per side (order recovered as
+        length(g); strings of different lengths can never collide),
+        count per (doc, gram), LEFT-join. F_2 = 5PR/(4P+R) per order is
+        quantized to an integer (pure arithmetic of exact ints — no
+        libm, so floor is bit-identical) and the per-doc chrF is the
+        mean over orders present in BOTH sides, summed as integers —
+        never an order-dependent float sum.
+
+        Scale shape: two explode->count aggregates (map-side combined;
+        shuffle carries distinct doc-gram pairs), one equi-join on
+        (doc, gram), two per-(doc, n) rollups, one per-doc rollup. All
+        keys carry doc_id, so everything co-partitions.
+        """
+        d = load(spark, sf_dir, "documents")
+        cs = F.concat_ws(
+            "", F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)
+        )
+        s = (
+            d.select("doc_id", cs.alias("cs"))
+            .select(
+                "doc_id",
+                F.expr(f"substring(cs, 1, {CHRF_CAND_CHARS})").alias("cand"),
+                F.expr(f"substring(cs, {CHRF_REF_START})").alias("ref"),
+            )
+            .persist()  # feeds lens + both gram relations
+        )
+
+        def grams(side: str, cname: str):
+            g = F.expr(
+                f"flatten(transform(sequence(1, {CHRF_MAX_N}), n ->"
+                f" transform(sequence(1, greatest(length({side}) - n + 1,"
+                f" 0)), i -> substring({side}, i, n))))"
+            )
+            return (
+                s.select("doc_id", F.explode(g).alias("g"))
+                .groupBy("doc_id", "g")
+                .agg(F.count(F.lit(1)).cast("long").alias(cname))
+            )
+
+        c, r = grams("cand", "ccnt"), grams("ref", "rcnt")
+        ma = (
+            c.join(r, ["doc_id", "g"], "left")
+            .groupBy("doc_id", F.length("g").alias("n"))
+            .agg(
+                F.sum(
+                    F.least(
+                        F.col("ccnt"), F.coalesce(F.col("rcnt"), F.lit(0))
+                    )
+                )
+                .cast("long")
+                .alias("m"),
+                F.sum("ccnt").cast("long").alias("cd"),
+            )
+        )
+        ra = r.groupBy("doc_id", F.length("g").alias("n")).agg(
+            F.sum("rcnt").cast("long").alias("rd")
+        )
+        pn = ma.join(ra, ["doc_id", "n"]).select(
+            "doc_id", F.expr(_CHRF_FQ).alias("fq")
+        )
+        agg = pn.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("fq").cast("long").alias("sfq"),
+        )
+        lens = s.select(
+            "doc_id",
+            F.length("cand").cast("long").alias("c_len"),
+            F.length("ref").cast("long").alias("r_len"),
+        )
+        return lens.join(agg, "doc_id").selectExpr(
+            "doc_id",
+            "c_len",
+            "r_len",
+            "n_orders",
+            f"CAST({sql_stable_round4(_CHRF_SCORE)} AS DOUBLE) AS chrf2",
+        )
+
+
+_register_eval_chrf()

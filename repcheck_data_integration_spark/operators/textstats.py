@@ -1341,3 +1341,242 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS ln_c_intercept",
         f"CAST({sql_stable_round4(_ZF_R2)} AS DOUBLE) AS r2",
     )
+
+
+# --------------------------------------------------------------------------
+# text_heaps_fit — vocabulary-growth (Heaps' law) exponent of the corpus
+# --------------------------------------------------------------------------
+
+HEAPS_BUCKET = 64  # doc-axis bucket width for the two-level prefix scan
+
+
+@register(
+    "text_heaps_fit",
+    oracle=f"""
+    WITH dt AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+        FROM documents),
+    nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
+           FROM dt GROUP BY 1),
+    fd AS (SELECT tok, min(doc_id) AS fdoc FROM dt GROUP BY 1),
+    incr AS (SELECT fdoc, CAST(count(*) AS BIGINT) AS v_new
+             FROM fd GROUP BY 1),
+    axis AS (
+        SELECT doc_id, n_toks, coalesce(v_new, 0) AS v_new
+        FROM nd LEFT JOIN incr ON fdoc = doc_id),
+    cum AS (
+        SELECT sum(n_toks) OVER (ORDER BY doc_id) AS ct,
+               sum(v_new) OVER (ORDER BY doc_id) AS cv
+        FROM axis),
+    pts AS (
+        SELECT CAST(floor(ln(ct) * {ZIPF_LN_SCALE}) AS BIGINT) AS qx,
+               CAST(floor(ln(cv) * {ZIPF_LN_SCALE}) AS BIGINT) AS qy
+        FROM cum WHERE ct > 0 AND cv > 0),
+    st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(qx AS HUGEINT)) AS DOUBLE) / 1e6 AS sx,
+               CAST(sum(CAST(qy AS HUGEINT)) AS DOUBLE) / 1e6 AS sy,
+               CAST(sum(CAST(qx * qx AS HUGEINT)) AS DOUBLE) / 1e12 AS sxx,
+               CAST(sum(CAST(qx * qy AS HUGEINT)) AS DOUBLE) / 1e12 AS sxy,
+               CAST(sum(CAST(qy * qy AS HUGEINT)) AS DOUBLE) / 1e12 AS syy
+        FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_points,
+           {sql_stable_round4(_ZF_SLOPE)} AS heaps_beta,
+           {sql_stable_round4(_ZF_INTERCEPT)} AS ln_k_intercept,
+           {sql_stable_round4(_ZF_R2)} AS r2
+    FROM st
+    """,
+)
+def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) ~ K * n^beta over the corpus vocabulary-growth
+    curve (Heaps 1978; the dual of text_zipf_fit's rank-frequency law):
+    OLS of ln(cumulative vocabulary) on ln(cumulative tokens) along the
+    deterministic doc_id reading order. beta ~ 0.4-0.6 for natural
+    language; beta near 1 means the vocabulary never saturates (ID/hash
+    spam), beta near 0 a tiny closed vocabulary — the corpus-growth
+    companion of the Zipf language-likeness gate, and the statistic that
+    sizes tokenizer vocabularies ahead of a BPE train.
+
+    Each document contributes one (ln n, ln V) point: V grows by the
+    count of token types whose FIRST occurrence lands in that doc
+    (min-doc_id per type), so the curve needs no per-token dedup state —
+    just two grouped aggregates and a prefix sum over the doc axis.
+
+    Determinism: both cumulative counts are exact integers; ln is
+    quantized floor(ln * 1e6) per point BEFORE summation (ln of equal
+    integers is bit-identical across engines — the text_zipf_fit
+    discipline); the OLS strings are the zipf ones verbatim.
+
+    Scale shape: one tokenize+explode pass feeds both grouped
+    aggregates (map-side combined); the prefix sum runs as the
+    TWO-LEVEL distributed scan (ml_sprt_ab pattern) — per-bucket
+    partials, an exclusive bucket prefix broadcast back, in-bucket
+    windows — so no doc-axis relation ever serializes through one
+    sort task. The OLS reduce is a 1-row aggregate.
+    """
+    from pyspark.sql import Window as _W
+
+    d = load(spark, sf_dir, "documents")
+    dt = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    nd = dt.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_toks"))
+    incr = (
+        dt.groupBy("tok")
+        .agg(F.min("doc_id").alias("fdoc"))
+        .groupBy("fdoc")
+        .agg(F.count("*").cast("long").alias("v_new"))
+    )
+    axis = (
+        nd.join(incr, nd.doc_id == incr.fdoc, "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce("v_new", F.lit(0)).alias("v_new"),
+            F.expr(f"doc_id div {HEAPS_BUCKET}").alias("b"),
+        )
+    )
+    bagg = axis.groupBy("b").agg(
+        F.sum("n_toks").alias("bt"), F.sum("v_new").alias("bv")
+    )
+    wpre = _W.orderBy("b").rowsBetween(_W.unboundedPreceding, -1)
+    bpre = bagg.select(
+        "b",
+        F.coalesce(F.sum("bt").over(wpre), F.lit(0)).alias("pre_t"),
+        F.coalesce(F.sum("bv").over(wpre), F.lit(0)).alias("pre_v"),
+    )
+    win = (
+        _W.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    cum = axis.join(F.broadcast(bpre), "b").select(
+        (F.col("pre_t") + F.sum("n_toks").over(win)).alias("ct"),
+        (F.col("pre_v") + F.sum("v_new").over(win)).alias("cv"),
+    )
+    pts = cum.filter((F.col("ct") > 0) & (F.col("cv") > 0)).select(
+        F.floor(F.log(F.col("ct")) * ZIPF_LN_SCALE).cast("long").alias("qx"),
+        F.floor(F.log(F.col("cv")) * ZIPF_LN_SCALE).cast("long").alias("qy"),
+    )
+
+    def dsum(expr: str, scale: float) -> Column:
+        return (
+            F.sum(F.expr(expr).cast("decimal(38,0)")).cast("double")
+            / F.lit(scale)
+        )
+
+    st = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("qx", 1e6).alias("sx"),
+        dsum("qy", 1e6).alias("sy"),
+        dsum("qx * qx", 1e12).alias("sxx"),
+        dsum("qx * qy", 1e12).alias("sxy"),
+        dsum("qy * qy", 1e12).alias("syy"),
+    )
+    return st.selectExpr(
+        "CAST(n AS BIGINT) AS n_points",
+        f"CAST({sql_stable_round4(_ZF_SLOPE)} AS DOUBLE) AS heaps_beta",
+        f"CAST({sql_stable_round4(_ZF_INTERCEPT)} AS DOUBLE)"
+        " AS ln_k_intercept",
+        f"CAST({sql_stable_round4(_ZF_R2)} AS DOUBLE) AS r2",
+    )
+
+
+# --------------------------------------------------------------------------
+# text_term_burstiness — Church-Gale term dispersion (content vs function)
+# --------------------------------------------------------------------------
+
+BURST_MIN_DF = 5   # document-frequency floor
+BURST_TOPK = 20
+
+# mean within-doc tf of containing docs, and the Fano factor (variance/
+# mean of tf over containing docs) — both exact-integer ratios:
+_BU_MEAN = "(stf / df)"
+_BU_FANO = "((df * stf2 - stf * stf) / (df * stf))"
+
+
+@register(
+    "text_term_burstiness",
+    oracle=f"""
+    WITH dt AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+        FROM documents),
+    tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM dt GROUP BY 1, 2),
+    ts AS (
+        SELECT tok,
+               CAST(count(*) AS DOUBLE) AS df,
+               CAST(sum(CAST(tf AS HUGEINT)) AS DOUBLE) AS stf,
+               CAST(sum(CAST(tf * tf AS HUGEINT)) AS DOUBLE) AS stf2
+        FROM tc GROUP BY 1),
+    f AS (SELECT * FROM ts WHERE df >= {BURST_MIN_DF}),
+    rk AS (
+        SELECT tok, df, stf, stf2,
+               row_number() OVER (ORDER BY stf / df DESC, tok) AS rk
+        FROM f)
+    SELECT CAST(rk AS INT) AS rk, tok AS term,
+           CAST(df AS BIGINT) AS doc_freq,
+           CAST(stf AS BIGINT) AS total_tf,
+           {sql_stable_round4(_BU_MEAN)} AS burstiness,
+           {sql_stable_round4(_BU_FANO)} AS fano_factor
+    FROM rk WHERE rk <= {BURST_TOPK} ORDER BY rk
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale 1995): a term's mean within-doc
+    frequency over the documents that CONTAIN it, plus the Fano factor
+    (variance/mean of that per-doc frequency). Function words spread
+    thin (burstiness ~ corpus average, Fano ~ Poisson 1); content/topic
+    words clump — a doc either ignores them or repeats them (high
+    burstiness, overdispersed Fano >> 1). The top-{BURST_TOPK} burstiest
+    terms with df >= {BURST_MIN_DF} are the corpus's topical signature —
+    the term-level dual of text_repetition_stats' per-doc screen, and
+    the dispersion evidence behind keyword/stopword splits.
+
+    Determinism: (df, stf, stf2) are exact DECIMAL/HUGEINT sums; the
+    ranking key stf/df is one IEEE division of exactly-represented
+    integers (identical on both engines) tie-broken by term;
+    stable_round4 on the two reported rationals.
+
+    Scale shape: tokenize -> (doc, term) counts (map-side combined;
+    the shuffle carries distinct doc-term pairs, the tf-idf lesson) ->
+    term-level moments -> df floor prunes the tail BEFORE ranking ->
+    two-level top-k (per-partition row_number prune under the same
+    total order, then the global rank over <= {BURST_TOPK} * n_parts
+    survivors) — no full-vocabulary single-task sort.
+    """
+    from pyspark.sql import Window as _W
+
+    d = load(spark, sf_dir, "documents")
+    dt = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tc = dt.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    ts = tc.groupBy("tok").agg(
+        F.count("*").cast("double").alias("df"),
+        F.sum(F.col("tf").cast("decimal(38,0)")).cast("double").alias("stf"),
+        F.sum(F.col("tf").cast("decimal(38,0)") * F.col("tf"))
+        .cast("double")
+        .alias("stf2"),
+    )
+    f = ts.filter(F.col("df") >= BURST_MIN_DF)
+    key = F.col("stf") / F.col("df")
+    lvl1 = (
+        f.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "rk1",
+            F.row_number().over(
+                _W.partitionBy("pid").orderBy(key.desc(), F.col("tok"))
+            ),
+        )
+        .filter(F.col("rk1") <= BURST_TOPK)
+    )
+    rk = lvl1.withColumn(
+        "rk", F.row_number().over(_W.orderBy(key.desc(), F.col("tok")))
+    ).filter(F.col("rk") <= BURST_TOPK)
+    return rk.selectExpr(
+        "CAST(rk AS INT) AS rk",
+        "tok AS term",
+        "CAST(df AS BIGINT) AS doc_freq",
+        "CAST(stf AS BIGINT) AS total_tf",
+        f"CAST({sql_stable_round4(_BU_MEAN)} AS DOUBLE) AS burstiness",
+        f"CAST({sql_stable_round4(_BU_FANO)} AS DOUBLE) AS fano_factor",
+    ).orderBy("rk")

@@ -141,6 +141,10 @@ DRIVER_PRIORITY: list[str] = [
     "agg_anova_oneway",
     "agg_hhi_concentration",
     "graph_degree_assortativity",
+    # round-4 corpus-growth/eval tranche:
+    "text_heaps_fit",
+    "text_term_burstiness",
+    "llm_eval_chrf",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

@@ -849,3 +849,36 @@ def test_assortativity_equi_joins_cached_edges(spark):
     assert "InMemoryTableScan" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_heaps_two_level_prefix_no_global_row_window(spark):
+    p = plan(spark, "text_heaps_fit")
+    # the doc-axis prefix runs as the two-level scan: the only window
+    # over data-sized input partitions by the bucket key; the bucket
+    # prefix frame broadcasts back
+    assert "hashpartitioning(b" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    rs = p.split("ReadSchema", 1)[1][:200]
+    assert "text" in rs and "lang" not in rs and "source" not in rs
+
+
+def test_burstiness_df_floor_then_two_level_topk(spark):
+    p = plan(spark, "text_term_burstiness")
+    # term moments partial-aggregate map-side; the df floor prunes the
+    # vocabulary BEFORE ranking and the rank is the two-level top-k
+    assert "WindowGroupLimit" in p
+    assert "Join" not in p
+    rs = p.split("ReadSchema", 1)[1][:200]
+    assert "text" in rs and "lang" not in rs
+
+
+def test_chrf_doc_keyed_gram_join_cached_pair(spark):
+    spark.catalog.clearCache()
+    p = plan(spark, "llm_eval_chrf")
+    # one persisted candidate/reference frame feeds both gram sides;
+    # the clip join keys on (doc_id, gram) — hash, never nested-loop
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final gram counts

@@ -153,6 +153,11 @@ PROBES = [
     "ml_spearman_corr",
     "agg_hhi_concentration",
     "graph_degree_assortativity",
+    # round-4 corpus-growth/eval tranche: the first-occurrence collapse
+    # + two-level prefix, the doc-term shuffle, and the char-gram join
+    "text_heaps_fit",
+    "text_term_burstiness",
+    "llm_eval_chrf",
 ]
 
 
