@@ -101,6 +101,7 @@ HEADLINE = [
     "graph_degree_assortativity",
     "text_heaps_fit",
     "llm_eval_chrf",
+    "ml_boosted_stumps",
 ]
 
 

@@ -497,3 +497,377 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_suppliers",
         f"CAST({sql_stable_round4(_HHI)} AS DOUBLE) AS hhi",
     ).orderBy("nation")
+
+
+# --------------------------------------------------------------------------
+# ts_ljung_box — portmanteau white-noise test on the daily event series
+# --------------------------------------------------------------------------
+
+LB_MAX_LAG = 7
+LB_SCALE = 1_000_000_000_000  # per-lag acf^2/(n-l) quantized at 1e-12
+
+# per-lag quantized term and the final statistic — pure arithmetic on
+# exact integers (no libm), so floor is bit-identical on both engines:
+_LB_TERM = (
+    f"CAST(floor({LB_SCALE}.0 * (nn / dd) * (nn / dd) / (n - l))"
+    " AS BIGINT)"
+)
+_LB_Q = f"(n * (n + 2.0) * sfq / {LB_SCALE}.0)"
+
+
+@register(
+    "ts_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, count(*) AS c
+        FROM events GROUP BY 1),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    grid AS (
+        SELECT unnest(generate_series(
+                   0, CAST(date_diff('day', d0, d1) AS INT))) AS idx
+        FROM bounds),
+    di AS (
+        SELECT CAST(date_diff('day', b.d0, daily.d) AS INT) AS idx, daily.c
+        FROM daily CROSS JOIN bounds b),
+    series AS (
+        SELECT g.idx, COALESCE(di.c, 0) AS x
+        FROM grid g LEFT JOIN di ON di.idx = g.idx),
+    st AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                  CAST(sum(x) AS HUGEINT) AS sx FROM series),
+    den AS (
+        SELECT CAST(sum((st.n * s.x - st.sx) * (st.n * s.x - st.sx))
+                    AS DOUBLE) AS dd
+        FROM series s CROSS JOIN st),
+    lags AS (SELECT l FROM generate_series(1, {LB_MAX_LAG}) t(l)),
+    num AS (
+        SELECT lags.l,
+               CAST(sum((st.n * a.x - st.sx) * (st.n * b.x - st.sx))
+                    AS DOUBLE) AS nn
+        FROM series a
+        CROSS JOIN lags
+        JOIN series b ON b.idx = a.idx + lags.l
+        CROSS JOIN st
+        GROUP BY lags.l),
+    terms AS (
+        SELECT {_LB_TERM} AS fq
+        FROM num CROSS JOIN den
+        CROSS JOIN (SELECT CAST(n AS DOUBLE) AS n FROM st)),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS m_lags,
+                   CAST(sum(fq) AS BIGINT) AS sfq FROM terms)
+    SELECT CAST(st.n AS BIGINT) AS n_days, m_lags,
+           {sql_stable_round4(_LB_Q.replace('n *', 'CAST(st.n AS DOUBLE) *')
+                              .replace('(n + 2.0)',
+                                       '(CAST(st.n AS DOUBLE) + 2.0)'))}
+               AS q_stat
+    FROM agg CROSS JOIN st
+    """,
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (Ljung & Box, Biometrika 1978) at lags
+    1..{LB_MAX_LAG} on the gap-filled daily event-count series:
+    Q = n(n+2) * sum_l acf_l^2/(n-l). Large Q rejects "white noise" —
+    the formal yes/no on top of ts_autocorr's per-lag ACF (its weekly
+    lag-7 peak is exactly what Q accumulates), and the residual-
+    diagnostics gate every forecasting op (ses/holt/seasonal) should
+    pass before being trusted.
+
+    Determinism: the ACF machinery is ts_autocorr's verbatim — centered
+    terms exact after cross-multiplying by n ((n*x - S) integers in
+    HUGEINT/DECIMAL) — and the per-lag term acf^2/(n-l) is quantized to
+    an integer at 1e-12 (pure arithmetic of exact inputs, no libm, so
+    floor matches bit-for-bit) BEFORE the sum over lags: Q is never an
+    order-dependent float accumulation. stable_round4 at the end.
+
+    Scale shape: the raw scan reduces to |days| rows in one grouped
+    count; densify, the lag band-join and both reductions run on that
+    bounded series, so cost at 100 TB is the single fact scan.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), F.datediff(F.col("d1"), F.col("d0")))
+        ).alias("idx")
+    )
+    di = daily.crossJoin(F.broadcast(bounds)).select(
+        F.datediff(F.col("d"), F.col("d0")).cast("int").alias("idx"), "c"
+    )
+    series = grid.join(di, "idx", "left").select(
+        "idx", F.coalesce("c", F.lit(0)).alias("x")
+    )
+    st = series.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+    )
+    den = series.crossJoin(F.broadcast(st)).agg(
+        F.sum(
+            (F.col("n") * F.col("x") - F.col("sx"))
+            * (F.col("n") * F.col("x") - F.col("sx"))
+        )
+        .cast("double")
+        .alias("dd")
+    )
+    lags = spark.range(1, LB_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("l")
+    )
+    a = series.alias("a").crossJoin(F.broadcast(lags))
+    num = (
+        a.join(
+            series.alias("b"),
+            F.col("b.idx") == F.col("a.idx") + F.col("l"),
+        )
+        .crossJoin(F.broadcast(st))
+        .groupBy("l")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("a.x") - F.col("sx"))
+                * (F.col("n") * F.col("b.x") - F.col("sx"))
+            )
+            .cast("double")
+            .alias("nn")
+        )
+    )
+    nrow = st.select(F.col("n").cast("double").alias("n"))
+    terms = (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(nrow))
+        .select(F.expr(_LB_TERM).alias("fq"))
+    )
+    agg = terms.agg(
+        F.count("*").cast("long").alias("m_lags"),
+        F.sum("fq").cast("long").alias("sfq"),
+    )
+    return agg.crossJoin(F.broadcast(nrow)).selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        "m_lags",
+        f"CAST({sql_stable_round4(_LB_Q)} AS DOUBLE) AS q_stat",
+    )
+
+
+# --------------------------------------------------------------------------
+# ml_boosted_stumps — two-round gradient boosting with regression stumps
+# --------------------------------------------------------------------------
+
+BOOST_MEAN_SCALE = 1_000_000  # segment means quantized to 1e-6 cent
+
+# Split gain as a double ranking key over EXACT integer inputs: with
+# prefix sums cn/cs and totals n/s, w = cs*(n-cn) - (s-cs)*cn stays a
+# DECIMAL(38) integer (never squared in decimal — w^2 would overflow 38
+# digits ~10x sf0.1); the key squares it in double space. Identical
+# expression text on both engines => identical IEEE doubles.
+_BS_KEY = (
+    "((CAST(w AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(w AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * CAST(n AS DOUBLE)"
+    " / (CAST(cn AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(cn AS DOUBLE))))"
+)
+_BS_SST = "(svv - s * s / n)"
+
+
+def _bs_stage_sql(src: str, val: str, out: str) -> str:
+    """One stump stage over a value-level relation ``src(v, nv, {val})``:
+    prefix-scan candidates, double-key argmax, quantized segment means."""
+    return f"""
+    {out}_tot AS (
+        SELECT CAST(sum(CAST(nv AS HUGEINT)) AS HUGEINT) AS n,
+               CAST(sum({val}) AS HUGEINT) AS s
+        FROM {src}),
+    {out}_pre AS (
+        SELECT v,
+               sum(CAST(nv AS HUGEINT)) OVER (ORDER BY v) AS cn,
+               sum({val}) OVER (ORDER BY v) AS cs
+        FROM {src}),
+    {out}_cand AS (
+        SELECT v, cn, cs, n, s,
+               cs * (n - cn) - (s - cs) * cn AS w
+        FROM {out}_pre CROSS JOIN {out}_tot
+        WHERE cn > 0 AND cn < n),
+    {out} AS (
+        SELECT v AS split_v, cn, cs, n, s, w,
+               (cs * {BOOST_MEAN_SCALE}) // cn AS ml,
+               ((s - cs) * {BOOST_MEAN_SCALE}) // (n - cn) AS mr,
+               {_BS_KEY} AS gain
+        FROM {out}_cand
+        ORDER BY {_BS_KEY} DESC, v LIMIT 1)
+    """
+
+
+@register(
+    "ml_boosted_stumps",
+    oracle=f"""
+    WITH vl AS (
+        SELECT CAST(round(l_quantity, 0) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS nv,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                    AS HUGEINT) AS sv,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        * CAST(round(l_extendedprice * 100, 0) AS HUGEINT))
+                    AS HUGEINT) AS svv
+        FROM lineitem GROUP BY 1),
+    {_bs_stage_sql('vl', 'sv', 's1')},
+    res AS (
+        SELECT vl.v, vl.nv,
+               vl.sv * {BOOST_MEAN_SCALE}
+                   - vl.nv * (CASE WHEN vl.v <= s1.split_v
+                                   THEN s1.ml ELSE s1.mr END) AS rv
+        FROM vl CROSS JOIN s1),
+    {_bs_stage_sql('res', 'rv', 's2')},
+    sst AS (
+        SELECT CAST(sum(svv) AS DOUBLE) AS svv,
+               CAST(sum(sv) AS DOUBLE) AS s,
+               CAST(sum(CAST(nv AS HUGEINT)) AS DOUBLE) AS n
+        FROM vl)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(split1 AS BIGINT) AS split1,
+           CAST(split2 AS BIGINT) AS split2,
+           {sql_stable_round4(f'(ml1 / {BOOST_MEAN_SCALE}.0 / 100.0)')}
+               AS mean_left_1,
+           {sql_stable_round4(f'(mr1 / {BOOST_MEAN_SCALE}.0 / 100.0)')}
+               AS mean_right_1,
+           {sql_stable_round4(f'(g1 / {_BS_SST})')} AS gain1_share,
+           {sql_stable_round4(f'(g2 / 1e12 / {_BS_SST})')} AS gain2_share
+    FROM (SELECT split_v AS split1, CAST(ml AS DOUBLE) AS ml1,
+                 CAST(mr AS DOUBLE) AS mr1, gain AS g1 FROM s1) t1
+    CROSS JOIN (SELECT split_v AS split2, gain AS g2 FROM s2) t2
+    CROSS JOIN sst
+    """,
+)
+def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of gradient boosting with depth-1 regression trees
+    (Friedman 2001, squared loss: each round fits a stump to the
+    previous round's residuals): round 1 splits l_quantity to predict
+    l_extendedprice by segment means; round 2 fits the best stump to
+    the RESIDUALS of round 1. Reports both splits and each round's
+    share of total SSE explained — the boosting counterpart of
+    ml_decision_stump, and a genuinely ITERATIVE ensemble fit that
+    stays oracle-checkable because every stage is closed-form.
+
+    The alphabet trick makes it exact AND cheap: quantity has 50
+    values, so each round's split search is a prefix scan over the
+    50-row value-level table (counts + sums), exactly the
+    ts_changepoint_binseg gain with the variance-free identity
+    gain(t) = w^2/(cn*(n-cn)*n), w = cs*(n-cn) - (s-cs)*cn. Residual
+    SUMS per value are exact integers at the 1e-6-cent scale
+    (rv = sv*1e6 - nv*m(v) with m the integer-quantized segment means),
+    so round 2 runs the SAME machinery on exact inputs.
+
+    Determinism: w stays an un-squared DECIMAL(38)/HUGEINT (w^2 would
+    overflow 38 digits ~10x above sf0.1); the ranking key squares it in
+    DOUBLE space from identical expression text — same IEEE result both
+    engines — tie-broken by value; segment means use exact integer
+    division (mean-sized quotients, the agg_anova_oneway rule).
+
+    Scale shape: ONE map-side-combined fact aggregate to 50 rows;
+    both boosting rounds are alphabet-sized windows + 1-row reductions.
+    Adding rounds adds zero fact-table passes.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    vl = (
+        li.groupBy(F.round("l_quantity", 0).cast("long").alias("v"))
+        .agg(
+            F.count("*").cast("long").alias("nv"),
+            F.sum(cents.cast("decimal(38,0)")).alias("sv"),
+            F.sum(cents.cast("decimal(38,0)") * cents).alias("svv"),
+        )
+        .persist()  # both boosting rounds + SST read it
+    )
+
+    def stage(src: DataFrame, val: str) -> DataFrame:
+        tot = src.agg(
+            F.sum(F.col("nv").cast("decimal(38,0)")).alias("n"),
+            F.sum(val).alias("s"),
+        )
+        pre = src.select(
+            "v",
+            F.sum(F.col("nv").cast("decimal(38,0)"))
+            .over(W.orderBy("v"))
+            .alias("cn"),
+            F.sum(val).over(W.orderBy("v")).alias("cs"),
+        )
+        cand = (
+            pre.crossJoin(F.broadcast(tot))
+            .filter((F.col("cn") > 0) & (F.col("cn") < F.col("n")))
+            .select(
+                F.col("v").alias("split_v"),
+                "cn",
+                "cs",
+                "n",
+                "s",
+                (
+                    F.col("cs") * (F.col("n") - F.col("cn"))
+                    - (F.col("s") - F.col("cs")) * F.col("cn")
+                ).alias("w"),
+            )
+        )
+        scored = cand.select(
+            "split_v",
+            "cn",
+            "cs",
+            "n",
+            "s",
+            "w",
+            F.expr(f"(cs * {BOOST_MEAN_SCALE}) div cn").alias("ml"),
+            F.expr(
+                f"((s - cs) * {BOOST_MEAN_SCALE}) div (n - cn)"
+            ).alias("mr"),
+            F.expr(_BS_KEY).alias("gain"),
+        )
+        return (
+            scored.withColumn(
+                "rk",
+                F.row_number().over(
+                    W.orderBy(F.col("gain").desc(), F.col("split_v"))
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+
+    s1 = stage(vl, "sv")
+    res = vl.crossJoin(F.broadcast(s1.select("split_v", "ml", "mr"))).select(
+        "v",
+        "nv",
+        (
+            F.col("sv") * BOOST_MEAN_SCALE
+            - F.col("nv")
+            * F.when(F.col("v") <= F.col("split_v"), F.col("ml")).otherwise(
+                F.col("mr")
+            )
+        ).alias("rv"),
+    )
+    s2 = stage(res, "rv")
+    sst = vl.agg(
+        F.sum("svv").cast("double").alias("svv"),
+        F.sum("sv").cast("double").alias("s"),
+        F.sum(F.col("nv").cast("decimal(38,0)")).cast("double").alias("n"),
+    )
+    s1r = s1.select(
+        F.col("split_v").alias("split1"),
+        F.col("ml").cast("double").alias("ml1"),
+        F.col("mr").cast("double").alias("mr1"),
+        F.col("gain").alias("g1"),
+    )
+    s2r = s2.select(
+        F.col("split_v").alias("split2"), F.col("gain").alias("g2")
+    )
+    return (
+        s1r.crossJoin(F.broadcast(s2r))
+        .crossJoin(F.broadcast(sst))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_rows",
+            "CAST(split1 AS BIGINT) AS split1",
+            "CAST(split2 AS BIGINT) AS split2",
+            f"CAST({sql_stable_round4(f'(ml1 / {BOOST_MEAN_SCALE}.0 / 100.0)')}"
+            " AS DOUBLE) AS mean_left_1",
+            f"CAST({sql_stable_round4(f'(mr1 / {BOOST_MEAN_SCALE}.0 / 100.0)')}"
+            " AS DOUBLE) AS mean_right_1",
+            f"CAST({sql_stable_round4(f'(g1 / {_BS_SST})')} AS DOUBLE)"
+            " AS gain1_share",
+            f"CAST({sql_stable_round4(f'(g2 / 1e12 / {_BS_SST})')} AS DOUBLE)"
+            " AS gain2_share",
+        )
+    )

@@ -145,6 +145,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_heaps_fit",
     "text_term_burstiness",
     "llm_eval_chrf",
+    "ts_ljung_box",
+    "ml_boosted_stumps",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

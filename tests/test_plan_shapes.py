@@ -882,3 +882,27 @@ def test_chrf_doc_keyed_gram_join_cached_pair(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("HashAggregate") >= 4  # partial+final gram counts
+
+
+def test_ljung_box_calendar_bounded_quantized_terms(spark):
+    p = plan(spark, "ts_ljung_box")
+    # the fact stream collapses once to |days|; the lag band-join and
+    # both reductions run on the bounded series, scalars broadcast
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin Inner" in p
+    schemas = [s[:200] for s in p.split("ReadSchema")[1:]]
+    assert all("props" not in s and "value" not in s for s in schemas)
+    # no runtime transcendental anywhere: the quantized term is pure
+    # arithmetic (floor of products/divisions)
+    assert "LOG(" not in p.upper().replace("WindowGroupLimit".upper(), "")
+
+
+def test_boosted_stumps_single_fact_pass_cached_alphabet(spark):
+    spark.catalog.clearCache()
+    p = plan(spark, "ml_boosted_stumps")
+    # ONE fact aggregate feeds both boosting rounds + SST via the
+    # persisted 50-row value table; rounds are alphabet-sized windows
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "l_quantity" in rs and "l_extendedprice" in rs
+    assert "l_comment" not in rs

@@ -158,6 +158,8 @@ PROBES = [
     "text_heaps_fit",
     "text_term_burstiness",
     "llm_eval_chrf",
+    "ts_ljung_box",
+    "ml_boosted_stumps",
 ]
 
 
