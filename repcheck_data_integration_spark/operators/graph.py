@@ -353,10 +353,10 @@ def label_propagation(
     return labels.select("v", F.col("lbl").alias("community"))
 
 
-@register(
-    "graph_label_propagation",
-    oracle=f"""
-    WITH {SQL_PAIRS},
+# Two unrolled label-propagation rounds over the thinned co-purchase
+# graph — shared verbatim by graph_label_propagation and
+# graph_modularity so both oracles see the SAME communities:
+SQL_LP2_LABELS = """
     und AS (SELECT c1 AS v, c2 AS n FROM p
             UNION ALL SELECT c2 AS v, c1 AS n FROM p),
     closed AS (SELECT v, n FROM und
@@ -374,6 +374,14 @@ def label_propagation(
                    row_number() OVER (PARTITION BY v
                                       ORDER BY count(*) DESC, lbl) AS rn
             FROM r2 GROUP BY v, lbl) WHERE rn = 1)
+"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {SQL_PAIRS},
+    {SQL_LP2_LABELS}
     SELECT v AS cust, lbl AS community FROM l2
     """,
 )
@@ -1180,4 +1188,134 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(m AS BIGINT) div 2 AS n_edges",
         f"CAST({sql_stable_round4('(sx / m)')} AS DOUBLE) AS mean_degree",
         f"CAST({sql_stable_round4(_ASSORT_R)} AS DOUBLE) AS assortativity",
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_modularity — Newman Q of the label-propagation communities
+# --------------------------------------------------------------------------
+
+# Q = sum_c [ e2_c/M2 - (d_c/M2)^2 ] over the DOUBLED edge relation
+# (M2 = 2m, e2_c counts intra-community rows = 2 * intra edges). With
+# the common denominator M2^2 the per-community numerator
+# e2_c*M2 - d_c^2 is an exact integer, so the community sum is a
+# DECIMAL/HUGEINT sum — never k order-dependent doubles.
+_MOD_Q = "(qnum / (m2 * m2))"
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+    WITH {SQL_PAIRS},
+    {SQL_LP2_LABELS},
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+    mm AS (SELECT CAST(count(*) AS HUGEINT) AS m2 FROM und),
+    intra AS (
+        SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS e2
+        FROM und
+        JOIN l2 la ON la.v = und.v
+        JOIN l2 lb ON lb.v = und.n
+        WHERE la.lbl = lb.lbl GROUP BY 1),
+    dc AS (
+        SELECT l2.lbl AS community,
+               CAST(sum(CAST(d AS HUGEINT)) AS HUGEINT) AS dsum
+        FROM deg JOIN l2 ON deg.v = l2.v GROUP BY 1),
+    terms AS (
+        SELECT dc.community,
+               CAST(coalesce(e2, 0) AS HUGEINT) * m2 - dsum * dsum
+                   AS qn
+        FROM dc LEFT JOIN intra ON dc.community = intra.community
+        CROSS JOIN mm),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_communities,
+               CAST(sum(qn) AS DOUBLE) AS qnum
+        FROM terms),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT n_nodes, n_communities,
+           CAST(m2 AS BIGINT) // 2 AS n_edges,
+           {sql_stable_round4(_MOD_Q)} AS modularity
+    FROM agg CROSS JOIN nn
+    CROSS JOIN (SELECT CAST(m2 AS DOUBLE) AS m2 FROM mm) md
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q (Newman & Girvan 2004) of the communities
+    graph_label_propagation finds on the thinned co-purchase graph: the
+    one-number answer to "did the community detection find real
+    structure?" (Q near 0 = no better than random given the degree
+    sequence; 0.3+ = strong communities). Composes the iterative LP
+    operator with an exact quality functional — the evaluation half a
+    clustering pipeline needs before trusting its segments.
+
+    Determinism: the LP rounds are the registered deterministic ones
+    (frequency vote, ties to smallest label, fixed 2 rounds — shared
+    CTE text with graph_label_propagation's oracle so both engines see
+    the SAME communities); with the common denominator M2^2 each
+    community's numerator e2_c*M2 - d_c^2 is an exact integer, so the
+    community sum never accumulates doubles. One division at the end,
+    stable_round4.
+
+    Scale shape: degree and intra-edge counts are node- and edge-keyed
+    hash aggregates; the two label joins key on node id (the
+    message-passing shape). The label frame is localCheckpoint-
+    materialized by the LP loop, so the three references don't re-run
+    the rounds; the doubled edge list is persisted once.
+    """
+    pairs = _copurchase_pairs(spark, sf_dir).select("cust1", "cust2")
+    und = (
+        pairs.select(F.col("cust1").alias("v"), F.col("cust2").alias("n"))
+        .unionAll(
+            pairs.select(
+                F.col("cust2").alias("v"), F.col("cust1").alias("n")
+            )
+        )
+        .persist()  # degrees + M2 + intra all read it
+    )
+    labels = label_propagation(und, rounds=2)
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    mm = und.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m2"))
+    la = labels.select(F.col("v"), F.col("community").alias("ca"))
+    lb = labels.select(
+        F.col("v").alias("n"), F.col("community").alias("cb")
+    )
+    intra = (
+        und.join(la, "v")
+        .join(lb, "n")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e2"))
+    )
+    dc = (
+        deg.join(labels, "v")
+        .groupBy("community")
+        .agg(F.sum(F.col("d").cast("decimal(38,0)")).alias("dsum"))
+    )
+    terms = (
+        dc.join(intra, "community", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            (
+                F.coalesce(F.col("e2"), F.lit(0)).cast("decimal(38,0)")
+                * F.col("m2")
+                - F.col("dsum") * F.col("dsum")
+            ).alias("qn")
+        )
+    )
+    agg = terms.agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.sum("qn").cast("double").alias("qnum"),
+    )
+    nn = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    md = mm.select(F.col("m2").cast("double").alias("m2d"))
+    return (
+        agg.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(mm))
+        .crossJoin(F.broadcast(md))
+        .selectExpr(
+            "n_nodes",
+            "n_communities",
+            "CAST(m2 AS BIGINT) div 2 AS n_edges",
+            f"CAST({sql_stable_round4(_MOD_Q.replace('m2', 'm2d'))}"
+            " AS DOUBLE) AS modularity",
+        )
     )

@@ -871,3 +871,147 @@ def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS gain2_share",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ts_pacf — partial autocorrelation via Durbin-Levinson (lags 1..3)
+# --------------------------------------------------------------------------
+
+# Durbin-Levinson closed forms in the raw ACF ratios r_k = nn_k/dd —
+# interpolated verbatim into both engines (scalar one-row arithmetic):
+_PA_R1, _PA_R2, _PA_R3 = "(nn1 / dd)", "(nn2 / dd)", "(nn3 / dd)"
+_PA_P11 = _PA_R1
+_PA_P22 = f"(({_PA_R2} - {_PA_R1} * {_PA_R1}) / (1 - {_PA_R1} * {_PA_R1}))"
+_PA_P21 = f"({_PA_R1} * (1 - {_PA_P22}))"
+_PA_P33 = (
+    f"(({_PA_R3} - {_PA_P21} * {_PA_R2} - {_PA_P22} * {_PA_R1})"
+    f" / (1 - {_PA_P21} * {_PA_R1} - {_PA_P22} * {_PA_R2}))"
+)
+
+PACF_MAX_LAG = 3
+
+
+@register(
+    "ts_pacf",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, count(*) AS c
+        FROM events GROUP BY 1),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    grid AS (
+        SELECT unnest(generate_series(
+                   0, CAST(date_diff('day', d0, d1) AS INT))) AS idx
+        FROM bounds),
+    di AS (
+        SELECT CAST(date_diff('day', b.d0, daily.d) AS INT) AS idx, daily.c
+        FROM daily CROSS JOIN bounds b),
+    series AS (
+        SELECT g.idx, COALESCE(di.c, 0) AS x
+        FROM grid g LEFT JOIN di ON di.idx = g.idx),
+    st AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                  CAST(sum(x) AS HUGEINT) AS sx FROM series),
+    den AS (
+        SELECT CAST(sum((st.n * s.x - st.sx) * (st.n * s.x - st.sx))
+                    AS DOUBLE) AS dd
+        FROM series s CROSS JOIN st),
+    num AS (
+        SELECT
+            CAST(sum(CASE WHEN b.idx = a.idx + 1
+                     THEN (st.n * a.x - st.sx) * (st.n * b.x - st.sx)
+                     ELSE 0 END) AS DOUBLE) AS nn1,
+            CAST(sum(CASE WHEN b.idx = a.idx + 2
+                     THEN (st.n * a.x - st.sx) * (st.n * b.x - st.sx)
+                     ELSE 0 END) AS DOUBLE) AS nn2,
+            CAST(sum(CASE WHEN b.idx = a.idx + 3
+                     THEN (st.n * a.x - st.sx) * (st.n * b.x - st.sx)
+                     ELSE 0 END) AS DOUBLE) AS nn3
+        FROM series a
+        CROSS JOIN (SELECT l FROM generate_series(1, {PACF_MAX_LAG}) t(l))
+        JOIN series b ON b.idx = a.idx + l
+        CROSS JOIN st)
+    SELECT CAST(st.n AS BIGINT) AS n_days,
+           {sql_stable_round4(_PA_P11)} AS pacf1,
+           {sql_stable_round4(_PA_P22)} AS pacf2,
+           {sql_stable_round4(_PA_P33)} AS pacf3
+    FROM num CROSS JOIN den CROSS JOIN st
+    """,
+)
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily event-count series at lags
+    1..{PACF_MAX_LAG} via the Durbin-Levinson recursion (Durbin 1960)
+    closed over the raw ACF: pacf_2 = (r2 - r1^2)/(1 - r1^2), pacf_3
+    from the order-2 coefficients. PACF is the AR-order selector of the
+    Box-Jenkins kit — ACF (ts_autocorr) says WHETHER correlation exists,
+    Ljung-Box (ts_ljung_box) whether it is significant, PACF says HOW
+    MANY AR lags explain it (it cuts off after the true order).
+
+    Determinism: the centered cross-products are ts_autocorr's exact
+    integers ((n*x - S) in HUGEINT/DECIMAL); the three lag numerators
+    come from ONE conditional aggregate over the lag band-join (never
+    three passes); the Durbin-Levinson arithmetic is scalar one-row
+    expression text interpolated verbatim into both engines.
+
+    Scale shape: the fact stream collapses once to |days| rows; the
+    band-join and the single reduction run on that bounded series —
+    one fact scan at any SF.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), F.datediff(F.col("d1"), F.col("d0")))
+        ).alias("idx")
+    )
+    di = daily.crossJoin(F.broadcast(bounds)).select(
+        F.datediff(F.col("d"), F.col("d0")).cast("int").alias("idx"), "c"
+    )
+    series = grid.join(di, "idx", "left").select(
+        "idx", F.coalesce("c", F.lit(0)).alias("x")
+    )
+    st = series.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+    )
+    den = series.crossJoin(F.broadcast(st)).agg(
+        F.sum(
+            (F.col("n") * F.col("x") - F.col("sx"))
+            * (F.col("n") * F.col("x") - F.col("sx"))
+        )
+        .cast("double")
+        .alias("dd")
+    )
+    lags = spark.range(1, PACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("l")
+    )
+    a = series.alias("a").crossJoin(F.broadcast(lags))
+    term = (F.col("n") * F.col("a.x") - F.col("sx")) * (
+        F.col("n") * F.col("b.x") - F.col("sx")
+    )
+    num = (
+        a.join(
+            series.alias("b"),
+            F.col("b.idx") == F.col("a.idx") + F.col("l"),
+        )
+        .crossJoin(F.broadcast(st))
+        .agg(
+            *[
+                F.sum(F.when(F.col("l") == k, term).otherwise(F.lit(0)))
+                .cast("double")
+                .alias(f"nn{k}")
+                for k in (1, 2, 3)
+            ]
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(st.select(F.col("n").cast("long"))))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_days",
+            f"CAST({sql_stable_round4(_PA_P11)} AS DOUBLE) AS pacf1",
+            f"CAST({sql_stable_round4(_PA_P22)} AS DOUBLE) AS pacf2",
+            f"CAST({sql_stable_round4(_PA_P33)} AS DOUBLE) AS pacf3",
+        )
+    )

@@ -147,6 +147,8 @@ DRIVER_PRIORITY: list[str] = [
     "llm_eval_chrf",
     "ts_ljung_box",
     "ml_boosted_stumps",
+    "ts_pacf",
+    "graph_modularity",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

@@ -906,3 +906,21 @@ def test_boosted_stumps_single_fact_pass_cached_alphabet(spark):
     rs = p.split("ReadSchema", 1)[1][:250]
     assert "l_quantity" in rs and "l_extendedprice" in rs
     assert "l_comment" not in rs
+
+
+def test_pacf_single_conditional_band_aggregate(spark):
+    p = plan(spark, "ts_pacf")
+    # the three lag numerators come from ONE aggregate over the bounded
+    # lag band-join, not three series passes
+    schemas = [s[:200] for s in p.split("ReadSchema")[1:]]
+    assert all("props" not in s and "value" not in s for s in schemas)
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin Inner" in p
+
+
+def test_modularity_node_keyed_joins_cached_edges(spark):
+    spark.catalog.clearCache()
+    p = plan(spark, "graph_modularity")
+    # doubled edge list persisted; label joins key on node id; the only
+    # cross products are the broadcast 1-row scalar frames
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
