@@ -102,6 +102,11 @@ HEADLINE = [
     "text_heaps_fit",
     "llm_eval_chrf",
     "ml_boosted_stumps",
+    "ts_pacf",
+    "graph_modularity",
+    "ml_kendall_tau",
+    "win_drawdown",
+    "text_code_detect",
 ]
 
 

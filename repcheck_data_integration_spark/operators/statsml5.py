@@ -1015,3 +1015,142 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST({sql_stable_round4(_PA_P33)} AS DOUBLE) AS pacf3",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ml_kendall_tau — Kendall tau-b rank correlation (exact pair counting)
+# --------------------------------------------------------------------------
+
+# tau_b = (C - D) / sqrt((n0 - Tx)(n0 - Ty)) with n0 = n(n-1)/2 and tie
+# terms Tx = sum t(t-1)/2. Doubling everything keeps integers: with
+# nn2 = n(n-1), tx2 = sum t(t-1): tau_b = 2(C-D)/sqrt((nn2-tx2)(nn2-ty2)).
+# All inputs exact integers cast to double (< 2^53 at any tested SF);
+# the expression is identical IEEE arithmetic text in both engines.
+_KT_TAU = "((2.0 * (cc - dd)) / sqrt((nn2 - tx2) * (nn2 - ty2)))"
+
+
+@register(
+    "ml_kendall_tau",
+    oracle=f"""
+    WITH joint AS (
+        SELECT CAST(round(l_quantity, 0) AS BIGINT) AS q,
+               CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+               CAST(count(*) AS HUGEINT) AS c
+        FROM lineitem GROUP BY 1, 2),
+    pairs AS (
+        SELECT CAST(sum(CASE WHEN a.d < b.d THEN a.c * b.c ELSE 0 END)
+                    AS DOUBLE) AS cc,
+               CAST(sum(CASE WHEN a.d > b.d THEN a.c * b.c ELSE 0 END)
+                    AS DOUBLE) AS dd
+        FROM joint a JOIN joint b ON a.q < b.q),
+    st AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS n,
+               CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS nn2,
+               CAST(count(*) AS BIGINT) AS cells
+        FROM joint),
+    tx AS (SELECT CAST(sum(cq * (cq - 1)) AS DOUBLE) AS tx2
+           FROM (SELECT sum(c) AS cq FROM joint GROUP BY q)),
+    ty AS (SELECT CAST(sum(cd * (cd - 1)) AS DOUBLE) AS ty2
+           FROM (SELECT sum(c) AS cd FROM joint GROUP BY d))
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           cells AS n_cells,
+           CAST(cc AS BIGINT) AS concordant,
+           CAST(dd AS BIGINT) AS discordant,
+           {sql_stable_round4(_KT_TAU)} AS kendall_tau_b
+    FROM pairs CROSS JOIN st CROSS JOIN tx CROSS JOIN ty
+    """,
+)
+def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation (Kendall 1938) between lineitem
+    quantity and discount — the pair-counting companion of
+    ml_spearman_corr: tau counts concordant minus discordant pairs, so
+    it is robust to any monotone transform and has the cleanest
+    interpretation of the rank trio (P[concordant] - P[discordant]).
+    tau-b's denominator corrects for ties on both margins.
+
+    The trick that makes an O(n^2) pair statistic scale: pairs are
+    counted on the (q, d) CONTINGENCY TABLE, never on fact rows — both
+    columns live on bounded alphabets (50 quantities x 11 discounts),
+    so C and D are count-weighted sums over <= 550x550 cell pairs and
+    the tie terms come from the two marginals. One fact-table shuffle,
+    then alphabet-sized work, at any SF.
+
+    Determinism: C, D, n(n-1), and the doubled tie terms are exact
+    integers (HUGEINT/DECIMAL) cast once to double (< 2^53 at tested
+    SFs); the tau expression is interpolated verbatim into both
+    engines; sqrt is IEEE correctly-rounded (agg_corr_matrix
+    precedent); stable_round4 on the reported tau.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    joint = (
+        li.groupBy(
+            F.round("l_quantity", 0).cast("long").alias("q"),
+            F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+        )
+        .agg(F.count("*").cast("decimal(38,0)").alias("c"))
+        .persist()  # pairs + marginals + totals: one fact shuffle
+    )
+    a = joint.select(
+        F.col("q").alias("qa"), F.col("d").alias("da"), F.col("c").alias("ca")
+    )
+    b = joint.select(
+        F.col("q").alias("qb"), F.col("d").alias("db"), F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("qa") < F.col("qb"))
+        .agg(
+            F.sum(
+                F.when(F.col("da") < F.col("db"), F.col("ca") * F.col("cb"))
+                .otherwise(F.lit(0).cast("decimal(38,0)"))
+            )
+            .cast("double")
+            .alias("cc"),
+            F.sum(
+                F.when(F.col("da") > F.col("db"), F.col("ca") * F.col("cb"))
+                .otherwise(F.lit(0).cast("decimal(38,0)"))
+            )
+            .cast("double")
+            .alias("dd"),
+        )
+    )
+    st = joint.agg(
+        F.sum("c").cast("double").alias("n"),
+        (F.sum("c") * (F.sum("c") - F.lit(1).cast("decimal(38,0)")))
+        .cast("double")
+        .alias("nn2"),
+        F.count("*").cast("long").alias("cells"),
+    )
+    tx = (
+        joint.groupBy("q")
+        .agg(F.sum("c").alias("cq"))
+        .agg(
+            F.sum(
+                F.col("cq") * (F.col("cq") - F.lit(1).cast("decimal(38,0)"))
+            )
+            .cast("double")
+            .alias("tx2")
+        )
+    )
+    ty = (
+        joint.groupBy("d")
+        .agg(F.sum("c").alias("cd"))
+        .agg(
+            F.sum(
+                F.col("cd") * (F.col("cd") - F.lit(1).cast("decimal(38,0)"))
+            )
+            .cast("double")
+            .alias("ty2")
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_rows",
+            "cells AS n_cells",
+            "CAST(cc AS BIGINT) AS concordant",
+            "CAST(dd AS BIGINT) AS discordant",
+            f"CAST({sql_stable_round4(_KT_TAU)} AS DOUBLE) AS kendall_tau_b",
+        )
+    )

@@ -1580,3 +1580,93 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({sql_stable_round4(_BU_MEAN)} AS DOUBLE) AS burstiness",
         f"CAST({sql_stable_round4(_BU_FANO)} AS DOUBLE) AS fano_factor",
     ).orderBy("rk")
+
+
+# --------------------------------------------------------------------------
+# text_code_detect — code-vs-prose lexicon classifier
+# --------------------------------------------------------------------------
+
+# The RedPajama/StarCoder-style code-detection heuristic is a lexicon
+# ratio: share of tokens drawn from a code/ops vocabulary vs function
+# words. The fixture corpus is synthetic word-salad, so the lexicon is
+# the corpus's own systems vocabulary — same classifier shape, real
+# token statistics.
+CODE_LEXICON = ("scan", "hash", "merge", "sort", "filter", "query",
+                "vector", "join")
+PROSE_LEXICON = ("a", "the", "of", "and")
+
+# integer threshold: code-like iff code tokens are >= 20% of all tokens
+# (5 * code >= n) — an exact integer comparison in both engines.
+CODE_RATIO_DEN = 5
+
+
+@register(
+    "text_code_detect",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+                   AS n_tokens,
+               CAST({_marker_count_sql(CODE_LEXICON)} AS BIGINT)
+                   AS code_tokens,
+               CAST({_marker_count_sql(PROSE_LEXICON)} AS BIGINT)
+                   AS prose_tokens
+        FROM documents)
+    SELECT doc_id, n_tokens, code_tokens, prose_tokens,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE {sql_stable_round4('(code_tokens * 1.0 / n_tokens)')}
+           END AS code_ratio,
+           n_tokens > 0 AND {CODE_RATIO_DEN} * code_tokens >= n_tokens
+               AS is_code_like
+    FROM s
+    """,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose document classifier (the lexicon-ratio heuristic
+    used by corpus-curation filters a la Gopher/RedPajama rules): share
+    of tokens from a code/systems vocabulary, flagged code-like above a
+    fixed ratio threshold — the gate a pretraining mix uses to route
+    documents to a code pipeline vs a prose pipeline.
+
+    Determinism: token counts are exact integers from the shared
+    tokenizer regex; the flag is an integer cross-multiplication
+    (5*code >= n), never a float compare; the reported ratio is one
+    division, stable_round4, with an explicit n=0 guard in both
+    engines.
+
+    Scale shape: embarrassingly parallel per-document map over one scan
+    (doc_id, text) — no shuffle at all; the lexicon membership is a
+    literal IN-list evaluated inside whole-stage codegen.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def marker_count(ws):
+        return F.size(F.filter(toks, lambda x: x.isin(*ws))).cast("long")
+
+    s = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        marker_count(CODE_LEXICON).alias("code_tokens"),
+        marker_count(PROSE_LEXICON).alias("prose_tokens"),
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "code_tokens",
+        "prose_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.expr(
+                "CAST("
+                + sql_stable_round4("(code_tokens * 1.0 / n_tokens)")
+                + " AS DOUBLE)"
+            )
+        )
+        .alias("code_ratio"),
+        (
+            (F.col("n_tokens") > 0)
+            & (F.lit(CODE_RATIO_DEN) * F.col("code_tokens")
+               >= F.col("n_tokens"))
+        ).alias("is_code_like"),
+    )

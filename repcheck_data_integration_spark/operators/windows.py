@@ -443,3 +443,80 @@ def win_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         stable_round4(num / den).alias("ewma"),
     )
+
+
+@register(
+    "win_drawdown",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+               max(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS peak_c,
+               o_orderdate
+        FROM orders),
+    dd AS (
+        SELECT o_custkey, o_orderdate, peak_c,
+               peak_c - price_c AS dd_c,
+               max(peak_c - price_c)
+                   OVER (PARTITION BY o_custkey) AS mdd_c
+        FROM seq)
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           max(peak_c) AS peak_cents,
+           max(dd_c) AS max_drawdown_cents,
+           min(CASE WHEN dd_c = mdd_c THEN o_orderdate END) AS trough_date
+    FROM dd GROUP BY o_custkey
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer peak-decline (drawdown) of the order-value sequence:
+    running max of order price over date order, drawdown = how far the
+    current order sits below the historical peak, reported as the worst
+    decline per customer plus the FIRST date it was reached — the
+    spend-contraction detector of a churn pipeline (the financial
+    max-drawdown shape applied to order values).
+
+    Determinism: money in exact cents (BIGINT) end to end — no float
+    ever; the running window is fully ordered (o_orderdate, o_orderkey
+    tie-break) and the trough date is the MIN over the argmax set, so
+    ties can't flip the hash.
+
+    Scale shape: ONE shuffle on o_custkey serves both window passes and
+    the final aggregate (same partition key, Catalyst reuses the
+    exchange); window state is O(1) per row (running max). At 100 TB
+    this is the canonical sessionized-scan shape.
+    """
+    o = load(spark, sf_dir, "orders")
+    price_c = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w_run = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    seq = o.select(
+        "o_custkey",
+        price_c.alias("price_c"),
+        F.max(price_c).over(w_run).alias("peak_c"),
+        "o_orderdate",
+    )
+    dd = seq.select(
+        "o_custkey",
+        "o_orderdate",
+        "peak_c",
+        (F.col("peak_c") - F.col("price_c")).alias("dd_c"),
+        F.max(F.col("peak_c") - F.col("price_c"))
+        .over(W.partitionBy("o_custkey"))
+        .alias("mdd_c"),
+    )
+    return dd.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.max("peak_c").alias("peak_cents"),
+        F.max("dd_c").alias("max_drawdown_cents"),
+        F.min(
+            F.when(F.col("dd_c") == F.col("mdd_c"), F.col("o_orderdate"))
+        ).alias("trough_date"),
+    )

@@ -149,6 +149,9 @@ DRIVER_PRIORITY: list[str] = [
     "ml_boosted_stumps",
     "ts_pacf",
     "graph_modularity",
+    "ml_kendall_tau",
+    "win_drawdown",
+    "text_code_detect",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

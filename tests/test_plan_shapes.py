@@ -924,3 +924,33 @@ def test_modularity_node_keyed_joins_cached_edges(spark):
     # cross products are the broadcast 1-row scalar frames
     assert "InMemoryTableScan" in p
     assert "CartesianProduct" not in p
+
+
+def test_kendall_tau_contingency_cached_pruned(spark):
+    spark.catalog.clearCache()
+    p = plan(spark, "ml_kendall_tau")
+    # pairs/marginals/totals all read the persisted contingency table,
+    # never the fact table again; the fact scan reads only (qty, disc)
+    assert "InMemoryTableScan" in p
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "l_quantity" in rs and "l_discount" in rs
+    assert "l_comment" not in rs and "l_extendedprice" not in rs
+
+
+def test_drawdown_single_customer_exchange(spark):
+    p = plan(spark, "win_drawdown")
+    # both window passes and the final agg share ONE shuffle on
+    # o_custkey; the scan reads only the four needed columns
+    n_exchange = p.count("+- Exchange") + p.count("* Exchange")
+    assert n_exchange == 1, p[:2000]
+    assert "hashpartitioning(o_custkey" in p
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "o_comment" not in rs and "o_clerk" not in rs
+
+
+def test_code_detect_no_shuffle_pruned(spark):
+    p = plan(spark, "text_code_detect")
+    # embarrassingly parallel per-document map: no exchange at all
+    assert "Exchange" not in p
+    rs = p.split("ReadSchema", 1)[1][:200]
+    assert "doc_id" in rs and "text" in rs and "source" not in rs
