@@ -107,6 +107,9 @@ HEADLINE = [
     "ml_kendall_tau",
     "win_drawdown",
     "text_code_detect",
+    "ml_auc_pr",
+    "ml_cohen_kappa",
+    "agg_trimmed_mean",
 ]
 
 

@@ -1154,3 +1154,229 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST({sql_stable_round4(_KT_TAU)} AS DOUBLE) AS kendall_tau_b",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ml_auc_pr — average precision (area under the precision-recall curve)
+# --------------------------------------------------------------------------
+
+AP_SCALE = 1_000_000_000_000  # per-level term quantized at 1e-12
+
+# Step-interpolated AP = sum over distinct score levels v (descending)
+# of (p_v / P) * (tp_v / (tp_v + fp_v)). Each term's numerator p_v*tp_v
+# and denominator P*(tp_v+fp_v) are exact integers < 2^53, so the
+# quantized term (one multiply + one divide + floor, identical IEEE text
+# in both engines) is bit-identical; the level sum is an integer sum.
+_AP_TERM = (
+    f"CAST(floor({AP_SCALE}.0 * (CAST(pv * tp AS DOUBLE)"
+    " / CAST(p * (tp + fp) AS DOUBLE))) AS BIGINT)"
+)
+
+
+@register(
+    "ml_auc_pr",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority AS segment,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+    pooled AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT '__all__' AS segment, pos, cents FROM base),
+    vl AS (
+        SELECT segment, cents,
+               CAST(sum(pos) AS BIGINT) AS pv,
+               CAST(sum(1 - pos) AS BIGINT) AS qv
+        FROM pooled GROUP BY 1, 2),
+    cum AS (
+        SELECT segment, pv,
+               sum(pv) OVER (PARTITION BY segment ORDER BY cents DESC) AS tp,
+               sum(qv) OVER (PARTITION BY segment ORDER BY cents DESC) AS fp,
+               sum(pv) OVER (PARTITION BY segment) AS p,
+               sum(qv) OVER (PARTITION BY segment) AS q
+        FROM vl),
+    terms AS (
+        SELECT segment, p, q, {_AP_TERM} AS tq FROM cum),
+    s AS (
+        SELECT segment, CAST(max(p) AS BIGINT) AS n_pos,
+               CAST(max(q) AS BIGINT) AS n_neg,
+               CAST(sum(tq) AS BIGINT) AS stq
+        FROM terms GROUP BY 1)
+    SELECT segment, n_pos, n_neg,
+           {sql_stable_round4(f'(stq / {AP_SCALE}.0)')} AS avg_precision
+    FROM s ORDER BY segment
+    """,
+)
+def ml_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (step-interpolated area under the precision-
+    recall curve, the sklearn AP definition) of o_totalprice as a
+    ranker for o_orderstatus = 'F', per priority segment plus a pooled
+    '__all__' row — the class-imbalance-honest companion of
+    ml_auc_roc: ROC AUC is blind to prevalence, AP is precisely the
+    metric that collapses when positives are rare.
+
+    Computed on the score VALUE-LEVEL table, never per pair: at each
+    distinct score (descending) the recall increment is p_v/P and the
+    precision tp/(tp+fp) comes from two running sums, so
+    AP = sum p_v*tp / (P*(tp+fp)). Each term's numerator and
+    denominator are exact integers < 2^53; the term is quantized at
+    1e-12 by identical one-multiply-one-divide-floor IEEE text in both
+    engines, and the level sum is an integer sum — no order-dependent
+    double accumulation.
+
+    Scale shape: one shuffle to the (segment, cents) level table, two
+    alphabet-sized window sums per segment, one grouped sum. O(n log n)
+    like the ROC twin, not O(P*N).
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("segment"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    pooled = base.unionByName(base.withColumn("segment", F.lit("__all__")))
+    vl = pooled.groupBy("segment", "cents").agg(
+        F.sum("pos").cast("long").alias("pv"),
+        F.sum(1 - F.col("pos")).cast("long").alias("qv"),
+    )
+    wdesc = W.partitionBy("segment").orderBy(F.col("cents").desc())
+    wall = W.partitionBy("segment")
+    cum = vl.select(
+        "segment",
+        "pv",
+        F.sum("pv").over(wdesc).alias("tp"),
+        F.sum("qv").over(wdesc).alias("fp"),
+        F.sum("pv").over(wall).alias("p"),
+        F.sum("qv").over(wall).alias("q"),
+    )
+    terms = cum.select("segment", "p", "q", F.expr(_AP_TERM).alias("tq"))
+    s = terms.groupBy("segment").agg(
+        F.max("p").cast("long").alias("n_pos"),
+        F.max("q").cast("long").alias("n_neg"),
+        F.sum("tq").cast("long").alias("stq"),
+    )
+    return s.selectExpr(
+        "segment",
+        "n_pos",
+        "n_neg",
+        f"CAST({sql_stable_round4(f'(stq / {AP_SCALE}.0)')} AS DOUBLE)"
+        " AS avg_precision",
+    ).orderBy("segment")
+
+
+# --------------------------------------------------------------------------
+# agg_trimmed_mean — 10% trimmed and winsorized means per priority
+# --------------------------------------------------------------------------
+
+TRIM_DEN = 10  # trim floor(n/10) rows from each tail
+
+# exact rational means in dollars (cents are integers end to end):
+_TM_MEAN = "(tsum / (100.0 * (n - 2 * k)))"
+_WS_MEAN = "((tsum + k * (lo + hi)) / (100.0 * n))"
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle=f"""
+    WITH vl AS (
+        SELECT o_orderpriority AS segment,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2),
+    cum AS (
+        SELECT segment, cents, c,
+               sum(c) OVER (PARTITION BY segment ORDER BY cents) AS cm,
+               sum(c) OVER (PARTITION BY segment) AS n
+        FROM vl),
+    kd AS (
+        SELECT segment, cents, c, cm, n, n // {TRIM_DEN} AS k
+        FROM cum),
+    s AS (
+        SELECT segment,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(max(k) AS BIGINT) AS k,
+               CAST(sum(cents * greatest(0, least(cm, n - k)
+                        - greatest(cm - c, k))) AS HUGEINT) AS tsum,
+               CAST(min(CASE WHEN cm >= k + 1 THEN cents END)
+                    AS BIGINT) AS lo,
+               CAST(min(CASE WHEN cm >= n - k THEN cents END)
+                    AS BIGINT) AS hi
+        FROM kd GROUP BY 1)
+    SELECT segment, n AS n_orders, k AS trim_k,
+           {sql_stable_round4(_TM_MEAN)} AS trimmed_mean,
+           {sql_stable_round4(_WS_MEAN)} AS winsorized_mean
+    FROM s ORDER BY segment
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed and winsorized means of order value per priority
+    (Tukey's robust-location pair): the trimmed mean drops the
+    floor(n/10) cheapest and most expensive orders, the winsorized mean
+    clamps them to the cut points — the outlier-robust counterparts of
+    the plain mean, completing the robust-stats kit with
+    agg_median_exact and dq_outliers_mad.
+
+    NO per-row ranking: the group collapses to its cents VALUE-LEVEL
+    table; running counts locate the two cut ranks, each level's
+    surviving multiplicity is the exact integer overlap
+    min(cum, n-k) - max(cum-c, k), and the cut values come from two
+    conditional mins over the same frame. Money stays integer cents
+    into an exact HUGEINT/DECIMAL sum; one division per mean at the
+    end, stable_round4.
+
+    Scale shape: one shuffle to the (segment, cents) level table, one
+    window pass, one grouped sum — the agg_median_exact shape, O(levels)
+    not O(rows) past the first aggregate.
+    """
+    o = load(spark, sf_dir, "orders")
+    vl = o.groupBy(
+        F.col("o_orderpriority").alias("segment"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    cum = vl.select(
+        "segment",
+        "cents",
+        "c",
+        F.sum("c")
+        .over(W.partitionBy("segment").orderBy("cents"))
+        .alias("cm"),
+        F.sum("c").over(W.partitionBy("segment")).alias("n"),
+    )
+    kd = cum.withColumn("k", F.expr(f"n div {TRIM_DEN}"))
+    s = kd.groupBy("segment").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("k").cast("long").alias("k"),
+        F.sum(
+            (
+                F.col("cents")
+                * F.greatest(
+                    F.lit(0).cast("long"),
+                    F.least(F.col("cm"), F.col("n") - F.col("k"))
+                    - F.greatest(F.col("cm") - F.col("c"), F.col("k")),
+                )
+            ).cast("decimal(38,0)")
+        ).alias("tsum"),
+        F.min(
+            F.when(F.col("cm") >= F.col("k") + 1, F.col("cents"))
+        )
+        .cast("long")
+        .alias("lo"),
+        F.min(
+            F.when(F.col("cm") >= F.col("n") - F.col("k"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("hi"),
+    )
+    return s.selectExpr(
+        "segment",
+        "n AS n_orders",
+        "k AS trim_k",
+        f"CAST({sql_stable_round4(_TM_MEAN)} AS DOUBLE) AS trimmed_mean",
+        f"CAST({sql_stable_round4(_WS_MEAN)} AS DOUBLE) AS winsorized_mean",
+    ).orderBy("segment")

@@ -1670,3 +1670,142 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                >= F.col("n_tokens"))
         ).alias("is_code_like"),
     )
+
+
+# --------------------------------------------------------------------------
+# ml_cohen_kappa — chance-corrected agreement of the lang-id heuristic
+# --------------------------------------------------------------------------
+
+# kappa = (po - pe) / (1 - pe) with po = diag/n and pe = sum_k r_k*c_k / n^2
+# — clearing denominators keeps everything integer until ONE division:
+# kappa = (n*diag - sum r_k*c_k) / (n*n - sum r_k*c_k).
+_KAPPA = "((n * diag - pe_num) / (n * n - pe_num))"
+_PO = "(diag / n)"
+
+_LANG_PRED_SQL = f"""
+    s AS (
+        SELECT doc_id, lang,
+               {_marker_count_sql(LANG_MARKERS['en'])} AS c_en,
+               {_marker_count_sql(LANG_MARKERS['de'])} AS c_de,
+               {_marker_count_sql(LANG_MARKERS['fr'])} AS c_fr,
+               {_marker_count_sql(LANG_MARKERS['es'])} AS c_es
+        FROM documents),
+    pred AS (
+        SELECT lang AS labeled,
+               CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es
+                         AND c_en > 0 THEN 'en'
+                    WHEN c_de >= c_fr AND c_de >= c_es AND c_de > 0
+                         THEN 'de'
+                    WHEN c_fr >= c_es AND c_fr > 0 THEN 'fr'
+                    WHEN c_es > 0 THEN 'es'
+                    ELSE 'und' END AS predicted
+        FROM s)
+"""
+
+
+@register(
+    "ml_cohen_kappa",
+    oracle=f"""
+    WITH {_LANG_PRED_SQL},
+    cm AS (SELECT labeled, predicted, CAST(count(*) AS BIGINT) AS c
+           FROM pred GROUP BY 1, 2),
+    rows_m AS (SELECT labeled AS cls, CAST(sum(c) AS BIGINT) AS r
+               FROM cm GROUP BY 1),
+    cols_m AS (SELECT predicted AS cls, CAST(sum(c) AS BIGINT) AS cl
+               FROM cm GROUP BY 1),
+    st AS (
+        SELECT CAST((SELECT sum(c) FROM cm) AS DOUBLE) AS n,
+               CAST((SELECT coalesce(sum(c), 0) FROM cm
+                     WHERE labeled = predicted) AS DOUBLE) AS diag,
+               CAST((SELECT sum(CAST(r AS HUGEINT) * cl)
+                     FROM rows_m JOIN cols_m USING (cls)) AS DOUBLE)
+                   AS pe_num,
+               (SELECT CAST(count(*) AS BIGINT) FROM rows_m) AS n_labeled,
+               (SELECT CAST(count(*) AS BIGINT) FROM cols_m)
+                   AS n_predicted)
+    SELECT CAST(n AS BIGINT) AS n_docs, n_labeled, n_predicted,
+           {sql_stable_round4(_PO)} AS observed_agreement,
+           {sql_stable_round4(_KAPPA)} AS cohen_kappa
+    FROM st
+    """,
+)
+def ml_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between the corpus's labeled language
+    and text_lang_id's marker-stopword prediction — the chance-corrected
+    agreement score a labeling pipeline reports instead of raw accuracy
+    (raw agreement is inflated whenever one class dominates; kappa
+    subtracts the agreement the marginals alone would produce).
+
+    Clearing denominators keeps it exact: with integer confusion counts,
+    kappa = (n*diag - sum_k row_k*col_k) / (n^2 - sum_k row_k*col_k) —
+    every sufficient statistic is an exact integer (HUGEINT/DECIMAL
+    products), one division at the end, stable_round4. The prediction
+    CASE is the registered text_lang_id rule verbatim, so this op also
+    pins that classifier's behavior end to end.
+
+    Scale shape: one scan of (doc_id, lang, text) collapsing to the
+    class-squared confusion matrix (tiny); marginal products are an
+    alphabet-sized join. No per-document state survives the first
+    aggregate.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def marker_count(ws):
+        return F.size(F.filter(toks, lambda x: x.isin(*ws)))
+
+    cnt = {lang: marker_count(ws) for lang, ws in LANG_MARKERS.items()}
+    c_en, c_de, c_fr, c_es = cnt["en"], cnt["de"], cnt["fr"], cnt["es"]
+    pred = (
+        F.when(
+            (c_en >= c_de) & (c_en >= c_fr) & (c_en >= c_es) & (c_en > 0),
+            "en",
+        )
+        .when((c_de >= c_fr) & (c_de >= c_es) & (c_de > 0), "de")
+        .when((c_fr >= c_es) & (c_fr > 0), "fr")
+        .when(c_es > 0, "es")
+        .otherwise("und")
+    )
+    cm = (
+        d.select(F.col("lang").alias("labeled"), pred.alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count("*").cast("long").alias("c"))
+        .persist()  # totals + diag + both marginals read it
+    )
+    rows_m = cm.groupBy(F.col("labeled").alias("cls")).agg(
+        F.sum("c").cast("long").alias("r")
+    )
+    cols_m = cm.groupBy(F.col("predicted").alias("cls")).agg(
+        F.sum("c").cast("long").alias("cl")
+    )
+    tot = cm.agg(F.sum("c").cast("double").alias("n"))
+    diag = cm.filter(F.col("labeled") == F.col("predicted")).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("double").alias("diag")
+    )
+    pe = (
+        rows_m.join(cols_m, "cls")
+        .agg(
+            F.sum(
+                F.col("r").cast("decimal(38,0)")
+                * F.col("cl").cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("pe_num")
+        )
+    )
+    nl = rows_m.agg(F.count("*").cast("long").alias("n_labeled"))
+    np_ = cols_m.agg(F.count("*").cast("long").alias("n_predicted"))
+    return (
+        tot.crossJoin(F.broadcast(diag))
+        .crossJoin(F.broadcast(pe))
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(np_))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_docs",
+            "n_labeled",
+            "n_predicted",
+            f"CAST({sql_stable_round4(_PO)} AS DOUBLE)"
+            " AS observed_agreement",
+            f"CAST({sql_stable_round4(_KAPPA)} AS DOUBLE) AS cohen_kappa",
+        )
+    )

@@ -152,6 +152,9 @@ DRIVER_PRIORITY: list[str] = [
     "ml_kendall_tau",
     "win_drawdown",
     "text_code_detect",
+    "ml_auc_pr",
+    "ml_cohen_kappa",
+    "agg_trimmed_mean",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

@@ -954,3 +954,32 @@ def test_code_detect_no_shuffle_pruned(spark):
     assert "Exchange" not in p
     rs = p.split("ReadSchema", 1)[1][:200]
     assert "doc_id" in rs and "text" in rs and "source" not in rs
+
+
+def test_auc_pr_value_level_pruned(spark):
+    p = plan(spark, "ml_auc_pr")
+    # AP runs on the (segment, cents) value-level table: the orders
+    # scans read only the three needed columns
+    schemas = [s[:250] for s in p.split("ReadSchema")[1:]]
+    assert schemas and all(
+        "o_comment" not in s and "o_clerk" not in s for s in schemas
+    )
+    assert "hashpartitioning(segment" in p
+
+
+def test_cohen_kappa_confusion_cached_pruned(spark):
+    spark.catalog.clearCache()
+    p = plan(spark, "ml_cohen_kappa")
+    # totals/diag/marginals all read the persisted confusion matrix
+    assert "InMemoryTableScan" in p
+    rs = p.split("ReadSchema", 1)[1][:200]
+    assert "lang" in rs and "text" in rs and "source" not in rs
+
+
+def test_trimmed_mean_pruned_partial_agg(spark):
+    p = plan(spark, "agg_trimmed_mean")
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "o_totalprice" in rs and "o_orderpriority" in rs
+    assert "o_comment" not in rs
+    # level-table build is a partial+final hash aggregate
+    assert p.count("HashAggregate") >= 2
