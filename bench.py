@@ -110,6 +110,9 @@ HEADLINE = [
     "ml_auc_pr",
     "ml_cohen_kappa",
     "agg_trimmed_mean",
+    "text_kneser_ney_xent",
+    "ts_dominant_period",
+    "agg_lorenz_deciles",
 ]
 
 

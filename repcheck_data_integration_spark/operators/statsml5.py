@@ -1380,3 +1380,251 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({sql_stable_round4(_TM_MEAN)} AS DOUBLE) AS trimmed_mean",
         f"CAST({sql_stable_round4(_WS_MEAN)} AS DOUBLE) AS winsorized_mean",
     ).orderBy("segment")
+
+
+# --------------------------------------------------------------------------
+# ts_dominant_period — argmax-ACF cycle detector (lags 2..14)
+# --------------------------------------------------------------------------
+
+DP_MAX_LAG = 14
+DP_SCALE = 1_000_000_000_000  # acf quantized at 1e-12 for the argmax
+
+# quantized per-lag acf: numerator/denominator are exact centered-integer
+# sums, one divide + floor — bit-identical both engines, so the argmax is
+# an INTEGER comparison and can never flip on a libm ulp.
+_DP_Q = f"CAST(floor({DP_SCALE}.0 * (nn / dd)) AS BIGINT)"
+
+
+@register(
+    "ts_dominant_period",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, count(*) AS c
+        FROM events GROUP BY 1),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    grid AS (
+        SELECT unnest(generate_series(
+                   0, CAST(date_diff('day', d0, d1) AS INT))) AS idx
+        FROM bounds),
+    di AS (
+        SELECT CAST(date_diff('day', b.d0, daily.d) AS INT) AS idx, daily.c
+        FROM daily CROSS JOIN bounds b),
+    series AS (
+        SELECT g.idx, COALESCE(di.c, 0) AS x
+        FROM grid g LEFT JOIN di ON di.idx = g.idx),
+    st AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                  CAST(sum(x) AS HUGEINT) AS sx FROM series),
+    den AS (
+        SELECT CAST(sum((st.n * s.x - st.sx) * (st.n * s.x - st.sx))
+                    AS DOUBLE) AS dd
+        FROM series s CROSS JOIN st),
+    lags AS (SELECT l FROM generate_series(2, {DP_MAX_LAG}) t(l)),
+    num AS (
+        SELECT lags.l,
+               CAST(sum((st.n * a.x - st.sx) * (st.n * b.x - st.sx))
+                    AS DOUBLE) AS nn
+        FROM series a
+        CROSS JOIN lags
+        JOIN series b ON b.idx = a.idx + lags.l
+        CROSS JOIN st
+        GROUP BY lags.l),
+    q AS (SELECT l, nn, {_DP_Q} AS aq
+          FROM num CROSS JOIN den),
+    best AS (
+        SELECT l, nn, aq,
+               row_number() OVER (ORDER BY aq DESC, l) AS rn
+        FROM q)
+    SELECT CAST(st.n AS BIGINT) AS n_days,
+           CAST(best.l AS BIGINT) AS dominant_period,
+           {sql_stable_round4('(nn / dd)')} AS acf_peak
+    FROM best CROSS JOIN den CROSS JOIN st WHERE rn = 1
+    """,
+)
+def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant cycle length of the daily event-count series: the lag in
+    2..{DP_MAX_LAG} with the highest autocorrelation — the
+    argmax-of-ACF period detector that decides the seasonal window
+    ts_decompose_seasonal / ts_anomaly_seasonal should use (a weekly
+    rhythm shows up as the peak at lag 7). Completes the Box-Jenkins kit
+    as the model-order pickers' spectral sibling: ACF measures, PACF
+    orders, Ljung-Box tests, this one locates the cycle.
+
+    Determinism: the per-lag acf numerators/denominator are the exact
+    centered-integer sums of ts_autocorr; each acf is quantized to an
+    integer (one divide + floor of exact inputs) BEFORE the argmax, so
+    the winning lag is an integer comparison with a lag tie-break —
+    never a float argmax that a libm ulp could flip. The reported peak
+    acf is stable_round4.
+
+    Scale shape: one fact collapse to |days| rows, one bounded band-join
+    over 13 lags, one 13-row argmax. One fact scan at any SF.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), F.datediff(F.col("d1"), F.col("d0")))
+        ).alias("idx")
+    )
+    di = daily.crossJoin(F.broadcast(bounds)).select(
+        F.datediff(F.col("d"), F.col("d0")).cast("int").alias("idx"), "c"
+    )
+    series = grid.join(di, "idx", "left").select(
+        "idx", F.coalesce("c", F.lit(0)).alias("x")
+    )
+    st = series.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+    )
+    den = series.crossJoin(F.broadcast(st)).agg(
+        F.sum(
+            (F.col("n") * F.col("x") - F.col("sx"))
+            * (F.col("n") * F.col("x") - F.col("sx"))
+        )
+        .cast("double")
+        .alias("dd")
+    )
+    lags = spark.range(2, DP_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("l")
+    )
+    a = series.alias("a").crossJoin(F.broadcast(lags))
+    num = (
+        a.join(
+            series.alias("b"),
+            F.col("b.idx") == F.col("a.idx") + F.col("l"),
+        )
+        .crossJoin(F.broadcast(st))
+        .groupBy("l")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("a.x") - F.col("sx"))
+                * (F.col("n") * F.col("b.x") - F.col("sx"))
+            )
+            .cast("double")
+            .alias("nn")
+        )
+    )
+    q = num.crossJoin(F.broadcast(den)).select(
+        "l", "nn", "dd", F.expr(_DP_Q).alias("aq")
+    )
+    best = q.withColumn(
+        "rn",
+        F.row_number().over(
+            W.orderBy(F.col("aq").desc(), F.col("l"))
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.crossJoin(
+        F.broadcast(st.select(F.col("n").cast("long").alias("n")))
+    ).selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        "CAST(l AS BIGINT) AS dominant_period",
+        f"CAST({sql_stable_round4('(nn / dd)')} AS DOUBLE) AS acf_peak",
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_lorenz_deciles — Lorenz curve of customer revenue concentration
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_lorenz_deciles",
+    oracle="""
+    WITH cr AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+    rk AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS rn,
+               count(*) OVER () AS n,
+               sum(CAST(cents AS HUGEINT)) OVER () AS tot
+        FROM cr),
+    dec AS (
+        SELECT ((rn - 1) * 10) // n AS decile, cents, n, tot FROM rk),
+    s AS (
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT)
+                   AS revenue_cents,
+               CAST(max(tot) AS DOUBLE) AS tot
+        FROM dec GROUP BY 1),
+    c AS (
+        SELECT decile, n_customers, revenue_cents, tot,
+               CAST(sum(CAST(revenue_cents AS HUGEINT))
+                    OVER (ORDER BY decile) AS DOUBLE) AS cum
+        FROM s)
+    SELECT CAST(decile AS BIGINT) AS decile, n_customers, revenue_cents,
+           CAST(floor((cum / tot) * 10000.0 + 0.5) AS BIGINT) / 10000.0
+               AS cum_revenue_share
+    FROM c ORDER BY decile
+    """,
+)
+def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer-revenue concentration in ten points:
+    customers ranked by lifetime revenue, split into deciles, each row
+    reporting the decile's revenue and the CUMULATIVE share — the curve
+    whose area complement agg_gini_revenue summarizes in one number, kept
+    as a relation so a dashboard can draw it ("the top decile carries
+    X% of revenue").
+
+    Determinism: money is exact cents throughout; the decile id is the
+    integer ((rank-1)*10) div n over a fully tie-broken rank (cents,
+    custkey), so bucket boundaries are engine-exact (never ntile's
+    engine-specific remainder spread); cumulative shares divide exact
+    integer sums once, then round half-up at 1e-4.
+
+    Scale shape: one shuffle to per-customer totals, one global sort of
+    CUSTOMER-level rows (1.5k at sf0.01 — at 100 TB still only |customers|
+    rows, the post-aggregate sort that a rank-based report always
+    costs), then a 10-row window. The fact table is scanned once.
+    """
+    o = load(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    rk = cr.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)"))
+        .over(W.partitionBy())
+        .alias("tot"),
+    )
+    dec = rk.select(
+        F.expr("((rn - 1) * 10) div n").alias("decile"),
+        "cents",
+        "tot",
+    )
+    s = dec.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.col("cents").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.max("tot").cast("double").alias("tot"),
+    )
+    c = s.select(
+        "decile",
+        "n_customers",
+        "revenue_cents",
+        "tot",
+        F.sum(F.col("revenue_cents").cast("decimal(38,0)"))
+        .over(W.orderBy("decile"))
+        .cast("double")
+        .alias("cum"),
+    )
+    return c.selectExpr(
+        "CAST(decile AS BIGINT) AS decile",
+        "n_customers",
+        "revenue_cents",
+        "CAST(CAST(floor((cum / tot) * 10000.0 + 0.5) AS BIGINT)"
+        " / 10000.0 AS DOUBLE) AS cum_revenue_share",
+    ).orderBy("decile")

@@ -2326,3 +2326,120 @@ def text_keyphrase_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# text_kneser_ney_xent — interpolated Kneser-Ney bigram cross-entropy
+# --------------------------------------------------------------------------
+
+# Interpolated KN with absolute discount D = 3/4 (Kneser & Ney 1995;
+# Chen & Goodman 1999 eq. 4.25):
+#   P(w2|w1) = (c12 - D)/c1 + D*N1+(w1,.)/c1 * N1+(.,w2)/B
+# Clearing D = 3/4 makes numerator and denominator EXACT integers:
+#   P = ((4*c12 - 3)*B + 3*n1w1*n1w2) / (4*c1*B)
+# (c12 >= 1 > D for every bigram the doc actually contains, so the
+# max(.,0) clip never fires and the formula is total.)
+_KN_P = (
+    "(CAST((4 * cb - 3) * bb + 3 * n1w1 * n1w2 AS DOUBLE)"
+    " / CAST(4 * cw1 * bb AS DOUBLE))"
+)
+
+
+@register(
+    "text_kneser_ney_xent",
+    oracle=f"""
+    WITH dc AS ({SQL_BIGRAM_COUNTS}),
+    corpus AS (
+        SELECT b, split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+               CAST(sum(cnt) AS BIGINT) AS cb
+        FROM dc GROUP BY 1, 2, 3),
+    model AS (
+        SELECT b, cb,
+               sum(cb) OVER (PARTITION BY w1) AS cw1,
+               count(*) OVER (PARTITION BY w1) AS n1w1,
+               count(*) OVER (PARTITION BY w2) AS n1w2
+        FROM corpus),
+    bt AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM corpus),
+    per_doc AS (
+        SELECT dc.doc_id,
+               CAST(sum(dc.cnt) AS BIGINT) AS n_bigrams,
+               sum(dc.cnt * ln({_KN_P})) AS ll
+        FROM dc JOIN model m ON dc.b = m.b CROSS JOIN bt
+        GROUP BY dc.doc_id)
+    SELECT doc_id, n_bigrams,
+           {sql_stable_round4('(-ll / n_bigrams)')} AS kn_xent
+    FROM per_doc
+    """,
+)
+def text_kneser_ney_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram cross-entropy per document — the
+    production LM-smoothing counterpart of text_bigram_xent's raw MLE:
+    KN discounts every observed bigram by D = 3/4 and backs the freed
+    mass off to the CONTINUATION unigram (how many distinct contexts a
+    word follows), the smoothing that made n-gram perplexity filters
+    (CCNet et al.) work on open-vocabulary web text.
+
+    Exactness: clearing D = 3/4 turns each probability into a ratio of
+    exact integers, ((4c12-3)B + 3*N1+(w1,.)*N1+(.,w2)) / (4*c1*B) —
+    both sides evaluate ln on the SAME correctly-rounded double ratio.
+    The per-doc log-sum shares text_unigram_xent's documented
+    rounding-margin rationale; stable_round4 on the reported entropy.
+
+    Scale shape: the (doc, bigram) aggregate is persisted once; ALL
+    model statistics (prefix mass, distinct-successor and continuation
+    counts) come from two windows over the corpus-level aggregate —
+    never a fact-table re-scan — and the distinct-bigram total is a
+    1-row broadcast. One join back to the persisted subtree, tfidf's
+    profile (the fused-model lesson from VERDICT r3 item 7 applied from
+    the start).
+    """
+    d = load(spark, sf_dir, "documents")
+    t = F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)
+    bg = F.when(
+        F.size(F.col("toks")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dc = (
+        d.select("doc_id", t.alias("toks"))
+        .select("doc_id", F.explode(bg).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()  # corpus model + per-doc join both read it
+    )
+    from pyspark.sql import Window as W
+
+    corpus = dc.groupBy(
+        "b",
+        F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("b"), F.lit(" "), F.lit(2)).alias("w2"),
+    ).agg(F.sum("cnt").cast("long").alias("cb"))
+    model = corpus.select(
+        "b",
+        "cb",
+        F.sum("cb").over(W.partitionBy("w1")).alias("cw1"),
+        F.count("*").over(W.partitionBy("w1")).alias("n1w1"),
+        F.count("*").over(W.partitionBy("w2")).alias("n1w2"),
+    )
+    bt = corpus.agg(F.count("*").cast("long").alias("bb"))
+    per_doc = (
+        dc.join(model, "b")
+        .crossJoin(F.broadcast(bt))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.expr(f"ln({_KN_P})")).alias("ll"),
+        )
+    )
+    return per_doc.selectExpr(
+        "doc_id",
+        "n_bigrams",
+        f"CAST({sql_stable_round4('(-ll / n_bigrams)')} AS DOUBLE)"
+        " AS kn_xent",
+    )

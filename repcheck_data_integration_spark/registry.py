@@ -155,6 +155,9 @@ DRIVER_PRIORITY: list[str] = [
     "ml_auc_pr",
     "ml_cohen_kappa",
     "agg_trimmed_mean",
+    "text_kneser_ney_xent",
+    "ts_dominant_period",
+    "agg_lorenz_deciles",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

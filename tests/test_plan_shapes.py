@@ -983,3 +983,29 @@ def test_trimmed_mean_pruned_partial_agg(spark):
     assert "o_comment" not in rs
     # level-table build is a partial+final hash aggregate
     assert p.count("HashAggregate") >= 2
+
+
+def test_kn_xent_cached_subtree_pruned(spark):
+    spark.catalog.clearCache()
+    p = plan(spark, "text_kneser_ney_xent")
+    # corpus model and per-doc join both read the persisted (doc,bigram)
+    # aggregate; the documents scan reads only (doc_id, text)
+    assert "InMemoryTableScan" in p
+    rs = p.split("ReadSchema", 1)[1][:200]
+    assert "doc_id" in rs and "text" in rs and "lang" not in rs
+
+
+def test_dominant_period_bounded_band_join(spark):
+    p = plan(spark, "ts_dominant_period")
+    # everything past the daily collapse is |days|-sized; the fact scan
+    # never reads the wide columns
+    schemas = [s[:200] for s in p.split("ReadSchema")[1:]]
+    assert all("props" not in s and "value" not in s for s in schemas)
+
+
+def test_lorenz_pruned_partial_agg(spark):
+    p = plan(spark, "agg_lorenz_deciles")
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "o_custkey" in rs and "o_totalprice" in rs
+    assert "o_comment" not in rs
+    assert p.count("HashAggregate") >= 2  # partial+final customer totals

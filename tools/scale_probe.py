@@ -160,6 +160,17 @@ PROBES = [
     "llm_eval_chrf",
     "ts_ljung_box",
     "ml_boosted_stumps",
+    # round-4 rank/robust/eval tranche: the contingency pair join, the
+    # customer-window drawdown, the per-doc lexicon map, the PR value-
+    # level windows, the confusion-matrix collapse, the trim overlap
+    "ts_pacf",
+    "graph_modularity",
+    "ml_kendall_tau",
+    "win_drawdown",
+    "text_code_detect",
+    "ml_auc_pr",
+    "ml_cohen_kappa",
+    "agg_trimmed_mean",
 ]
 
 
