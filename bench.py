@@ -113,6 +113,9 @@ HEADLINE = [
     "text_kneser_ney_xent",
     "ts_dominant_period",
     "agg_lorenz_deciles",
+    "src_fixed_width_scan",
+    "ts_adf_test",
+    "ml_two_proportion_ztest",
 ]
 
 

@@ -1628,3 +1628,206 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CAST(floor((cum / tot) * 10000.0 + 0.5) AS BIGINT)"
         " / 10000.0 AS DOUBLE) AS cum_revenue_share",
     ).orderBy("decile")
+
+
+# --------------------------------------------------------------------------
+# ts_adf_test — Dickey-Fuller unit-root test on the daily series
+# --------------------------------------------------------------------------
+
+# OLS of dx_t = alpha + beta * x_{t-1} + e_t over the m lag pairs, in
+# centered exact-integer sums (sxx = m*Saa - Sa^2 etc.): beta = sxy/sxx,
+# t = beta / sqrt((syy - beta*sxy) / ((m-2) * sxx)). Unit root <=> beta~0;
+# a t below the 5% critical value -2.86 rejects it (stationary).
+_ADF_BETA = "(sxy / sxx)"
+_ADF_T = (
+    f"({_ADF_BETA} / sqrt((syy - {_ADF_BETA} * sxy)"
+    " / ((m - 2.0) * sxx)))"
+)
+
+
+@register(
+    "ts_adf_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, count(*) AS c
+        FROM events GROUP BY 1),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    grid AS (
+        SELECT unnest(generate_series(
+                   0, CAST(date_diff('day', d0, d1) AS INT))) AS idx
+        FROM bounds),
+    di AS (
+        SELECT CAST(date_diff('day', b.d0, daily.d) AS INT) AS idx, daily.c
+        FROM daily CROSS JOIN bounds b),
+    series AS (
+        SELECT g.idx, CAST(COALESCE(di.c, 0) AS HUGEINT) AS x
+        FROM grid g LEFT JOIN di ON di.idx = g.idx),
+    pairs AS (
+        SELECT a.x AS xa, b.x - a.x AS dx
+        FROM series a JOIN series b ON b.idx = a.idx + 1),
+    st AS (
+        SELECT CAST(count(*) AS HUGEINT) AS m,
+               CAST(sum(xa) AS HUGEINT) AS sa,
+               CAST(sum(dx) AS HUGEINT) AS sd,
+               CAST(sum(xa * xa) AS HUGEINT) AS saa,
+               CAST(sum(xa * dx) AS HUGEINT) AS sad,
+               CAST(sum(dx * dx) AS HUGEINT) AS sdd
+        FROM pairs),
+    cs AS (
+        SELECT CAST(m AS DOUBLE) AS m,
+               CAST(m * saa - sa * sa AS DOUBLE) AS sxx,
+               CAST(m * sad - sa * sd AS DOUBLE) AS sxy,
+               CAST(m * sdd - sd * sd AS DOUBLE) AS syy
+        FROM st)
+    SELECT CAST(m AS BIGINT) AS n_pairs,
+           {sql_stable_round4(_ADF_BETA)} AS df_beta,
+           {sql_stable_round4(_ADF_T)} AS df_t_stat,
+           {sql_stable_round4(_ADF_T)} <= -2.86 AS rejects_unit_root
+    FROM cs
+    """,
+)
+def ts_adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test (Dickey & Fuller 1979) on the daily
+    event-count series: regress the day-over-day change on the lagged
+    level — beta near 0 means shocks persist (a unit root / random
+    walk), a t-statistic below the 5% critical value -2.86 rejects the
+    unit root in favor of mean reversion. The formal stationarity gate
+    the Box-Jenkins kit (ACF/PACF/Ljung-Box/period) assumes before any
+    of its numbers mean anything.
+
+    Determinism: lag pairs come from the same exact band-join as the
+    ACF ops; every regression sufficient statistic is an exact integer
+    (centered via m*S2 - S^2 in HUGEINT/DECIMAL) cast once to double;
+    beta and t are interpolated expression text, sqrt is IEEE-exact,
+    stable_round4 on the reported values; the reject flag compares the
+    ROUNDED t to the critical literal, identical in both engines.
+
+    Scale shape: fact collapse to |days| rows, one lag-1 self-join on
+    the bounded series, one reduction. One fact scan at any SF.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), F.datediff(F.col("d1"), F.col("d0")))
+        ).alias("idx")
+    )
+    di = daily.crossJoin(F.broadcast(bounds)).select(
+        F.datediff(F.col("d"), F.col("d0")).cast("int").alias("idx"), "c"
+    )
+    series = grid.join(di, "idx", "left").select(
+        "idx", F.coalesce("c", F.lit(0)).cast("decimal(38,0)").alias("x")
+    )
+    pairs = (
+        series.alias("a")
+        .join(series.alias("b"), F.expr("b.idx = a.idx + 1"))
+        .select(
+            F.col("a.x").alias("xa"),
+            (F.col("b.x") - F.col("a.x")).alias("dx"),
+        )
+    )
+    st = pairs.agg(
+        F.count("*").cast("decimal(38,0)").alias("m"),
+        F.sum("xa").alias("sa"),
+        F.sum("dx").alias("sd"),
+        F.sum(F.col("xa") * F.col("xa")).alias("saa"),
+        F.sum(F.col("xa") * F.col("dx")).alias("sad"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sdd"),
+    )
+    cs = st.select(
+        F.col("m").cast("double").alias("m"),
+        (F.col("m") * F.col("saa") - F.col("sa") * F.col("sa"))
+        .cast("double")
+        .alias("sxx"),
+        (F.col("m") * F.col("sad") - F.col("sa") * F.col("sd"))
+        .cast("double")
+        .alias("sxy"),
+        (F.col("m") * F.col("sdd") - F.col("sd") * F.col("sd"))
+        .cast("double")
+        .alias("syy"),
+    )
+    return cs.selectExpr(
+        "CAST(m AS BIGINT) AS n_pairs",
+        f"CAST({sql_stable_round4(_ADF_BETA)} AS DOUBLE) AS df_beta",
+        f"CAST({sql_stable_round4(_ADF_T)} AS DOUBLE) AS df_t_stat",
+        f"{sql_stable_round4(_ADF_T)} <= -2.86 AS rejects_unit_root",
+    )
+
+
+# --------------------------------------------------------------------------
+# ml_two_proportion_ztest — pooled two-proportion z (conversion compare)
+# --------------------------------------------------------------------------
+
+_ZP_P1, _ZP_P2 = "(x1 / n1)", "(x2 / n2)"
+_ZP_POOL = "((x1 + x2) / (n1 + n2))"
+_ZP_Z = (
+    f"(({_ZP_P1} - {_ZP_P2})"
+    f" / sqrt({_ZP_POOL} * (1.0 - {_ZP_POOL}) * (1.0 / n1 + 1.0 / n2)))"
+)
+
+
+@register(
+    "ml_two_proportion_ztest",
+    oracle=f"""
+    WITH st AS (
+        SELECT
+            CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+            CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                          AND o_orderstatus = 'F'
+                     THEN 1 ELSE 0 END) AS DOUBLE) AS x1,
+            CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                     THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+            CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                          AND o_orderstatus = 'F'
+                     THEN 1 ELSE 0 END) AS DOUBLE) AS x2
+        FROM orders)
+    SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(x1 AS BIGINT) AS f_urgent,
+           CAST(n2 AS BIGINT) AS n_low, CAST(x2 AS BIGINT) AS f_low,
+           {sql_stable_round4(_ZP_P1)} AS p_urgent,
+           {sql_stable_round4(_ZP_P2)} AS p_low,
+           {sql_stable_round4(_ZP_Z)} AS z_stat
+    FROM st
+    """,
+)
+def ml_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test: is the order-finality RATE different
+    between urgent and low-priority orders? The binary-outcome member of
+    the experimentation kit — agg_ab_ttest compares means, ml_sprt_ab
+    sequences, chi2 tests the whole table; this is the two-arm
+    conversion-rate test an A/B readout actually quotes.
+
+    Determinism: the four sufficient statistics are exact integer counts
+    from ONE conditional aggregate over one scan; p1, p2, the pooled
+    rate, and z are interpolated expression text over their exact-double
+    casts, sqrt IEEE-exact, stable_round4 on every rational.
+
+    Scale shape: a single map-side-combined scalar aggregate — no
+    shuffle wider than one row at any SF.
+    """
+    o = load(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    low = F.col("o_orderpriority") == "5-LOW"
+    fin = F.col("o_orderstatus") == "F"
+    st = o.agg(
+        F.sum(F.when(urgent, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(urgent & fin, 1).otherwise(0))
+        .cast("double")
+        .alias("x1"),
+        F.sum(F.when(low, 1).otherwise(0)).cast("double").alias("n2"),
+        F.sum(F.when(low & fin, 1).otherwise(0))
+        .cast("double")
+        .alias("x2"),
+    )
+    return st.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_urgent",
+        "CAST(x1 AS BIGINT) AS f_urgent",
+        "CAST(n2 AS BIGINT) AS n_low",
+        "CAST(x2 AS BIGINT) AS f_low",
+        f"CAST({sql_stable_round4(_ZP_P1)} AS DOUBLE) AS p_urgent",
+        f"CAST({sql_stable_round4(_ZP_P2)} AS DOUBLE) AS p_low",
+        f"CAST({sql_stable_round4(_ZP_Z)} AS DOUBLE) AS z_stat",
+    )

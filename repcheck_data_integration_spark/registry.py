@@ -158,6 +158,9 @@ DRIVER_PRIORITY: list[str] = [
     "text_kneser_ney_xent",
     "ts_dominant_period",
     "agg_lorenz_deciles",
+    "src_fixed_width_scan",
+    "ts_adf_test",
+    "ml_two_proportion_ztest",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

@@ -1077,3 +1077,69 @@ def src_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.mapInPandas(read_footers, schema=_PQMETA_SCHEMA).orderBy(
         "table_name", "row_group_id", "column_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# src_fixed_width_scan — fixed-width (mainframe/COBOL copybook) text source
+# ---------------------------------------------------------------------------
+
+# layout spec: (column, start 1-based, width). Money is written as integer
+# cents so the render-parse roundtrip is lossless and engine-exact.
+FIXED_WIDTH_LAYOUT = [
+    ("s_suppkey", 1, 10),
+    ("s_name", 11, 26),
+    ("s_nationkey", 37, 6),
+    ("acctbal_cents", 43, 14),
+]
+
+
+@register(
+    "src_fixed_width_scan",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_cents
+    FROM supplier
+    """,
+)
+def src_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text source — the mainframe/COBOL-copybook flat-file
+    format ETL systems still ingest (the reference's CSV loaders with
+    typed models are the same contract over a different delimiter,
+    /root/reference/scripts/census/load_census_data.py:1): render the
+    supplier table to a column-positioned flat file once, then scan it
+    back by LAYOUT, substring slicing + trim + typed casts. The oracle
+    is the roundtrip property: the parsed relation equals the source
+    table exactly (money as integer cents so no float ever transits the
+    text form).
+
+    Scale shape: spark.read.text is line-splittable (HDFS-friendly: any
+    byte range snaps to newline boundaries), and the per-column
+    substring/cast pipeline is pure whole-stage codegen — a fixed-width
+    scan distributes exactly like a CSV scan, no Python anywhere.
+    """
+    out = _fixture_dir(sf_dir, "fixed_width")
+    src = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.floor(F.col("s_acctbal") * 100.0 + 0.5)
+        .cast("long")
+        .alias("acctbal_cents"),
+    )
+    if not _done(out):
+        line = F.concat(
+            F.rpad(F.col("s_suppkey").cast("string"), 10, " "),
+            F.rpad(F.col("s_name"), 26, " "),
+            F.rpad(F.col("s_nationkey").cast("string"), 6, " "),
+            F.rpad(F.col("acctbal_cents").cast("string"), 14, " "),
+        )
+        src.select(line.alias("value")).write.mode("overwrite").text(out)
+        _mark_done(out)
+    raw = spark.read.text(out)
+    cols = []
+    for name, start, width in FIXED_WIDTH_LAYOUT:
+        c = F.rtrim(F.substring(F.col("value"), start, width))
+        if name != "s_name":
+            c = c.cast("long")
+        cols.append(c.alias(name))
+    return raw.select(*cols)

@@ -1009,3 +1009,26 @@ def test_lorenz_pruned_partial_agg(spark):
     assert "o_custkey" in rs and "o_totalprice" in rs
     assert "o_comment" not in rs
     assert p.count("HashAggregate") >= 2  # partial+final customer totals
+
+
+def test_fixed_width_scan_codegen_no_python(spark):
+    p = plan(spark, "src_fixed_width_scan")
+    # substring/cast parse runs entirely JVM-side over a splittable scan
+    for py_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py_node not in p
+    assert "Exchange" not in p
+
+
+def test_adf_bounded_series_pruned(spark):
+    p = plan(spark, "ts_adf_test")
+    schemas = [s[:200] for s in p.split("ReadSchema")[1:]]
+    assert all("props" not in s and "value" not in s for s in schemas)
+
+
+def test_two_proportion_single_scalar_agg(spark):
+    p = plan(spark, "ml_two_proportion_ztest")
+    # one conditional aggregate: partial+final, single scan, pruned
+    assert p.count("+- HashAggregate") == 2 and "partial_sum" in p
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "o_orderpriority" in rs and "o_orderstatus" in rs
+    assert "o_totalprice" not in rs
