@@ -116,6 +116,8 @@ HEADLINE = [
     "src_fixed_width_scan",
     "ts_adf_test",
     "ml_two_proportion_ztest",
+    "graph_katz_centrality",
+    "ml_lasso_cd",
 ]
 
 

@@ -1831,3 +1831,142 @@ def ml_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({sql_stable_round4(_ZP_P2)} AS DOUBLE) AS p_low",
         f"CAST({sql_stable_round4(_ZP_Z)} AS DOUBLE) AS z_stat",
     )
+
+
+# --------------------------------------------------------------------------
+# ml_lasso_cd — lasso coordinate descent selecting AR lags (1 vs 7)
+# --------------------------------------------------------------------------
+
+LASSO_SHRINK_DEN = 20  # threshold = s_jj / 20 (coefficients < 0.05 die)
+
+
+def _soft(z: str, t: str) -> str:
+    """Soft-threshold S(z, t) as engine-neutral expression text."""
+    return (
+        f"(CASE WHEN {z} > {t} THEN {z} - {t}"
+        f" WHEN {z} < -({t}) THEN {z} + {t} ELSE 0.0 END)"
+    )
+
+
+# two coordinate-descent sweeps, one named step per select so BOTH
+# engines evaluate the identical per-step expression over named columns
+# (never a re-inlined mega-expression):
+_LS_B1A = f"({_soft('s1y', f's11 / {LASSO_SHRINK_DEN}.0')} / s11)"
+_LS_B7A = f"({_soft('(s7y - b1a * s17)', f's77 / {LASSO_SHRINK_DEN}.0')} / s77)"
+_LS_B1B = f"({_soft('(s1y - b7a * s17)', f's11 / {LASSO_SHRINK_DEN}.0')} / s11)"
+_LS_B7B = f"({_soft('(s7y - b1b * s17)', f's77 / {LASSO_SHRINK_DEN}.0')} / s77)"
+
+
+@register(
+    "ml_lasso_cd",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, count(*) AS c
+        FROM events GROUP BY 1),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    grid AS (
+        SELECT unnest(generate_series(
+                   0, CAST(date_diff('day', d0, d1) AS INT))) AS idx
+        FROM bounds),
+    di AS (
+        SELECT CAST(date_diff('day', b.d0, daily.d) AS INT) AS idx, daily.c
+        FROM daily CROSS JOIN bounds b),
+    series AS (
+        SELECT g.idx, CAST(COALESCE(di.c, 0) AS HUGEINT) AS x
+        FROM grid g LEFT JOIN di ON di.idx = g.idx),
+    rows3 AS (
+        SELECT y.x AS y, l1.x AS x1, l7.x AS x7
+        FROM series y
+        JOIN series l1 ON l1.idx = y.idx - 1
+        JOIN series l7 ON l7.idx = y.idx - 7),
+    st AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+               CAST(sum(x7 * x7) AS DOUBLE) AS s77,
+               CAST(sum(x1 * x7) AS DOUBLE) AS s17,
+               CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+               CAST(sum(x7 * y) AS DOUBLE) AS s7y
+        FROM rows3),
+    r1 AS (SELECT *, {_LS_B1A} AS b1a FROM st),
+    r2 AS (SELECT *, {_LS_B7A} AS b7a FROM r1),
+    r3 AS (SELECT *, {_LS_B1B} AS b1b FROM r2),
+    r4 AS (SELECT *, {_LS_B7B} AS b7b FROM r3)
+    SELECT m AS n_rows,
+           {sql_stable_round4('b1b')} AS beta_lag1,
+           {sql_stable_round4('b7b')} AS beta_lag7,
+           CAST((CASE WHEN b1b <> 0.0 THEN 1 ELSE 0 END)
+                + (CASE WHEN b7b <> 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_active
+    FROM r4
+    """,
+)
+def ml_lasso_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lasso coordinate descent (Friedman et al. 2007 pathwise CD)
+    selecting autoregressive lags of the daily event series: regress
+    today's count on lag-1 and lag-7 with an L1 penalty — the sparse
+    answer to "is the series driven by yesterday, by last week, or
+    neither", the model-selection step after ts_pacf suggests an order.
+    Two full CD sweeps, each coordinate update the closed-form
+    soft-threshold S(rho_j, s_jj/20)/s_jj.
+
+    Determinism: all sufficient statistics are exact integer sums from
+    the lag band-joins (counts are integers, no centering needed —
+    documented no-intercept form); the four CD steps are NAMED one-row
+    columns (b1a, b7a, b1b, b7b), each step identical expression text
+    over the previous step's column in BOTH engines — never a
+    re-inlined mega-expression (the inlining perf trap AND an
+    exactness hazard); the active-set count compares against the EXACT
+    0.0 the CASE emits, so selection is engine-stable.
+
+    Scale shape: fact collapse to |days| rows, one 3-way bounded band
+    join, one reduction; the CD sweeps are driver-free scalar algebra
+    on a 1-row frame.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), F.datediff(F.col("d1"), F.col("d0")))
+        ).alias("idx")
+    )
+    di = daily.crossJoin(F.broadcast(bounds)).select(
+        F.datediff(F.col("d"), F.col("d0")).cast("int").alias("idx"), "c"
+    )
+    series = grid.join(di, "idx", "left").select(
+        "idx", F.coalesce("c", F.lit(0)).cast("decimal(38,0)").alias("x")
+    )
+    rows3 = (
+        series.alias("y")
+        .join(series.alias("l1"), F.expr("l1.idx = y.idx - 1"))
+        .join(series.alias("l7"), F.expr("l7.idx = y.idx - 7"))
+        .select(
+            F.col("y.x").alias("yv"),
+            F.col("l1.x").alias("x1"),
+            F.col("l7.x").alias("x7"),
+        )
+    )
+    st = rows3.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x7") * F.col("x7")).cast("double").alias("s77"),
+        F.sum(F.col("x1") * F.col("x7")).cast("double").alias("s17"),
+        F.sum(F.col("x1") * F.col("yv")).cast("double").alias("s1y"),
+        F.sum(F.col("x7") * F.col("yv")).cast("double").alias("s7y"),
+    )
+    r = (
+        st.selectExpr("*", f"{_LS_B1A} AS b1a")
+        .selectExpr("*", f"{_LS_B7A} AS b7a")
+        .selectExpr("*", f"{_LS_B1B} AS b1b")
+        .selectExpr("*", f"{_LS_B7B} AS b7b")
+    )
+    return r.selectExpr(
+        "m AS n_rows",
+        f"CAST({sql_stable_round4('b1b')} AS DOUBLE) AS beta_lag1",
+        f"CAST({sql_stable_round4('b7b')} AS DOUBLE) AS beta_lag7",
+        "CAST((CASE WHEN b1b <> 0.0 THEN 1 ELSE 0 END)"
+        " + (CASE WHEN b7b <> 0.0 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_active",
+    )

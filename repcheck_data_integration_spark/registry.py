@@ -161,6 +161,8 @@ DRIVER_PRIORITY: list[str] = [
     "src_fixed_width_scan",
     "ts_adf_test",
     "ml_two_proportion_ztest",
+    "graph_katz_centrality",
+    "ml_lasso_cd",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

@@ -1032,3 +1032,20 @@ def test_two_proportion_single_scalar_agg(spark):
     rs = p.split("ReadSchema", 1)[1][:250]
     assert "o_orderpriority" in rs and "o_orderstatus" in rs
     assert "o_totalprice" not in rs
+
+
+def test_katz_message_passing_cached_edges(spark):
+    spark.catalog.clearCache()
+    p = plan(spark, "graph_katz_centrality")
+    # doubled edge list persisted once; three node-keyed rounds, no
+    # cartesian anywhere
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
+
+
+def test_lasso_bounded_series_no_python(spark):
+    p = plan(spark, "ml_lasso_cd")
+    schemas = [s[:200] for s in p.split("ReadSchema")[1:]]
+    assert all("props" not in s and "value" not in s for s in schemas)
+    for py_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py_node not in p
