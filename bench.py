@@ -118,6 +118,8 @@ HEADLINE = [
     "ml_two_proportion_ztest",
     "graph_katz_centrality",
     "ml_lasso_cd",
+    "ml_mcnemar_test",
+    "ml_brier_decomposition",
 ]
 
 

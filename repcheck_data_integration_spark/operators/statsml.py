@@ -743,8 +743,11 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 NB_LOG_SCALE = 1_000_000.0
 
 
-_NB_ORACLE = f"""
-    WITH tc AS (
+# CTE chain through the per-doc argmax prediction — shared verbatim by
+# ml_naive_bayes_lang's confusion matrix and ml_mcnemar_test's paired
+# compare, so both oracles see the SAME classifier:
+NB_PRED_SQL = f"""
+    tc AS (
         SELECT doc_id, lang, tok, count(*) AS cnt
         FROM (SELECT doc_id, lang,
                      unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
@@ -776,13 +779,19 @@ _NB_ORACLE = f"""
         JOIN model m ON m.tok = tc.tok
         JOIN prior_q pq ON pq.lang = m.lang
         GROUP BY 1, 2, 3),
-    pred AS (
+    nb_ranked AS (
         SELECT doc_id, lang_true, cand AS lang_pred,
                row_number() OVER (PARTITION BY doc_id
                                   ORDER BY s DESC, cand) AS rk
-        FROM scores)
+        FROM scores),
+    nbp AS (SELECT doc_id, lang_true, lang_pred
+            FROM nb_ranked WHERE rk = 1)
+"""
+
+_NB_ORACLE = f"""
+    WITH {NB_PRED_SQL}
     SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
-    FROM pred WHERE rk = 1
+    FROM nbp
     GROUP BY 1, 2
     ORDER BY 1, 2
     """
@@ -793,7 +802,8 @@ _NB_ORACLE = f"""
     oracle=_NB_ORACLE,
 )
 def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial naive-Bayes language classifier, trained and
+    """Confusion matrix of nb_doc_pred (the shared NB classifier kernel
+    below) against the fixture's labels. Multinomial naive-Bayes, trained and
     resubstitution-evaluated fully relationally: per-(lang, token) counts
     with add-one smoothing form the model; scoring is
     ``log prior_l + sum_tok cnt * log((c_lt + 1) / (T_l + V))`` computed
@@ -811,6 +821,19 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs stage, no driver-side model materialization (contrast: a
     broadcast dict would die at web-scale vocab; the join does not).
     """
+    pred = nb_doc_pred(spark, sf_dir)
+    return (
+        pred.groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+def nb_doc_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document naive-Bayes language prediction (doc_id, lang_true,
+    lang_pred) — the classifier kernel shared by ml_naive_bayes_lang's
+    confusion matrix and ml_mcnemar_test's paired compare (mirrors
+    NB_PRED_SQL exactly)."""
     d = load(spark, sf_dir, "documents")
     tc = (
         d.select(
@@ -889,12 +912,8 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("cand"))
         ),
     ).filter(F.col("rk") == 1)
-    return (
-        pred.groupBy(
-            F.col("lang_true"), F.col("cand").alias("lang_pred")
-        )
-        .agg(F.count("*").cast("long").alias("n_docs"))
-        .orderBy("lang_true", "lang_pred")
+    return pred.select(
+        "doc_id", "lang_true", F.col("cand").alias("lang_pred")
     )
 
 

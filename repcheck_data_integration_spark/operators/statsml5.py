@@ -1970,3 +1970,283 @@ def ml_lasso_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + (CASE WHEN b7b <> 0.0 THEN 1 ELSE 0 END) AS BIGINT)"
         " AS n_active",
     )
+
+
+# --------------------------------------------------------------------------
+# ml_mcnemar_test — paired comparison of the two lang classifiers
+# --------------------------------------------------------------------------
+
+from .statsml import NB_PRED_SQL, nb_doc_pred  # noqa: E402
+from .textstats import LANG_MARKERS, _marker_count_sql, tokens  # noqa: E402
+
+# continuity-corrected McNemar chi2 over the discordant counts: only the
+# documents where the classifiers DISAGREE about being right carry
+# information about which one is better.
+_MC_CHI2 = (
+    "(CASE WHEN b + c = 0 THEN 0.0"
+    " ELSE (abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c) END)"
+)
+
+
+@register(
+    "ml_mcnemar_test",
+    oracle=f"""
+    WITH {NB_PRED_SQL},
+    ms AS (
+        SELECT doc_id, lang,
+               {_marker_count_sql(LANG_MARKERS['en'])} AS c_en,
+               {_marker_count_sql(LANG_MARKERS['de'])} AS c_de,
+               {_marker_count_sql(LANG_MARKERS['fr'])} AS c_fr,
+               {_marker_count_sql(LANG_MARKERS['es'])} AS c_es
+        FROM documents),
+    mpred AS (
+        SELECT doc_id,
+               CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es
+                         AND c_en > 0 THEN 'en'
+                    WHEN c_de >= c_fr AND c_de >= c_es AND c_de > 0
+                         THEN 'de'
+                    WHEN c_fr >= c_es AND c_fr > 0 THEN 'fr'
+                    WHEN c_es > 0 THEN 'es'
+                    ELSE 'und' END AS marker_pred,
+               lang
+        FROM ms),
+    paired AS (
+        SELECT CASE WHEN nbp.lang_pred = nbp.lang_true
+                    THEN 1 ELSE 0 END AS nb_ok,
+               CASE WHEN mpred.marker_pred = mpred.lang
+                    THEN 1 ELSE 0 END AS mk_ok
+        FROM nbp JOIN mpred ON nbp.doc_id = mpred.doc_id),
+    st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(nb_ok * mk_ok) AS BIGINT) AS both_ok,
+               CAST(sum(nb_ok * (1 - mk_ok)) AS DOUBLE) AS b,
+               CAST(sum((1 - nb_ok) * mk_ok) AS DOUBLE) AS c,
+               CAST(sum((1 - nb_ok) * (1 - mk_ok)) AS BIGINT) AS both_bad
+        FROM paired)
+    SELECT n AS n_docs, both_ok AS both_correct,
+           CAST(b AS BIGINT) AS only_nb_correct,
+           CAST(c AS BIGINT) AS only_marker_correct,
+           both_bad AS both_wrong,
+           {sql_stable_round4(_MC_CHI2)} AS mcnemar_chi2
+    FROM st
+    """,
+)
+def ml_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (McNemar 1947) between the repo's TWO
+    language classifiers — the learned naive-Bayes (nb_doc_pred) and the
+    marker-stopword heuristic (text_lang_id's rule) — on the same
+    documents: the discordant counts b (only NB right) and c (only the
+    heuristic right) are the ONLY evidence about which classifier is
+    better, and the continuity-corrected chi2 (|b-c|-1)^2/(b+c) is the
+    significance of that difference. The model-selection test an eval
+    harness runs before swapping classifiers in a curation pipeline —
+    and the op that pins BOTH registered classifiers end to end in one
+    hash.
+
+    Determinism: both predictions are the registered deterministic ones
+    (quantized-log argmax with tie-break; integer marker argmax with
+    fixed priority); the 2x2 paired table is exact integer counts from
+    one join + one conditional aggregate; chi2 is one division of exact
+    doubles with an explicit b+c=0 guard, stable_round4.
+
+    Scale shape: NB scoring is the token equi-join shape of
+    ml_naive_bayes_lang; the heuristic is a shuffle-free per-doc map;
+    the paired join keys on doc_id. Nothing wider than (docs x langs)
+    ever shuffles.
+    """
+    nbp = nb_doc_pred(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def marker_count(ws):
+        return F.size(F.filter(toks, lambda x: x.isin(*ws)))
+
+    cnt = {lang: marker_count(ws) for lang, ws in LANG_MARKERS.items()}
+    c_en, c_de, c_fr, c_es = cnt["en"], cnt["de"], cnt["fr"], cnt["es"]
+    marker = (
+        F.when(
+            (c_en >= c_de) & (c_en >= c_fr) & (c_en >= c_es) & (c_en > 0),
+            "en",
+        )
+        .when((c_de >= c_fr) & (c_de >= c_es) & (c_de > 0), "de")
+        .when((c_fr >= c_es) & (c_fr > 0), "fr")
+        .when(c_es > 0, "es")
+        .otherwise("und")
+    )
+    mpred = d.select("doc_id", "lang", marker.alias("marker_pred"))
+    paired = nbp.join(mpred, "doc_id").select(
+        F.when(F.col("lang_pred") == F.col("lang_true"), 1)
+        .otherwise(0)
+        .alias("nb_ok"),
+        F.when(F.col("marker_pred") == F.col("lang"), 1)
+        .otherwise(0)
+        .alias("mk_ok"),
+    )
+    st = paired.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("nb_ok") * F.col("mk_ok")).cast("long").alias("both_ok"),
+        F.sum(F.col("nb_ok") * (1 - F.col("mk_ok")))
+        .cast("double")
+        .alias("b"),
+        F.sum((1 - F.col("nb_ok")) * F.col("mk_ok"))
+        .cast("double")
+        .alias("c"),
+        F.sum((1 - F.col("nb_ok")) * (1 - F.col("mk_ok")))
+        .cast("long")
+        .alias("both_bad"),
+    )
+    return st.selectExpr(
+        "n AS n_docs",
+        "both_ok AS both_correct",
+        "CAST(b AS BIGINT) AS only_nb_correct",
+        "CAST(c AS BIGINT) AS only_marker_correct",
+        "both_bad AS both_wrong",
+        f"CAST({sql_stable_round4(_MC_CHI2)} AS DOUBLE) AS mcnemar_chi2",
+    )
+
+
+# --------------------------------------------------------------------------
+# ml_brier_decomposition — Murphy decomposition of the Brier score
+# --------------------------------------------------------------------------
+
+BRIER_SCALE = 1_000_000_000_000  # per-bin REL/RES terms quantized at 1e-12
+
+# per-bin reliability and resolution terms (Murphy 1973): each is ONE
+# division of exact-integer inputs, quantized to an integer BEFORE the
+# 10-row bin sum so the sum is never order-dependent doubles.
+_BR_REL_T = (
+    f"CAST(floor({BRIER_SCALE}.0 * (CAST((srk - pos_b * (n - 1))"
+    " * (srk - pos_b * (n - 1)) AS DOUBLE)"
+    " / (CAST((n - 1) AS DOUBLE) * (n - 1) * n_b))) AS BIGINT)"
+)
+_BR_RES_T = (
+    f"CAST(floor({BRIER_SCALE}.0 * (CAST((pos_b * n - p * n_b)"
+    " * (pos_b * n - p * n_b) AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * n * n_b))) AS BIGINT)"
+)
+_BR_UNC = "(p * (n - p) / (n * n))"
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle=f"""
+    WITH base AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+    r AS (
+        SELECT pos, rank() OVER (ORDER BY cents) AS rk,
+               count(*) OVER () AS n
+        FROM base),
+    bs AS (
+        SELECT CAST(sum(CAST((rk - 1) - pos * (n - 1) AS HUGEINT)
+                        * ((rk - 1) - pos * (n - 1))) AS DOUBLE) AS bnum
+        FROM r),
+    b AS (
+        SELECT least(CAST((rk - 1) * 10 // (n - 1) AS INT), 9) AS bin,
+               pos, rk, n
+        FROM r),
+    g AS (
+        SELECT bin, n, CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(pos) AS BIGINT) AS pos_b,
+               CAST(sum(rk - 1) AS BIGINT) AS srk
+        FROM b GROUP BY 1, 2),
+    p AS (SELECT CAST(sum(pos) AS BIGINT) AS p FROM r),
+    terms AS (
+        SELECT n, p, {_BR_REL_T} AS rel_t, {_BR_RES_T} AS res_t
+        FROM g CROSS JOIN p),
+    s AS (
+        SELECT CAST(max(n) AS DOUBLE) AS n, CAST(max(p) AS DOUBLE) AS p,
+               CAST(count(*) AS BIGINT) AS n_bins,
+               CAST(sum(rel_t) AS DOUBLE) AS srel,
+               CAST(sum(res_t) AS DOUBLE) AS sres
+        FROM terms)
+    SELECT CAST(n AS BIGINT) AS n_rows, n_bins,
+           {sql_stable_round4(
+               f'(bnum / (n * (n - 1.0) * (n - 1.0)))')} AS brier_score,
+           {sql_stable_round4(f'(srel / ({BRIER_SCALE}.0 * n))')}
+               AS reliability,
+           {sql_stable_round4(f'(sres / ({BRIER_SCALE}.0 * n))')}
+               AS resolution,
+           {sql_stable_round4(_BR_UNC)} AS uncertainty
+    FROM s CROSS JOIN bs
+    """,
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the percentile-calibrated price-predicts-finality
+    forecast, with Murphy's (1973) decomposition over the 10 calibration
+    bins: Brier = reliability - resolution + uncertainty. Reliability is
+    ml_calibration_bins' miscalibration squared and n-weighted;
+    resolution rewards bins whose outcome rate differs from the base
+    rate; uncertainty is the base-rate variance no forecaster can beat.
+    The one-row diagnosis of WHY a probabilistic gate (quality
+    classifier, dedup verifier) has the Brier it has.
+
+    Determinism: the forecast is the integer rank transform
+    (rk-1)/(n-1), so the raw Brier numerator sum((rk-1) - y(n-1))^2 is
+    an exact HUGEINT/DECIMAL integer; each per-bin REL/RES term is one
+    division of exact integers quantized at 1e-12 BEFORE the 10-row
+    sum (order-independent); uncertainty is expression text over exact
+    counts. stable_round4 everywhere.
+
+    Scale shape: one rank window over the score (the calibration map),
+    one 10-row bin aggregate, scalar algebra — ml_calibration_bins'
+    plan plus one extra exact reduction.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    r = base.select(
+        "pos",
+        F.rank().over(W.orderBy("cents")).alias("rk"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    ).persist()  # brier numerator + bins + base rate all read it
+    bs = r.agg(
+        F.sum(
+            (
+                (F.col("rk") - 1) - F.col("pos") * (F.col("n") - 1)
+            ).cast("decimal(38,0)")
+            * ((F.col("rk") - 1) - F.col("pos") * (F.col("n") - 1))
+        )
+        .cast("double")
+        .alias("bnum")
+    )
+    b = r.select(
+        F.least(
+            F.expr("CAST((rk - 1) * 10 DIV (n - 1) AS INT)"), F.lit(9)
+        ).alias("bin"),
+        "pos",
+        "rk",
+        "n",
+    )
+    g = b.groupBy("bin", "n").agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.sum("pos").cast("long").alias("pos_b"),
+        F.sum(F.col("rk") - 1).cast("long").alias("srk"),
+    )
+    pt = r.agg(F.sum("pos").cast("long").alias("p"))
+    terms = g.crossJoin(F.broadcast(pt)).selectExpr(
+        "n", "p", f"{_BR_REL_T} AS rel_t", f"{_BR_RES_T} AS res_t"
+    )
+    s = terms.agg(
+        F.max("n").cast("double").alias("n"),
+        F.max("p").cast("double").alias("p"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("rel_t").cast("double").alias("srel"),
+        F.sum("res_t").cast("double").alias("sres"),
+    )
+    return s.crossJoin(F.broadcast(bs)).selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        "n_bins",
+        f"CAST({sql_stable_round4('(bnum / (n * (n - 1.0) * (n - 1.0)))')}"
+        " AS DOUBLE) AS brier_score",
+        f"CAST({sql_stable_round4(f'(srel / ({BRIER_SCALE}.0 * n))')}"
+        " AS DOUBLE) AS reliability",
+        f"CAST({sql_stable_round4(f'(sres / ({BRIER_SCALE}.0 * n))')}"
+        " AS DOUBLE) AS resolution",
+        f"CAST({sql_stable_round4(_BR_UNC)} AS DOUBLE) AS uncertainty",
+    )

@@ -163,6 +163,8 @@ DRIVER_PRIORITY: list[str] = [
     "ml_two_proportion_ztest",
     "graph_katz_centrality",
     "ml_lasso_cd",
+    "ml_mcnemar_test",
+    "ml_brier_decomposition",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

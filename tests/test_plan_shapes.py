@@ -1049,3 +1049,21 @@ def test_lasso_bounded_series_no_python(spark):
     assert all("props" not in s and "value" not in s for s in schemas)
     for py_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert py_node not in p
+
+
+def test_mcnemar_token_join_no_cartesian(spark):
+    spark.catalog.clearCache()
+    p = plan(spark, "ml_mcnemar_test")
+    # NB scoring joins on token; the paired compare joins on doc_id —
+    # the only cross products are broadcast scalar/model-size frames
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p  # shared (doc,lang,tok) subtree
+
+
+def test_brier_cached_rank_frame_pruned(spark):
+    spark.catalog.clearCache()
+    p = plan(spark, "ml_brier_decomposition")
+    assert "InMemoryTableScan" in p  # rank frame persisted for 3 readers
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "o_totalprice" in rs and "o_orderstatus" in rs
+    assert "o_comment" not in rs
