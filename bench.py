@@ -120,6 +120,8 @@ HEADLINE = [
     "ml_lasso_cd",
     "ml_mcnemar_test",
     "ml_brier_decomposition",
+    "ts_dow_profile",
+    "events_gesd_outliers",
 ]
 
 

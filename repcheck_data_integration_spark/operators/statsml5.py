@@ -2250,3 +2250,229 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS DOUBLE) AS resolution",
         f"CAST({sql_stable_round4(_BR_UNC)} AS DOUBLE) AS uncertainty",
     )
+
+
+# --------------------------------------------------------------------------
+# ts_dow_profile — day-of-week seasonal profile with exact medians
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_dow_profile",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+    dw AS (
+        SELECT CAST(dayofweek(d) AS BIGINT) AS dow, c FROM daily),
+    rk AS (
+        SELECT dow, c,
+               row_number() OVER (PARTITION BY dow ORDER BY c) AS rn,
+               count(*) OVER (PARTITION BY dow) AS n
+        FROM dw)
+    SELECT dow,
+           CAST(max(n) AS BIGINT) AS n_days,
+           CAST(sum(c) AS BIGINT) AS total_events,
+           CAST(CAST(sum(CASE WHEN 2 * rn IN (n, n + 1, n + 2)
+                         THEN c ELSE 0 END) AS DOUBLE)
+                / sum(CASE WHEN 2 * rn IN (n, n + 1, n + 2)
+                      THEN 1 ELSE 0 END) AS DOUBLE) AS median_daily
+    FROM rk GROUP BY dow ORDER BY dow
+    """,
+)
+def ts_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile of the event stream: per weekday the
+    day count, total volume, and the EXACT median daily count — the
+    7-row relation behind "is there a weekly rhythm", pairing with
+    ts_dominant_period (which detects the cycle) by showing its shape.
+
+    Median discipline (agg_median_exact's): rank the per-dow daily
+    counts with row_number and pick the middle by exact integer rank
+    arithmetic. One parity-proof condition, 2*rn IN (n, n+1, n+2),
+    selects exactly the middle value (odd n, 2rn=n+1 by parity) or the
+    middle two (even n) — so the median is always sum(selected) /
+    count(selected), an exact half-integer, and no engine ever divides
+    by zero. dayofweek is normalized to 0..6 with Sunday=0 (DuckDB's
+    native numbering; Spark's 1..7 shifted by one).
+
+    Scale shape: fact collapse to |days| rows, a 7-partition window,
+    a 7-row aggregate. One fact scan.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    dw = daily.select(
+        (F.dayofweek("d").cast("long") - 1).alias("dow"), "c"
+    )
+    rk = dw.select(
+        "dow",
+        "c",
+        F.row_number().over(W.partitionBy("dow").orderBy("c")).alias("rn"),
+        F.count("*").over(W.partitionBy("dow")).alias("n"),
+    )
+    mid = (2 * F.col("rn")).isin(
+        F.col("n"), F.col("n") + 1, F.col("n") + 2
+    )
+    return (
+        rk.groupBy("dow")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.sum("c").cast("long").alias("total_events"),
+            (
+                F.sum(F.when(mid, F.col("c")).otherwise(0)).cast("double")
+                / F.sum(F.when(mid, 1).otherwise(0))
+            )
+            .cast("double")
+            .alias("median_daily"),
+        )
+        .orderBy("dow")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_gesd_outliers — generalized ESD outlier screen (3 rounds)
+# --------------------------------------------------------------------------
+
+GESD_ROUNDS = 3
+
+# studentized deviation of the removed point, over the EXACT integer
+# sufficient statistics of the round's remaining set: dev = |n*x - sx|,
+# cxx = n*sxx - sx^2, R = dev/n / sqrt(cxx/(n(n-1))) = dev/sqrt(n*cxx/(n-1))
+_GESD_R = "(dev / sqrt(n * cxx / (n - 1.0)))"
+
+_GESD_SERIES_SQL = """
+    daily AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, count(*) AS c
+        FROM events GROUP BY 1),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    grid AS (
+        SELECT unnest(generate_series(
+                   0, CAST(date_diff('day', d0, d1) AS INT))) AS idx
+        FROM bounds),
+    di AS (
+        SELECT CAST(date_diff('day', b.d0, daily.d) AS INT) AS idx, daily.c
+        FROM daily CROSS JOIN bounds b),
+    series AS (
+        SELECT g.idx, CAST(COALESCE(di.c, 0) AS HUGEINT) AS x
+        FROM grid g LEFT JOIN di ON di.idx = g.idx)
+"""
+
+
+def _gesd_round_sql(k: int, src: str) -> str:
+    """One unrolled ESD round: stats over ``src``, argmax |n*x - sx|
+    (exact integer, idx tie-break), and the survivor set."""
+    return f"""
+    s{k} AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                    CAST(sum(x) AS HUGEINT) AS sx,
+                    CAST(sum(x * x) AS HUGEINT) AS sxx FROM {src}),
+    m{k} AS (SELECT idx, x,
+                    CAST(abs(n * x - sx) AS DOUBLE) AS dev,
+                    CAST(n AS DOUBLE) AS n,
+                    CAST(n * sxx - sx * sx AS DOUBLE) AS cxx
+             FROM {src} CROSS JOIN s{k}
+             ORDER BY abs(n * x - sx) DESC, idx LIMIT 1),
+    ser{k + 1} AS (SELECT * FROM {src}
+                   WHERE idx <> (SELECT idx FROM m{k}))"""
+
+
+@register(
+    "events_gesd_outliers",
+    oracle=f"""
+    WITH {_GESD_SERIES_SQL},
+    ser1 AS (SELECT * FROM series),
+    {",".join(_gesd_round_sql(k, f"ser{k}") for k in range(1, GESD_ROUNDS + 1))}
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f'''SELECT {k} AS round, CAST(idx AS BIGINT) AS day_index,
+                CAST(x AS BIGINT) AS day_count,
+                {sql_stable_round4(_GESD_R)} AS r_stat FROM m{k}'''
+            for k in range(1, GESD_ROUNDS + 1)
+        )}
+    ) ORDER BY round
+    """,
+)
+def events_gesd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized extreme studentized deviate screen (Rosner 1983) on
+    the daily event-count series, {GESD_ROUNDS} rounds unrolled: each
+    round removes the most-deviant remaining day and reports its
+    studentized R — the ITERATIVE outlier procedure that stays valid
+    when outliers mask each other (a single z-score pass, dq_outliers
+    style, underestimates sigma in the presence of a second outlier;
+    ESD re-estimates after every removal). Critical-value lookup
+    (t-quantiles) is deliberately out of the relational contract, as
+    with agg_ab_ttest.
+
+    Determinism: each round's argmax compares the EXACT integer
+    |n*x - sx| with an idx tie-break (n is constant within the round,
+    so this IS the |x - mean| argmax) — the selection can never flip on
+    a float; R is one expression over exact-integer casts,
+    stable_round4.
+
+    Scale shape: the fact stream collapses once to |days| rows; each
+    round is a scalar aggregate + a 1-row broadcast anti-join on the
+    bounded series. Rounds are fixed (no data-dependent iteration
+    count), so the plan is static.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), F.datediff(F.col("d1"), F.col("d0")))
+        ).alias("idx")
+    )
+    di = daily.crossJoin(F.broadcast(bounds)).select(
+        F.datediff(F.col("d"), F.col("d0")).cast("int").alias("idx"), "c"
+    )
+    remaining = (
+        grid.join(di, "idx", "left")
+        .select("idx", F.coalesce("c", F.lit(0)).cast("decimal(38,0)").alias("x"))
+        .persist()  # all three rounds walk this bounded frame
+    )
+    picked = []
+    for k in range(1, GESD_ROUNDS + 1):
+        st = remaining.agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        m = (
+            remaining.crossJoin(F.broadcast(st))
+            .withColumn(
+                "adev", F.abs(F.col("n") * F.col("x") - F.col("sx"))
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.orderBy(F.col("adev").desc(), F.col("idx"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                F.lit(k).alias("round"),
+                F.col("idx"),
+                F.col("x"),
+                F.col("adev").cast("double").alias("dev"),
+                F.col("n").cast("double").alias("n"),
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                .alias("cxx"),
+            )
+        )
+        picked.append(m)
+        remaining = remaining.join(
+            F.broadcast(m.select("idx")), "idx", "left_anti"
+        )
+    out = picked[0]
+    for m in picked[1:]:
+        out = out.unionByName(m)
+    return out.selectExpr(
+        "round",
+        "CAST(idx AS BIGINT) AS day_index",
+        "CAST(x AS BIGINT) AS day_count",
+        f"CAST({sql_stable_round4(_GESD_R)} AS DOUBLE) AS r_stat",
+    ).orderBy("round")

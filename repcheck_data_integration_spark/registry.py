@@ -165,6 +165,8 @@ DRIVER_PRIORITY: list[str] = [
     "ml_lasso_cd",
     "ml_mcnemar_test",
     "ml_brier_decomposition",
+    "ts_dow_profile",
+    "events_gesd_outliers",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

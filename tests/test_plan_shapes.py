@@ -1067,3 +1067,19 @@ def test_brier_cached_rank_frame_pruned(spark):
     rs = p.split("ReadSchema", 1)[1][:250]
     assert "o_totalprice" in rs and "o_orderstatus" in rs
     assert "o_comment" not in rs
+
+
+def test_gesd_rounds_on_cached_bounded_series(spark):
+    spark.catalog.clearCache()
+    p = plan(spark, "events_gesd_outliers")
+    # three rounds walk the persisted |days| frame; fact columns pruned
+    assert "InMemoryTableScan" in p
+    schemas = [s[:200] for s in p.split("ReadSchema")[1:]]
+    assert all("props" not in s and "value" not in s for s in schemas)
+
+
+def test_dow_profile_pruned_single_fact_scan(spark):
+    p = plan(spark, "ts_dow_profile")
+    schemas = [s[:200] for s in p.split("ReadSchema")[1:]]
+    assert len(schemas) == 1  # one fact scan feeds the whole profile
+    assert "props" not in schemas[0] and "user_id" not in schemas[0]
