@@ -122,6 +122,7 @@ HEADLINE = [
     "ml_brier_decomposition",
     "ts_dow_profile",
     "events_gesd_outliers",
+    "src_zip_archive_scan",
 ]
 
 

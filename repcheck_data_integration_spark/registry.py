@@ -167,6 +167,7 @@ DRIVER_PRIORITY: list[str] = [
     "ml_brier_decomposition",
     "ts_dow_profile",
     "events_gesd_outliers",
+    "src_zip_archive_scan",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

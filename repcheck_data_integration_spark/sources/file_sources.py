@@ -1143,3 +1143,96 @@ def src_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             c = c.cast("long")
         cols.append(c.alias(name))
     return raw.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# src_zip_archive_scan — distributed scan of CSV members inside zip files
+# ---------------------------------------------------------------------------
+
+ZIP_SCHEMA = "s_suppkey long, s_name string, s_nationkey long, acctbal_cents long"
+
+
+@register(
+    "src_zip_archive_scan",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_cents
+    FROM supplier
+    """,
+)
+def src_zip_archive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zip-archive source: several .zip files, each holding CSV members,
+    scanned DISTRIBUTED — binaryFile parallelizes across archives and
+    mapInPandas unzips+parses each archive inside its task (stdlib
+    zipfile over an in-memory buffer, Arrow-batched). The shape the
+    reference's driver-side zip handling (scripts/census download +
+    extract) needs at scale: an archive is the split unit (zip's
+    central directory makes members seekable but the DEFLATE streams
+    are not block-splittable, so per-archive parallelism is the honest
+    distribution grain — documented, not hidden). Roundtrip oracle:
+    parsed members equal the source table, money as integer cents.
+    """
+    import io
+    import zipfile
+
+    d = _fixture_dir(sf_dir, "zip_archives")
+    src = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.floor(F.col("s_acctbal") * 100.0 + 0.5)
+        .cast("long")
+        .alias("acctbal_cents"),
+    )
+    if not _done(d):
+        os.makedirs(d, exist_ok=True)
+        rows = [r.asDict() for r in src.collect()]
+        n_archives = 4
+        for a in range(n_archives):
+            part = rows[a::n_archives]
+            with zipfile.ZipFile(
+                os.path.join(d, f"suppliers-{a}.zip"), "w",
+                compression=zipfile.ZIP_DEFLATED,
+            ) as zf:
+                # two CSV members per archive, to exercise member iteration
+                half = (len(part) + 1) // 2
+                for m, chunk in enumerate((part[:half], part[half:])):
+                    body = "".join(
+                        f"{r['s_suppkey']},{r['s_name']},"
+                        f"{r['s_nationkey']},{r['acctbal_cents']}\n"
+                        for r in chunk
+                    )
+                    zf.writestr(f"member-{m}.csv", body)
+        _mark_done(d)
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            frames = []
+            for blob in pdf["content"]:
+                with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+                    for name in sorted(zf.namelist()):
+                        frames.append(
+                            pd.read_csv(
+                                io.BytesIO(zf.read(name)),
+                                header=None,
+                                names=[
+                                    "s_suppkey",
+                                    "s_name",
+                                    "s_nationkey",
+                                    "acctbal_cents",
+                                ],
+                            )
+                        )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=[
+                    "s_suppkey",
+                    "s_name",
+                    "s_nationkey",
+                    "acctbal_cents",
+                ]
+            )
+
+    files = spark.read.format("binaryFile").load(os.path.join(d, "*.zip"))
+    return files.select("content").mapInPandas(decode, schema=ZIP_SCHEMA)

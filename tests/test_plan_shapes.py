@@ -1083,3 +1083,11 @@ def test_dow_profile_pruned_single_fact_scan(spark):
     schemas = [s[:200] for s in p.split("ReadSchema")[1:]]
     assert len(schemas) == 1  # one fact scan feeds the whole profile
     assert "props" not in schemas[0] and "user_id" not in schemas[0]
+
+
+def test_zip_scan_distributed_decode_no_shuffle(spark):
+    p = plan(spark, "src_zip_archive_scan")
+    # archives parallelize via binaryFile; the unzip+parse is the one
+    # honest Python node; nothing shuffles
+    assert "MapInPandas" in p
+    assert "Exchange" not in p
