@@ -1026,7 +1026,9 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nn2 = n(n-1), tx2 = sum t(t-1): tau_b = 2(C-D)/sqrt((nn2-tx2)(nn2-ty2)).
 # All inputs exact integers cast to double (< 2^53 at any tested SF);
 # the expression is identical IEEE arithmetic text in both engines.
-_KT_TAU = "((2.0 * (cc - dd)) / sqrt((nn2 - tx2) * (nn2 - ty2)))"
+# a fully-tied margin makes the denominator EXACTLY zero (tau
+# undefined) — guard or ANSI mode throws on degenerate data:
+_KT_TAU = ("(CASE WHEN (nn2 - tx2) * (nn2 - ty2) > 0 THEN (2.0 * (cc - dd)) / sqrt((nn2 - tx2) * (nn2 - ty2)) ELSE NULL END)")
 
 
 @register(
@@ -1639,9 +1641,13 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # t = beta / sqrt((syy - beta*sxy) / ((m-2) * sxx)). Unit root <=> beta~0;
 # a t below the 5% critical value -2.86 rejects it (stationary).
 _ADF_BETA = "(sxy / sxx)"
+# residual variance can be EXACTLY zero (a deterministic series: dx
+# constant), where the t-statistic is undefined — guard or ANSI mode
+# throws DIVIDE_BY_ZERO on degenerate data:
 _ADF_T = (
-    f"({_ADF_BETA} / sqrt((syy - {_ADF_BETA} * sxy)"
-    " / ((m - 2.0) * sxx)))"
+    f"(CASE WHEN (syy - {_ADF_BETA} * sxy) > 0"
+    f" THEN {_ADF_BETA} / sqrt((syy - {_ADF_BETA} * sxy)"
+    " / ((m - 2.0) * sxx)) ELSE NULL END)"
 )
 
 
@@ -1682,7 +1688,8 @@ _ADF_T = (
     SELECT CAST(m AS BIGINT) AS n_pairs,
            {sql_stable_round4(_ADF_BETA)} AS df_beta,
            {sql_stable_round4(_ADF_T)} AS df_t_stat,
-           {sql_stable_round4(_ADF_T)} <= -2.86 AS rejects_unit_root
+           coalesce({sql_stable_round4(_ADF_T)} <= -2.86, FALSE)
+               AS rejects_unit_root
     FROM cs
     """,
 )
@@ -1753,7 +1760,8 @@ def ts_adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(m AS BIGINT) AS n_pairs",
         f"CAST({sql_stable_round4(_ADF_BETA)} AS DOUBLE) AS df_beta",
         f"CAST({sql_stable_round4(_ADF_T)} AS DOUBLE) AS df_t_stat",
-        f"{sql_stable_round4(_ADF_T)} <= -2.86 AS rejects_unit_root",
+        f"coalesce({sql_stable_round4(_ADF_T)} <= -2.86, FALSE)"
+        " AS rejects_unit_root",
     )
 
 
@@ -2340,7 +2348,9 @@ GESD_ROUNDS = 3
 # studentized deviation of the removed point, over the EXACT integer
 # sufficient statistics of the round's remaining set: dev = |n*x - sx|,
 # cxx = n*sxx - sx^2, R = dev/n / sqrt(cxx/(n(n-1))) = dev/sqrt(n*cxx/(n-1))
-_GESD_R = "(dev / sqrt(n * cxx / (n - 1.0)))"
+# cxx is EXACTLY zero when the remaining set is constant — R is
+# undefined there; guard or ANSI mode throws on degenerate data:
+_GESD_R = ("(CASE WHEN cxx > 0 THEN dev / sqrt(n * cxx / (n - 1.0)) ELSE NULL END)")
 
 _GESD_SERIES_SQL = """
     daily AS (
