@@ -123,6 +123,8 @@ HEADLINE = [
     "ts_dow_profile",
     "events_gesd_outliers",
     "src_zip_archive_scan",
+    "priv_randomized_response",
+    "emb_pair_cosine_histogram",
 ]
 
 

@@ -2486,3 +2486,182 @@ def events_gesd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(x AS BIGINT) AS day_count",
         f"CAST({sql_stable_round4(_GESD_R)} AS DOUBLE) AS r_stat",
     ).orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# priv_randomized_response — local-DP bit collection with debiasing
+# --------------------------------------------------------------------------
+
+from ..operators.sampling import hash_bucket, sql_hash_bucket  # noqa: E402
+
+# Warner (1965) randomized response with truth probability 3/4
+# (eps = ln(3) local DP): each user reports the true bit with p = 3/4,
+# else a fair coin. E[obs] = 3/4 pi + 1/8, so the debiased estimate
+# pi_hat = (8*obs - n) / (6*n) is an exact integer ratio.
+_RR_TRUE = "(tp / n)"
+_RR_EST = "((8.0 * rp - n) / (6.0 * n))"
+_RR_ERR = f"(abs({_RR_EST} - {_RR_TRUE}))"
+
+
+@register(
+    "priv_randomized_response",
+    oracle=f"""
+    WITH ub AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS truth
+        FROM events GROUP BY 1),
+    coins AS (
+        SELECT truth,
+               {sql_hash_bucket("'rr1-' || CAST(user_id AS VARCHAR)", 4)}
+                   AS c1,
+               {sql_hash_bucket("'rr2-' || CAST(user_id AS VARCHAR)", 2)}
+                   AS c2
+        FROM ub),
+    rep AS (
+        SELECT truth,
+               CASE WHEN c1 < 3 THEN truth ELSE c2 END AS reported
+        FROM coins),
+    st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(truth) AS DOUBLE) AS tp,
+               CAST(sum(reported) AS DOUBLE) AS rp
+        FROM rep)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(tp AS BIGINT) AS true_positives,
+           CAST(rp AS BIGINT) AS reported_positives,
+           {sql_stable_round4(_RR_TRUE)} AS true_rate,
+           {sql_stable_round4(_RR_EST)} AS estimated_rate,
+           {sql_stable_round4(_RR_ERR)} AS abs_error
+    FROM st
+    """,
+)
+def priv_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner's randomized response (1965) — the local-DP mechanism: each
+    user reports whether they purchased TRUTHFULLY with p = 3/4, else
+    answers a fair coin (eps = ln 3 per user; the analyst never sees a
+    trustworthy individual bit), then the population rate is recovered
+    by debiasing, pi_hat = (8*obs - n)/(6n). Completes the privacy kit:
+    priv_dp_counts is central DP (noise at the aggregator),
+    dq_k_anonymity/l_diversity/t_closeness audit the released table —
+    this is the device-side mechanism.
+
+    Determinism: the per-user coins are md5-buckets of salted user ids
+    (the house rand() substitute — sample_deterministic's mechanism), so
+    the "randomized" report is engine-exact and the whole mechanism is
+    replayable; truth, reports, and the debiased estimate are exact
+    integer ratios, one division each, stable_round4.
+
+    Scale shape: one shuffle to per-user truth bits, a per-row coin map,
+    one scalar aggregate. The mechanism column never leaves the row it
+    was minted on — exactly how a device-local mechanism distributes.
+    """
+    e = load(spark, sf_dir, "events")
+    ub = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("truth")
+    )
+    uid = F.col("user_id").cast("string")
+    coins = ub.select(
+        "truth",
+        hash_bucket(F.concat(F.lit("rr1-"), uid), 4).alias("c1"),
+        hash_bucket(F.concat(F.lit("rr2-"), uid), 2).alias("c2"),
+    )
+    rep = coins.select(
+        "truth",
+        F.when(F.col("c1") < 3, F.col("truth"))
+        .otherwise(F.col("c2"))
+        .alias("reported"),
+    )
+    st = rep.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("truth").cast("double").alias("tp"),
+        F.sum("reported").cast("double").alias("rp"),
+    )
+    return st.selectExpr(
+        "CAST(n AS BIGINT) AS n_users",
+        "CAST(tp AS BIGINT) AS true_positives",
+        "CAST(rp AS BIGINT) AS reported_positives",
+        f"CAST({sql_stable_round4(_RR_TRUE)} AS DOUBLE) AS true_rate",
+        f"CAST({sql_stable_round4(_RR_EST)} AS DOUBLE) AS estimated_rate",
+        f"CAST({sql_stable_round4(_RR_ERR)} AS DOUBLE) AS abs_error",
+    )
+
+
+# --------------------------------------------------------------------------
+# emb_pair_cosine_histogram — blocked pairwise-similarity distribution
+# --------------------------------------------------------------------------
+
+from .dedup import cosine, sql_cosine  # noqa: E402
+
+COS_HIST_BINS = 20  # width-0.1 bins over [-1, 1]
+
+
+@register(
+    "emb_pair_cosine_histogram",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT {sql_cosine('a.embedding', 'b.embedding')} AS cs
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id),
+    binned AS (
+        SELECT least(greatest(CAST(floor((cs + 1.0) * 10.0) AS INT), 0),
+                     {COS_HIST_BINS - 1}) AS bin
+        FROM pairs)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(bin AS DOUBLE) / 10.0 - 1.0 AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def emb_pair_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of pairwise cosine similarity inside label blocks —
+    the calibration relation behind every similarity threshold in the
+    repo: before picking dedup_embedding_cosine's 0.45 or an ANN radius,
+    look at where the mass actually sits (a bimodal histogram separates
+    near-dup pairs from background; a flat one says the threshold is
+    fiction). 20 width-0.1 bins over [-1, 1].
+
+    Scale shape: pairs come from the SAME label-blocked equi-join the
+    dedup op uses — never all-pairs; cost ∝ within-block pairs, and the
+    output is a 20-row relation regardless of SF (the honest way to
+    LOOK at pairwise structure at 100 TB: aggregate it, don't emit it).
+
+    Determinism: the cosine is the house sequential left-to-right fold
+    (bit-identical in both engines); the bin index is floor of that
+    identical double, clamped — integer counts from then on.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label").alias("la"),
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("la") == F.col("lb")) & (F.col("ida") < F.col("idb")),
+    ).select(cosine(F.col("ea"), F.col("eb")).alias("cs"))
+    binned = pairs.select(
+        F.least(
+            F.greatest(
+                F.floor((F.col("cs") + 1.0) * 10.0).cast("int"), F.lit(0)
+            ),
+            F.lit(COS_HIST_BINS - 1),
+        ).alias("bin")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            (F.col("bin").cast("double") / 10.0 - 1.0).alias("bin_lo"),
+            "n_pairs",
+        )
+        .orderBy("bin")
+    )

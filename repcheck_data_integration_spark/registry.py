@@ -168,6 +168,8 @@ DRIVER_PRIORITY: list[str] = [
     "ts_dow_profile",
     "events_gesd_outliers",
     "src_zip_archive_scan",
+    "priv_randomized_response",
+    "emb_pair_cosine_histogram",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

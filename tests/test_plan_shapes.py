@@ -1091,3 +1091,18 @@ def test_zip_scan_distributed_decode_no_shuffle(spark):
     # honest Python node; nothing shuffles
     assert "MapInPandas" in p
     assert "Exchange" not in p
+
+
+def test_rr_single_user_shuffle_pruned(spark):
+    p = plan(spark, "priv_randomized_response")
+    rs = p.split("ReadSchema", 1)[1][:250]
+    assert "user_id" in rs and "event_type" in rs and "props" not in rs
+    assert p.count("+- HashAggregate") >= 2  # partial+final truth bits
+
+
+def test_cosine_histogram_blocked_equi_join(spark):
+    p = plan(spark, "emb_pair_cosine_histogram")
+    # label-blocked pairs: a real equi-join on label, never cartesian
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p \
+        or "ShuffledHashJoin" in p
