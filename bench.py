@@ -125,6 +125,7 @@ HEADLINE = [
     "src_zip_archive_scan",
     "priv_randomized_response",
     "emb_pair_cosine_histogram",
+    "events_logrank_test",
 ]
 
 

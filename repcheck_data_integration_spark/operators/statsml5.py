@@ -2665,3 +2665,195 @@ def emb_pair_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# events_logrank_test — two-arm log-rank test over the KM risk sets
+# --------------------------------------------------------------------------
+
+LR_SCALE = 1_000_000_000_000  # per-time E/V terms quantized at 1e-12
+LR_CENSOR_GAP_S = 7 * 86400  # same censoring rule as events_kaplan_meier
+
+# per-event-time expectation and variance terms (Mantel 1966), each ONE
+# division of exact integers, quantized BEFORE the time sum:
+_LR_E1 = (
+    f"CAST(floor({LR_SCALE}.0 * (CAST(dt * n1 AS DOUBLE) / nt))"
+    " AS BIGINT)"
+)
+_LR_V = (
+    f"CAST(floor({LR_SCALE}.0 * (CAST(dt * n1 AS DOUBLE) * n2 * (nt - dt)"
+    " / (CAST(nt AS DOUBLE) * nt * (nt - 1.0)))) AS BIGINT)"
+)
+_LR_CHI2 = (
+    f"(CASE WHEN sv > 0 THEN (o1 - se / {LR_SCALE}.0)"
+    f" * (o1 - se / {LR_SCALE}.0) / (sv / {LR_SCALE}.0)"
+    " ELSE NULL END)"
+)
+
+
+@register(
+    "events_logrank_test",
+    oracle=f"""
+    WITH bounds AS (SELECT max(ts) AS mx FROM events),
+    u AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5('lr-' || CAST(user_id AS VARCHAR)),
+                     1, 8)) AS BIGINT) % 2 AS grp,
+               CAST(floor((epoch(max(ts)) - epoch(min(ts))) / 86400.0)
+                    AS BIGINT) AS dur_days,
+               epoch(max(b.mx)) - epoch(max(ts)) > {LR_CENSOR_GAP_S}
+                   AS churned
+        FROM events CROSS JOIN bounds b
+        GROUP BY user_id),
+    t AS (SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS t1,
+                 CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS t2
+          FROM u),
+    d AS (
+        SELECT dur_days,
+               CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS end1,
+               CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS end2,
+               CAST(sum(CASE WHEN grp = 0 AND churned THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d1,
+               CAST(sum(CASE WHEN grp = 1 AND churned THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d2
+        FROM u GROUP BY dur_days),
+    r AS (
+        SELECT dur_days, d1, d2,
+               t.t1 - coalesce(sum(end1) OVER (
+                   ORDER BY dur_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n1,
+               t.t2 - coalesce(sum(end2) OVER (
+                   ORDER BY dur_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n2
+        FROM d CROSS JOIN t),
+    terms AS (
+        SELECT d1, d1 + d2 AS dt, n1, n2, n1 + n2 AS nt
+        FROM r WHERE d1 + d2 > 0 AND n1 + n2 >= 2),
+    s AS (
+        SELECT CAST(sum(d1) AS DOUBLE) AS o1,
+               CAST(sum({_LR_E1}) AS DOUBLE) AS se,
+               CAST(sum({_LR_V}) AS DOUBLE) AS sv,
+               CAST(count(*) AS BIGINT) AS n_times
+        FROM terms)
+    SELECT t1 AS n_users_a, t2 AS n_users_b, n_times,
+           CAST(o1 AS BIGINT) AS observed_a,
+           {sql_stable_round4(f'(se / {LR_SCALE}.0)')} AS expected_a,
+           {sql_stable_round4(_LR_CHI2)} AS logrank_chi2
+    FROM s CROSS JOIN t
+    """,
+)
+def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm log-rank test (Mantel 1966) over the Kaplan-Meier risk
+    sets: users are split into deterministic A/B arms (salted md5
+    parity — the house rand() substitute), and at every churn time the
+    observed arm-A churn is compared to its hypergeometric expectation
+    given the joint risk set. THE test that goes with a survival curve:
+    events_kaplan_meier draws the curve, this says whether two cohorts'
+    curves differ (chi2 ~ X2(1) under the null — and under this null
+    split it should be small, the negative-control reading).
+
+    Determinism: lifetimes, censoring, risk sets, and churn counts are
+    the KM op's exact integers (same censor rule, same
+    strictly-preceding cumulative risk-set construction, no self-join);
+    each time's E and V terms are ONE division of exact integers
+    quantized at 1e-12 BEFORE the time sum; chi2 is expression text
+    with an explicit zero-variance guard.
+
+    Scale shape: one user-keyed aggregate over the corpus, then
+    everything runs on the |distinct lifetimes|-bounded curve table
+    (single-partition windows over that tiny frame only).
+    """
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(F.max("ts").alias("mx"))
+    u = (
+        e.join(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                (
+                    F.max(F.col("ts").cast("double"))
+                    - F.min(F.col("ts").cast("double"))
+                )
+                / 86400.0
+            )
+            .cast("long")
+            .alias("dur_days"),
+            (
+                F.max(F.col("mx").cast("double"))
+                - F.max(F.col("ts").cast("double"))
+                > LR_CENSOR_GAP_S
+            ).alias("churned"),
+        )
+        .withColumn(
+            "grp",
+            hash_bucket(
+                F.concat(F.lit("lr-"), F.col("user_id").cast("string")), 2
+            ),
+        )
+    )
+    t = u.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("t1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("t2"),
+    )
+    d = u.groupBy("dur_days").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("end1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("end2"),
+        F.sum(F.when((F.col("grp") == 0) & F.col("churned"), 1).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when((F.col("grp") == 1) & F.col("churned"), 1).otherwise(0))
+        .cast("long")
+        .alias("d2"),
+    )
+    wprev = W.orderBy("dur_days").rowsBetween(W.unboundedPreceding, -1)
+    r = d.crossJoin(F.broadcast(t)).select(
+        "d1",
+        "d2",
+        (
+            F.col("t1")
+            - F.coalesce(F.sum("end1").over(wprev), F.lit(0))
+        ).alias("n1"),
+        (
+            F.col("t2")
+            - F.coalesce(F.sum("end2").over(wprev), F.lit(0))
+        ).alias("n2"),
+    )
+    terms = r.filter(
+        ((F.col("d1") + F.col("d2")) > 0)
+        & ((F.col("n1") + F.col("n2")) >= 2)
+    ).select(
+        "d1",
+        (F.col("d1") + F.col("d2")).alias("dt"),
+        "n1",
+        "n2",
+        (F.col("n1") + F.col("n2")).alias("nt"),
+    )
+    s = terms.agg(
+        F.sum("d1").cast("double").alias("o1"),
+        F.sum(F.expr(_LR_E1)).cast("double").alias("se"),
+        F.sum(F.expr(_LR_V)).cast("double").alias("sv"),
+        F.count("*").cast("long").alias("n_times"),
+    )
+    return s.crossJoin(F.broadcast(t)).selectExpr(
+        "t1 AS n_users_a",
+        "t2 AS n_users_b",
+        "n_times",
+        "CAST(o1 AS BIGINT) AS observed_a",
+        f"CAST({sql_stable_round4(f'(se / {LR_SCALE}.0)')} AS DOUBLE)"
+        " AS expected_a",
+        f"CAST({sql_stable_round4(_LR_CHI2)} AS DOUBLE) AS logrank_chi2",
+    )

@@ -170,6 +170,7 @@ DRIVER_PRIORITY: list[str] = [
     "src_zip_archive_scan",
     "priv_randomized_response",
     "emb_pair_cosine_histogram",
+    "events_logrank_test",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

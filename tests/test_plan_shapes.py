@@ -1106,3 +1106,12 @@ def test_cosine_histogram_blocked_equi_join(spark):
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p \
         or "ShuffledHashJoin" in p
+
+
+def test_logrank_curve_table_bounded(spark):
+    p = plan(spark, "events_logrank_test")
+    # one user-keyed aggregate feeds the |lifetimes|-bounded curve;
+    # fact scan reads only (user_id, ts)
+    schemas = [s[:200] for s in p.split("ReadSchema")[1:]]
+    assert all("props" not in s and "value" not in s for s in schemas)
+    assert p.count("+- HashAggregate") >= 2
