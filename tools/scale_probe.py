@@ -171,6 +171,24 @@ PROBES = [
     "ml_auc_pr",
     "ml_cohen_kappa",
     "agg_trimmed_mean",
+    # round-4 continuation-3b: LM smoothing, survival test, Box-Jenkins
+    # tail, centrality, sources, privacy, calibration histogram
+    "text_kneser_ney_xent",
+    "ts_dominant_period",
+    "agg_lorenz_deciles",
+    "src_fixed_width_scan",
+    "ts_adf_test",
+    "ml_two_proportion_ztest",
+    "graph_katz_centrality",
+    "ml_lasso_cd",
+    "ml_mcnemar_test",
+    "ml_brier_decomposition",
+    "ts_dow_profile",
+    "events_gesd_outliers",
+    "src_zip_archive_scan",
+    "priv_randomized_response",
+    "emb_pair_cosine_histogram",
+    "events_logrank_test",
 ]
 
 
