@@ -126,6 +126,8 @@ HEADLINE = [
     "priv_randomized_response",
     "emb_pair_cosine_histogram",
     "events_logrank_test",
+    "ts_seasonal_strength",
+    "ml_cmh_test",
 ]
 
 

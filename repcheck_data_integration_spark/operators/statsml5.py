@@ -2857,3 +2857,213 @@ def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS expected_a",
         f"CAST({sql_stable_round4(_LR_CHI2)} AS DOUBLE) AS logrank_chi2",
     )
+
+
+# --------------------------------------------------------------------------
+# ts_seasonal_strength — variance explained by the day-of-week cycle
+# --------------------------------------------------------------------------
+
+SS_SCALE = 1_000_000  # per-group s_g^2/n_g quantized at 1e-6
+
+# between-group mass term per dow group: one exact-integer division,
+# quantized BEFORE the 7-row sum
+_SS_GTERM = (
+    f"CAST(floor({SS_SCALE}.0 * (CAST(sg * sg AS DOUBLE) / ng))"
+    " AS BIGINT)"
+)
+_SS_SSB = f"(sbq / {SS_SCALE}.0 - s * s / n)"
+_SS_SST = "(ss - s * s / n)"
+# degenerate guards (the ANSI divide-by-zero class): a constant series
+# has SST = 0 (strength undefined); a PERFECT weekly pattern has
+# SSwithin = 0 (F infinite) — both surface as NULL, never a crash:
+_SS_STRENGTH = (
+    f"(CASE WHEN {_SS_SST} > 0 THEN {_SS_SSB} / {_SS_SST}"
+    " ELSE NULL END)"
+)
+_SS_F = (
+    f"(CASE WHEN ({_SS_SST} - {_SS_SSB}) > 0 AND n > k"
+    f" THEN ({_SS_SSB} / (k - 1.0))"
+    f" / (({_SS_SST} - {_SS_SSB}) / (n - k)) ELSE NULL END)"
+)
+
+
+@register(
+    "ts_seasonal_strength",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+    dw AS (SELECT CAST(dayofweek(d) AS BIGINT) AS dow, c FROM daily),
+    g AS (
+        SELECT dow, CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(c) AS BIGINT) AS sg
+        FROM dw GROUP BY 1),
+    tq AS (SELECT CAST(sum({_SS_GTERM}) AS DOUBLE) AS sbq,
+                  CAST(count(*) AS DOUBLE) AS k
+           FROM g),
+    tot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(c) AS DOUBLE) AS s,
+               CAST(sum(c * c) AS DOUBLE) AS ss
+        FROM dw)
+    SELECT CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS n_groups,
+           {sql_stable_round4(_SS_STRENGTH)} AS seasonal_strength,
+           {sql_stable_round4(_SS_F)} AS f_stat
+    FROM tq CROSS JOIN tot
+    """,
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of daily-count variance explained by the day-of-week
+    cycle (eta-squared of a one-way ANOVA on weekday groups) plus the F
+    statistic — the one-number answer to "how STRONG is the weekly
+    rhythm" that ts_dominant_period locates and ts_dow_profile shapes
+    (near 0: no weekly structure; near 1: the weekday determines the
+    volume).
+
+    Determinism: group masses s_g^2/n_g are one exact-integer division
+    each, quantized at 1e-6 BEFORE the 7-row sum; total sums are exact
+    integers; strength and F are interpolated expression text,
+    stable_round4.
+
+    Scale shape: fact collapse to |days| rows, a 7-row group aggregate,
+    scalar algebra. One fact scan at any SF.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    dw = daily.select(
+        (F.dayofweek("d").cast("long") - 1).alias("dow"), "c"
+    ).persist()  # group masses + totals both read the |days| frame
+    g = dw.groupBy("dow").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("c").cast("long").alias("sg"),
+    )
+    tq = g.agg(
+        F.sum(F.expr(_SS_GTERM)).cast("double").alias("sbq"),
+        F.count("*").cast("double").alias("k"),
+    )
+    tot = dw.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("c").cast("double").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("ss"),
+    )
+    return tq.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        "CAST(k AS BIGINT) AS n_groups",
+        f"CAST({sql_stable_round4(_SS_STRENGTH)} AS DOUBLE)"
+        " AS seasonal_strength",
+        f"CAST({sql_stable_round4(_SS_F)} AS DOUBLE) AS f_stat",
+    )
+
+
+# --------------------------------------------------------------------------
+# ml_cmh_test — Cochran-Mantel-Haenszel stratified association test
+# --------------------------------------------------------------------------
+
+CMH_SCALE = 1_000_000_000_000
+
+# per-stratum expectation and variance of the (urgent, finalized) cell
+# under the stratum margins, quantized before the stratum sum:
+_CMH_E = (
+    f"CAST(floor({CMH_SCALE}.0 * (CAST(mt * n1 AS DOUBLE) / nt))"
+    " AS BIGINT)"
+)
+_CMH_V = (
+    f"CAST(floor({CMH_SCALE}.0 * (CAST(mt * n1 AS DOUBLE) * n2 * (nt - mt)"
+    " / (CAST(nt AS DOUBLE) * nt * (nt - 1.0)))) AS BIGINT)"
+)
+_CMH_CHI2 = (
+    f"(CASE WHEN sv > 0 THEN (o - se / {CMH_SCALE}.0)"
+    f" * (o - se / {CMH_SCALE}.0) / (sv / {CMH_SCALE}.0)"
+    " ELSE NULL END)"
+)
+
+
+@register(
+    "ml_cmh_test",
+    oracle=f"""
+    WITH s2 AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS stratum,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS urgent,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS fin
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    strata AS (
+        SELECT stratum,
+               CAST(sum(urgent) AS BIGINT) AS n1,
+               CAST(sum(1 - urgent) AS BIGINT) AS n2,
+               CAST(sum(urgent * fin) AS BIGINT) AS x1,
+               CAST(sum(fin) AS BIGINT) AS mt,
+               CAST(count(*) AS BIGINT) AS nt
+        FROM s2 GROUP BY 1),
+    ok AS (SELECT * FROM strata WHERE nt >= 2 AND n1 > 0 AND n2 > 0),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(sum(x1) AS DOUBLE) AS o,
+               CAST(sum({_CMH_E}) AS DOUBLE) AS se,
+               CAST(sum({_CMH_V}) AS DOUBLE) AS sv
+        FROM ok)
+    SELECT n_strata,
+           CAST(o AS BIGINT) AS observed_urgent_final,
+           {sql_stable_round4(f'(se / {CMH_SCALE}.0)')}
+               AS expected_urgent_final,
+           {sql_stable_round4(_CMH_CHI2)} AS cmh_chi2
+    FROM s
+    """,
+)
+def ml_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test (1959) of the urgency-finality
+    association STRATIFIED by order year: each year contributes its own
+    2x2 table and the test pools the per-stratum (observed - expected)
+    of the urgent-and-finalized cell — the Simpson's-paradox-proof
+    version of ml_two_proportion_ztest (a marginal association can
+    appear or vanish when a confounder like time is controlled; CMH
+    answers "does the effect hold WITHIN every year").
+
+    Determinism: the per-stratum margins are exact integer counts from
+    one conditional aggregate; each stratum's hypergeometric E and V
+    are one division of exact integers quantized at 1e-12 BEFORE the
+    stratum sum (the log-rank discipline — CMH and log-rank are the
+    same Mantel machinery over different slicings); chi2 is expression
+    text with a zero-variance guard. Degenerate strata (single-arm or
+    n<2) are excluded identically in both engines.
+
+    Scale shape: one scan, one map-side-combined aggregate to the
+    |years|-row strata table, scalar algebra after.
+    """
+    o = load(spark, sf_dir, "orders")
+    s2 = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.year("o_orderdate").cast("long").alias("stratum"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("urgent"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("fin"),
+    )
+    strata = s2.groupBy("stratum").agg(
+        F.sum("urgent").cast("long").alias("n1"),
+        F.sum(1 - F.col("urgent")).cast("long").alias("n2"),
+        F.sum(F.col("urgent") * F.col("fin")).cast("long").alias("x1"),
+        F.sum("fin").cast("long").alias("mt"),
+        F.count("*").cast("long").alias("nt"),
+    )
+    ok = strata.filter(
+        (F.col("nt") >= 2) & (F.col("n1") > 0) & (F.col("n2") > 0)
+    )
+    s = ok.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("x1").cast("double").alias("o"),
+        F.sum(F.expr(_CMH_E)).cast("double").alias("se"),
+        F.sum(F.expr(_CMH_V)).cast("double").alias("sv"),
+    )
+    return s.selectExpr(
+        "n_strata",
+        "CAST(o AS BIGINT) AS observed_urgent_final",
+        f"CAST({sql_stable_round4(f'(se / {CMH_SCALE}.0)')} AS DOUBLE)"
+        " AS expected_urgent_final",
+        f"CAST({sql_stable_round4(_CMH_CHI2)} AS DOUBLE) AS cmh_chi2",
+    )

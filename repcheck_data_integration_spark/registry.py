@@ -171,6 +171,8 @@ DRIVER_PRIORITY: list[str] = [
     "priv_randomized_response",
     "emb_pair_cosine_histogram",
     "events_logrank_test",
+    "ts_seasonal_strength",
+    "ml_cmh_test",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

@@ -1115,3 +1115,20 @@ def test_logrank_curve_table_bounded(spark):
     schemas = [s[:200] for s in p.split("ReadSchema")[1:]]
     assert all("props" not in s and "value" not in s for s in schemas)
     assert p.count("+- HashAggregate") >= 2
+
+
+def test_seasonal_strength_single_fact_scan(spark):
+    spark.catalog.clearCache()
+    p = plan(spark, "ts_seasonal_strength")
+    # group masses and totals share the persisted |days| frame — the
+    # fact table is scanned once
+    assert "InMemoryTableScan" in p
+    schemas = [s[:200] for s in p.split("ReadSchema")[1:]]
+    assert len(schemas) == 1 and "props" not in schemas[0]
+
+
+def test_cmh_filter_pushed_partial_agg(spark):
+    p = plan(spark, "ml_cmh_test")
+    assert "PushedFilters" in p  # the priority IN-list reaches the scan
+    assert "o_orderpriority" in p.split("PushedFilters")[1][:250]
+    assert p.count("+- HashAggregate") >= 2

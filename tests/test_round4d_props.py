@@ -21,6 +21,8 @@ from repcheck_data_integration_spark.operators.graph import (
 )
 from repcheck_data_integration_spark.operators.statsml5 import (
     events_logrank_test,
+    ml_cmh_test,
+    ts_seasonal_strength,
     ml_auc_pr,
     ml_brier_decomposition,
     ml_lasso_cd,
@@ -327,3 +329,70 @@ def test_auc_pr_brute_force_mixed(spark, tmp_path):
         fp += neg
         ap_q += math.floor(1e12 * (pos * tp) / (P * (tp + fp)))
     assert out["P"]["avg_precision"] == _round4(ap_q / 1e12)
+
+
+def test_seasonal_strength_planted_weekly(spark, tmp_path):
+    """A strict weekly pattern (counts a function of dow only) must give
+    seasonal_strength ~ 1; matching python eta-squared exactly."""
+    counts = ([40, 4, 6, 8, 10, 12, 14] * 4)[:28]
+    _events_daily(spark, tmp_path, counts)
+    row = ts_seasonal_strength(spark, str(tmp_path)).collect()[0]
+    # python reference with the same quantization
+    groups = defaultdict(list)
+    for d, c in enumerate(counts):
+        groups[d % 7].append(c)
+    n, s = len(counts), sum(counts)
+    ss = sum(c * c for c in counts)
+    sbq = sum(
+        math.floor(1e6 * (sum(g) ** 2 / len(g))) for g in groups.values()
+    )
+    ssb = sbq / 1e6 - s * s / n
+    sst = ss - s * s / n
+    assert row["seasonal_strength"] == _round4(ssb / sst)
+    assert row["seasonal_strength"] > 0.99
+    # perfect pattern: SSwithin can quantize to <= 0 -> F is NULL, not
+    # an ANSI divide-by-zero crash
+    assert row["f_stat"] is None or row["f_stat"] > 100
+
+
+def test_cmh_python_reference(spark, tmp_path):
+    """CMH O/E/chi2 must match a from-scratch python computation over
+    two hand-built year strata with opposite margins."""
+    rows = []
+    k = 0
+    # stratum 1993: urgent 6 (4 F), low 4 (1 F); 1995: urgent 3 (1 F),
+    # low 7 (5 F)
+    spec = [("1993", "1-URGENT", 6, 4), ("1993", "5-LOW", 4, 1),
+            ("1995", "1-URGENT", 3, 1), ("1995", "5-LOW", 7, 5)]
+    for year, pri, n, nf in spec:
+        for i in range(n):
+            rows.append(
+                (k, k, "F" if i < nf else "O", 100.0, pri,
+                 f"{year}-06-01")
+            )
+            k += 1
+    df = spark.createDataFrame(
+        rows,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority", "o_date_s"],
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+        F.col("o_date_s").cast("timestamp").alias("o_orderdate"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "orders.parquet")
+    )
+    row = ml_cmh_test(spark, str(tmp_path)).collect()[0]
+    o = se = sv = 0.0
+    for (n1, x1), (n2, x2) in [((6, 4), (4, 1)), ((3, 1), (7, 5))]:
+        nt, mt = n1 + n2, x1 + x2
+        o += x1
+        se += math.floor(1e12 * (mt * n1 / nt))
+        sv += math.floor(
+            1e12 * (mt * n1 * n2 * (nt - mt) / (nt * nt * (nt - 1.0)))
+        )
+    assert row["n_strata"] == 2
+    assert row["observed_urgent_final"] == int(o)
+    assert row["expected_urgent_final"] == _round4(se / 1e12)
+    assert row["cmh_chi2"] == _round4((o - se / 1e12) ** 2 / (sv / 1e12))
