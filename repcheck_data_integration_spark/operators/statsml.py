@@ -533,7 +533,7 @@ ACF_MAX_LAG = 7
         GROUP BY lags.l)
     SELECT CAST(num.l AS INT) AS lag,
            CAST(st.n AS BIGINT) AS n_days,
-           {sql_stable_round4('CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE)')}
+           {sql_stable_round4('CAST(nn AS DOUBLE) / nullif(CAST(dd AS DOUBLE), 0.0)')}
                AS acf
     FROM num CROSS JOIN den CROSS JOIN st
     ORDER BY lag
@@ -615,7 +615,8 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l").cast("int").alias("lag"),
             F.col("n").cast("long").alias("n_days"),
             stable_round4(
-                F.col("nn").cast("double") / F.col("dd").cast("double")
+                F.col("nn").cast("double")
+                / F.expr("nullif(CAST(dd AS DOUBLE), 0.0)")
             ).alias("acf"),
         )
         .orderBy("lag")

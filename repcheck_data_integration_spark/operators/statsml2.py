@@ -438,7 +438,7 @@ CCF_A, CCF_B = "click", "purchase"
 # integer numerator, two correctly-rounded sqrts of exact integers.
 _CCF = (
     "CAST(nn AS DOUBLE)"
-    " / (sqrt(CAST(da AS DOUBLE)) * sqrt(CAST(db AS DOUBLE)))"
+    " / nullif(sqrt(CAST(da AS DOUBLE)) * sqrt(CAST(db AS DOUBLE)), 0.0)"
 )
 
 

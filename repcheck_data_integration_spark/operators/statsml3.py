@@ -501,7 +501,8 @@ ER_SCALE = 1_000_000
            floor((ln(n_states) / ln(2)) * 10000.0 + 0.5) / 10000.0
                AS max_bits,
            floor((1.0 - ((q1 - q2) * 1.0 / {ER_SCALE} / big_n)
-                        / ln(n_states)) * 10000.0 + 0.5) / 10000.0
+                        / nullif(ln(n_states), 0.0))
+                 * 10000.0 + 0.5) / 10000.0
                AS predictability
     FROM t
     """,
@@ -574,7 +575,9 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_bits"
         ),
         r4(
-            F.lit(1.0) - h_nats / F.log(F.col("n_states").cast("double"))
+            F.lit(1.0)
+            - h_nats
+            / F.expr("nullif(ln(CAST(n_states AS DOUBLE)), 0.0)")
         ).alias("predictability"),
     )
 

@@ -294,12 +294,13 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Restricted AR(1) p_t ~ 1 + p_{t-1} in closed form:
 _GR_R2_RESTR = (
     "((n * sqp - sq * sp) * (n * sqp - sq * sp)"
-    " / ((n * sqq - sq * sq) * (n * spp - sp * sp)))"
+    " / nullif((n * sqq - sq * sq) * (n * spp - sp * sp), 0.0))"
 )
 _GR_R2_FULL = (
-    f"(1.0 - (spp - ({_DET0} / {_DET} * sp + {_DET1} / {_DET} * sqp"
-    f" + {_DET2} / {_DET} * sdp))"
-    f" / (spp - sp * sp / n))"
+    f"(1.0 - (spp - ({_DET0} / nullif({_DET}, 0.0) * sp"
+    f" + {_DET1} / nullif({_DET}, 0.0) * sqp"
+    f" + {_DET2} / nullif({_DET}, 0.0) * sdp))"
+    f" / nullif(spp - sp * sp / n, 0.0))"
 )
 
 _GRANGER_SERIES_SQL = """
@@ -344,8 +345,8 @@ _GRANGER_SERIES_SQL = """
     oracle=f"""
     WITH {_GRANGER_SERIES_SQL}
     SELECT CAST(n AS BIGINT) AS n_days,
-           {sql_stable_round4(f'({_DET1} / {_DET})')} AS beta_ar,
-           {sql_stable_round4(f'({_DET2} / {_DET})')} AS beta_clicks,
+           {sql_stable_round4(f'({_DET1} / nullif({_DET}, 0.0))')} AS beta_ar,
+           {sql_stable_round4(f'({_DET2} / nullif({_DET}, 0.0))')} AS beta_clicks,
            {sql_stable_round4(_GR_R2_FULL)} AS r2_full,
            {sql_stable_round4(_GR_R2_RESTR)} AS r2_restricted,
            {sql_stable_round4(f'({_GR_R2_FULL} - {_GR_R2_RESTR})')}
@@ -425,9 +426,9 @@ def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return st.selectExpr(
         "CAST(n AS BIGINT) AS n_days",
-        f"CAST({sql_stable_round4(f'({_DET1} / {_DET})')} AS DOUBLE)"
+        f"CAST({sql_stable_round4(f'({_DET1} / nullif({_DET}, 0.0))')} AS DOUBLE)"
         " AS beta_ar",
-        f"CAST({sql_stable_round4(f'({_DET2} / {_DET})')} AS DOUBLE)"
+        f"CAST({sql_stable_round4(f'({_DET2} / nullif({_DET}, 0.0))')} AS DOUBLE)"
         " AS beta_clicks",
         f"CAST({sql_stable_round4(_GR_R2_FULL)} AS DOUBLE) AS r2_full",
         f"CAST({sql_stable_round4(_GR_R2_RESTR)} AS DOUBLE)"

@@ -509,7 +509,8 @@ LB_SCALE = 1_000_000_000_000  # per-lag acf^2/(n-l) quantized at 1e-12
 # per-lag quantized term and the final statistic — pure arithmetic on
 # exact integers (no libm), so floor is bit-identical on both engines:
 _LB_TERM = (
-    f"CAST(floor({LB_SCALE}.0 * (nn / dd) * (nn / dd) / (n - l))"
+    f"CAST(floor({LB_SCALE}.0 * (nn / nullif(dd, 0.0))"
+    " * (nn / nullif(dd, 0.0)) / (n - l))"
     " AS BIGINT)"
 )
 _LB_Q = f"(n * (n + 2.0) * sfq / {LB_SCALE}.0)"
@@ -879,7 +880,14 @@ def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Durbin-Levinson closed forms in the raw ACF ratios r_k = nn_k/dd —
 # interpolated verbatim into both engines (scalar one-row arithmetic):
-_PA_R1, _PA_R2, _PA_R3 = "(nn1 / dd)", "(nn2 / dd)", "(nn3 / dd)"
+# nullif: a constant series has dd = 0 (ACF undefined) — propagate
+# NULL instead of an ANSI divide-by-zero crash (degenerate-input
+# sweep, tests/test_degenerate_inputs.py):
+_PA_R1, _PA_R2, _PA_R3 = (
+    "(nn1 / nullif(dd, 0.0))",
+    "(nn2 / nullif(dd, 0.0))",
+    "(nn3 / nullif(dd, 0.0))",
+)
 _PA_P11 = _PA_R1
 _PA_P22 = f"(({_PA_R2} - {_PA_R1} * {_PA_R1}) / (1 - {_PA_R1} * {_PA_R1}))"
 _PA_P21 = f"({_PA_R1} * (1 - {_PA_P22}))"
@@ -1394,7 +1402,7 @@ DP_SCALE = 1_000_000_000_000  # acf quantized at 1e-12 for the argmax
 # quantized per-lag acf: numerator/denominator are exact centered-integer
 # sums, one divide + floor — bit-identical both engines, so the argmax is
 # an INTEGER comparison and can never flip on a libm ulp.
-_DP_Q = f"CAST(floor({DP_SCALE}.0 * (nn / dd)) AS BIGINT)"
+_DP_Q = f"CAST(floor({DP_SCALE}.0 * (nn / nullif(dd, 0.0))) AS BIGINT)"
 
 
 @register(
@@ -1438,7 +1446,7 @@ _DP_Q = f"CAST(floor({DP_SCALE}.0 * (nn / dd)) AS BIGINT)"
         FROM q)
     SELECT CAST(st.n AS BIGINT) AS n_days,
            CAST(best.l AS BIGINT) AS dominant_period,
-           {sql_stable_round4('(nn / dd)')} AS acf_peak
+           {sql_stable_round4('(nn / nullif(dd, 0.0))')} AS acf_peak
     FROM best CROSS JOIN den CROSS JOIN st WHERE rn = 1
     """,
 )
@@ -1523,7 +1531,7 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "CAST(n AS BIGINT) AS n_days",
         "CAST(l AS BIGINT) AS dominant_period",
-        f"CAST({sql_stable_round4('(nn / dd)')} AS DOUBLE) AS acf_peak",
+        f"CAST({sql_stable_round4('(nn / nullif(dd, 0.0))')} AS DOUBLE) AS acf_peak",
     )
 
 
@@ -1640,7 +1648,7 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centered exact-integer sums (sxx = m*Saa - Sa^2 etc.): beta = sxy/sxx,
 # t = beta / sqrt((syy - beta*sxy) / ((m-2) * sxx)). Unit root <=> beta~0;
 # a t below the 5% critical value -2.86 rejects it (stationary).
-_ADF_BETA = "(sxy / sxx)"
+_ADF_BETA = "(sxy / nullif(sxx, 0.0))"
 # residual variance can be EXACTLY zero (a deterministic series: dx
 # constant), where the t-statistic is undefined — guard or ANSI mode
 # throws DIVIDE_BY_ZERO on degenerate data:

@@ -1530,7 +1530,8 @@ def events_type_hour_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(chi2_q * 1.0 / {ENT_SCALE} * 10000.0 + 0.5) / 10000.0
                AS chi2,
            floor(sqrt(chi2_q * 1.0 / {ENT_SCALE} / tot
-                      / least(n_types - 1, n_hours - 1)) * 10000.0 + 0.5)
+                      / nullif(least(n_types - 1, n_hours - 1), 0))
+                     * 10000.0 + 0.5)
                / 10000.0 AS cramers_v
     FROM q
     """,
@@ -1588,7 +1589,9 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sqrt(
                     chi2
                     / F.col("tot")
-                    / F.least(F.col("n_types") - 1, F.col("n_hours") - 1)
+                    / F.expr(
+                        "nullif(least(n_types - 1, n_hours - 1), 0)"
+                    )
                 )
                 * 10000.0
                 + 0.5
@@ -1758,7 +1761,8 @@ WF_WINDOW_H = 48  # max hours allowed between consecutive funnel steps
     SELECT count(*) AS n_view,
            count(t2) AS n_click_48h,
            count(t3) AS n_purchase_48h,
-           floor(CAST(count(t2) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           floor(CAST(count(t2) AS DOUBLE)
+                 / nullif(CAST(count(*) AS DOUBLE), 0.0)
                  * 10000.0 + 0.5) / 10000.0 AS conv_click,
            floor(CASE WHEN count(t2) = 0 THEN 0.0
                       ELSE CAST(count(t3) AS DOUBLE)
@@ -1835,7 +1839,7 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.floor(
                 F.col("n_click_48h").cast("double")
-                / F.col("n_view").cast("double")
+                / F.expr("nullif(CAST(n_view AS DOUBLE), 0.0)")
                 * 10000.0
                 + 0.5
             )
