@@ -239,7 +239,8 @@ _PS = SQL_SCALED.format(x="l_extendedprice")
            floor(sqrt((sx2 - sx * sx / n) / n) / 100.0 * 10000.0 + 0.5)
                / 10000.0 AS qty_stddev_pop,
            floor((n * sxy - sx * sy)
-                 / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+                 / nullif(sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)),
+                          0.0)
                  * 10000.0 + 0.5) / 10000.0 AS qty_price_corr
     FROM s
     """,
@@ -268,7 +269,8 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sx2 = F.col("n"), F.col("sx"), F.col("sx2")
     sy, sy2, sxy = F.col("sy"), F.col("sy2"), F.col("sxy")
     stddev = F.sqrt((sx2 - sx * sx / n) / n) / 100.0
-    corr = (n * sxy - sx * sy) / F.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+    vxy = ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)).cast("double")
+    corr = (n * sxy - sx * sy) / F.when(vxy > 0, F.sqrt(vxy))
     return s.select(
         "l_returnflag",
         stable_round4(stddev).alias("qty_stddev_pop"),
@@ -405,20 +407,20 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT n, 'quantity_extendedprice' AS pair,
                CAST(n*sqp - sq*sp AS DOUBLE)
-               / sqrt(CAST(n*sqq - sq*sq AS DOUBLE)
-                      * CAST(n*spp - sp*sp AS DOUBLE)) AS corr_val
+               / nullif(sqrt(CAST(n*sqq - sq*sq AS DOUBLE)
+                      * CAST(n*spp - sp*sp AS DOUBLE)), 0.0) AS corr_val
         FROM s
         UNION ALL
         SELECT n, 'quantity_discount',
                CAST(n*sqd - sq*sd AS DOUBLE)
-               / sqrt(CAST(n*sqq - sq*sq AS DOUBLE)
-                      * CAST(n*sdd - sd*sd AS DOUBLE))
+               / nullif(sqrt(CAST(n*sqq - sq*sq AS DOUBLE)
+                      * CAST(n*sdd - sd*sd AS DOUBLE)), 0.0)
         FROM s
         UNION ALL
         SELECT n, 'extendedprice_discount',
                CAST(n*spd - sp*sd AS DOUBLE)
-               / sqrt(CAST(n*spp - sp*sp AS DOUBLE)
-                      * CAST(n*sdd - sd*sd AS DOUBLE))
+               / nullif(sqrt(CAST(n*spp - sp*sp AS DOUBLE)
+                      * CAST(n*sdd - sd*sd AS DOUBLE)), 0.0)
         FROM s)
     """,
 )
@@ -460,7 +462,7 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = (n * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
         vx = (n * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
         vy = (n * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
-        c = num / F.sqrt(vx * vy)
+        c = num / F.when(vx * vy > 0, F.sqrt(vx * vy))
         return F.floor(c * 10000.0 + 0.5) / 10000.0
 
     wide = s.select(
@@ -477,7 +479,8 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("pair", "n", "corr")
 
 
-_LINREG_SLOPE = "(((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)))"
+_LINREG_SLOPE = ("(((n * sxy) - (sx * sy))"
+                 " / nullif((n * sxx) - (sx * sx), 0.0))")
 
 
 @register(
@@ -538,7 +541,8 @@ def agg_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx = F.col("sxy"), F.col("sxx")
-    slope = ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))
+    vx = ((n * sxx) - (sx * sx)).cast("double")
+    slope = ((n * sxy) - (sx * sy)) / F.when(vx != 0, vx)
     intercept = (sy - (slope * sx)) / n
     r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
     return a.select(

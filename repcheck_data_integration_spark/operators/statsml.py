@@ -646,11 +646,15 @@ _DET2 = (
     f"(n * (sqq * sdp - sqp * sqd) - sq * (sq * sdp - sqp * sd)"
     f" + sp * {_M13})"
 )
-_B0, _B1, _B2 = f"({_DET0} / {_DET})", f"({_DET1} / {_DET})", f"({_DET2} / {_DET})"
+_B0, _B1, _B2 = (
+    f"({_DET0} / nullif({_DET}, 0.0))",
+    f"({_DET1} / nullif({_DET}, 0.0))",
+    f"({_DET2} / nullif({_DET}, 0.0))",
+)
 # SSE = y'y - beta' X'y ;  SST = y'y - (sum y)^2 / n  (exact for OLS)
 _R2 = (
     f"(1.0 - (spp - ({_B0} * sp + {_B1} * sqp + {_B2} * sdp))"
-    f" / (spp - sp * sp / n))"
+    f" / nullif(spp - sp * sp / n, 0.0))"
 )
 
 _LINREG_STATS_SQL = """

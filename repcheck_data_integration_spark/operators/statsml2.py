@@ -72,7 +72,7 @@ from .dedup import sql_stable_round4, stable_round4
 # rank-sum, so AUC = (s2r - P(P+1)) / (2 P N) with every term exact.
 _AUC = (
     "(CAST(s2r AS DOUBLE) - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1.0))"
-    " / (2.0 * CAST(p AS DOUBLE) * CAST(q AS DOUBLE))"
+    " / nullif(2.0 * CAST(p AS DOUBLE) * CAST(q AS DOUBLE), 0.0)"
 )
 
 
@@ -926,7 +926,7 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(p AS BIGINT) AS n_pos, CAST(q AS BIGINT) AS n_neg,
            CAST(cents AS BIGINT) AS ks_at_cents,
            {sql_stable_round4(
-               'CAST(dnum AS DOUBLE) / CAST(p * q AS DOUBLE)')} AS ks
+               'CAST(dnum AS DOUBLE) / nullif(CAST(p * q AS DOUBLE), 0.0)')} AS ks
     FROM d WHERE rn = 1
     """,
 )
@@ -978,7 +978,7 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").cast("long").alias("ks_at_cents"),
         stable_round4(
             F.col("dnum").cast("double")
-            / (F.col("p") * F.col("q")).cast("double")
+            / F.expr("nullif(CAST(p * q AS DOUBLE), 0.0)")
         ).alias("ks"),
     )
 

@@ -62,9 +62,9 @@ from .statsml import _DET, _DET0, _DET1, _DET2
 # Reuses the verbatim Cramer 3x3 strings from ml_linreg_normal_eq by
 # aliasing the right-hand side X'u into the (sp, sqp, sdp) slots the
 # determinant strings expect.
-_NB0 = f"(2.0 * {_DET0} / {_DET})"
-_NB1 = f"(2.0 * {_DET1} / {_DET})"
-_NB2 = f"(2.0 * {_DET2} / {_DET})"
+_NB0 = f"(2.0 * {_DET0} / nullif({_DET}, 0.0))"
+_NB1 = f"(2.0 * {_DET1} / nullif({_DET}, 0.0))"
+_NB2 = f"(2.0 * {_DET2} / nullif({_DET}, 0.0))"
 
 _LOGREG_STATS_SQL = """
     SELECT CAST(count(*) AS DOUBLE) AS n,
@@ -160,10 +160,10 @@ CUPED_SPLIT = "1998-01-01"  # pre-period covariate | post-period outcome
 # Pooled regression-adjustment coefficient and its variance-reduction
 # share, from exact integer sufficient statistics (cents):
 #   theta = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)      rho2 = theta^2*varx/vary
-_CU_THETA = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+_CU_THETA = "((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0))"
 _CU_RHO2 = (
     "((n * sxy - sx * sy) * (n * sxy - sx * sy)"
-    " / ((n * sxx - sx * sx) * (n * syy - sy * sy)))"
+    " / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0))"
 )
 # Per-arm adjusted mean: mean_y_a - theta * (mean_x_a - pooled mean_x)
 _CU_ADJ = f"(ya / na - {_CU_THETA} * (xa / na - sx / n))"

@@ -56,7 +56,7 @@ from .dedup import sql_stable_round4
 # the doubling cancels in the correlation, so rho_s is textbook-exact.
 _SP_RHO = (
     "((n * sxy - sx * sy)"
-    " / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))"
+    " / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0))"
 )
 
 # value-level mid-rank construction shared by both engines: with cum =
@@ -188,9 +188,9 @@ def ml_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MW_U1 = "((r12 - n1 * (n1 + 1)) / 2.0)"
 _MW_VAR = (
     "(n1 * n2 / 12.0"
-    " * ((n + 1.0) - tie / (n * (n - 1.0))))"
+    " * ((n + 1.0) - tie / nullif(n * (n - 1.0), 0.0)))"
 )
-_MW_Z = f"(({_MW_U1} - n1 * n2 / 2.0) / sqrt({_MW_VAR}))"
+_MW_Z = f"(({_MW_U1} - n1 * n2 / 2.0) / nullif(sqrt({_MW_VAR}), 0.0))"
 
 _MW_SQL = """
     vl AS (
@@ -291,8 +291,12 @@ ANOVA_MEAN_SCALE = 1_000_000  # group means quantized to 1e-6 cent
 # nm2 = n*m^2, both DECIMAL-exact in 1e-12 cent^2):
 _AN_SSB = f"((t - nm2) / {float(ANOVA_MEAN_SCALE) ** 2})"
 _AN_SST = "(svv - s * s / n)"
-_AN_F = f"(({_AN_SSB} / (k - 1.0)) / (({_AN_SST} - {_AN_SSB}) / (n - k)))"
-_AN_ETA2 = f"({_AN_SSB} / {_AN_SST})"
+_AN_F = (
+    f"(CASE WHEN ({_AN_SST} - {_AN_SSB}) > 0 AND n > k AND k > 1"
+    f" THEN ({_AN_SSB} / (k - 1.0))"
+    f" / (({_AN_SST} - {_AN_SSB}) / (n - k)) ELSE NULL END)"
+)
+_AN_ETA2 = f"({_AN_SSB} / nullif({_AN_SST}, 0.0))"
 
 _ANOVA_SQL = f"""
     grp AS (
@@ -1777,11 +1781,12 @@ def ts_adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ml_two_proportion_ztest — pooled two-proportion z (conversion compare)
 # --------------------------------------------------------------------------
 
-_ZP_P1, _ZP_P2 = "(x1 / n1)", "(x2 / n2)"
-_ZP_POOL = "((x1 + x2) / (n1 + n2))"
+_ZP_P1, _ZP_P2 = "(x1 / nullif(n1, 0.0))", "(x2 / nullif(n2, 0.0))"
+_ZP_POOL = "((x1 + x2) / nullif(n1 + n2, 0.0))"
 _ZP_Z = (
     f"(({_ZP_P1} - {_ZP_P2})"
-    f" / sqrt({_ZP_POOL} * (1.0 - {_ZP_POOL}) * (1.0 / n1 + 1.0 / n2)))"
+    f" / nullif(sqrt({_ZP_POOL} * (1.0 - {_ZP_POOL})"
+    f" * (1.0 / nullif(n1, 0.0) + 1.0 / nullif(n2, 0.0))), 0.0))"
 )
 
 

@@ -90,3 +90,74 @@ def test_survives_constant_series(spark, degen_dir, name):
     # must not raise — NULL/empty results are the accepted degenerate
     # answer, a crash is not
     registry.QUERIES[name](spark, degen_dir).collect()
+
+
+ORDERS_SWEEP = [
+    "ml_auc_roc",
+    "ml_auc_pr",
+    "ml_calibration_bins",
+    "ml_brier_decomposition",
+    "ml_lift_gains",
+    "ml_ks_statistic",
+    "ml_decision_stump",
+    "ml_spearman_corr",
+    "ml_kendall_tau",
+    "ml_mann_whitney_u",
+    "agg_anova_oneway",
+    "agg_trimmed_mean",
+    "agg_lorenz_deciles",
+    "ml_two_proportion_ztest",
+    "ml_cmh_test",
+    "win_drawdown",
+    "agg_gini_revenue",
+    "agg_theil_index",
+    "ts_theil_sen",
+    "ml_linreg_normal_eq",
+    "ml_logreg_newton",
+    "ml_boosted_stumps",
+    "agg_cuped",
+    "ts_changepoint_binseg",
+    "agg_grouped_linreg",
+    "agg_corr_matrix",
+    "agg_stats_moments",
+    "ml_sprt_ab",
+]
+
+
+@pytest.fixture(scope="module")
+def degen_orders_dir(spark, tmp_path_factory):
+    """Constant orders/lineitem: one customer, one status, one priority,
+    one price — every variance, margin, and determinant is exactly 0."""
+    tmp = str(tmp_path_factory.mktemp("degen_orders"))
+    o = spark.createDataFrame(
+        [(i, 1, "F", 100.0, "P", "1995-06-01") for i in range(10)],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority", "o_d"],
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority", F.col("o_d").cast("timestamp").alias("o_orderdate"),
+    )
+    o.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "orders.parquet")
+    )
+    li = spark.createDataFrame(
+        [(i, 1, 1, 1, 5.0, 100.0, 0.05, 0.02, "N", "O", "1995-06-10")
+         for i in range(10)],
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+         "l_returnflag", "l_linestatus", "l_sd"],
+    ).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus",
+        F.col("l_sd").cast("timestamp").alias("l_shipdate"),
+    )
+    li.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "lineitem.parquet")
+    )
+    return tmp
+
+
+@pytest.mark.parametrize("name", ORDERS_SWEEP)
+def test_survives_constant_orders(spark, degen_orders_dir, name):
+    registry.QUERIES[name](spark, degen_orders_dir).collect()
