@@ -2609,15 +2609,27 @@ def priv_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .dedup import cosine, sql_cosine  # noqa: E402
 
 COS_HIST_BINS = 20  # width-0.1 bins over [-1, 1]
+# size-adaptive pair sampling: blocks under this size histogram EVERY
+# pair exactly; above it a deterministic md5 pair-sample keeps ~200*m
+# pairs per block, so the cost is LINEAR in block size, never quadratic
+# (the 10x probe measured the unsampled version at 18.5x)
+COS_HIST_EXACT_BLOCK = 400
 
 
 @register(
     "emb_pair_cosine_histogram",
     oracle=f"""
-    WITH pairs AS (
+    WITH bs AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS m
+        FROM embeddings GROUP BY 1),
+    pairs AS (
         SELECT {sql_cosine('a.embedding', 'b.embedding')} AS cs
         FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id),
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        JOIN bs ON bs.label = a.label
+        WHERE CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || '-'
+                    || CAST(b.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % greatest(1, m // 200) = 0),
     binned AS (
         SELECT least(greatest(CAST(floor((cs + 1.0) * 10.0) AS INT), 0),
                      {COS_HIST_BINS - 1}) AS bin
@@ -2637,15 +2649,21 @@ def emb_pair_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     fiction). 20 width-0.1 bins over [-1, 1].
 
     Scale shape: pairs come from the SAME label-blocked equi-join the
-    dedup op uses — never all-pairs; cost ∝ within-block pairs, and the
-    output is a 20-row relation regardless of SF (the honest way to
-    LOOK at pairwise structure at 100 TB: aggregate it, don't emit it).
+    dedup op uses — never all-pairs across labels — and a SIZE-ADAPTIVE
+    deterministic sample keeps within-block cost linear: blocks under
+    {COS_HIST_EXACT_BLOCK} members histogram every pair exactly (the
+    test-SF behavior), bigger blocks keep 1 in (m div 200) pairs by a
+    salted md5 of the pair key, i.e. ~200*m pairs per block — the
+    uniform-pair-sample estimate of the same histogram (the 10x probe
+    measured the unsampled quadratic form at 18.5x; this form is
+    linear). The output is a 20-row relation regardless of SF.
 
     Determinism: the cosine is the house sequential left-to-right fold
     (bit-identical in both engines); the bin index is floor of that
     identical double, clamped — integer counts from then on.
     """
     emb = load(spark, sf_dir, "embeddings")
+    bs = emb.groupBy("label").agg(F.count("*").cast("long").alias("m"))
     a = emb.select(
         F.col("label").alias("la"),
         F.col("vec_id").alias("ida"),
@@ -2656,10 +2674,23 @@ def emb_pair_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("idb"),
         F.col("embedding").alias("eb"),
     )
-    pairs = a.join(
-        b,
-        (F.col("la") == F.col("lb")) & (F.col("ida") < F.col("idb")),
-    ).select(cosine(F.col("ea"), F.col("eb")).alias("cs"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("la") == F.col("lb")) & (F.col("ida") < F.col("idb")),
+        )
+        .join(
+            F.broadcast(bs.withColumnRenamed("label", "la")), "la"
+        )
+        .filter(
+            F.expr(
+                "pmod(CAST(conv(substr(md5(CAST(ida AS STRING) || '-'"
+                " || CAST(idb AS STRING)), 1, 8), 16, 10) AS BIGINT),"
+                " greatest(1, m div 200)) = 0"
+            )
+        )
+        .select(cosine(F.col("ea"), F.col("eb")).alias("cs"))
+    )
     binned = pairs.select(
         F.least(
             F.greatest(
