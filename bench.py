@@ -128,6 +128,8 @@ HEADLINE = [
     "events_logrank_test",
     "ts_seasonal_strength",
     "ml_cmh_test",
+    "text_watermark_score",
+    "text_source_overlap_matrix",
 ]
 
 

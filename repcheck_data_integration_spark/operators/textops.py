@@ -2443,3 +2443,185 @@ def text_kneser_ney_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({sql_stable_round4('(-ll / n_bigrams)')} AS DOUBLE)"
         " AS kn_xent",
     )
+
+
+# --------------------------------------------------------------------------
+# text_watermark_score — greenlist watermark detection (z per document)
+# --------------------------------------------------------------------------
+
+# Kirchenbauer et al. 2023 (ICML): a watermarking LLM promotes a "green"
+# half of the vocabulary, re-seeded from the previous token; detection
+# counts green tokens and z-tests against the 1/2 null. Greenlist
+# membership here is the md5 parity of the (prev, token) pair — the same
+# deterministic stand-in for the seeded-RNG split that the sampling ops
+# use for rand() (the detector's arithmetic is what matters, and it is
+# EXACT: z = (2g - n)/sqrt(n) over integer counts).
+WATERMARK_Z_FLAG = 4  # flag a doc when z >= 4 (~3e-5 false positive)
+
+
+@register(
+    "text_watermark_score",
+    oracle=f"""
+    WITH dc AS ({SQL_BIGRAM_COUNTS}),
+    g AS (
+        SELECT doc_id, cnt,
+               CASE WHEN CAST(('0x' || substr(md5('wm-' || b), 1, 8))
+                         AS BIGINT) % 2 = 0 THEN cnt ELSE 0 END AS green
+        FROM dc),
+    s AS (
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_scored,
+               CAST(sum(green) AS BIGINT) AS n_green
+        FROM g GROUP BY doc_id)
+    SELECT doc_id, n_scored, n_green,
+           {sql_stable_round4(
+               '((2.0 * n_green - n_scored) / sqrt(CAST(n_scored AS DOUBLE)))'
+           )} AS green_z,
+           2 * n_green > n_scored
+               AND (2 * n_green - n_scored) * (2 * n_green - n_scored)
+                   >= {WATERMARK_Z_FLAG * WATERMARK_Z_FLAG} * n_scored
+               AS watermark_flag
+    FROM s
+    """,
+)
+def text_watermark_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenlist watermark detector (Kirchenbauer et al., ICML 2023 —
+    public paper): per document, the fraction of tokens falling in the
+    previous-token-seeded "green" half of the vocabulary, z-tested
+    against the unwatermarked null of 1/2 — the provenance screen a
+    training-data pipeline runs to keep (or trace) LLM-generated text.
+    A clean corpus hovers near z = 0; machine text from a watermarking
+    sampler lights up at z >> 4.
+
+    Determinism: greenlist membership is the md5 parity of the salted
+    (prev, token) pair — engine-exact, replayable; counts are integers;
+    the flag is the INTEGER cross-multiplication (2g-n)^2 >= 16n (never
+    a float compare), and the reported z is one sqrt of an exact double,
+    stable_round4.
+
+    Scale shape: one (doc, bigram) aggregate (shared construction with
+    the xent family), one per-doc sum — a single fact shuffle, no
+    model side at all.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)
+    bg = F.when(
+        F.size(F.col("toks")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dc = (
+        d.select("doc_id", t.alias("toks"))
+        .select("doc_id", F.explode(bg).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    green = F.when(
+        F.expr(
+            "pmod(CAST(conv(substr(md5('wm-' || b), 1, 8), 16, 10)"
+            " AS BIGINT), 2) = 0"
+        ),
+        F.col("cnt"),
+    ).otherwise(F.lit(0))
+    s = dc.select("doc_id", "cnt", green.alias("green")).groupBy(
+        "doc_id"
+    ).agg(
+        F.sum("cnt").cast("long").alias("n_scored"),
+        F.sum("green").cast("long").alias("n_green"),
+    )
+    zexpr = "((2.0 * n_green - n_scored) / sqrt(CAST(n_scored AS DOUBLE)))"
+    return s.selectExpr(
+        "doc_id",
+        "n_scored",
+        "n_green",
+        f"CAST({sql_stable_round4(zexpr)} AS DOUBLE) AS green_z",
+        "2 * n_green > n_scored"
+        " AND (2 * n_green - n_scored) * (2 * n_green - n_scored)"
+        f" >= {WATERMARK_Z_FLAG * WATERMARK_Z_FLAG} * n_scored"
+        " AS watermark_flag",
+    )
+
+
+# --------------------------------------------------------------------------
+# text_source_overlap_matrix — pairwise source-level shingle containment
+# --------------------------------------------------------------------------
+
+from .dedup import SQL_SHINGLES, shingles_from_tokens  # noqa: E402
+
+
+@register(
+    "text_source_overlap_matrix",
+    oracle=f"""
+    WITH sg AS (
+        SELECT DISTINCT source, unnest({SQL_SHINGLES}) AS g
+        FROM documents),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sg GROUP BY 1),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM sg a JOIN sg b ON a.g = b.g AND a.source <> b.source
+        GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b, i.n_shared,
+           za.n AS n_grams_a,
+           {sql_stable_round4('(CAST(i.n_shared AS DOUBLE) / za.n)')}
+               AS containment_a_in_b
+    FROM inter i JOIN sz za ON za.source = i.src_a
+    ORDER BY src_a, src_b
+    """,
+)
+def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-level 3-gram containment matrix: for every ordered
+    source pair, the fraction of source A's distinct shingles that also
+    appear in source B — the corpus-provenance view that tells a
+    curation pipeline which feeds are mirroring each other (the
+    source-granular rollup of dedup_contamination_ngrams' doc-level
+    audit; a row near 1.0 means feed A is a subset/scrape of feed B and
+    one of them should be dropped before training).
+
+    Determinism: distinct (source, gram) sets are exact; counts are
+    integers; one division per pair, stable_round4; output ordered by
+    the pair key.
+
+    Scale shape: the gram-keyed equi-join is the contamination-audit
+    shape — shuffle carries distinct (source, gram) pairs, never the
+    token stream, and the result is |sources|^2 rows regardless of
+    corpus size. A skewed universal gram inflates one join key; the
+    same df-cap lever dedup_contamination_ngrams documents applies if a
+    real corpus needs it.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)
+    sg = (
+        d.select("source", F.explode(shingles_from_tokens(toks)).alias("g"))
+        .distinct()
+        .persist()  # sizes + self-join both read it
+    )
+    sz = sg.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = sg.select(F.col("source").alias("src_a"), "g")
+    b = sg.select(F.col("source").alias("src_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sz.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .selectExpr(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n AS n_grams_a",
+            f"CAST({sql_stable_round4('(CAST(n_shared AS DOUBLE) / n)')}"
+            " AS DOUBLE) AS containment_a_in_b",
+        )
+        .orderBy("src_a", "src_b")
+    )

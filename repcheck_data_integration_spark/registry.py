@@ -173,6 +173,8 @@ DRIVER_PRIORITY: list[str] = [
     "events_logrank_test",
     "ts_seasonal_strength",
     "ml_cmh_test",
+    "text_watermark_score",
+    "text_source_overlap_matrix",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

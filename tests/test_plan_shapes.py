@@ -1132,3 +1132,20 @@ def test_cmh_filter_pushed_partial_agg(spark):
     assert "PushedFilters" in p  # the priority IN-list reaches the scan
     assert "o_orderpriority" in p.split("PushedFilters")[1][:250]
     assert p.count("+- HashAggregate") >= 2
+
+
+def test_watermark_single_fact_shuffle(spark):
+    p = plan(spark, "text_watermark_score")
+    # one (doc,bigram) aggregate + per-doc sum: no joins, no model side
+    assert "Join" not in p or "BroadcastHashJoin" not in p
+    rs = p.split("ReadSchema", 1)[1][:200]
+    assert "doc_id" in rs and "text" in rs and "lang" not in rs
+
+
+def test_source_overlap_gram_join_cached(spark):
+    spark.catalog.clearCache()
+    p = plan(spark, "text_source_overlap_matrix")
+    # sizes + self-join read the persisted distinct (source, gram) set;
+    # the pair join keys on the gram
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p

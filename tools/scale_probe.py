@@ -189,6 +189,10 @@ PROBES = [
     "priv_randomized_response",
     "emb_pair_cosine_histogram",
     "events_logrank_test",
+    "ts_seasonal_strength",
+    "ml_cmh_test",
+    "text_watermark_score",
+    "text_source_overlap_matrix",
 ]
 
 
