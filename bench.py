@@ -130,6 +130,7 @@ HEADLINE = [
     "ml_cmh_test",
     "text_watermark_score",
     "text_source_overlap_matrix",
+    "graph_ktruss",
 ]
 
 

@@ -1404,3 +1404,101 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("katz_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# graph_ktruss — k-truss edge peeling (K = 4, two unrolled rounds)
+# --------------------------------------------------------------------------
+
+KTRUSS_K = 4  # an edge survives iff it sits in >= K-2 triangles
+
+
+def _truss_round_sql(k: int, src: str) -> str:
+    """One unrolled truss round over edge CTE ``src``: enumerate ordered
+    triangles, count per-edge support, keep edges with support >= K-2."""
+    return f"""
+    tri{k} AS (
+        SELECT e1.c1 AS a, e1.c2 AS b, e2.c2 AS c
+        FROM {src} e1
+        JOIN {src} e2 ON e1.c2 = e2.c1
+        JOIN {src} e3 ON e3.c1 = e1.c1 AND e3.c2 = e2.c2),
+    sup{k} AS (
+        SELECT c1, c2, CAST(count(*) AS BIGINT) AS supp
+        FROM (SELECT a AS c1, b AS c2 FROM tri{k}
+              UNION ALL SELECT a, c FROM tri{k}
+              UNION ALL SELECT b, c FROM tri{k})
+        GROUP BY 1, 2),
+    e{k + 1} AS (SELECT c1, c2 FROM sup{k}
+                 WHERE supp >= {KTRUSS_K - 2})"""
+
+
+@register(
+    "graph_ktruss",
+    oracle=f"""
+    WITH {SQL_PAIRS},
+    e1 AS (SELECT c1, c2 FROM p),
+    {_truss_round_sql(1, "e1")},
+    {_truss_round_sql(2, "e2")}
+    SELECT c1 AS cust1, c2 AS cust2, supp AS support
+    FROM sup2 WHERE supp >= {KTRUSS_K - 2}
+    ORDER BY cust1, cust2
+    """,
+)
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KTRUSS_K}-truss of the co-purchase graph (Cohen 2008), two
+    unrolled peel rounds: an edge survives only while it participates in
+    >= {KTRUSS_K - 2} triangles OF THE SURVIVING SUBGRAPH — the
+    edge-side sibling of graph_kcore's vertex peeling, and the standard
+    community-core extractor (a k-truss edge is inside a dense clique-
+    ish region; bridges and spokes peel away). Output: surviving edges
+    with their final-round support.
+
+    Determinism: triangle enumeration is the ordered a<b<c join (each
+    triangle counted once); supports are exact integer counts; the peel
+    threshold is an integer compare. No floats anywhere.
+
+    Scale shape: the triangle join is the graph_triangle_count shape
+    (edge-keyed equi-joins on the ordered edge list, never a cartesian);
+    each round re-runs it on a STRICTLY SMALLER persisted edge set.
+    Rounds are fixed at 2 (most edges converge immediately; a full
+    fixpoint is the same plan iterated), so the plan is static.
+    """
+    pairs = _copurchase_pairs(spark, sf_dir).select(
+        F.col("cust1").alias("c1"), F.col("cust2").alias("c2")
+    )
+    edges = pairs.persist()
+    sup = None
+    for k in (1, 2):
+        e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e1.c2") == F.col("e2.c1"))
+            .join(
+                e3,
+                (F.col("e3.c1") == F.col("e1.c1"))
+                & (F.col("e3.c2") == F.col("e2.c2")),
+            )
+            .select(
+                F.col("e1.c1").alias("a"),
+                F.col("e1.c2").alias("b"),
+                F.col("e2.c2").alias("c"),
+            )
+        )
+        sup = (
+            tri.select(F.col("a").alias("c1"), F.col("b").alias("c2"))
+            .unionAll(tri.select(F.col("a").alias("c1"), F.col("c").alias("c2")))
+            .unionAll(tri.select(F.col("b").alias("c1"), F.col("c").alias("c2")))
+            .groupBy("c1", "c2")
+            .agg(F.count(F.lit(1)).cast("long").alias("supp"))
+        )
+        edges = sup.filter(F.col("supp") >= KTRUSS_K - 2).select(
+            "c1", "c2"
+        ).persist()
+    return (
+        sup.filter(F.col("supp") >= KTRUSS_K - 2)
+        .select(
+            F.col("c1").alias("cust1"),
+            F.col("c2").alias("cust2"),
+            F.col("supp").alias("support"),
+        )
+        .orderBy("cust1", "cust2")
+    )

@@ -175,6 +175,7 @@ DRIVER_PRIORITY: list[str] = [
     "ml_cmh_test",
     "text_watermark_score",
     "text_source_overlap_matrix",
+    "graph_ktruss",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

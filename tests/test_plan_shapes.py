@@ -1149,3 +1149,12 @@ def test_source_overlap_gram_join_cached(spark):
     # the pair join keys on the gram
     assert "InMemoryTableScan" in p
     assert "CartesianProduct" not in p
+
+
+def test_ktruss_ordered_triangle_joins_cached(spark):
+    spark.catalog.clearCache()
+    p = plan(spark, "graph_ktruss")
+    # both peel rounds run the ordered-triangle equi-join on persisted
+    # edge frames; no cartesian anywhere
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p

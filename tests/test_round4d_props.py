@@ -396,3 +396,20 @@ def test_cmh_python_reference(spark, tmp_path):
     assert row["observed_urgent_final"] == int(o)
     assert row["expected_urgent_final"] == _round4(se / 1e12)
     assert row["cmh_chi2"] == _round4((o - se / 1e12) ** 2 / (sv / 1e12))
+
+
+def test_ktruss_k4_keeps_clique_drops_pendant(spark, tmp_path):
+    """K4 on customers 1-4 (every pair shares 3 suppliers) survives a
+    4-truss (each edge in 2 triangles); a pendant edge 4-5 peels away."""
+    k4 = {c: [10, 11, 12] for c in (1, 2, 3, 4)}
+    # customer 5 shares suppliers with 4 ONLY (via a disjoint supplier
+    # trio bought by just 4 and 5)
+    k4[4] = [10, 11, 12, 20, 21, 22]
+    k4[5] = [20, 21, 22]
+    _copurchase_fixture(spark, tmp_path, k4)
+    from repcheck_data_integration_spark.operators.graph import graph_ktruss
+
+    rows = graph_ktruss(spark, str(tmp_path)).collect()
+    edges = {(r["cust1"], r["cust2"]): r["support"] for r in rows}
+    assert set(edges) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    assert all(s == 2 for s in edges.values())

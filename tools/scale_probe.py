@@ -193,6 +193,7 @@ PROBES = [
     "ml_cmh_test",
     "text_watermark_score",
     "text_source_overlap_matrix",
+    "graph_ktruss",
 ]
 
 
