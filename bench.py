@@ -131,6 +131,13 @@ HEADLINE = [
     "text_watermark_score",
     "text_source_overlap_matrix",
     "graph_ktruss",
+    "events_growth_accounting",
+    "win_max_concurrency",
+    "agg_penny_allocation",
+    "snk_cdc_delta",
+    "agg_delta_method_ratio",
+    "resolve_survivorship",
+    "join_phonetic_block",
 ]
 
 

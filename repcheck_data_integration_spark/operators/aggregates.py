@@ -1465,3 +1465,129 @@ def agg_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antecedent", "consequent")
     )
+
+
+@register(
+    "agg_penny_allocation",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS w
+        FROM lineitem),
+    tot AS (
+        SELECT l_orderkey, SUM(w) AS tw, COUNT(*) AS n_lines
+        FROM li GROUP BY 1),
+    ordr AS (
+        SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS rebate_c
+        FROM orders),
+    base AS (
+        SELECT li.l_orderkey, li.l_linenumber, t.n_lines, o.rebate_c,
+               (o.rebate_c * li.w) // t.tw AS base_c,
+               (o.rebate_c * li.w) % t.tw AS rem
+        FROM li
+        JOIN tot t ON li.l_orderkey = t.l_orderkey
+        JOIN ordr o ON li.l_orderkey = o.o_orderkey),
+    ranked AS (
+        SELECT l_orderkey, n_lines, rebate_c, base_c,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY rem DESC, l_linenumber) AS rk,
+               SUM(base_c) OVER (PARTITION BY l_orderkey) AS base_sum
+        FROM base),
+    alloc AS (
+        SELECT l_orderkey, n_lines, rebate_c,
+               base_c + CASE WHEN rk <= rebate_c - base_sum
+                             THEN 1 ELSE 0 END AS alloc_c
+        FROM ranked)
+    SELECT l_orderkey AS o_orderkey,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           rebate_c AS rebate_cents,
+           CAST(SUM(alloc_c) AS BIGINT) AS allocated_cents,
+           CAST(MAX(alloc_c) AS BIGINT) AS max_line_cents,
+           CAST(MIN(alloc_c) AS BIGINT) AS min_line_cents
+    FROM alloc GROUP BY 1, 2, 3
+    """,
+)
+def agg_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder ("penny") allocation: spread each order's 1%
+    rebate (floor(o_totalprice) cents) across its lineitems proportional
+    to extended price so the integer-cent line amounts sum EXACTLY to the
+    header amount — the canonical financial-ETL allocation that naive
+    per-line rounding gets wrong by +-n pennies. base_i =
+    (rebate * w_i) div W in pure BIGINT arithmetic (never a double
+    division, so no boundary flips), and the leftover rebate - sum(base)
+    pennies (provably < n_lines) go to the lines with the largest integer
+    remainders, linenumber as the tie-break. Output is the per-order
+    reconciliation relation; allocated_cents == rebate_cents everywhere is
+    the audit invariant the hash compare certifies.
+
+    Scale: lineitem is scanned ONCE and shuffled ONCE — order totals,
+    remainder ranks, and the final reconciliation agg are all windows/
+    aggregates over the same l_orderkey partitioning; the only join is
+    the orders lookup on that same key. The order key is
+    high-cardinality and unskewed. No driver-side arithmetic.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("w"),
+    )
+    ordr = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice")).cast("long").alias("rebate_c"),
+    )
+    # order totals via a window over the SAME partition key the ranking
+    # window and final agg use — one lineitem scan, one shuffle, vs the
+    # naive groupBy + join-back (two scans, two joins)
+    wo = W.partitionBy("l_orderkey")
+    weighted = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "w",
+        F.sum("w").over(wo).alias("tw"),
+        F.count(F.lit(1)).over(wo).alias("n_lines"),
+    )
+    base = weighted.join(
+        ordr, weighted["l_orderkey"] == ordr["o_orderkey"]
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "n_lines",
+        "rebate_c",
+        F.expr("rebate_c * w div tw").alias("base_c"),
+        (F.col("rebate_c") * F.col("w") % F.col("tw")).alias("rem"),
+    )
+    ranked = base.select(
+        "l_orderkey",
+        "n_lines",
+        "rebate_c",
+        "base_c",
+        F.row_number()
+        .over(wo.orderBy(F.col("rem").desc(), "l_linenumber"))
+        .alias("rk"),
+        F.sum("base_c").over(wo).alias("base_sum"),
+    )
+    alloc = ranked.select(
+        "l_orderkey",
+        "n_lines",
+        "rebate_c",
+        (
+            F.col("base_c")
+            + F.when(
+                F.col("rk") <= F.col("rebate_c") - F.col("base_sum"), 1
+            ).otherwise(0)
+        ).alias("alloc_c"),
+    )
+    return alloc.groupBy("l_orderkey", "n_lines", "rebate_c").agg(
+        F.sum("alloc_c").cast("long").alias("allocated_cents"),
+        F.max("alloc_c").cast("long").alias("max_line_cents"),
+        F.min("alloc_c").cast("long").alias("min_line_cents"),
+    ).select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("rebate_c").alias("rebate_cents"),
+        "allocated_cents",
+        "max_line_cents",
+        "min_line_cents",
+    )

@@ -671,3 +671,267 @@ def _register_fs_score() -> None:
 
 
 _register_fs_score()
+
+
+# --------------------------------------------------------------------------
+# resolve_survivorship — golden-record merge across source systems
+# --------------------------------------------------------------------------
+
+
+@register(
+    "resolve_survivorship",
+    oracle="""
+    WITH src_a AS (
+        SELECT c_custkey AS k, 1 AS prio, c_custkey % 5 AS fresh,
+               CASE WHEN c_custkey % 3 = 0 THEN NULL
+                    ELSE CAST(round(c_acctbal * 100, 0) AS BIGINT)
+               END AS bal,
+               CASE WHEN c_custkey % 4 = 0 THEN NULL
+                    ELSE c_mktsegment END AS seg
+        FROM customer WHERE c_custkey % 7 <> 0),
+    src_b AS (
+        SELECT c_custkey AS k, 2 AS prio, (c_custkey * 3) % 5 AS fresh,
+               CASE WHEN c_custkey % 2 = 0 THEN NULL
+                    ELSE CAST(round(c_acctbal * 100, 0) AS BIGINT) + 777
+               END AS bal,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL
+                    ELSE lower(c_mktsegment) END AS seg
+        FROM customer WHERE c_custkey % 11 <> 0),
+    u AS (SELECT * FROM src_a UNION ALL SELECT * FROM src_b),
+    ranked AS (
+        SELECT k, prio, fresh, bal, seg,
+               row_number() OVER (
+                   PARTITION BY k
+                   ORDER BY (bal IS NOT NULL) DESC, fresh DESC, prio)
+                   AS rn_bal,
+               row_number() OVER (
+                   PARTITION BY k
+                   ORDER BY (seg IS NOT NULL) DESC, fresh DESC, prio)
+                   AS rn_seg
+        FROM u)
+    SELECT k AS c_custkey,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           COALESCE(max(CASE WHEN rn_bal = 1 THEN bal END), -1)
+               AS golden_acctbal_cents,
+           COALESCE(max(CASE WHEN rn_seg = 1 THEN seg END), '')
+               AS golden_segment,
+           CAST(CASE WHEN count(DISTINCT bal) > 1 THEN 1 ELSE 0 END
+               AS BIGINT) AS bal_conflict
+    FROM ranked GROUP BY k
+    """,
+)
+def resolve_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship merge — the MDM step AFTER entity
+    resolution has clustered records: per matched key, each COLUMN
+    independently takes the value from the freshest source that has it
+    non-null (source priority breaks freshness ties), so the golden row
+    can mix columns from different systems. The reference's upsert keeps
+    whole-row last-writer (database.py:52-73); survivorship is the
+    per-column generalization every warehouse MDM layer ends up needing.
+
+    Two deterministic 'source systems' are derived from customer (key-mod
+    presence, per-source freshness counters, disjoint null patterns and a
+    divergent balance in source B) so the expected merge exercises every
+    rule: fresher-wins, null-skipped, priority tie-break, and the
+    bal_conflict audit flag marks keys where sources disagree.
+
+    Scale: one union scan, one shuffle on the entity key serving BOTH
+    per-column row_number windows and the final rollup — the per-column
+    windows share the partition, so k columns cost k in-memory sorts of
+    an ~2-row-per-key partition, never k shuffles. No driver loops.
+    """
+    c = load(spark, sf_dir, "customer")
+    bal_c = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    src_a = c.filter(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit(1).alias("prio"),
+        (F.col("c_custkey") % 5).alias("fresh"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("long"))
+        .otherwise(bal_c)
+        .alias("bal"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    src_b = c.filter(F.col("c_custkey") % 11 != 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit(2).alias("prio"),
+        (F.col("c_custkey") * 3 % 5).alias("fresh"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit(None).cast("long"))
+        .otherwise(bal_c + 777)
+        .alias("bal"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lower(F.col("c_mktsegment")))
+        .alias("seg"),
+    )
+    u = src_a.unionByName(src_b)
+    wk = W.partitionBy("k")
+    ranked = u.select(
+        "k",
+        "bal",
+        "seg",
+        F.row_number()
+        .over(
+            wk.orderBy(
+                F.col("bal").isNotNull().desc(), F.col("fresh").desc(),
+                "prio",
+            )
+        )
+        .alias("rn_bal"),
+        F.row_number()
+        .over(
+            wk.orderBy(
+                F.col("seg").isNotNull().desc(), F.col("fresh").desc(),
+                "prio",
+            )
+        )
+        .alias("rn_seg"),
+    )
+    return ranked.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.coalesce(
+            F.max(F.when(F.col("rn_bal") == 1, F.col("bal"))), F.lit(-1)
+        ).alias("golden_acctbal_cents"),
+        F.coalesce(
+            F.max(F.when(F.col("rn_seg") == 1, F.col("seg"))), F.lit("")
+        ).alias("golden_segment"),
+        F.when(F.countDistinct("bal") > 1, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("bal_conflict"),
+    ).select(
+        F.col("k").alias("c_custkey"),
+        "n_sources",
+        "golden_acctbal_cents",
+        "golden_segment",
+        "bal_conflict",
+    )
+
+
+# --------------------------------------------------------------------------
+# join_phonetic_block — soundex blocking with a SHARED expression text
+# --------------------------------------------------------------------------
+
+# Simplified American Soundex (H/W treated like vowels: code 0, i.e. they
+# break runs — the common "simplified" variant; documented because the
+# NARA-refined rule treats H/W as transparent). Built from translate /
+# replace / substr / rpad ONLY — functions with identical signatures and
+# semantics in Spark SQL and DuckDB — so the exact same expression text
+# runs in both engines (regexp_replace is avoided on purpose: its
+# signature differs across the two engines, and DuckDB's RE2 has no
+# backreferences for run-collapsing).
+_SND_FROM = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_SND_TO = "01230120022455012623010202"
+
+
+def sql_soundex(col: str) -> str:
+    """Shared-text soundex over an UPPERCASE letters-only token."""
+    d = f"translate({col}, '{_SND_FROM}', '{_SND_TO}')"
+    # collapse runs of identical digits: each replace pass halves a run
+    # (left-to-right non-overlapping), 6 passes handle runs up to 64
+    for _ in range(6):
+        for digit in "0123456":
+            d = f"replace({d}, '{digit}{digit}', '{digit}')"
+    tail_nz = f"replace(substr({d}, 2), '0', '')"
+    return f"(substr({col}, 1, 1) || rpad(substr({tail_nz}, 1, 3), 3, '0'))"
+
+
+_PH_TOK = "upper(split_part(p_name, ' ', 1))"
+# typo model: drop every vowel after the first character — soundex codes
+# are (near-)invariant under this distortion, which is exactly why
+# phonetic blocking recovers such typos while equality blocking cannot
+_PH_PROBE = (
+    f"(substr({_PH_TOK}, 1, 1) || translate(substr({_PH_TOK}, 2),"
+    " 'AEIOU', ''))"
+)
+
+
+@register(
+    "join_phonetic_block",
+    oracle=f"""
+    WITH catalog AS (
+        SELECT DISTINCT {_PH_TOK} AS tok FROM part),
+    cat_coded AS (
+        SELECT tok, {sql_soundex('tok')} AS code FROM catalog),
+    probes AS (
+        SELECT DISTINCT {_PH_PROBE} AS probe_tok, {_PH_TOK} AS orig_tok
+        FROM part),
+    probe_coded AS (
+        SELECT probe_tok, orig_tok, {sql_soundex('probe_tok')} AS code
+        FROM probes),
+    cand AS (
+        SELECT p.probe_tok, p.orig_tok, p.code, c.tok AS cand_tok,
+               levenshtein(p.probe_tok, c.tok) AS lev,
+               row_number() OVER (
+                   PARTITION BY p.probe_tok, p.orig_tok
+                   ORDER BY levenshtein(p.probe_tok, c.tok), c.tok)
+                   AS rn
+        FROM probe_coded p JOIN cat_coded c ON p.code = c.code)
+    SELECT probe_tok, orig_tok, code AS block_code,
+           cand_tok AS matched_tok, CAST(lev AS BIGINT) AS lev,
+           CAST(CASE WHEN cand_tok = orig_tok THEN 1 ELSE 0 END AS BIGINT)
+               AS is_correct
+    FROM cand WHERE rn = 1
+    """,
+)
+def join_phonetic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic-blocking fuzzy join: vowel-dropped 'typo' probes are
+    matched back to the part-name vocabulary by SOUNDEX-code equality,
+    then verified and ranked by levenshtein (token tie-break). The
+    phonetic code is the BLOCK key — candidate pairs are an equi-join on
+    a 4-char code, never a cross product — which is the classic
+    complement to the engine's other blocking schemes (prefix blocks in
+    join_fuzzy_topk, LSH bands in dedup, grid cells in spatial).
+    Reference analogue: name matching in vote_matching.py:160-168, which
+    brute-forces scorer calls; phonetic blocking is how that survives a
+    vocabulary 1000x larger.
+
+    The soundex implementation is a single expression TEXT shared
+    verbatim by both engines (sql_soundex) — translate digit-mapping,
+    replace-chain run collapse, zero-strip, rpad — so the hash compare
+    pins the whole phonetic algebra, not just the join.
+
+    Scale: vocabulary relations are distinct-collapsed before coding;
+    the block join is an equi-join whose fan-out is the phonetic bucket
+    size (bounded by vocabulary homophony, independent of corpus rows).
+    """
+    part = load(spark, sf_dir, "part")
+    catalog = part.selectExpr(f"{_PH_TOK} AS tok").distinct()
+    cat_coded = catalog.selectExpr(
+        "tok", f"{sql_soundex('tok')} AS code"
+    )
+    probes = part.selectExpr(
+        f"{_PH_PROBE} AS probe_tok", f"{_PH_TOK} AS orig_tok"
+    ).distinct()
+    probe_coded = probes.selectExpr(
+        "probe_tok", "orig_tok", f"{sql_soundex('probe_tok')} AS code"
+    )
+    cand = (
+        probe_coded.alias("p")
+        .join(F.broadcast(cat_coded.alias("c")), "code")
+        .select(
+            "probe_tok",
+            "orig_tok",
+            "code",
+            F.col("c.tok").alias("cand_tok"),
+            F.levenshtein("probe_tok", F.col("c.tok")).alias("lev"),
+        )
+    )
+    ranked = cand.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("probe_tok", "orig_tok").orderBy(
+                "lev", "cand_tok"
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "probe_tok",
+        "orig_tok",
+        F.col("code").alias("block_code"),
+        F.col("cand_tok").alias("matched_tok"),
+        F.col("lev").cast("long").alias("lev"),
+        (F.col("cand_tok") == F.col("orig_tok"))
+        .cast("long")
+        .alias("is_correct"),
+    )

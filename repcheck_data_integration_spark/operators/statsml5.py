@@ -3111,3 +3111,112 @@ def ml_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS expected_urgent_final",
         f"CAST({sql_stable_round4(_CMH_CHI2)} AS DOUBLE) AS cmh_chi2",
     )
+
+
+# --------------------------------------------------------------------------
+# agg_delta_method_ratio
+# --------------------------------------------------------------------------
+
+# Ratio-metric readout R = sum(y)/sum(n) over USERS (not events), with the
+# delta-method standard error that accounts for the user-level clustering
+# (Deng, Knoblich & Lu, KDD 2018 — the correct SE for per-user ratio
+# metrics in A/B platforms; the naive per-event SE is anti-conservative).
+# All from six exact per-arm sums: k users, Sy, Sn, Syy, Snn, Syn.
+#   R        = Sy / Sn
+#   var_y    = (k*Syy - Sy^2) / (k*(k-1))      (sample, per user)
+#   var_n    = (k*Snn - Sn^2) / (k*(k-1))
+#   cov_yn   = (k*Syn - Sy*Sn) / (k*(k-1))
+#   Var(R)   = (var_y - 2R cov + R^2 var_n) / (k * nbar^2),  nbar = Sn/k
+_DM_R = "(sy / nullif(sn, 0.0))"
+_DM_VY = "((k * syy - sy * sy) / nullif(k * (k - 1.0), 0.0))"
+_DM_VN = "((k * snn - sn * sn) / nullif(k * (k - 1.0), 0.0))"
+_DM_CV = "((k * syn - sy * sn) / nullif(k * (k - 1.0), 0.0))"
+_DM_VAR = (
+    f"(({_DM_VY} - 2.0 * {_DM_R} * {_DM_CV}"
+    f" + {_DM_R} * {_DM_R} * {_DM_VN})"
+    f" / nullif(k * (sn / k) * (sn / k), 0.0))"
+)
+_DM_SE = f"sqrt(nullif(greatest({_DM_VAR}, 0.0), 0.0))"
+
+
+@register(
+    "agg_delta_method_ratio",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id % 2 AS arm,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS y,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, user_id % 2),
+    arms AS (
+        SELECT arm,
+               CAST(count(*) AS DOUBLE) AS k,
+               CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) / 100.0 AS sy,
+               CAST(sum(CAST(n AS HUGEINT)) AS DOUBLE) AS sn,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) / 10000.0
+                   AS syy,
+               CAST(sum(CAST(n AS HUGEINT) * n) AS DOUBLE) AS snn,
+               CAST(sum(CAST(y AS HUGEINT) * n) AS DOUBLE) / 100.0 AS syn
+        FROM per_user GROUP BY arm)
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(k AS BIGINT) AS n_users,
+           CAST(sn AS BIGINT) AS n_events,
+           {sql_stable_round4(_DM_R)} AS ratio,
+           {sql_stable_round4(_DM_SE)} AS se_delta,
+           {sql_stable_round4(f'({_DM_R} - 1.96 * {_DM_SE})')} AS ci_lo,
+           {sql_stable_round4(f'({_DM_R} + 1.96 * {_DM_SE})')} AS ci_hi
+    FROM arms
+    """,
+)
+def agg_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method ratio-metric readout (value per event, randomized per
+    USER): the experimentation-kit member for metrics whose numerator and
+    denominator are both per-user sums — revenue per session, clicks per
+    view. The naive SE treats events as iid and is anti-conservative
+    under user clustering; the delta method Taylor-expands
+    R = sum(y)/sum(n) around the user-level means and uses the user-level
+    (co)variances instead (Deng, Knoblich & Lu, KDD 2018).
+
+    Determinism: per-user y is an exact BIGINT cent sum; the six per-arm
+    sufficient statistics are exact DECIMAL(38)/HUGEINT sums descaled by
+    literal powers of 100; R / SE / CI expressions are interpolated
+    VERBATIM into both engines and pass through stable_round4;
+    zero-variance and single-user arms NULL-propagate via nullif instead
+    of dividing by zero.
+
+    Scale: one user-keyed partial agg over events (shuffle carries one
+    row per user), then a 2-row arm rollup. The delta correction adds
+    three extra sum columns to an aggregate the readout already runs.
+    """
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    per_user = e.groupBy(
+        (F.col("user_id") % 2).alias("arm"), "user_id"
+    ).agg(
+        F.sum(cents).alias("y"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def dsum(expr: str, scale: float) -> F.Column:
+        col = F.sum(F.expr(expr).cast("decimal(38,0)")).cast("double")
+        return col / F.lit(scale) if scale != 1.0 else col
+
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("double").alias("k"),
+        dsum("y", 100.0).alias("sy"),
+        dsum("n", 1.0).alias("sn"),
+        dsum("y * y", 10000.0).alias("syy"),
+        dsum("n * n", 1.0).alias("snn"),
+        dsum("y * n", 100.0).alias("syn"),
+    )
+    return arms.selectExpr(
+        "CAST(arm AS BIGINT) AS arm",
+        "CAST(k AS BIGINT) AS n_users",
+        "CAST(sn AS BIGINT) AS n_events",
+        f"CAST({sql_stable_round4(_DM_R)} AS DOUBLE) AS ratio",
+        f"CAST({sql_stable_round4(_DM_SE)} AS DOUBLE) AS se_delta",
+        f"CAST({sql_stable_round4(f'({_DM_R} - 1.96 * {_DM_SE})')} "
+        "AS DOUBLE) AS ci_lo",
+        f"CAST({sql_stable_round4(f'({_DM_R} + 1.96 * {_DM_SE})')} "
+        "AS DOUBLE) AS ci_hi",
+    )

@@ -520,3 +520,94 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("dd_c") == F.col("mdd_c"), F.col("o_orderdate"))
         ).alias("trough_date"),
     )
+
+
+@register(
+    "win_max_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT l_suppkey,
+               CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS d0,
+               CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)
+                   + CAST(l_quantity AS BIGINT) % 14 + 1 AS d1
+        FROM lineitem),
+    deltas AS (
+        SELECT l_suppkey, d0 AS day_id, 1 AS delta FROM iv
+        UNION ALL
+        SELECT l_suppkey, d1 + 1 AS day_id, -1 AS delta FROM iv),
+    byday AS (
+        SELECT l_suppkey, day_id, SUM(delta) AS net
+        FROM deltas GROUP BY 1, 2),
+    run AS (
+        SELECT l_suppkey, day_id,
+               SUM(net) OVER (PARTITION BY l_suppkey ORDER BY day_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS conc
+        FROM byday),
+    mx AS (
+        SELECT l_suppkey, MAX(conc) AS max_conc FROM run GROUP BY 1)
+    SELECT r.l_suppkey,
+           CAST(m.max_conc AS BIGINT) AS max_in_transit,
+           CAST(MIN(r.day_id) AS BIGINT) AS first_peak_day
+    FROM run r JOIN mx m
+      ON r.l_suppkey = m.l_suppkey AND r.conc = m.max_conc
+    GROUP BY r.l_suppkey, m.max_conc
+    """,
+)
+def win_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval-overlap maximum: per supplier, the peak number
+    of simultaneously in-transit shipments and the FIRST day that peak is
+    reached. In-transit interval = [shipdate, shipdate + qty%14 + 1 days]
+    (deterministic transit time derived from quantity — the fixture has no
+    receiptdate). The classic O(n log n) sweep, relational form: each
+    interval emits +1/-1 boundary deltas, deltas collapse per (key, day)
+    BEFORE the running sum so same-day starts and ends net out (a shipment
+    arriving and another departing on the same day never double-counts),
+    and the prefix sum over day order IS the concurrency curve.
+
+    The argmax is a single struct-max aggregate (max conc, then max
+    negated day = earliest peak day) — no self-join back onto the curve;
+    the oracle states the same argmax as the explicit join-on-max form.
+
+    Scale: deltas are 2x the fact rows but collapse at the first
+    (supplier, day) partial agg; the window and the final agg share the
+    supplier key so the curve never reshuffles. No per-day re-scan — cost
+    is independent of the calendar span.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    d0 = F.floor(F.unix_timestamp("l_shipdate") / 86400).cast("long")
+    d1 = d0 + F.col("l_quantity").cast("long") % 14 + 1
+    starts = li.select(
+        "l_suppkey", d0.alias("day_id"), F.lit(1).alias("delta")
+    )
+    ends = li.select(
+        "l_suppkey", (d1 + 1).alias("day_id"), F.lit(-1).alias("delta")
+    )
+    byday = (
+        starts.unionByName(ends)
+        .groupBy("l_suppkey", "day_id")
+        .agg(F.sum("delta").alias("net"))
+    )
+    run = byday.select(
+        "l_suppkey",
+        "day_id",
+        F.sum("net")
+        .over(
+            W.partitionBy("l_suppkey")
+            .orderBy("day_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("conc"),
+    )
+    peak = run.groupBy("l_suppkey").agg(
+        F.max(
+            F.struct(
+                F.col("conc").alias("c"), (-F.col("day_id")).alias("nd")
+            )
+        ).alias("pk")
+    )
+    return peak.select(
+        "l_suppkey",
+        F.col("pk.c").cast("long").alias("max_in_transit"),
+        (-F.col("pk.nd")).cast("long").alias("first_peak_day"),
+    )

@@ -176,6 +176,13 @@ DRIVER_PRIORITY: list[str] = [
     "text_watermark_score",
     "text_source_overlap_matrix",
     "graph_ktruss",
+    "events_growth_accounting",
+    "win_max_concurrency",
+    "agg_penny_allocation",
+    "snk_cdc_delta",
+    "agg_delta_method_ratio",
+    "resolve_survivorship",
+    "join_phonetic_block",
     # round-4 statsml tranche (the two names past position 50 stay under
     # the full local gate; nothing here has ever driver-failed):
     "agg_kmv_sketch",

@@ -2207,3 +2207,96 @@ def events_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_id")
     )
+
+
+@register(
+    "events_growth_accounting",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_id
+        FROM events),
+    w AS (
+        SELECT user_id, day_id,
+               lag(day_id)  OVER (PARTITION BY user_id ORDER BY day_id)
+                   AS prev_day,
+               lead(day_id) OVER (PARTITION BY user_id ORDER BY day_id)
+                   AS next_day
+        FROM ud)
+    SELECT day_id,
+           CAST(count(*) AS BIGINT) AS active,
+           CAST(sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN prev_day = day_id - 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS retained,
+           CAST(sum(CASE WHEN prev_day IS NOT NULL
+                          AND prev_day < day_id - 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS resurrected,
+           CAST(sum(CASE WHEN next_day IS NULL OR next_day > day_id + 1
+                         THEN 1 ELSE 0 END)
+               AS BIGINT) AS churned_after
+    FROM w GROUP BY day_id
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting decomposition of daily actives — the
+    new / retained / resurrected / churned identity of product analytics
+    (active(d) = new + retained + resurrected; churned_after(d) counts the
+    actives with no activity on d+1, so retained(d+1) = active(d) -
+    churned_after(d)). Complements events_dau_wau_stickiness (volume) and
+    events_cohort_retention (cohort-relative) with the day-over-day state
+    machine of each user.
+
+    Scale: raw events collapse to distinct (user, day) first, one window
+    per user (high-cardinality key, bounded rows per user = active days),
+    then a day-keyed partial-agg rollup. No self-joins, no re-scan per
+    day; identical shape to the sessionization ops.
+    """
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_id"),
+    ).distinct()
+    wu = W.partitionBy("user_id").orderBy("day_id")
+    w = ud.select(
+        "user_id",
+        "day_id",
+        F.lag("day_id").over(wu).alias("prev_day"),
+        F.lead("day_id").over(wu).alias("next_day"),
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    return (
+        w.groupBy("day_id")
+        .agg(
+            F.count(one).cast("long").alias("active"),
+            F.sum(F.when(F.col("prev_day").isNull(), one).otherwise(zero))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(
+                F.when(F.col("prev_day") == F.col("day_id") - 1, one)
+                .otherwise(zero)
+            )
+            .cast("long")
+            .alias("retained"),
+            F.sum(
+                F.when(
+                    F.col("prev_day").isNotNull()
+                    & (F.col("prev_day") < F.col("day_id") - 1),
+                    one,
+                ).otherwise(zero)
+            )
+            .cast("long")
+            .alias("resurrected"),
+            F.sum(
+                F.when(
+                    F.col("next_day").isNull()
+                    | (F.col("next_day") > F.col("day_id") + 1),
+                    one,
+                ).otherwise(zero)
+            )
+            .cast("long")
+            .alias("churned_after"),
+        )
+        .orderBy("day_id")
+    )
