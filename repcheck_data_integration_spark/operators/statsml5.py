@@ -3220,3 +3220,219 @@ def agg_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({sql_stable_round4(f'({_DM_R} + 1.96 * {_DM_SE})')} "
         "AS DOUBLE) AS ci_hi",
     )
+
+
+# --------------------------------------------------------------------------
+# ts_runs_test — Wald-Wolfowitz randomness test on the daily series
+# --------------------------------------------------------------------------
+
+# R = observed runs of the above/below-median sign sequence;
+#   E[R]   = 2 n1 n2 / (n1+n2) + 1
+#   Var[R] = 2 n1 n2 (2 n1 n2 - n1 - n2) / ((n1+n2)^2 (n1+n2 - 1))
+_RT_E = "(2.0 * n1 * n2 / nullif(n1 + n2, 0.0) + 1.0)"
+_RT_VAR = (
+    "(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+    " / nullif((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0), 0.0))"
+)
+_RT_Z = f"((r - {_RT_E}) / sqrt(nullif(greatest({_RT_VAR}, 0.0), 0.0)))"
+
+
+@register(
+    "ts_runs_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+    rk AS (
+        SELECT d, c,
+               row_number() OVER (ORDER BY c, d) AS rn,
+               count(*) OVER () AS n
+        FROM daily),
+    med AS (
+        SELECT CAST(sum(CASE WHEN 2 * rn IN (n, n + 1, n + 2)
+                        THEN c ELSE 0 END)
+                    * (3 - sum(CASE WHEN 2 * rn IN (n, n + 1, n + 2)
+                               THEN 1 ELSE 0 END)) AS BIGINT) AS med2
+        FROM rk),
+    signs AS (
+        SELECT d, CASE WHEN 2 * c > med2 THEN 1 ELSE 0 END AS s
+        FROM daily CROSS JOIN med WHERE 2 * c <> med2),
+    seq AS (
+        SELECT s, lag(s) OVER (ORDER BY d) AS ps FROM signs),
+    agg AS (
+        SELECT CAST(sum(s) AS DOUBLE) AS n1,
+               CAST(sum(1 - s) AS DOUBLE) AS n2,
+               CAST(1 + sum(CASE WHEN ps IS NOT NULL AND s <> ps
+                            THEN 1 ELSE 0 END) AS DOUBLE) AS r
+        FROM seq)
+    SELECT CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(r AS BIGINT) AS runs,
+           {sql_stable_round4(_RT_E)} AS expected_runs,
+           {sql_stable_round4(_RT_Z)} AS z_score
+    FROM agg
+    """,
+)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily event-count series: too FEW
+    runs of the above/below-median sign sequence means trend/clustering,
+    too MANY means oscillation — the nonparametric randomness gate that
+    complements ts_ljung_box (which needs a variance) and ts_adf_test
+    (which assumes an AR model). Median-equal days are dropped, per the
+    standard dichotomization.
+
+    Determinism: the median is exact via the parity-proof middle-rank
+    selection (2*rn IN (n, n+1, n+2), held as 2x-median med2 so no
+    half-integer ever divides), the sign sequence and run count are pure
+    integer window algebra, and E[R]/z pass through shared verbatim
+    expressions with nullif-guarded degenerate cases (all-above,
+    single-sign, n<=1 sequences NULL-propagate).
+
+    Scale: fact table collapses to |days| rows; everything after is
+    windows over a tiny single-partition relation (documented
+    single-partition smallness, same as the other ts_ ops).
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    rk = daily.select(
+        "d",
+        "c",
+        F.row_number().over(W.orderBy("c", "d")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    mid = (F.col("rn") * 2 == F.col("n")) | (
+        F.col("rn") * 2 == F.col("n") + 1
+    ) | (F.col("rn") * 2 == F.col("n") + 2)
+    med = rk.agg(
+        (
+            F.sum(F.when(mid, F.col("c")).otherwise(0))
+            * (3 - F.sum(F.when(mid, 1).otherwise(0)))
+        )
+        .cast("long")
+        .alias("med2")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("c") * 2 != F.col("med2"))
+        .select(
+            "d",
+            F.when(F.col("c") * 2 > F.col("med2"), 1)
+            .otherwise(0)
+            .alias("s"),
+        )
+    )
+    seq = signs.select(
+        "s", F.lag("s").over(W.orderBy("d")).alias("ps")
+    )
+    agg = seq.agg(
+        F.sum("s").cast("double").alias("n1"),
+        F.sum(1 - F.col("s")).cast("double").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("ps").isNotNull()
+                    & (F.col("s") != F.col("ps")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("double")
+        .alias("r"),
+    )
+    return agg.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_above",
+        "CAST(n2 AS BIGINT) AS n_below",
+        "CAST(r AS BIGINT) AS runs",
+        f"CAST({sql_stable_round4(_RT_E)} AS DOUBLE) AS expected_runs",
+        f"CAST({sql_stable_round4(_RT_Z)} AS DOUBLE) AS z_score",
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_paired_ttest — pre/post paired t on per-customer spend
+# --------------------------------------------------------------------------
+
+PT_SPLIT = "1998-01-01"
+
+#   t = mean(d) / sqrt(var(d) / k),  d = post - pre cents per customer
+_PT_MEAN = "(sd / k / 100.0)"
+_PT_VAR = "((k * sdd - sd * sd) / nullif(k * (k - 1.0), 0.0) / 10000.0)"
+_PT_T = (
+    f"(({_PT_MEAN}) / sqrt(nullif(greatest({_PT_VAR}, 0.0), 0.0) / k))"
+)
+
+
+@register(
+    "agg_paired_ttest",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '{PT_SPLIT}'
+                        THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                        ELSE 0 END)
+                  - sum(CASE WHEN o_orderdate < TIMESTAMP '{PT_SPLIT}'
+                        THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS dd
+        FROM orders GROUP BY o_custkey),
+    agg AS (
+        SELECT CAST(count(*) AS DOUBLE) AS k,
+               CAST(sum(CAST(dd AS HUGEINT)) AS DOUBLE) AS sd,
+               CAST(sum(CAST(dd AS HUGEINT) * dd) AS DOUBLE) AS sdd
+        FROM per_cust)
+    SELECT CAST(k AS BIGINT) AS n_customers,
+           {sql_stable_round4(_PT_MEAN)} AS mean_diff,
+           {sql_stable_round4(_PT_T)} AS t_stat
+    FROM agg
+    """,
+)
+def agg_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired (dependent-samples) t-test of post-vs-pre spend per
+    customer around {PT_SPLIT} — each customer is their own control, the
+    design agg_cuped approximates when no clean pairing exists; together
+    with the unpaired agg_ab_ttest and the rank-based alternatives this
+    completes the location-test kit. d = post - pre in exact cents per
+    customer; customers with orders on only one side contribute their
+    one-sided total (a zero on the missing side), the standard intent-
+    to-treat convention.
+
+    Determinism: per-customer differences are exact BIGINT cent sums;
+    k/Sd/Sdd are HUGEINT/DECIMAL(38) reductions descaled by literal
+    powers of 100; mean/t pass through shared verbatim expressions with
+    nullif-guarded k<=1 and zero-variance cases.
+
+    Scale: one customer-keyed partial agg, one 1-row reduction —
+    experiment readout at the cost of the rollup it needs anyway.
+    """
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    split = F.lit(PT_SPLIT).cast("timestamp")
+    per_cust = o.groupBy("o_custkey").agg(
+        (
+            F.sum(
+                F.when(F.col("o_orderdate") >= split, cents).otherwise(0)
+            )
+            - F.sum(
+                F.when(F.col("o_orderdate") < split, cents).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("dd")
+    )
+    agg = per_cust.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum(F.expr("dd").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sd"),
+        F.sum(F.expr("dd * dd").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sdd"),
+    )
+    return agg.selectExpr(
+        "CAST(k AS BIGINT) AS n_customers",
+        f"CAST({sql_stable_round4(_PT_MEAN)} AS DOUBLE) AS mean_diff",
+        f"CAST({sql_stable_round4(_PT_T)} AS DOUBLE) AS t_stat",
+    )

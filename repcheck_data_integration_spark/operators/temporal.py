@@ -846,3 +846,159 @@ def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "fact_ts",
         F.col("c_mktsegment").alias("segment_at_fact"),
     )
+
+
+# --------------------------------------------------------------------------
+# temporal_align_segments — merge two SCD2 validity histories
+# --------------------------------------------------------------------------
+
+_TA_BASE = "2020-01-01 00:00:00"
+_TA_SEG_PIVOT = "2025-06-01 00:00:00"
+_TA_BAND_PIVOT = "2023-01-01 00:00:00"
+
+
+@register(
+    "temporal_align_segments",
+    oracle=f"""
+    WITH hist_a AS (
+        SELECT c_custkey AS k, c_mktsegment AS attr_a,
+               TIMESTAMP '{_TA_BASE}' AS vf,
+               CASE WHEN c_custkey % 5 = 0
+                    THEN TIMESTAMP '{_TA_SEG_PIVOT}'
+                    ELSE TIMESTAMP '{HIGH_DATE}' END AS vt
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'PIVOTED',
+               TIMESTAMP '{_TA_SEG_PIVOT}', TIMESTAMP '{HIGH_DATE}'
+        FROM customer WHERE c_custkey % 5 = 0),
+    hist_b AS (
+        SELECT c_custkey AS k, 'OLD' AS attr_b,
+               TIMESTAMP '{_TA_BASE}' AS vf,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN TIMESTAMP '{_TA_BAND_PIVOT}'
+                    ELSE TIMESTAMP '{HIGH_DATE}' END AS vt
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'NEW',
+               TIMESTAMP '{_TA_BAND_PIVOT}', TIMESTAMP '{HIGH_DATE}'
+        FROM customer WHERE c_custkey % 3 = 0),
+    bounds AS (
+        SELECT DISTINCT k, vf AS b FROM hist_a
+        UNION SELECT DISTINCT k, vt FROM hist_a
+        UNION SELECT DISTINCT k, vf FROM hist_b
+        UNION SELECT DISTINCT k, vt FROM hist_b),
+    segs AS (
+        SELECT k, b AS seg_from,
+               lead(b) OVER (PARTITION BY k ORDER BY b) AS seg_to
+        FROM bounds),
+    live AS (
+        SELECT k, seg_from, seg_to FROM segs WHERE seg_to IS NOT NULL)
+    SELECT s.k AS c_custkey, s.seg_from, s.seg_to, a.attr_a, b.attr_b
+    FROM live s
+    JOIN hist_a a
+      ON s.k = a.k AND s.seg_from >= a.vf AND s.seg_from < a.vt
+    JOIN hist_b b
+      ON s.k = b.k AND s.seg_from >= b.vf AND s.seg_from < b.vt
+    """,
+)
+def temporal_align_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-temporal history alignment: two independent SCD2 validity
+    histories of the same entity (market segment from one system, a
+    balance band from another) are merged into the REFINED segmentation —
+    one row per (key, maximal interval on which BOTH attributes are
+    constant). This is the temporal-warehouse join that turns
+    per-attribute histories into a single versioned dimension a
+    point-in-time join (join_pit_scd2) can consume; the reference's
+    whole-row upsert (database.py:52-73) cannot express it.
+
+    Sweep construction: per key, the DISTINCT union of both histories'
+    boundaries, lead() to form half-open segments, then each segment
+    start instant point-in-time-joins BOTH histories (equi-join on the
+    key with interval residuals — SCD2 guarantees few non-overlapping
+    versions per key, so no bucketing is needed). Both fixture histories
+    cover [base, {HIGH_DATE}) with no gaps, so every segment resolves
+    both attributes and the inner joins are total.
+
+    Scale: all four relations are key-partitioned; one shuffle serves
+    the boundary window, and the two PIT joins are key-equi-joins with
+    per-key candidate counts bounded by version counts (<=3 here). Output
+    is the refined history: Σ per-key (|A versions| + |B versions| - 1)
+    rows, never a cross product.
+    """
+    c = load(spark, sf_dir, "customer")
+    base = F.lit(_TA_BASE).cast("timestamp")
+    high = F.lit(HIGH_DATE).cast("timestamp")
+    seg_piv = F.lit(_TA_SEG_PIVOT).cast("timestamp")
+    band_piv = F.lit(_TA_BAND_PIVOT).cast("timestamp")
+
+    hist_a = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("attr_a"),
+        base.alias("vf"),
+        F.when(F.col("c_custkey") % 5 == 0, seg_piv)
+        .otherwise(high)
+        .alias("vt"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 5 == 0).select(
+            F.col("c_custkey").alias("k"),
+            F.lit("PIVOTED").alias("attr_a"),
+            seg_piv.alias("vf"),
+            high.alias("vt"),
+        )
+    )
+    hist_b = c.select(
+        F.col("c_custkey").alias("k"),
+        F.lit("OLD").alias("attr_b"),
+        base.alias("vf"),
+        F.when(F.col("c_custkey") % 3 == 0, band_piv)
+        .otherwise(high)
+        .alias("vt"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 3 == 0).select(
+            F.col("c_custkey").alias("k"),
+            F.lit("NEW").alias("attr_b"),
+            band_piv.alias("vf"),
+            high.alias("vt"),
+        )
+    )
+    bounds = (
+        hist_a.select("k", F.col("vf").alias("b"))
+        .unionByName(hist_a.select("k", F.col("vt").alias("b")))
+        .unionByName(hist_b.select("k", F.col("vf").alias("b")))
+        .unionByName(hist_b.select("k", F.col("vt").alias("b")))
+        .distinct()
+    )
+    segs = bounds.select(
+        "k",
+        F.col("b").alias("seg_from"),
+        F.lead("b").over(W.partitionBy("k").orderBy("b")).alias("seg_to"),
+    ).filter(F.col("seg_to").isNotNull())
+    a = hist_a.select(
+        F.col("k").alias("ka"), "attr_a", F.col("vf").alias("avf"),
+        F.col("vt").alias("avt"),
+    )
+    b = hist_b.select(
+        F.col("k").alias("kb"), "attr_b", F.col("vf").alias("bvf"),
+        F.col("vt").alias("bvt"),
+    )
+    return (
+        segs.join(
+            a,
+            (F.col("k") == F.col("ka"))
+            & (F.col("seg_from") >= F.col("avf"))
+            & (F.col("seg_from") < F.col("avt")),
+        )
+        .join(
+            b,
+            (F.col("k") == F.col("kb"))
+            & (F.col("seg_from") >= F.col("bvf"))
+            & (F.col("seg_from") < F.col("bvt")),
+        )
+        .select(
+            F.col("k").alias("c_custkey"),
+            "seg_from",
+            "seg_to",
+            "attr_a",
+            "attr_b",
+        )
+    )
