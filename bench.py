@@ -186,11 +186,18 @@ def main() -> None:
         )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Full per-query map goes to STDERR: the driver's tail-capture buffer
+    # holds only ~2.2 KB of stdout, and round 4's ~120-entry map overflowed
+    # it, leaving BENCH_r04.json with parsed:null. The one stdout JSON line
+    # must stay compact (<300 bytes) so the driver always parses it.
+    print("# per_query " + json.dumps(per_query), file=sys.stderr)
+    slowest = sorted(per_query.items(), key=lambda kv: -kv[1])[:3]
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
-        "queries": per_query,
+        "queries": {k: v for k, v in slowest},
+        "n_queries": len(per_query),
         "sf": float(sf) if sf else None,
     }
     print(json.dumps(out))

@@ -45,23 +45,24 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # covers what the engine is FOR; the full local gate (tools/check.py) still
 # checks all of them.
 #
-# Round-4 ordering rule (VERDICT.md r3 §process): queries FIXED in response
-# to a driver failure lead the prefix so the fix is driver-visible the same
-# round, followed by rows the driver has never green-lit (tpch_q12's r2
-# hash fix, the approx aggs that rotated out unverified) — never rotate a
-# failure out of the window.
+# Round-5 ordering rule (VERDICT.md r4 Next-round #2): the 5 ever-failed
+# rows stay pinned first (never rotate a failure out of the window), the 8
+# contract-pinned LLM north stars follow (tests/test_entry.py), and the
+# remaining 37 slots are filled with ops the driver has NEVER sampled in
+# any round (r2 covered the relational tranche, r3 the LLM flagships, r4
+# the stats/graph/eval tranche — union of CORRECTNESS_r0{2,3,4}.json keys
+# is 132 of 402). This round: the §2.7 scalar packs, the §2.1 source
+# scans, the §2.5/§2.6 window+setop cores — every fill row oracle-backed
+# (fn_uuid5 is rows-only so it stays outside; its stdlib-parity property
+# test is the stronger check anyway).
 DRIVER_PRIORITY: list[str] = [
-    # r3 failures, fixed this round (never rotate a failure out):
+    # ever-failed rows, pinned first forever (r2: tpch_q12; r3: the four):
     "win_session_features",
     "snk_scd2",
     "emb_normalize",
     "emb_quantize_int8",
-    # r2 rows whose fixes/first-runs were never driver-verified:
     "tpch_q12_priority_counts",
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    # LLM-pipeline north stars (r3-driver-green but contract-pinned by
-    # tests/test_entry.py — they stay in every window):
+    # LLM-pipeline north stars (contract-pinned by tests/test_entry.py):
     "dedup_minhash_lsh",
     "sim_search_ivf",
     "text_tfidf_topterms",
@@ -70,127 +71,47 @@ DRIVER_PRIORITY: list[str] = [
     "mm_binary_meta",
     "join_fuzzy_topk",
     "stream_tumbling_window",
-    # round-4 ops the driver has NEVER sampled (the r3-green rows they
-    # displace remain covered by the full local gate):
-    "text_bm25_search",
-    "dedup_semantic_contamination",
-    "llm_preference_pairs",
-    "events_attribution_linear",
-    "dq_k_anonymity",
-    "dq_l_diversity",
-    "graph_adamic_adar",
-    "text_minhash_containment",
-    "join_bloom_prune",
-    "llm_eval_bleu",
-    "text_classifier_score",
-    "text_perplexity_buckets",
-    "pipeline_corpus_curation_v3",
-    "agg_quantile_histogram",
-    "mm_audio_energy",
-    "src_avro_scan",
-    "stream_dedup_minhash",
-    "llm_eval_rouge",
-    "events_kaplan_meier",
-    "pipeline_dpo_prep",
-    "events_chi2_independence",
-    "text_lang_id_eval",
-    "mix_excess_loss_weights",
-    "ml_knn_classify",
-    "llm_sft_format",
-    "resolve_fs_score",
-    "pipeline_rag_index",
-    "pipeline_rag_query",
-    "src_xml_scan",
-    # round-4 continuation tranche (HITS ranking, DSIR reweighting,
-    # Lee-et-al repeated-span audit — newest code gets driver eyes):
-    "graph_hits",
-    "text_dsir_weights",
-    "dedup_repeated_ngrams",
-    "graph_kcore",
-    "text_readability",
-    "ts_holt_linear",
-    "ts_decompose_seasonal",
-    "text_tokenizer_fertility",
-    "dq_fk_coverage",
-    "events_regularity_score",
-    "win_hampel_filter",
-    "sim_search_mips",
-    "events_late_data_audit",
-    "mix_annealing_schedule",
-    "src_parquet_metadata",
-    "text_keyphrase_textrank",
-    "agg_market_basket_rules",
-    "ts_anomaly_seasonal",
-    "events_entropy_rate",
-    "text_distinct_ngrams",
-    "join_spatial_area_weight",
-    "ml_sprt_ab",
-    "events_markov_stationary",
-    # round-4 causal/one-step-ML tranche (past the driver's 50-query
-    # window; covered by the full local gate):
-    "ml_logreg_newton",
-    "agg_cuped",
-    "ts_granger_causality",
-    "ts_changepoint_binseg",
-    "rec_slope_one",
-    "text_zipf_fit",
-    "graph_bfs_distance",
-    # round-4 rank-statistics/concentration tranche:
-    "ml_spearman_corr",
-    "ml_mann_whitney_u",
-    "agg_anova_oneway",
-    "agg_hhi_concentration",
-    "graph_degree_assortativity",
-    # round-4 corpus-growth/eval tranche:
-    "text_heaps_fit",
-    "text_term_burstiness",
-    "llm_eval_chrf",
-    "ts_ljung_box",
-    "ml_boosted_stumps",
-    "ts_pacf",
-    "graph_modularity",
-    "ml_kendall_tau",
-    "win_drawdown",
-    "text_code_detect",
-    "ml_auc_pr",
-    "ml_cohen_kappa",
-    "agg_trimmed_mean",
-    "text_kneser_ney_xent",
-    "ts_dominant_period",
-    "agg_lorenz_deciles",
-    "src_fixed_width_scan",
-    "ts_adf_test",
-    "ml_two_proportion_ztest",
-    "graph_katz_centrality",
-    "ml_lasso_cd",
-    "ml_mcnemar_test",
-    "ml_brier_decomposition",
-    "ts_dow_profile",
-    "events_gesd_outliers",
-    "src_zip_archive_scan",
-    "priv_randomized_response",
-    "emb_pair_cosine_histogram",
-    "events_logrank_test",
-    "ts_seasonal_strength",
-    "ml_cmh_test",
-    "text_watermark_score",
-    "text_source_overlap_matrix",
-    "graph_ktruss",
-    "events_growth_accounting",
-    "win_max_concurrency",
-    "agg_penny_allocation",
-    "snk_cdc_delta",
-    "agg_delta_method_ratio",
-    "resolve_survivorship",
-    "join_phonetic_block",
-    # round-4 statsml tranche (the two names past position 50 stay under
-    # the full local gate; nothing here has ever driver-failed):
-    "agg_kmv_sketch",
-    "dq_t_closeness",
-    "join_set_similarity",
-    "ts_autocorr",
-    "ml_linreg_normal_eq",
-    "ml_naive_bayes_lang",
+    # §2.7 scalar-function packs — never driver-sampled before round 5:
+    "fn_string_pack",
+    "fn_date_pack",
+    "fn_case_try_pack",
+    "fn_json_pack",
+    "fn_array_pack",
+    "fn_explode",
+    "fn_unaccent",
+    "fn_surrogate_key",
+    "fn_map_pack",
+    "fn_url_parse",
+    "fn_geo_pack",
+    "fn_variant_pack",
+    "fn_recursive_cte_depth",
+    "fn_collation_group",
+    "fn_try_arith_pack",
+    # §2.1 source scans — never driver-sampled before round 5:
+    "src_parquet_scan",
+    "src_json_dir_scan",
+    "src_jsonl_scan",
+    "src_csv_scan",
+    "src_yaml_dir_scan",
+    "src_ref_lookup",
+    "src_shapefile_scan",
+    "src_orc_scan",
+    # §2.5/§2.6 window + set-op cores — never driver-sampled before r5:
+    "win_top1_score",
+    "win_latest_version",
+    "win_running_sum",
+    "sort_order",
+    "lim_limit",
+    "set_union",
+    "set_except",
+    "set_intersect",
+    # remaining never-sampled fill to exactly 50:
+    "fn_unpivot",
+    "agg_grouping_sets",
+    "agg_mode",
+    "agg_median_exact",
+    "win_rank_dense",
+    "win_lag_lead",
 ]
 
 
