@@ -873,15 +873,17 @@ def test_burstiness_df_floor_then_two_level_topk(spark):
     assert "text" in rs and "lang" not in rs
 
 
-def test_chrf_doc_keyed_gram_join_cached_pair(spark):
-    spark.catalog.clearCache()
+def test_chrf_map_only_arrow_pass(spark):
     p = plan(spark, "llm_eval_chrf")
-    # one persisted candidate/reference frame feeds both gram sides;
-    # the clip join keys on (doc_id, gram) — hash, never nested-loop
-    assert "InMemoryTableScan" in p
-    assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
-    assert p.count("HashAggregate") >= 4  # partial+final gram counts
+    # round-5 doc-local rewrite: grams never exist as JVM strings and
+    # never cross an operator boundary — ONE Arrow mapInPandas pass per
+    # doc, one explicit fan-out repartition, no joins, no gram shuffle
+    assert "MapInPandas" in p
+    assert "Join" not in p
+    assert "HashAggregate" not in p  # denominators are closed-form
+    import re as _re
+
+    assert len(_re.findall(r"\bExchange \(", p)) == 1  # the fan-out only
 
 
 def test_ljung_box_calendar_bounded_quantized_terms(spark):
