@@ -198,6 +198,52 @@ def st_intersects(g1: pd.Series, g2: pd.Series) -> pd.Series:
     )
 
 
+def geojson_centroid_xy(geom: dict) -> tuple[float, float]:
+    """Area-weighted (surface) centroid of a GeoJSON Polygon/MultiPolygon
+    with holes — the shoelace formula per ring, exterior rings adding and
+    holes subtracting, winding-normalized so either ring orientation is
+    accepted. This is what shapely's ``.centroid`` computes for the
+    reference at nytimes_precincts.py:67-70; pure Python here so it runs
+    distributed without a native geo dependency."""
+    num_x = num_y = den = 0.0
+    for part in _polys_from_geojson(geom):
+        for ri, ring in enumerate(part):
+            a2 = sx = sy = 0.0
+            for (x0, y0), (x1, y1) in zip(ring, ring[1:]):
+                cr = x0 * y1 - x1 * y0
+                a2 += cr
+                sx += (x0 + x1) * cr
+                sy += (y0 + y1) * cr
+            # ring centroid contribution: sign(a2) normalizes winding,
+            # ring index 0 is the exterior (GeoJSON convention), others
+            # subtract as holes
+            hole_sign = 1.0 if ri == 0 else -1.0
+            orient = 1.0 if a2 >= 0.0 else -1.0
+            num_x += hole_sign * orient * sx / 3.0
+            num_y += hole_sign * orient * sy / 3.0
+            den += hole_sign * abs(a2)
+    if den == 0.0:
+        return (float("nan"), float("nan"))
+    return (num_x / den, num_y / den)
+
+
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType()),
+        ]
+    )
+)
+def st_centroid(geometry: pd.Series) -> pd.DataFrame:
+    """Arrow-batched surface centroid of a GeoJSON geometry string."""
+    pts = [
+        geojson_centroid_xy(json.loads(g)) if g is not None else (None, None)
+        for g in geometry
+    ]
+    return pd.DataFrame({"lon": [p[0] for p in pts], "lat": [p[1] for p in pts]})
+
+
 # -- derived rectangle fixtures (deterministic integer-ish geometry) --------
 
 def _district_rects(spark: SparkSession, sf_dir: str) -> DataFrame:

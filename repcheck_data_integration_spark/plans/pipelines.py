@@ -329,3 +329,67 @@ def mint_uuid5_namespace(name: str) -> str:
     """Driver-side uuid5 helper for ids minted outside the plan
     (nytimes_precincts.py:73)."""
     return str(uuid.uuid5(uuid.NAMESPACE_OID, name))
+
+
+# --------------------------------------------------------------------------
+# §3.4 precinct election results (nytimes_precincts.py:21-92)
+# --------------------------------------------------------------------------
+
+# properties block of one NYT precinct GeoJSON-lines record
+# (nytimes_precincts.py:64, 73-80)
+PRECINCT_PROPS_DDL = (
+    "GEOID string, state string, votes_dem bigint, votes_rep bigint,"
+    " votes_total bigint, pct_dem_lead double, official_boundary boolean"
+)
+
+
+def parse_precinct_lines(geojson_lines: DataFrame) -> DataFrame:
+    """GeoJSON-lines → typed precinct rows (nytimes_precincts.py:58-88).
+    The reference json.loads's each line, shapely-centroids the geometry
+    and upserts ONE ROW AT A TIME through the ORM; here the whole file is
+    one distributed plan: from_json for the properties block, the raw
+    geometry kept as its JSON substring, an Arrow-batched shoelace
+    centroid (operators/spatial.py st_centroid — same area-weighted
+    definition as shapely's .centroid), and uuid5(NAMESPACE_OID, GEOID)
+    minted natively (functions/kernels.py uuid5, RFC-exact)."""
+    from ..operators.spatial import st_centroid
+
+    props = F.from_json(
+        F.get_json_object(F.col("value"), "$.properties"), PRECINCT_PROPS_DDL
+    )
+    geom = F.get_json_object(F.col("value"), "$.geometry")
+    parsed = geojson_lines.select(props.alias("p"), geom.alias("geometry"))
+    return parsed.select(
+        uuid5(F.col("p.GEOID")).alias("precinct_id"),
+        F.col("p.state").alias("state"),
+        F.col("p.votes_dem").alias("votes_dem"),
+        F.col("p.votes_rep").alias("votes_rep"),
+        F.col("p.votes_total").alias("votes_total"),
+        F.col("p.pct_dem_lead").alias("pct_dem_lead"),
+        F.col("p.official_boundary").alias("official_boundary"),
+        F.col("geometry"),
+        st_centroid(F.col("geometry")).alias("c"),
+    ).select(
+        "precinct_id",
+        "state",
+        "votes_dem",
+        "votes_rep",
+        "votes_total",
+        "pct_dem_lead",
+        "official_boundary",
+        "geometry",
+        F.col("c.lat").alias("centroid_lat"),
+        F.col("c.lon").alias("centroid_lon"),
+    )
+
+
+def ingest_precincts(
+    existing: DataFrame, geojson_lines: DataFrame
+) -> DataFrame:
+    """The full §3.4 lifecycle: parse → centroid → uuid5 key → keyed
+    upsert (nytimes_precincts.py:83-88 upsert_dynamic per row becomes one
+    set-oriented MERGE on precinct_id)."""
+    return merge_upsert(
+        existing, parse_precinct_lines(geojson_lines),
+        keys=["precinct_id"], preserve=(),
+    )

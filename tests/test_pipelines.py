@@ -220,3 +220,82 @@ def test_person_zip_edges(spark):
     )
     with pytest.raises(ValueError, match="missing constituent"):
         P.person_zip_edges(bad_people, areas, cell=4.0)
+
+
+def _precinct_line(geoid, state, dem, rep, geometry):
+    total = dem + rep
+    return json.dumps(
+        {
+            "type": "Feature",
+            "properties": {
+                "GEOID": geoid,
+                "state": state,
+                "votes_dem": dem,
+                "votes_rep": rep,
+                "votes_total": total,
+                "pct_dem_lead": round((dem - rep) / max(total, 1), 4),
+                "official_boundary": True,
+            },
+            "geometry": geometry,
+        }
+    )
+
+
+def test_ingest_precincts_end_to_end(spark):
+    """§3.4 lifecycle (nytimes_precincts.py:21-92): GeoJSON lines →
+    properties + shoelace centroid + uuid5 key → keyed MERGE upsert."""
+    import uuid as _uuid
+
+    square = {
+        "type": "Polygon",
+        "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]],
+    }
+    # part 1: 4x4 square with a 2x2 hole (area 12, centroid (2,2));
+    # part 2: 2x2 square at (10,0) (area 4, centroid (11,1))
+    # → weighted centroid ((12*2+4*11)/16, (12*2+4*1)/16) = (4.25, 1.75)
+    multi = {
+        "type": "MultiPolygon",
+        "coordinates": [
+            [
+                [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+                [[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]],
+            ],
+            [[[10, 0], [12, 0], [12, 2], [10, 2], [10, 0]]],
+        ],
+    }
+    lines = spark.createDataFrame(
+        [
+            (_precinct_line("55001-0001", "WI", 120, 80, square),),
+            (_precinct_line("55001-0002", "WI", 10, 30, multi),),
+        ],
+        ["value"],
+    )
+    new = P.parse_precinct_lines(lines).orderBy("state", "votes_total")
+    rows = {r["precinct_id"]: r for r in new.collect()}
+    k1 = str(_uuid.uuid5(_uuid.NAMESPACE_OID, "55001-0001"))
+    k2 = str(_uuid.uuid5(_uuid.NAMESPACE_OID, "55001-0002"))
+    assert set(rows) == {k1, k2}
+    assert rows[k1]["centroid_lon"] == pytest.approx(5.0)
+    assert rows[k1]["centroid_lat"] == pytest.approx(5.0)
+    assert rows[k2]["centroid_lon"] == pytest.approx(4.25)
+    assert rows[k2]["centroid_lat"] == pytest.approx(1.75)
+    assert rows[k1]["votes_total"] == 200
+    assert rows[k1]["official_boundary"] is True
+    assert json.loads(rows[k2]["geometry"]) == multi
+
+    # upsert: k1 already exists with stale votes → updated; k2 inserted
+    existing = spark.createDataFrame(
+        [
+            (k1, "WI", 1, 1, 2, 0.0, True,
+             json.dumps(square), 5.0, 5.0),
+        ],
+        "precinct_id string, state string, votes_dem bigint,"
+        " votes_rep bigint, votes_total bigint, pct_dem_lead double,"
+        " official_boundary boolean, geometry string,"
+        " centroid_lat double, centroid_lon double",
+    )
+    merged = P.ingest_precincts(existing, lines)
+    got = {r["precinct_id"]: r for r in merged.collect()}
+    assert len(got) == 2
+    assert got[k1]["votes_total"] == 200  # updated, not duplicated
+    assert got[k2]["votes_total"] == 40   # inserted
