@@ -647,13 +647,11 @@ def fn_arrow_bytes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-term quantization scale for the quantize-then-sum ops (JSD, entropy,
 # power-law alpha): each raw libm product is floored to an integer BEFORE
 # the order-sensitive sum so parallel accumulation is order-independent.
-# Boundary sensitivity (ADVICE r3): floor() with no guard band means a
-# JVM-vs-libm ulp difference AT AN EXACT INTEGER BOUNDARY would flip one
-# term by 1/SCALE and fail the cross-engine hash — quieter than the
-# stable_round4 surfaces, which add the +0.5 midpoint offset. Parity holds
-# on every fixture; if a boundary flip ever surfaces, mirror a midpoint
-# offset (floor(x*SCALE + 0.5)) on BOTH engines rather than widening the
-# tolerance.
+# Boundary guard (ADVICE r3/r4): every JSD term carries the +0.5 MIDPOINT
+# offset inside the floor, mirrored verbatim on both engines — a
+# JVM-vs-libm ulp difference can then only flip a term when the true
+# product sits within a ulp of a HALF-integer, which unlike the integer
+# boundary is never hit exactly by the p==q → ln(1)=0 degenerate terms.
 JSD_SCALE = 1_000_000_000  # per-term quantization (needs ln precision)
 
 
@@ -677,17 +675,17 @@ JSD_SCALE = 1_000_000_000  # per-term quantization (needs ln precision)
                 CROSS JOIN ctot x),
     contrib AS (
         SELECT lang,
-               CAST(floor(0.5 * p * ln(2.0 * p / (p + q)) * {JSD_SCALE})
-                    AS BIGINT)
-               + CAST(floor(0.5 * q * ln(2.0 * q / (p + q)) * {JSD_SCALE})
-                      AS BIGINT) AS tq
+               CAST(floor(0.5 * p * ln(2.0 * p / (p + q)) * {JSD_SCALE}
+                          + 0.5) AS BIGINT)
+               + CAST(floor(0.5 * q * ln(2.0 * q / (p + q)) * {JSD_SCALE}
+                            + 0.5) AS BIGINT) AS tq
         FROM terms),
     missing AS (
         -- corpus-only mass: words absent from this lang still contribute
         -- 0.5*q*ln(2) each; equals 0.5*ln(2)*(1 - sum_present q)
         SELECT t.lang,
                CAST(floor(0.5 * ln(2.0) * (x.ct - sum(co.cc)) * 1.0 / x.ct
-                          * {JSD_SCALE}) AS BIGINT) AS mq
+                          * {JSD_SCALE} + 0.5) AS BIGINT) AS mq
         FROM tc JOIN totals t USING (lang)
                 JOIN corpus co ON tc.w = co.w
                 CROSS JOIN ctot x
@@ -735,11 +733,11 @@ def text_lang_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     tq = (
         F.floor(
             0.5 * F.col("p") * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q")))
-            * JSD_SCALE
+            * JSD_SCALE + 0.5
         ).cast("long")
         + F.floor(
             0.5 * F.col("q") * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q")))
-            * JSD_SCALE
+            * JSD_SCALE + 0.5
         ).cast("long")
     )
     contrib = terms.select("lang", tq.alias("tq"), "cc", "ct")
@@ -755,7 +753,7 @@ def text_lang_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mq = F.floor(
         0.5 * math.log(2.0) * (F.col("ct") - F.col("scc")) * 1.0 / F.col("ct")
-        * JSD_SCALE
+        * JSD_SCALE + 0.5
     ).cast("long")
     return present.select(
         "lang",
