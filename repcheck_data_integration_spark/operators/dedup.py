@@ -153,6 +153,63 @@ def _bands_sql() -> str:
     return ", ".join(f"md5(mh{2*b} || mh{2*b+1})" for b in range(N_BANDS))
 
 
+CAND_BUCKET_CAP = 64  # max left-side rows one salted candidate task compares
+
+
+def banded_candidates(bands: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) → distinct (doc1 < doc2) candidate
+    pairs via the bucket equi-join, with HOT-BUCKET SALTING (VERDICT r4
+    #6): a boilerplate-dominated corpus collapses ~10% of docs into one
+    band bucket, and that bucket's self-join H² OUTPUT explosion lands in
+    a single task — invisible to AQE skew-split, which only sees the
+    (tiny, highly compressible) INPUT bytes of repeated band hashes.
+    Buckets above CAND_BUCKET_CAP rows split into g = ceil(H/CAP) salt
+    groups: the left side keeps one deterministic salt per row, the right
+    side replicates across all g salts, so each task compares at most
+    CAP×H pairs and the pair set is EXACTLY the unsalted one (each (a,b)
+    meets once, at a's salt). Cold buckets get g = 1 — zero replication.
+    Common-path cost: one extra map-side-combined aggregate over the band
+    rows (4 fixed-width rows/doc) plus the broadcast of the (few) hot
+    bucket keys — measured +0.2-0.4s at sf0.1 against the unsalted join,
+    bought against the unbounded single-task H² worst case."""
+    hot = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") > CAND_BUCKET_CAP)
+        .select(
+            "band_idx",
+            "band_hash",
+            F.ceil(F.col("bn") / CAND_BUCKET_CAP).cast("int").alias("g"),
+        )
+    )
+    bl = bands.join(
+        F.broadcast(hot), ["band_idx", "band_hash"], "left"
+    ).select(
+        "doc_id",
+        "band_idx",
+        "band_hash",
+        F.coalesce(F.col("g"), F.lit(1)).alias("g"),
+    )
+    a = bl.select(
+        "band_idx",
+        "band_hash",
+        F.col("doc_id").alias("doc1"),
+        F.pmod(F.xxhash64("doc_id"), F.col("g")).cast("int").alias("salt"),
+    )
+    b = bl.select(
+        "band_idx",
+        "band_hash",
+        F.col("doc_id").alias("doc2"),
+        F.explode(F.expr("sequence(0, g - 1)")).alias("salt"),
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash", "salt"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -208,17 +265,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = mh.select(
         "doc_id", F.posexplode(_bands_spark()).alias("band_idx", "band_hash")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .distinct()
-    )
+    cand = banded_candidates(bands)
     x = sh.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
     y = sh.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
     scored = (
@@ -918,17 +965,7 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = mh.select(
         "doc_id", F.posexplode(_bands_spark()).alias("band_idx", "band_hash")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .distinct()
-    )
+    cand = banded_candidates(bands)
     x = mhs.select(
         F.col("doc_id").alias("doc1"),
         F.col("sh").alias("sh1"),
@@ -1200,19 +1237,7 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = mh.select(
         "doc_id", F.posexplode(_bands_spark()).alias("band_idx", "band_hash")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
-        )
-        .distinct()
-    )
+    cand = banded_candidates(bands)
     x = sh.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
     y = sh.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))).cast(
