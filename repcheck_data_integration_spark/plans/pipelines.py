@@ -332,6 +332,75 @@ def mint_uuid5_namespace(name: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# §2.8/§3 PDF ingest lifecycle (summarize_bills_federal.py:127-190)
+# --------------------------------------------------------------------------
+
+def pdf_ingest_curation(docs: DataFrame) -> DataFrame:
+    """The reference's bill-summarize lifecycle shape end-to-end in ONE
+    DAG: PDF payload → text extraction → token-count quality gates →
+    exact dedup (summarize_bills_federal.py:127-190 downloads a PDF per
+    bill, pdfminer-extracts it, then length-gates before the LLM call).
+    Here each document synthesizes a REAL one-page PDF
+    (sources/pdftext.pdf_from_text — Flate stream, Tj operators), the
+    pure-python extractor recovers the text inside the same Arrow pass,
+    and the curation gates (token bounds, language keep-list,
+    keep-lowest-id exact dedup on the recovered text) run downstream of
+    the extraction without re-scanning the corpus. ``extract_ok`` is an
+    in-plan roundtrip assertion: the cleaned recovered text must equal
+    the cleaned latin-1 projection of the source."""
+    import pandas as pd
+
+    from ..operators.dedup import tokens as token_array
+    from ..operators.llm import clean_text
+    from ..sources.pdftext import extract_pdf_text, pdf_from_text
+
+    def extract(batches):
+        for b in batches:
+            texts, oks = [], []
+            for t in b["text"]:
+                payload = pdf_from_text(t, wrap=10**9)
+                got = clean_text(extract_pdf_text(payload))
+                want = clean_text(
+                    t.encode("latin-1", "ignore").decode("latin-1")
+                )
+                texts.append(got)
+                oks.append(got == want)
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "lang": b["lang"],
+                    "rec_text": texts,
+                    "extract_ok": oks,
+                }
+            )
+
+    rec = docs.select("doc_id", "lang", "text").mapInPandas(
+        extract,
+        "doc_id long, lang string, rec_text string, extract_ok boolean",
+    )
+    n = F.size(token_array(F.col("rec_text")))
+    scored = rec.select(
+        "doc_id",
+        "lang",
+        "extract_ok",
+        n.alias("n_tokens"),
+        F.md5("rec_text").alias("content_hash"),
+    )
+    kept = scored.filter(
+        F.col("extract_ok")
+        & F.col("n_tokens").between(20, 1000)
+        & F.col("lang").isin("en", "de", "fr", "es")
+    )
+    canon = kept.withColumn(
+        "canon",
+        F.min("doc_id").over(W.partitionBy("content_hash")),
+    )
+    return canon.filter(F.col("doc_id") == F.col("canon")).select(
+        "doc_id", "lang", "n_tokens", "content_hash", "extract_ok"
+    )
+
+
+# --------------------------------------------------------------------------
 # §3.4 precinct election results (nytimes_precincts.py:21-92)
 # --------------------------------------------------------------------------
 

@@ -299,3 +299,27 @@ def test_ingest_precincts_end_to_end(spark):
     assert len(got) == 2
     assert got[k1]["votes_total"] == 200  # updated, not duplicated
     assert got[k2]["votes_total"] == 40   # inserted
+
+
+def test_pdf_ingest_curation_lifecycle(spark):
+    """§2.8 PDF leg (summarize_bills_federal.py:127-190) composed
+    end-to-end: synthesize a real PDF per doc, extract with the
+    pure-python parser, then token-gate + exact-dedup the RECOVERED
+    text in the same DAG. The roundtrip flag must hold for every doc,
+    and the gate decisions must agree with the raw-text curation pass
+    (pipeline_corpus_curation) on the same fixture."""
+    from repcheck_data_integration_spark.operators.llm import (
+        pipeline_corpus_curation,
+    )
+    from repcheck_data_integration_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    out = P.pdf_ingest_curation(docs).collect()
+    assert out, "pipeline produced no rows"
+    assert all(r["extract_ok"] for r in out)
+    got_ids = {r["doc_id"] for r in out}
+    want_ids = {
+        r["doc_id"] for r in pipeline_corpus_curation(spark, sf).collect()
+    }
+    assert got_ids == want_ids
