@@ -1405,3 +1405,425 @@ def _register_eval_chrf() -> None:
 
 
 _register_eval_chrf()
+
+# --- Bradley-Terry preference ranking ---------------------------------------
+
+BT_SCALE = 1_000_000  # integer strength scale; 3 MM rounds unrolled
+BT_ROUNDS = 3
+BT_BLOCK = 20  # docs per judged block; doc_id div 20 spans every source
+
+
+def _register_bradley_terry() -> None:
+    from .dedup import TOKEN_RE, sql_stable_round4, stable_round4
+
+    toks_sql = f"regexp_extract_all(text, '{TOKEN_RE}')"
+    S = BT_SCALE
+
+    def round_sql(k: int) -> str:
+        prev = f"r{k - 1}"
+        return f"""
+    t{k} AS (
+        SELECT nij.i,
+               CAST(sum((nij.n * {S} * {S}) // (a.sq + b.sq)) AS BIGINT) AS t
+        FROM nij JOIN {prev} a ON nij.i = a.i
+                 JOIN {prev} b ON nij.j = b.i
+        GROUP BY 1),
+    raw{k} AS (
+        SELECT wt.i, (wt.wins * {S} * {S}) // t{k}.t AS raw
+        FROM wt JOIN t{k} ON wt.i = t{k}.i),
+    r{k} AS (
+        SELECT raw{k}.i,
+               CAST((raw{k}.raw * nn.n_src * {S})
+                    // (SELECT sum(raw) FROM raw{k}) AS BIGINT) AS sq
+        FROM raw{k} CROSS JOIN nn)"""
+
+    rounds = ",".join(round_sql(k) for k in range(1, BT_ROUNDS + 1))
+
+    @register(
+        "ml_bradley_terry",
+        oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source, doc_id // {BT_BLOCK} AS grp,
+               (len(list_distinct({toks_sql})) * {_PREF_SCALE})
+                   // len({toks_sql}) AS score_q
+        FROM documents WHERE len({toks_sql}) > 0),
+    rk AS (
+        SELECT grp, source, score_q, doc_id,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY score_q DESC, doc_id) AS r
+        FROM s),
+    gsrc AS (
+        -- consecutive ranks within a judged block: r beats r+1
+        SELECT source AS wi_,
+               lead(source) OVER (PARTITION BY grp
+                                  ORDER BY r) AS lj_
+        FROM rk),
+    games AS (SELECT wi_, lj_ FROM gsrc
+              WHERE lj_ IS NOT NULL AND wi_ <> lj_),
+    edges AS (
+        SELECT wi_ AS i, lj_ AS j, 1 AS wf FROM games
+        UNION ALL
+        SELECT lj_ AS i, wi_ AS j, 0 AS wf FROM games),
+    nij AS (
+        SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(wf) AS BIGINT) AS w
+        FROM edges GROUP BY 1, 2),
+    wt AS (
+        SELECT i, CAST(sum(w) AS BIGINT) AS wins,
+               CAST(sum(n) AS BIGINT) AS games
+        FROM nij GROUP BY 1),
+    nn AS (SELECT count(*) AS n_src FROM wt),
+    r0 AS (SELECT i, CAST({S} AS BIGINT) AS sq FROM wt),
+    {rounds}
+    SELECT wt.i AS source, wt.games, wt.wins,
+           {sql_stable_round4(f'r{BT_ROUNDS}.sq * 1.0 / {S}')} AS strength,
+           CAST(row_number() OVER (ORDER BY r{BT_ROUNDS}.sq DESC, wt.i)
+                AS BIGINT) AS rank
+    FROM wt JOIN r{BT_ROUNDS} ON wt.i = r{BT_ROUNDS}.i
+    ORDER BY rank
+    """,
+    )
+    def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Bradley-Terry strength ranking of the document SOURCES from
+        pairwise quality judgments — the model-ranking readout an
+        RLHF/eval pipeline runs over win/loss verdicts (source stands in
+        for "model"; production plugs in judge outcomes). Games: within
+        each judged block of {BT_BLOCK} docs (doc_id div {BT_BLOCK}, so a
+        block spans every source), the distinct-token-ratio ranking's
+        consecutive pairs — rank r beats rank r+1. {BT_ROUNDS}
+        minorization-maximization rounds (Hunter 2004) unrolled, ALL in
+        integer arithmetic: strengths live at scale {BT_SCALE}, each
+        pairwise term n_ij*S^2 div (s_i+s_j) is an exact integer before
+        the opponent sum, each round renormalizes to mean S with one more
+        integer division — no float ever enters a sum, so both engines
+        reproduce the fixpoint bit-for-bit.
+
+        Scale shape: one corpus tokenize pass + one block window build
+        the game matrix, which is at most |sources|^2 rows;
+        localCheckpoint truncates the iteration's lineage so {BT_ROUNDS}
+        rounds of 20-row joins don't replicate the corpus subtree in the
+        plan (the dedup_components discipline)."""
+        from pyspark.sql import Window as _W
+
+        d = load(spark, sf_dir, "documents")
+        toks = F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")
+        s = d.select(
+            "doc_id",
+            "source",
+            F.expr(f"doc_id div {BT_BLOCK}").alias("grp"),
+            F.expr(
+                f"(size(array_distinct(regexp_extract_all(text,"
+                f" '{TOKEN_RE}', 0))) * {_PREF_SCALE}L)"
+                f" div size(regexp_extract_all(text, '{TOKEN_RE}', 0))"
+            ).alias("score_q"),
+        ).filter(F.size(toks) > 0)
+        rk = s.select(
+            "grp",
+            "source",
+            F.row_number()
+            .over(
+                _W.partitionBy("grp").orderBy(
+                    F.col("score_q").desc(), F.col("doc_id")
+                )
+            )
+            .alias("r"),
+        )
+        gsrc = rk.select(
+            F.col("source").alias("wi_"),
+            F.lead("source").over(_W.partitionBy("grp").orderBy("r")).alias(
+                "lj_"
+            ),
+        )
+        games = gsrc.filter(
+            F.col("lj_").isNotNull() & (F.col("wi_") != F.col("lj_"))
+        )
+        edges = games.select(
+            F.col("wi_").alias("i"), F.col("lj_").alias("j"),
+            F.lit(1).alias("wf"),
+        ).unionByName(
+            games.select(
+                F.col("lj_").alias("i"), F.col("wi_").alias("j"),
+                F.lit(0).alias("wf"),
+            )
+        )
+        # the |sources|^2-row game matrix: checkpoint so the MM rounds
+        # below never re-plan (or re-run) the corpus-sized subtree
+        nij = (
+            edges.groupBy("i", "j")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("wf").cast("long").alias("w"),
+            )
+            .localCheckpoint()
+        )
+        wt = nij.groupBy("i").agg(
+            F.sum("w").cast("long").alias("wins"),
+            F.sum("n").cast("long").alias("games"),
+        )
+        nn = wt.agg(F.count(F.lit(1)).alias("n_src"))
+        s_q = wt.select("i", F.lit(S).cast("long").alias("sq"))
+        for _ in range(BT_ROUNDS):
+            t = (
+                nij.join(
+                    s_q.select(F.col("i"), F.col("sq").alias("sqi")), "i"
+                )
+                .join(
+                    s_q.select(
+                        F.col("i").alias("j"), F.col("sq").alias("sqj")
+                    ),
+                    "j",
+                )
+                .groupBy("i")
+                .agg(
+                    F.sum(F.expr(f"(n * {S}L * {S}L) div (sqi + sqj)"))
+                    .cast("long")
+                    .alias("t")
+                )
+            )
+            raw = wt.join(t, "i").select(
+                "i", F.expr(f"(wins * {S}L * {S}L) div t").alias("raw")
+            )
+            tot = raw.agg(F.sum("raw").alias("tot"))
+            s_q = (
+                raw.crossJoin(F.broadcast(nn))
+                .crossJoin(F.broadcast(tot))
+                .select(
+                    "i",
+                    F.expr(f"(raw * n_src * {S}L) div tot")
+                    .cast("long")
+                    .alias("sq"),
+                )
+                # truncate per-round lineage: without this each round
+                # nests the previous one TWICE (sqi/sqj) and the final
+                # plan is 2^rounds small-join trees of 32-partition
+                # shuffles — the coalesce keeps the 20-row round a
+                # single-task job
+                .coalesce(1)
+                .localCheckpoint()
+            )
+        out = wt.join(s_q, "i").select(
+            F.col("i").alias("source"),
+            "games",
+            "wins",
+            stable_round4(F.col("sq") * 1.0 / S).alias("strength"),
+            F.row_number()
+            .over(_W.orderBy(F.col("sq").desc(), F.col("i")))
+            .cast("long")
+            .alias("rank"),
+        )
+        return out.orderBy("rank")
+
+
+_register_bradley_terry()
+
+
+# --- character edit-rate evaluation -----------------------------------------
+
+
+def _register_eval_edit_rate() -> None:
+    from .dedup import TOKEN_RE, sql_stable_round4, stable_round4
+
+    @register(
+        "llm_eval_edit_rate",
+        oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   array_to_string(regexp_extract_all(text, '{TOKEN_RE}'),
+                                   '') AS cs
+            FROM documents),
+        s AS (
+            SELECT doc_id, substr(cs, 1, {CHRF_CAND_CHARS}) AS cand,
+                   substr(cs, {CHRF_REF_START},
+                          {CHRF_CAND_CHARS} + 16) AS ref
+            FROM t
+            WHERE length(cs) >= {CHRF_REF_START})
+        SELECT doc_id,
+               CAST(length(cand) AS BIGINT) AS c_len,
+               CAST(length(ref) AS BIGINT) AS r_len,
+               CAST(levenshtein(cand, ref) AS BIGINT) AS edit_distance,
+               {sql_stable_round4(
+                   'levenshtein(cand, ref) * 1.0 / greatest(length(ref), 1)'
+               )} AS edit_rate
+        FROM s
+        """,
+    )
+    def llm_eval_edit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Character edit rate (CharacTER/EED-family metric, Wang et al.
+        WMT 2016): Levenshtein distance between the candidate and a
+        length-bounded reference window, normalized by reference length —
+        the eval-family member that penalizes ORDER errors which
+        bag-of-ngram metrics (BLEU/ROUGE/chrF) cannot see. Same
+        candidate/reference proxy pair as the other evals (first
+        {CHRF_CAND_CHARS} chars vs a shifted window, here bounded to
+        {CHRF_CAND_CHARS}+16 chars so the DP cost per doc is a fixed
+        ~{CHRF_CAND_CHARS * (CHRF_CAND_CHARS + 16)}-cell grid).
+
+        Both engines run their NATIVE levenshtein (unit-cost DP — Spark's
+        JVM builtin, DuckDB's C builtin; exact integers, so the hash
+        certifies them equal). Map-only plan: scan -> project, no
+        shuffle, no UDF."""
+        d = load(spark, sf_dir, "documents")
+        cs = F.concat_ws(
+            "", F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)
+        )
+        s = (
+            d.select("doc_id", cs.alias("cs"))
+            .filter(F.length("cs") >= CHRF_REF_START)
+            .select(
+                "doc_id",
+                F.expr(f"substring(cs, 1, {CHRF_CAND_CHARS})").alias("cand"),
+                F.expr(
+                    f"substring(cs, {CHRF_REF_START},"
+                    f" {CHRF_CAND_CHARS} + 16)"
+                ).alias("ref"),
+            )
+        )
+        dist = F.levenshtein("cand", "ref")
+        return s.select(
+            "doc_id",
+            F.length("cand").cast("long").alias("c_len"),
+            F.length("ref").cast("long").alias("r_len"),
+            dist.cast("long").alias("edit_distance"),
+            stable_round4(
+                dist * 1.0 / F.greatest(F.length("ref"), F.lit(1))
+            ).alias("edit_rate"),
+        )
+
+
+_register_eval_edit_rate()
+
+
+# --- RAG retrieval evaluation (MRR / NDCG@k) --------------------------------
+
+# binary-gain DCG position weights at integer scale 1e9: floor(1e9/log2(i+1))
+# PRECOMPUTED so neither engine evaluates a runtime logarithm (positions are
+# bounded by RAG_TOPK = 3)
+_NDCG_W = (1_000_000_000, 630_929_753, 500_000_000)
+_NDCG_SCALE = 1_000_000_000
+
+
+def _register_rag_eval() -> None:
+    from .dedup import sql_stable_round4, stable_round4
+
+    w_case = "CASE rnk " + " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+    ) + " END"
+    idcg_case = "CASE least(n_rel, 3) " + " ".join(
+        f"WHEN {i + 1} THEN {sum(_NDCG_W[: i + 1])}" for i in range(3)
+    ) + " ELSE 0 END"
+
+    @register(
+        "llm_rag_eval",
+        oracle=f"""
+    WITH rq AS ({_rag_query_oracle_sql()}),
+    lab AS (
+        SELECT rq.q_doc, rq.q_chunk, rq.rnk,
+               CASE WHEN dq.source = dc.source THEN 1 ELSE 0 END AS rel
+        FROM rq JOIN documents dq ON rq.q_doc = dq.doc_id
+                JOIN documents dc ON rq.c_doc = dc.doc_id),
+    per AS (
+        SELECT q_doc, q_chunk,
+               CAST(sum(rel) AS BIGINT) AS n_rel,
+               CAST(min(CASE WHEN rel = 1 THEN rnk END) AS BIGINT)
+                   AS first_rel_rank,
+               CAST(sum(rel * ({w_case})) AS BIGINT) AS dcg_q
+        FROM lab GROUP BY 1, 2)
+    SELECT q_doc, q_chunk, n_rel, first_rel_rank,
+           {sql_stable_round4(
+               'CASE WHEN first_rel_rank IS NULL THEN 0.0'
+               ' ELSE 1.0 / first_rel_rank END')} AS rr,
+           {sql_stable_round4(
+               f'CASE WHEN n_rel = 0 THEN 0.0'
+               f' ELSE dcg_q * 1.0 / ({idcg_case}) END')} AS ndcg
+    FROM per ORDER BY q_doc, q_chunk
+    """,
+    )
+    def llm_rag_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Retrieval-quality readout of pipeline_rag_query: per query
+        chunk, MRR (reciprocal rank of the first relevant hit) and
+        binary-gain NDCG@{RAG_TOPK}, with relevance = "retrieved doc
+        shares the query doc's source" (the deterministic stand-in for a
+        judged qrels file — production swaps the label join for its
+        relevance table and the metric plan is unchanged).
+
+        Determinism: the DCG position weights floor(1e9/log2(i+1)) are
+        PRECOMPUTED integer literals in both engines (ranks are bounded
+        by the top-k, so no runtime logarithm exists anywhere); DCG and
+        ideal-DCG are exact integer sums, divided once under
+        stable_round4.
+
+        Scale shape: composes the IVF retrieval (cell equi-join + rank
+        window), adds one broadcast-sized label join (query docs are a
+        fixed prefix) and one per-(query, chunk) rollup co-keyed with the
+        retrieval's own rank window partitioning."""
+        from ..registry import QUERIES
+
+        rq = QUERIES["pipeline_rag_query"](spark, sf_dir)
+        src = load(spark, sf_dir, "documents").select("doc_id", "source")
+        lab = (
+            rq.join(
+                F.broadcast(
+                    src.select(
+                        F.col("doc_id").alias("q_doc"),
+                        F.col("source").alias("q_src"),
+                    )
+                ),
+                "q_doc",
+            )
+            .join(
+                src.select(
+                    F.col("doc_id").alias("c_doc"),
+                    F.col("source").alias("c_src"),
+                ),
+                "c_doc",
+            )
+            .select(
+                "q_doc",
+                "q_chunk",
+                "rnk",
+                F.when(F.col("q_src") == F.col("c_src"), 1)
+                .otherwise(0)
+                .alias("rel"),
+            )
+        )
+        w = F.expr(
+            "CASE rnk "
+            + " ".join(
+                f"WHEN {i + 1} THEN {wv}L" for i, wv in enumerate(_NDCG_W)
+            )
+            + " END"
+        )
+        per = lab.groupBy("q_doc", "q_chunk").agg(
+            F.sum("rel").cast("long").alias("n_rel"),
+            F.min(F.when(F.col("rel") == 1, F.col("rnk")))
+            .cast("long")
+            .alias("first_rel_rank"),
+            F.sum(F.col("rel") * w).cast("long").alias("dcg_q"),
+        )
+        idcg = F.expr(
+            "CASE least(n_rel, 3) "
+            + " ".join(
+                f"WHEN {i + 1} THEN {sum(_NDCG_W[: i + 1])}L"
+                for i in range(3)
+            )
+            + " ELSE 0 END"
+        )
+        return per.select(
+            "q_doc",
+            "q_chunk",
+            "n_rel",
+            "first_rel_rank",
+            stable_round4(
+                F.when(F.col("first_rel_rank").isNull(), 0.0).otherwise(
+                    1.0 / F.col("first_rel_rank")
+                )
+            ).alias("rr"),
+            stable_round4(
+                F.when(F.col("n_rel") == 0, 0.0).otherwise(
+                    F.col("dcg_q") * 1.0 / idcg
+                )
+            ).alias("ndcg"),
+        ).orderBy("q_doc", "q_chunk")
+
+
+_register_rag_eval()
