@@ -1709,3 +1709,75 @@ def sim_search_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("aug_cosine"),
         )
     )
+
+
+# --- embedding-cosine corpus self near-dup (SemDeDup-style) -----------------
+
+EMBDUP_THETA = 0.25  # cosine threshold for near-duplicate embedding pairs
+
+
+@register(
+    "dedup_embedding_pairs",
+    oracle=f"""
+    WITH planes AS (
+        SELECT h, {_SQL_W} AS w
+        FROM generate_series(0, {LSH_PLANES - 1}) t(h)),
+    bits AS (
+        SELECT e.vec_id, p.h,
+               CASE WHEN {SQL_DOT.format(a='e.embedding', b='p.w')} >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM embeddings e, planes p),
+    bands AS (
+        SELECT vec_id, h // {LSH_BAND_BITS} AS band,
+               sum(bit * (1 << (h % {LSH_BAND_BITS}))) AS band_val
+        FROM bits GROUP BY vec_id, h // {LSH_BAND_BITS}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_val = b.band_val
+         AND a.vec_id < b.vec_id),
+    scored AS (
+        SELECT vec1, vec2,
+               {sql_cosine('x.embedding', 'y.embedding')} AS cos
+        FROM cand JOIN embeddings x ON cand.vec1 = x.vec_id
+                  JOIN embeddings y ON cand.vec2 = y.vec_id)
+    SELECT vec1, vec2, {sql_stable_round4('cos')} AS cosine_sim
+    FROM scored WHERE cos >= {EMBDUP_THETA}
+    """,
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide embedding near-duplicate PAIRS (the SemDeDup shape,
+    Abbas et al. 2023): sign-LSH band buckets propose candidates, exact
+    cosine >= {EMBDUP_THETA} verifies — the semantic sibling of
+    dedup_minhash_lsh for paraphrased/translated duplicates that shingle
+    dedup can't see. Self-join form of sim_search_lsh: every vector is
+    both query and candidate, pairs ordered vec1 < vec2.
+
+    Scale shape: candidates come from the band equi-join (cost ∝
+    colliding pairs, never n²) and run through the SAME hot-bucket
+    salting as the MinHash family (operators/dedup.banded_candidates —
+    an embedding-collapsed corpus, e.g. boilerplate pages encoding to
+    one point, is exactly the LSH hot-bucket worst case); verify reads
+    two vectors per surviving candidate. The output feeds
+    dedup_components for cluster canonicalization unchanged."""
+    from .dedup import banded_candidates
+
+    e = load(spark, sf_dir, "embeddings")
+    bands = _lsh_bands(spark, e).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("band").alias("band_idx"),
+        F.col("band_val").alias("band_hash"),
+    )
+    cand = banded_candidates(bands).select(
+        F.col("doc1").alias("vec1"), F.col("doc2").alias("vec2")
+    )
+    x = e.select(F.col("vec_id").alias("vec1"), F.col("embedding").alias("e1"))
+    y = e.select(F.col("vec_id").alias("vec2"), F.col("embedding").alias("e2"))
+    scored = (
+        cand.join(x, "vec1")
+        .join(y, "vec2")
+        .select("vec1", "vec2", cosine(F.col("e1"), F.col("e2")).alias("cos"))
+    )
+    return scored.filter(F.col("cos") >= EMBDUP_THETA).select(
+        "vec1", "vec2", stable_round4(F.col("cos")).alias("cosine_sim")
+    )

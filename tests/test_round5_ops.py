@@ -85,3 +85,14 @@ def test_rag_eval_ndcg_bounds(spark):
             assert r["ndcg"] == 1.0
         if r["first_rel_rank"] == 1:
             assert r["rr"] == 1.0
+
+
+def test_embedding_pairs_symmetric_free_and_thresholded(spark):
+    out = registry.QUERIES["dedup_embedding_pairs"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out
+    pairs = {(r["vec1"], r["vec2"]) for r in out}
+    assert len(pairs) == len(out)  # no duplicate candidate survives
+    assert all(a < b for a, b in pairs)
+    assert all(r["cosine_sim"] >= 0.25 for r in out)
