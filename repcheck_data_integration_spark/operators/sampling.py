@@ -998,3 +998,107 @@ def mix_annealing_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- integer token-budget allocation across domains -------------------------
+
+BUDGET_TOKENS = 10_000_000  # training-run token budget to split
+BUDGET_W_SCALE = 1_000_000  # weight quantization scale
+
+
+@register(
+    "mix_token_budget_allocation",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(sum(len(regexp_extract_all(text, '{TOK_RE}')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+    wq AS (
+        SELECT source, n_tokens,
+               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
+                          * {BUDGET_W_SCALE}) AS BIGINT) AS w
+        FROM per_source),
+    tot AS (SELECT sum(w) AS tw, count(*) AS ns FROM wq),
+    base AS (
+        SELECT source, n_tokens, w,
+               ({BUDGET_TOKENS} * w) // tw AS base_alloc,
+               ({BUDGET_TOKENS} * w) % tw AS rem
+        FROM wq CROSS JOIN tot),
+    leftover AS (
+        SELECT {BUDGET_TOKENS} - sum(base_alloc) AS extra FROM base),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        FROM base)
+    SELECT source, n_tokens,
+           CAST(base_alloc
+                + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens,
+           CAST(w AS BIGINT) AS weight_q
+    FROM ranked CROSS JOIN leftover
+    ORDER BY source
+    """,
+)
+def mix_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split a {BUDGET_TOKENS:,}-token training budget across domains by
+    temperature-scaled weights, in PURE INTEGER arithmetic with the
+    largest-remainder method (the agg_penny_allocation discipline applied
+    to mixture design): alpha = 0.5 temperature means w_i = sqrt(tokens_i)
+    — and IEEE 754 requires sqrt to be CORRECTLY ROUNDED, so unlike
+    pow/ln the weight doubles are bit-identical across engines before
+    quantization. base_i = B*w_i div SUM(w); the leftover tokens go to the
+    largest remainders (full (rem desc, source) tie-break). The allocation
+    sums to the budget EXACTLY on every fixture — that identity is what
+    the cross-engine hash certifies.
+
+    Scale shape: corpus collapses to |domains| rows in one
+    partial+final aggregate; everything downstream is window work over
+    those rows."""
+    tot = W.partitionBy()
+    d = load(spark, sf_dir, "documents")
+    wq = (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.size(F.regexp_extract_all("text", F.lit(TOK_RE), 0)))
+            .cast("long")
+            .alias("n_tokens")
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.floor(
+                F.sqrt(F.col("n_tokens").cast("double")) * BUDGET_W_SCALE
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    base = wq.select(
+        "source",
+        "n_tokens",
+        "w",
+        F.expr(f"({BUDGET_TOKENS}L * w) div sum(w) over ()").alias(
+            "base_alloc"
+        ),
+        F.expr(f"({BUDGET_TOKENS}L * w) % sum(w) over ()").alias("rem"),
+    )
+    ranked = base.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.col("rem").desc(), F.col("source")))
+        .alias("rk"),
+        (F.lit(BUDGET_TOKENS) - F.sum("base_alloc").over(tot)).alias(
+            "extra"
+        ),
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+        F.col("w").cast("long").alias("weight_q"),
+    ).orderBy("source")

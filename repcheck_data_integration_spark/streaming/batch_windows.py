@@ -2300,3 +2300,131 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_id")
     )
+
+
+def _dedup_cluster_stats_oracle() -> str:
+    # same recursive closure as _stream_dedup_minhash_oracle, rolled up to
+    # the cluster-size histogram
+    base = _stream_dedup_minhash_oracle().rstrip()
+    return f"""
+    WITH canon AS ({base}),
+    comp AS (
+        SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM canon GROUP BY 1)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM comp GROUP BY 1 ORDER BY 1
+    """
+
+
+@register("dedup_cluster_stats", oracle=_dedup_cluster_stats_oracle())
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER-SIZE HISTOGRAM — the dedup audit a curation run
+    publishes (how much of the corpus is singleton vs boilerplate
+    mega-cluster, and the implied dedup ratio = 1 - n_clusters/n_docs):
+    one row per observed cluster size with the cluster and doc counts at
+    that size. Built on the same minhash components the streaming dedup
+    maintains (stream_ops.minhash_components_batch), so the histogram is
+    hash-verified cross-engine through the recursive reachability CTE —
+    including the iterative component step.
+
+    Scale shape: components are iterative min-label propagation over the
+    banded candidate edges (localCheckpointed per round, shuffle ∝
+    colliding pairs); the histogram adds two map-side-combined
+    aggregates keyed on canonical_id then cluster_size."""
+    from .stream_ops import minhash_components_batch
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    comp = (
+        minhash_components_batch(docs)
+        .groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    )
+    return (
+        comp.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@register(
+    "events_sequence_patterns",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id),
+    pat AS (
+        SELECT user_id, n_events,
+               CAST(len(regexp_extract_all(seq, 'v+c+p')) AS BIGINT)
+                   AS n_funnels,
+               CAST(len(regexp_extract_all(seq, 'e[^p]*p')) AS BIGINT)
+                   AS n_error_recoveries,
+               CAST(coalesce(list_max(list_transform(
+                        regexp_extract_all(seq, 'v+'),
+                        x -> len(x))), 0) AS BIGINT) AS longest_view_run
+        FROM seqs)
+    SELECT user_id, n_events, n_funnels, n_error_recoveries,
+           longest_view_run
+    FROM pat ORDER BY user_id
+    """,
+)
+def events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern mining over per-user event
+    streams, expressed as REGEX over the compressed per-user type string
+    (each event type maps to its first letter — v/c/p/s/e are distinct):
+    view->click->purchase funnels (with repeats, 'v+c+p'),
+    error-then-eventual-purchase recoveries ('e[^p]*p'), and the longest
+    uninterrupted view run. Both engines scan non-overlapping matches
+    left-to-right with greedy quantifiers (java.util.regex and RE2 agree
+    on these patterns), and the sequence itself is deterministic via the
+    full (ts, event_id) order, so the counts hash-match.
+
+    Scale shape: ONE shuffle keyed on user_id builds each user's ordered
+    type string (collect_list of (ts, event_id, char) structs,
+    array_sort, concat — per-user sequences are session-sized); the
+    regexes then run map-side on the compact string, which is the whole
+    point: pattern work costs |seq| per user, never a self-join of the
+    event stream."""
+    e = load(spark, sf_dir, "events")
+    seqs = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["c"]
+                ),
+            ).alias("seq"),
+        )
+    )
+    runs = F.expr(
+        "transform(regexp_extract_all(seq, 'v+', 0), x -> length(x))"
+    )
+    return seqs.select(
+        "user_id",
+        "n_events",
+        F.size(F.expr("regexp_extract_all(seq, 'v+c+p', 0)"))
+        .cast("long")
+        .alias("n_funnels"),
+        F.size(F.expr("regexp_extract_all(seq, 'e[^p]*p', 0)"))
+        .cast("long")
+        .alias("n_error_recoveries"),
+        F.coalesce(F.array_max(runs), F.lit(0))
+        .cast("long")
+        .alias("longest_view_run"),
+    ).orderBy("user_id")

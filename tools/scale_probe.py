@@ -111,6 +111,14 @@ PROBES = [
     "agg_kmv_sketch",
     "join_set_similarity",
     "ml_naive_bayes_lang",
+    # round-5 additions
+    "ml_bradley_terry",
+    "llm_eval_edit_rate",
+    "llm_rag_eval",
+    "dedup_embedding_pairs",
+    "dedup_cluster_stats",
+    "events_sequence_patterns",
+    "mix_token_budget_allocation",
     "ml_auc_roc",
     "ml_decision_stump",
     "rec_item_item_cosine",
