@@ -138,6 +138,14 @@ HEADLINE = [
     "agg_delta_method_ratio",
     "resolve_survivorship",
     "join_phonetic_block",
+    # round-5 additions
+    "ml_bradley_terry",
+    "llm_eval_edit_rate",
+    "llm_rag_eval",
+    "dedup_embedding_pairs",
+    "dedup_cluster_stats",
+    "events_sequence_patterns",
+    "mix_token_budget_allocation",
 ]
 
 
