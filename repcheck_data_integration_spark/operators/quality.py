@@ -649,3 +649,122 @@ def dq_fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fk")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_rater_agreement — Fleiss' kappa across curation gates
+# ---------------------------------------------------------------------------
+
+_RATER_STOP = "('the','a','of','and','to','in')"
+
+
+@register(
+    "dq_rater_agreement",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+        FROM documents),
+    votes AS (
+        SELECT doc_id,
+               (CASE WHEN len(toks) BETWEEN 20 AND 1000
+                     THEN 1 ELSE 0 END
+                + CASE WHEN len(list_distinct(toks)) * 2 >= len(toks)
+                       THEN 1 ELSE 0 END
+                + CASE WHEN len(list_filter(toks,
+                                  x -> x IN {_RATER_STOP})) * 20
+                            >= len(toks)
+                       THEN 1 ELSE 0 END) AS k
+        FROM t),
+    sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS ck,
+               CAST(sum(k * k + (3 - k) * (3 - k) - 3) AS BIGINT) AS s
+        FROM votes),
+    fin AS (
+        SELECT n, ck, 3 * n - ck AS cd, s FROM sums)
+    SELECT n AS n_docs,
+           CAST(3 AS BIGINT) AS n_raters,
+           floor(s * 1.0 / (6 * n) * 10000.0 + 0.5) / 10000.0 AS p_bar,
+           floor((ck * ck + cd * cd) * 1.0 / (9 * n * n) * 10000.0 + 0.5)
+               / 10000.0 AS p_e,
+           floor((3 * n * s - 2 * (ck * ck + cd * cd)) * 1.0
+                 / nullif(18 * n * n - 2 * (ck * ck + cd * cd), 0)
+                 * 10000.0 + 0.5)
+               / 10000.0 AS fleiss_kappa
+    FROM fin
+    """,
+)
+def dq_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) across three deterministic curation
+    "raters" — the length gate, the distinct-token-ratio gate and the
+    stopword-ratio gate each vote keep/drop per document — answering the
+    audit question every multi-filter pipeline owes its users: do the
+    gates AGREE beyond chance, or is the kept set an accident of one
+    filter? (Low kappa = the filters encode different notions of quality
+    and their intersection/union choice matters; production swaps the
+    heuristic raters for LLM-judge verdict columns and the statistic is
+    unchanged.)
+
+    EXACT integer arithmetic end-to-end: with n = 3 raters and 2
+    categories, each doc's pairwise-agreement numerator k^2 + (3-k)^2 - 3
+    is an integer, so P-bar, P_e and kappa are ratios of exact integer
+    sums — the final kappa is a single cross-multiplied integer ratio
+    (18N^2-scaled) rounded once. Scale: one tokenize pass collapsing to a
+    1-row aggregate; no shuffle carries more than the partial sums."""
+    from .dedup import tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    nt = F.size(toks)
+    stop_ct = F.size(
+        F.filter(
+            toks,
+            lambda x: x.isin("the", "a", "of", "and", "to", "in"),
+        )
+    )
+    k = (
+        F.when(nt.between(20, 1000), 1).otherwise(0)
+        + F.when(F.size(F.array_distinct(toks)) * 2 >= nt, 1).otherwise(0)
+        + F.when(stop_ct * 20 >= nt, 1).otherwise(0)
+    )
+    votes = d.select(k.alias("k"))
+    sums = votes.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("ck"),
+        F.sum(
+            F.col("k") * F.col("k")
+            + (F.lit(3) - F.col("k")) * (F.lit(3) - F.col("k"))
+            - F.lit(3)
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    fin = sums.select("n", "ck", (F.lit(3) * F.col("n") - F.col("ck")).alias("cd"), "s")
+    pagree = F.col("ck") * F.col("ck") + F.col("cd") * F.col("cd")
+    return fin.select(
+        F.col("n").alias("n_docs"),
+        F.lit(3).cast("long").alias("n_raters"),
+        (
+            F.floor(F.col("s") * 1.0 / (6 * F.col("n")) * 10000.0 + 0.5)
+            / 10000.0
+        ).alias("p_bar"),
+        (
+            F.floor(
+                pagree * 1.0 / (9 * F.col("n") * F.col("n")) * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("p_e"),
+        (
+            F.floor(
+                (3 * F.col("n") * F.col("s") - 2 * pagree)
+                * 1.0
+                / F.nullif(
+                    18 * F.col("n") * F.col("n") - 2 * pagree, F.lit(0)
+                )
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("fleiss_kappa"),
+    )

@@ -2625,3 +2625,170 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# --- sentence-level boilerplate dedup audit (FineWeb-style line dedup) ------
+
+BOILER_MIN_DF = 3  # a sentence seen in >= this many docs is boilerplate
+
+
+@register(
+    "dedup_boilerplate_sentences",
+    oracle=f"""
+    WITH sents AS (
+        SELECT doc_id, md5(trim(s[i])) AS sh
+        FROM (SELECT doc_id, regexp_extract_all(text, '{SENT_RE}') AS s
+              FROM documents),
+             LATERAL unnest(generate_series(1, len(s))) u(i)
+        WHERE length(trim(s[i])) > 0),
+    ds AS (SELECT DISTINCT doc_id, sh FROM sents),
+    df AS (SELECT sh, count(*) AS n_docs_with FROM ds GROUP BY 1),
+    per_doc AS (
+        SELECT sents.doc_id,
+               CAST(count(*) AS BIGINT) AS n_sents,
+               CAST(sum(CASE WHEN df.n_docs_with >= {BOILER_MIN_DF}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boiler_sents
+        FROM sents JOIN df USING (sh)
+        GROUP BY 1)
+    SELECT doc_id, n_sents, n_boiler_sents,
+           {{r4}} AS boiler_frac
+    FROM per_doc
+    """.replace(
+        "{r4}",
+        "floor(n_boiler_sents * 1.0 / n_sents * 10000.0 + 0.5) / 10000.0",
+    ),
+)
+def dedup_boilerplate_sentences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SENTENCE-level dedup audit — the sub-document granularity the
+    web-corpus pipelines dedup at (repeated nav/footer lines survive
+    document-level MinHash because the surrounding text differs): every
+    sentence hashing identically in >= {BOILER_MIN_DF} distinct docs is
+    boilerplate, and each doc reports its boilerplate-sentence fraction —
+    the removal mask a curation pass applies before token counting.
+
+    Scale shape: one sentence explode (shuffle-free), one distinct
+    (doc, sentence-hash) projection feeding the document-frequency
+    aggregate (map-side combined, Zipf-compressed keys), one hash-keyed
+    join back to the sentence instances, one per-doc rollup. Payload
+    never crosses an operator boundary — sentences travel as md5."""
+    d = load(spark, sf_dir, "documents")
+    sents = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all("text", F.lit(SENT_RE), 0)
+            ).alias("__s"),
+        )
+        .select("doc_id", F.md5(F.trim("__s")).alias("sh"),
+                F.length(F.trim("__s")).alias("__len"))
+        .filter(F.col("__len") > 0)
+        .drop("__len")
+    )
+    df_ = (
+        sents.select("doc_id", "sh")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n_docs_with"))
+    )
+    per_doc = (
+        sents.join(df_, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sents"),
+            F.sum(
+                F.when(
+                    F.col("n_docs_with") >= BOILER_MIN_DF, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_boiler_sents"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_sents",
+        "n_boiler_sents",
+        (
+            F.floor(
+                F.col("n_boiler_sents") * 1.0 / F.col("n_sents") * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("boiler_frac"),
+    )
+
+
+# --- per-doc n-gram novelty curve -------------------------------------------
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t
+              FROM documents),
+             LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0)))
+                 u(i)),
+    first_ AS (SELECT g, min(doc_id) AS fdoc FROM sh GROUP BY 1),
+    per_doc AS (
+        SELECT sh.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN f.fdoc = sh.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM sh JOIN first_ f USING (g)
+        GROUP BY 1)
+    SELECT doc_id, n_shingles, n_novel,
+           floor(n_novel * 1.0 / n_shingles * 10000.0 + 0.5) / 10000.0
+               AS novelty
+    FROM per_doc
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY along the deterministic doc_id reading
+    order: the fraction of a doc's distinct 3-word shingles whose FIRST
+    corpus occurrence is in this doc — the per-doc derivative of the
+    Heaps vocabulary-growth curve, and the curation signal for "is the
+    tail of this crawl still contributing new content or just recombining
+    old grams" (novelty collapsing toward 0 = the corpus is saturating).
+
+    Scale shape: one shingle explode to DISTINCT (doc, gram) pairs, one
+    min-doc aggregate over grams (map-side combined), one gram-keyed join
+    back, one per-doc rollup — the exact heaps-fit machinery re-keyed to
+    emit per-doc rows instead of the fitted exponent."""
+    from .dedup import shingles_from_tokens, tokens
+
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", tokens(F.col("text")).alias("t"))
+        .select("doc_id", F.explode(shingles_from_tokens(F.col("t"))).alias("g"))
+        .distinct()
+    )
+    first_ = sh.groupBy("g").agg(F.min("doc_id").alias("fdoc"))
+    per_doc = (
+        sh.join(first_, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("fdoc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (
+            F.floor(
+                F.col("n_novel") * 1.0 / F.col("n_shingles") * 10000.0 + 0.5
+            )
+            / 10000.0
+        ).alias("novelty"),
+    )

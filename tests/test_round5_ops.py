@@ -96,3 +96,60 @@ def test_embedding_pairs_symmetric_free_and_thresholded(spark):
     assert len(pairs) == len(out)  # no duplicate candidate survives
     assert all(a < b for a, b in pairs)
     assert all(r["cosine_sim"] >= 0.25 for r in out)
+
+
+def test_boilerplate_sentences_flags_shared_footer(spark, tmp_path):
+    footer = "subscribe to our newsletter today."
+    rows = []
+    for i in range(6):
+        body = f"unique sentence number {i} about topic {i}."
+        text = (body + " " + footer) if i < 4 else body
+        rows.append((i, text, "en", "src0", len(text)))
+    _write_docs(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["dedup_boilerplate_sentences"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    for i in range(4):  # footer shared by 4 >= BOILER_MIN_DF docs
+        assert out[i]["n_boiler_sents"] == 1
+        assert out[i]["boiler_frac"] == pytest.approx(0.5)
+    for i in (4, 5):
+        assert out[i]["n_boiler_sents"] == 0
+
+
+def test_ngram_novelty_copy_is_stale(spark, tmp_path):
+    base = " ".join(f"w{j}" for j in range(30))
+    rows = [
+        (0, base, "en", "src0", len(base)),
+        (1, base, "en", "src1", len(base)),          # exact copy -> 0
+        (2, " ".join(f"x{j}" for j in range(30)), "en", "src2", 200),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["text_ngram_novelty"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[0]["novelty"] == 1.0
+    assert out[1]["novelty"] == 0.0
+    assert out[2]["novelty"] == 1.0
+
+
+def test_rater_agreement_degenerate_unanimous_is_null(spark, tmp_path):
+    """All three gates vote keep on every doc -> P_e = 1 and kappa is
+    undefined; the op must NULL-propagate, not crash (CLAUDE.md
+    degenerate-input rule)."""
+    # every gate passes on every doc: 36 all-distinct tokens (length and
+    # distinct-ratio gates), 6 of them stopwords (stopword gate)
+    text = "the a of and to in " + " ".join(f"u{j}" for j in range(30))
+    rows = [(i, text, "en", "src0", len(text)) for i in range(4)]
+    _write_docs(spark, tmp_path, rows)
+    out = registry.QUERIES["dq_rater_agreement"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["p_e"] == 1.0
+    assert out[0]["fleiss_kappa"] is None
