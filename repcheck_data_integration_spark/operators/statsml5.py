@@ -3436,3 +3436,78 @@ def agg_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({sql_stable_round4(_PT_MEAN)} AS DOUBLE) AS mean_diff",
         f"CAST({sql_stable_round4(_PT_T)} AS DOUBLE) AS t_stat",
     )
+
+
+# --------------------------------------------------------------------------
+# ml_power_analysis — two-proportion sample-size calculator (A/B design)
+# --------------------------------------------------------------------------
+
+PWR_MDE = 0.02            # minimum detectable effect, absolute
+PWR_Z_ALPHA = 1.959963985  # z_{0.975}: two-sided alpha = 0.05
+PWR_Z_BETA = 0.8416212336  # z_{0.80}: power = 80%
+
+_PWR_P2 = f"(p1 + {PWR_MDE})"
+_PWR_N = (
+    f"ceil(pow({PWR_Z_ALPHA} * sqrt(2.0 * ((p1 + {_PWR_P2}) / 2.0)"
+    f" * (1.0 - (p1 + {_PWR_P2}) / 2.0))"
+    f" + {PWR_Z_BETA} * sqrt(p1 * (1.0 - p1)"
+    f" + {_PWR_P2} * (1.0 - {_PWR_P2})), 2)"
+    f" / ({PWR_MDE} * {PWR_MDE}))"
+)
+
+
+@register(
+    "ml_power_analysis",
+    oracle=f"""
+    WITH st AS (
+        SELECT
+            CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+            CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                          AND o_orderstatus = 'F'
+                     THEN 1 ELSE 0 END) AS DOUBLE) AS x1
+        FROM orders),
+    base AS (SELECT n1, x1, x1 / nullif(n1, 0.0) AS p1 FROM st)
+    SELECT CAST(n1 AS BIGINT) AS current_n,
+           {sql_stable_round4('p1')} AS p_base,
+           {sql_stable_round4(_PWR_P2)} AS p_alt,
+           CAST({_PWR_N} AS BIGINT) AS n_per_arm,
+           CAST(2 * {_PWR_N} AS BIGINT) AS total_n,
+           n1 >= {_PWR_N} AS powered
+    FROM base
+    """,
+)
+def ml_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion SAMPLE-SIZE calculator — the design-side member of
+    the experimentation kit (the others read out a finished test; this
+    one answers "how many units do we need" BEFORE the test): per-arm
+    n = (z_a*sqrt(2*pbar*qbar) + z_b*sqrt(p1q1 + p2q2))^2 / MDE^2 for the
+    fixture's urgent-order finality rate as baseline, an absolute
+    {PWR_MDE} MDE, two-sided alpha 0.05 and 80% power, plus whether the
+    current arm size is already sufficient.
+
+    Determinism: the z quantiles are LITERAL constants (no inverse-normal
+    at runtime); everything else is +,*,/ and IEEE-correctly-rounded
+    sqrt/pow(x,2) over identical exact-count-derived doubles, so the ceil
+    lands on the same integer in both engines.
+
+    Scale shape: one scalar conditional aggregate; nothing wider than a
+    row moves."""
+    o = load(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    fin = F.col("o_orderstatus") == "F"
+    st = o.agg(
+        F.sum(F.when(urgent, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(urgent & fin, 1).otherwise(0))
+        .cast("double")
+        .alias("x1"),
+    )
+    base = st.selectExpr("n1", "x1", "x1 / nullif(n1, 0.0) AS p1")
+    return base.selectExpr(
+        "CAST(n1 AS BIGINT) AS current_n",
+        f"CAST({sql_stable_round4('p1')} AS DOUBLE) AS p_base",
+        f"CAST({sql_stable_round4(_PWR_P2)} AS DOUBLE) AS p_alt",
+        f"CAST({_PWR_N} AS BIGINT) AS n_per_arm",
+        f"CAST(2 * {_PWR_N} AS BIGINT) AS total_n",
+        f"n1 >= {_PWR_N} AS powered",
+    )
