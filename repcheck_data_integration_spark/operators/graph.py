@@ -1502,3 +1502,113 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust1", "cust2")
     )
+
+
+# --------------------------------------------------------------------------
+# graph_ppr — personalized PageRank (seeded restart, 3 quantized rounds)
+# --------------------------------------------------------------------------
+
+PPR_SCALE = 1 << 20   # integer mass scale (power of two: /S is exact)
+PPR_SEED_MOD = 50     # seeds: customers with custkey % 50 == 0
+PPR_ROUNDS = 3
+
+
+def _ppr_round_sql(k: int) -> str:
+    prev = f"r{k - 1}"
+    return f"""
+    m{k} AS (
+        SELECT und.v, CAST(sum({prev}.s // deg_n.w) AS BIGINT) AS m
+        FROM und
+        JOIN {prev} ON {prev}.v = und.n
+        JOIN (SELECT v, w1 AS w FROM deg) deg_n ON deg_n.v = und.n
+        GROUP BY 1),
+    r{k} AS (
+        SELECT deg.v,
+               CAST(coalesce(m{k}.m, 0) // 2
+                    + CASE WHEN deg.v % {PPR_SEED_MOD} = 0
+                           THEN {PPR_SCALE} // 2 ELSE 0 END AS BIGINT) AS s
+        FROM deg LEFT JOIN m{k} ON m{k}.v = deg.v)"""
+
+
+@register(
+    "graph_ppr",
+    oracle=f"""
+    WITH {SQL_PAIRS},
+    und AS (SELECT c1 AS v, c2 AS n FROM p
+            UNION ALL SELECT c2 AS v, c1 AS n FROM p),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS w1 FROM und GROUP BY 1),
+    r0 AS (
+        SELECT v, CAST(CASE WHEN v % {PPR_SEED_MOD} = 0
+                            THEN {PPR_SCALE} ELSE 0 END AS BIGINT) AS s
+        FROM deg),
+    {','.join(_ppr_round_sql(k) for k in range(1, PPR_ROUNDS + 1))}
+    SELECT r{PPR_ROUNDS}.v AS cust,
+           deg.w1 AS degree,
+           (deg.v % {PPR_SEED_MOD} = 0) AS is_seed,
+           CAST(r{PPR_ROUNDS}.s AS DOUBLE) / {PPR_SCALE} AS ppr_score
+    FROM r{PPR_ROUNDS} JOIN deg ON deg.v = r{PPR_ROUNDS}.v
+    WHERE r{PPR_ROUNDS}.s > 0
+    """,
+)
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a deterministic seed set (every
+    {PPR_SEED_MOD}th customer) on the co-purchase graph — the
+    seed-proximity ranking behind "related to THESE nodes" retrieval
+    (graph-side RAG expansion, account-ring scoring), vs the global
+    importance graph_pagerank computes. Restart probability 1/2,
+    {PPR_ROUNDS} unrolled rounds.
+
+    QUANTIZED-INTEGER push: mass lives at scale 2^20; each round every
+    node pushes s div deg to each neighbor and keeps
+    (received div 2) + seed restart — all BIGINT floor divisions, so both
+    engines walk the identical integer trajectory (the deliberate
+    quantization of the classic float PPR; the final /2^20 is exact in
+    binary). Nodes with zero round-{PPR_ROUNDS} mass are filtered — the
+    output is the seed neighborhood, not the whole graph.
+
+    Scale shape: {PPR_ROUNDS} node-keyed equi-join + aggregate rounds
+    over the persisted doubled edge list — relational Pregel supersteps,
+    like graph_katz_centrality but seed-restarted and normalized."""
+    pairs = _copurchase_pairs(spark, sf_dir).select("cust1", "cust2")
+    und = (
+        pairs.select(F.col("cust1").alias("v"), F.col("cust2").alias("n"))
+        .unionAll(
+            pairs.select(F.col("cust2").alias("v"), F.col("cust1").alias("n"))
+        )
+        .persist()
+    )
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("w1"))
+    is_seed = F.col("v") % PPR_SEED_MOD == 0
+    r = deg.select(
+        "v",
+        F.when(is_seed, F.lit(PPR_SCALE)).otherwise(0).cast("long").alias("s"),
+    )
+    for _ in range(PPR_ROUNDS):
+        msg = (
+            und.join(r.select(F.col("v").alias("n"), "s"), "n")
+            .join(
+                deg.select(F.col("v").alias("n"), F.col("w1").alias("w")),
+                "n",
+            )
+            .groupBy("v")
+            .agg(F.sum(F.expr("s div w")).cast("long").alias("m"))
+        )
+        r = deg.join(msg, "v", "left").select(
+            "v",
+            (
+                F.expr("coalesce(m, 0L) div 2")
+                + F.when(is_seed, F.lit(PPR_SCALE // 2)).otherwise(0)
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    return (
+        r.filter(F.col("s") > 0)
+        .join(deg, "v")
+        .select(
+            F.col("v").alias("cust"),
+            F.col("w1").alias("degree"),
+            is_seed.alias("is_seed"),
+            (F.col("s").cast("double") / PPR_SCALE).alias("ppr_score"),
+        )
+    )
