@@ -1781,3 +1781,104 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("cos") >= EMBDUP_THETA).select(
         "vec1", "vec2", stable_round4(F.col("cos")).alias("cosine_sim")
     )
+
+
+# --- embedding outlier screen (per-dim z-score energy) -----------------------
+
+EMB_OUT_SCALE = 1_000_000_000  # per-element z^2 quantization
+EMB_OUT_MIN_MZ2 = 2.0          # mean z^2 >= this flags an outlier
+
+
+@register(
+    "emb_outlier_zscore",
+    oracle=f"""
+    WITH pos AS (
+        SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS v
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+    st AS (
+        SELECT dim, count(*) AS n,
+               sum(CAST(round(v * 1000000, 0) AS BIGINT)) AS s1,
+               sum(CAST(round(v * 1000000, 0) AS BIGINT)
+                   * CAST(round(v * 1000000, 0) AS BIGINT)) AS s2
+        FROM pos GROUP BY dim),
+    zq AS (
+        SELECT pos.vec_id,
+               CAST(floor(
+                   pow((pos.v - st.s1 * 1.0 / 1000000 / st.n)
+                       / nullif(sqrt((st.s2 * 1.0 / 1e12) / st.n
+                                     - (st.s1 * 1.0 / 1000000 / st.n)
+                                     * (st.s1 * 1.0 / 1000000 / st.n)),
+                                0.0), 2)
+                   * {EMB_OUT_SCALE}) AS BIGINT) AS tq
+        FROM pos JOIN st USING (dim)),
+    per_vec AS (
+        SELECT vec_id, CAST(count(*) AS BIGINT) AS dims,
+               CAST(sum(tq) AS BIGINT) AS sq
+        FROM zq GROUP BY vec_id)
+    SELECT vec_id,
+           floor(sq * 1.0 / dims / {EMB_OUT_SCALE} * 10000.0 + 0.5)
+               / 10000.0 AS mean_z2,
+           sq >= CAST({EMB_OUT_MIN_MZ2} * dims AS BIGINT)
+               * {EMB_OUT_SCALE} AS is_outlier
+    FROM per_vec ORDER BY vec_id
+    """,
+)
+def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding OUTLIER screen: each vector's mean per-dimension
+    z-score energy against the corpus's per-dim mean/std — the cheap
+    whole-corpus filter that catches corrupt/degenerate vectors (NaN-ish
+    spikes, wrong-model rows, dead-dim artifacts) before they poison ANN
+    buckets or kmeans codebooks. mean z^2 >= {EMB_OUT_MIN_MZ2} flags.
+
+    Determinism: per-dim moments are exact scaled-integer sums, so the
+    derived mean/std doubles are bit-identical (division and sqrt are
+    IEEE-correctly-rounded on identical inputs); each element's z^2 is
+    then quantized floor(z^2 * 1e9) BEFORE the per-vector sum (the JSD
+    term discipline), so the reduction is an order-free integer sum and
+    the outlier flag is an integer compare.
+
+    Scale shape: one posexplode feeding the |dims|-row stats aggregate
+    (map-side combined, the emb_dim_stats shape), broadcast-sized stats
+    joined back to the element stream, one per-vector integer rollup."""
+    e = load(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "dim", F.col("v").cast("double").alias("v"))
+    sc = F.round(F.col("v") * 1000000, 0).cast("long")
+    st = pos.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(sc).alias("s1"),
+        F.sum(sc * sc).alias("s2"),
+    )
+    mean = F.col("s1") * 1.0 / 1000000 / F.col("n")
+    std = F.sqrt(
+        (F.col("s2") * 1.0 / 1e12) / F.col("n") - mean * mean
+    )
+    zq = pos.join(F.broadcast(st), "dim").select(
+        "vec_id",
+        F.floor(
+            F.pow((F.col("v") - mean) / F.nullif(std, F.lit(0.0)), 2)
+            * EMB_OUT_SCALE
+        )
+        .cast("long")
+        .alias("tq"),
+    )
+    per_vec = zq.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dims"),
+        F.sum("tq").cast("long").alias("sq"),
+    )
+    return per_vec.select(
+        "vec_id",
+        (
+            F.floor(
+                F.col("sq") * 1.0 / F.col("dims") / EMB_OUT_SCALE * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("mean_z2"),
+        (
+            F.col("sq")
+            >= (F.lit(EMB_OUT_MIN_MZ2) * F.col("dims")).cast("long")
+            * EMB_OUT_SCALE
+        ).alias("is_outlier"),
+    ).orderBy("vec_id")

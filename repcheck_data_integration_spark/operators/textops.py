@@ -2792,3 +2792,119 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("novelty"),
     )
+
+
+# --- corpus PII audit rollup -------------------------------------------------
+
+IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+SSN_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+@register(
+    "dq_pii_report",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_toks,
+               text
+               || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                            || '-55-' || lpad(CAST(doc_id % 10000
+                                                   AS VARCHAR), 4, '0')
+                       ELSE '' END AS raw
+        FROM documents),
+    per_doc AS (
+        SELECT source, n_toks,
+               len(regexp_extract_all(raw, '{EMAIL_RE}')) AS e,
+               len(regexp_extract_all(raw, '{IPV4_RE}')) AS ip,
+               len(regexp_extract_all(raw, '{SSN_RE}')) AS ssn
+        FROM s)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(e) AS BIGINT) AS n_emails,
+           CAST(sum(ip) AS BIGINT) AS n_ipv4,
+           CAST(sum(ssn) AS BIGINT) AS n_ssn_like,
+           CAST(sum(CASE WHEN e + ip + ssn > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_with_pii,
+           floor(sum(e + ip + ssn) * 10000.0
+                 / nullif(sum(n_toks), 0) * 10000.0 + 0.5) / 10000.0
+               AS pii_per_10k_tokens
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def dq_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII AUDIT — the per-source rollup a curation run
+    publishes before release (which feeds leak emails / IPs / SSN-shaped
+    ids, at what density): per source, match counts for three pattern
+    families, affected-doc counts, and PII hits per 10k tokens. Like
+    text_pii_redact, deterministic fake PII derived from doc_id is
+    appended to the synthetic fixture text so the patterns have real
+    matches on both engines (emails on every doc, an IPv4 on every 3rd,
+    an SSN-shaped id on every 5th).
+
+    Scale shape: single scan, regexp counts map-side, one
+    |sources|-row aggregate — the audit costs one pass regardless of
+    corpus size."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" ssn "),
+                (F.col("doc_id") % 900 + 100).cast("string"),
+                F.lit("-55-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    per_doc = d.select(
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_toks"),
+        F.regexp_count(raw, F.lit(EMAIL_RE)).alias("e"),
+        F.regexp_count(raw, F.lit(IPV4_RE)).alias("ip"),
+        F.regexp_count(raw, F.lit(SSN_RE)).alias("ssn"),
+    )
+    hits = F.col("e") + F.col("ip") + F.col("ssn")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("e").cast("long").alias("n_emails"),
+            F.sum("ip").cast("long").alias("n_ipv4"),
+            F.sum("ssn").cast("long").alias("n_ssn_like"),
+            F.sum(F.when(hits > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_with_pii"),
+            (
+                F.floor(
+                    F.sum(hits)
+                    * 10000.0
+                    / F.nullif(F.sum("n_toks"), F.lit(0))
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("pii_per_10k_tokens"),
+        )
+        .orderBy("source")
+    )
