@@ -1882,3 +1882,186 @@ def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             * EMB_OUT_SCALE
         ).alias("is_outlier"),
     ).orderBy("vec_id")
+
+
+# --- MMR diverse exemplar selection ------------------------------------------
+
+MMR_K = 3  # exemplars selected per query (rounds unrolled)
+
+
+@register(
+    "llm_mmr_select",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    cand AS (
+        SELECT q.qid, c.vec_id AS cid, c.embedding AS cemb,
+               {sql_cosine('q.qemb', 'c.embedding')} AS rel
+        FROM q JOIN embeddings c ON c.vec_id <> q.qid),
+    s1 AS (
+        SELECT qid, cid AS cid1, cemb AS emb1, rel AS rel1
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                           ORDER BY rel DESC, cid) AS rn
+              FROM cand) WHERE rn = 1),
+    m2 AS (
+        SELECT cand.qid, cand.cid, cand.cemb, cand.rel,
+               cand.rel - {sql_cosine('cand.cemb', 's1.emb1')} AS mmr
+        FROM cand JOIN s1 ON s1.qid = cand.qid AND cand.cid <> s1.cid1),
+    s2 AS (
+        SELECT qid, cid AS cid2, cemb AS emb2, rel AS rel2, mmr AS mmr2
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                           ORDER BY mmr DESC, cid) AS rn
+              FROM m2) WHERE rn = 1),
+    m3 AS (
+        SELECT m2.qid, m2.cid, m2.rel,
+               m2.rel - greatest({sql_cosine('m2.cemb', 's1.emb1')},
+                                 {sql_cosine('m2.cemb', 's2.emb2')}) AS mmr
+        FROM m2 JOIN s1 ON s1.qid = m2.qid
+                JOIN s2 ON s2.qid = m2.qid AND m2.cid <> s2.cid2),
+    s3 AS (
+        SELECT qid, cid AS cid3, rel AS rel3, mmr AS mmr3
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                           ORDER BY mmr DESC, cid) AS rn
+              FROM m3) WHERE rn = 1)
+    SELECT qid AS query_id, CAST(1 AS BIGINT) AS rank, cid1 AS vec_id,
+           {sql_stable_round4('rel1')} AS relevance,
+           {sql_stable_round4('rel1')} AS mmr_score
+    FROM s1
+    UNION ALL
+    SELECT qid, 2, cid2, {sql_stable_round4('rel2')},
+           {sql_stable_round4('mmr2')} FROM s2
+    UNION ALL
+    SELECT qid, 3, cid3, {sql_stable_round4('rel3')},
+           {sql_stable_round4('mmr3')} FROM s3
+    ORDER BY query_id, rank
+    """,
+)
+def llm_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance exemplar selection (Carbonell &
+    Goldstein 1998; lambda = 1/2 so the argmax reduces to
+    relevance - max-sim-to-selected): for each query vector, pick
+    {MMR_K} exemplars that are relevant AND mutually diverse — the
+    context-assembly step of a few-shot/RAG prompt builder, where plain
+    top-k returns {MMR_K} paraphrases of the same passage and MMR does
+    not. {MMR_K} greedy rounds unrolled relationally.
+
+    Determinism: cosine is the sequential double fold (identical bits
+    both engines); every per-round argmax carries the full
+    (score desc, vec_id) tie-break; scores subtract identical doubles so
+    the selected ids are exact before any rounding.
+
+    Scale shape: relevance is ONE broadcast-queries-to-corpus pass;
+    each greedy round joins the candidate relation to the (|queries| x
+    round)-row selected set — broadcast-sized — and re-ranks with a
+    query-keyed window. At ANN scale the cand relation is replaced by a
+    banded candidate set (sim_search_lsh) and the rounds are unchanged."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    cand = (
+        F.broadcast(q)
+        .join(
+            e.select(
+                F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("cemb"),
+            ),
+            F.col("cid") != F.col("qid"),
+        )
+        .select(
+            "qid", "cid", "cemb",
+            cosine(F.col("qemb"), F.col("cemb")).alias("rel"),
+        )
+        # three greedy rounds re-read it; the relevance fold runs once
+        .persist()
+    )
+
+    def argmax(df, score, keep):
+        w = W.partitionBy("qid").orderBy(F.col(score).desc(), F.col("cid"))
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("qid", *keep)
+        )
+
+    s1 = argmax(
+        cand.withColumn("mmr", F.col("rel")),
+        "rel",
+        [
+            F.col("cid").alias("cid1"),
+            F.col("cemb").alias("emb1"),
+            F.col("rel").alias("rel1"),
+        ],
+    )
+    m2 = (
+        cand.join(F.broadcast(s1), "qid")
+        .filter(F.col("cid") != F.col("cid1"))
+        .select(
+            "qid", "cid", "cemb", "rel",
+            (F.col("rel") - cosine(F.col("cemb"), F.col("emb1"))).alias(
+                "mmr"
+            ),
+        )
+    )
+    s2 = argmax(
+        m2,
+        "mmr",
+        [
+            F.col("cid").alias("cid2"),
+            F.col("cemb").alias("emb2"),
+            F.col("rel").alias("rel2"),
+            F.col("mmr").alias("mmr2"),
+        ],
+    )
+    m3 = (
+        m2.join(F.broadcast(s1.select("qid", "emb1")), "qid")
+        .join(F.broadcast(s2.select("qid", "cid2", "emb2")), "qid")
+        .filter(F.col("cid") != F.col("cid2"))
+        .select(
+            "qid", "cid", "rel",
+            (
+                F.col("rel")
+                - F.greatest(
+                    cosine(F.col("cemb"), F.col("emb1")),
+                    cosine(F.col("cemb"), F.col("emb2")),
+                )
+            ).alias("mmr"),
+        )
+    )
+    s3 = argmax(
+        m3,
+        "mmr",
+        [
+            F.col("cid").alias("cid3"),
+            F.col("rel").alias("rel3"),
+            F.col("mmr").alias("mmr3"),
+        ],
+    )
+    out = (
+        s1.select(
+            F.col("qid").alias("query_id"),
+            F.lit(1).cast("long").alias("rank"),
+            F.col("cid1").alias("vec_id"),
+            stable_round4(F.col("rel1")).alias("relevance"),
+            stable_round4(F.col("rel1")).alias("mmr_score"),
+        )
+        .unionAll(
+            s2.select(
+                F.col("qid"),
+                F.lit(2).cast("long"),
+                F.col("cid2"),
+                stable_round4(F.col("rel2")),
+                stable_round4(F.col("mmr2")),
+            )
+        )
+        .unionAll(
+            s3.select(
+                F.col("qid"),
+                F.lit(3).cast("long"),
+                F.col("cid3"),
+                stable_round4(F.col("rel3")),
+                stable_round4(F.col("mmr3")),
+            )
+        )
+    )
+    return out.orderBy("query_id", "rank")

@@ -153,3 +153,21 @@ def test_rater_agreement_degenerate_unanimous_is_null(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["p_e"] == 1.0
     assert out[0]["fleiss_kappa"] is None
+
+
+def test_mmr_selects_diverse_over_redundant(spark):
+    """MMR's round-2/3 picks must differ from plain top-3 whenever the
+    top hits are mutually similar; invariants: 3 ranks per query, no
+    repeats, rank-1 equals the exact top-1, mmr_score <= relevance."""
+    out = registry.QUERIES["llm_mmr_select"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+        ids = [r["vec_id"] for r in rows]
+        assert len(set(ids)) == 3
+        for r in rows:
+            assert r["mmr_score"] <= r["relevance"] + 1e-9
