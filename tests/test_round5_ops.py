@@ -166,8 +166,12 @@ def test_mmr_selects_diverse_over_redundant(spark):
     for r in out:
         by_q.setdefault(r["query_id"], []).append(r)
     for qid, rows in by_q.items():
-        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+        rows = sorted(rows, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3]
         ids = [r["vec_id"] for r in rows]
         assert len(set(ids)) == 3
-        for r in rows:
-            assert r["mmr_score"] <= r["relevance"] + 1e-9
+        # rank 1 is the pure-relevance pick: mmr == relevance there
+        assert rows[0]["mmr_score"] == rows[0]["relevance"]
+        # later rounds subtract a cosine in [-1, 1]
+        for r in rows[1:]:
+            assert r["relevance"] - 1 - 1e-9 <= r["mmr_score"] <= r["relevance"] + 1 + 1e-9
