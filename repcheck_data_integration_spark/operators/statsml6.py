@@ -1,0 +1,431 @@
+"""Resampling / sketch / calibration extensions (round-5 continuation).
+
+Three families the 100 TB experimentation-and-curation story still
+lacked, each a pure DataFrame plan with an exact DuckDB oracle twin:
+
+- ml_poisson_bootstrap   the ONLINE bootstrap (Poisson resampling):
+                         the only bootstrap that distributes — each row
+                         mints its own per-replicate multiplicity from a
+                         hashed inverse-CDF draw, so R replicates cost one
+                         widened aggregate instead of R shuffled resamples
+                         (Owen & Eckles 2012; the standard web-scale CI).
+- agg_countmin_heavyhitters  Count-Min sketch (Cormode & Muthukrishnan
+                         2005): d x w integer counter matrix built in one
+                         map-side-combinable aggregate; point estimates
+                         (min over d rows) certified against exact truth
+                         on the top-k keys, est >= truth by construction.
+- ml_isotonic_calibration  PAV isotonic regression over the reliability
+                         bins via the minimax identity
+                         iso(i) = max_{j<=i} min_{k>=i} ybar(j..k) —
+                         the monotone recalibration map fitted
+                         relationally (no sequential pooling loop), on
+                         the same rank-score base as ml_calibration_bins.
+
+Reference seed: the reference repo's analytics are single-pass SQL
+aggregates (/root/reference/scripts/database/database.py:1); these extend
+the §2-beyond inventory along the resampling/sketch axis. House
+determinism rules (CLAUDE.md): integer arithmetic until one final
+division per output column, identical expression strings interpolated
+into BOTH engines, stable_round4 on every rational, md5-buckets as the
+cross-engine rand() substitute. sqrt is IEEE correctly-rounded so
+sqrt-of-exact-double is safe (the agg_corr_matrix precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+from .dedup import sql_stable_round4
+from .sampling import hash_bucket, sql_hash_bucket
+
+# --------------------------------------------------------------------------
+# ml_poisson_bootstrap — online bootstrap CI for the mean order value
+# --------------------------------------------------------------------------
+
+PB_REPS = 32
+# Poisson(1) inverse CDF as integer thresholds on a uniform md5-bucket in
+# [0, 1e6): floor(cdf(k) * 1e6) for k = 0..7, tail mass (2e-6) -> 8.
+# Literal integers, so the per-row multiplicity is engine-exact.
+_PB_T = [367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989]
+_PB_W = (
+    "CASE "
+    + " ".join(f"WHEN u < {t} THEN {k}" for k, t in enumerate(_PB_T))
+    + " ELSE 8 END"
+)
+# replicate-level rollup expressions (sm/sm2 already descaled to dollars):
+_PB_SE = (
+    f"sqrt(greatest(({PB_REPS}.0 * sm2 - sm * sm)"
+    f" / ({PB_REPS}.0 * {PB_REPS - 1}.0), 0.0))"
+)
+
+
+@register(
+    "ml_poisson_bootstrap",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(o_orderkey AS VARCHAR) AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+    obs AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST((sum(CAST(cents AS HUGEINT)) * 1000000)
+                    // count(*) AS BIGINT) AS obs_micro
+        FROM base),
+    reps AS (SELECT unnest(generate_series(0, {PB_REPS - 1})) AS rep),
+    weighted AS (
+        SELECT rep, cents,
+               {sql_hash_bucket(
+                   "'pb' || CAST(rep AS VARCHAR) || '-' || k", 1000000)}
+                   AS u
+        FROM base CROSS JOIN reps),
+    per_rep AS (
+        SELECT rep,
+               sum(CAST({_PB_W} AS HUGEINT) * cents) AS swx,
+               sum(CAST({_PB_W} AS HUGEINT)) AS sw
+        FROM (SELECT rep, cents, u FROM weighted) GROUP BY rep),
+    means AS (
+        SELECT rep,
+               CAST((swx * 1000000) // nullif(sw, 0) AS BIGINT) AS m
+        FROM per_rep),
+    ranked AS (
+        SELECT m, row_number() OVER (ORDER BY m, rep) AS rk FROM means),
+    roll AS (
+        SELECT CAST(sum(CAST(m AS HUGEINT)) AS DOUBLE) / 100000000.0
+                   AS sm,
+               CAST(sum(CAST(m AS HUGEINT) * m) AS DOUBLE)
+                   / 10000000000000000.0 AS sm2,
+               CAST(max(CASE WHEN rk = 2 THEN m END) AS DOUBLE)
+                   / 100000000.0 AS lo,
+               CAST(max(CASE WHEN rk = {PB_REPS - 1} THEN m END)
+                    AS DOUBLE) / 100000000.0 AS hi
+        FROM ranked)
+    SELECT n_orders,
+           {sql_stable_round4('CAST(obs_micro AS DOUBLE) / 100000000.0')}
+               AS mean_obs,
+           {sql_stable_round4('lo')} AS boot_lo,
+           {sql_stable_round4('hi')} AS boot_hi,
+           {sql_stable_round4(_PB_SE)} AS boot_se
+    FROM obs CROSS JOIN roll
+    """,
+)
+def ml_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online (Poisson) bootstrap CI for the mean order value: each order
+    mints, per replicate r, its own multiplicity w ~ Poisson(1) from the
+    inverse CDF of an md5-uniform draw keyed ('pb' || r || '-' || key) —
+    so replicate r's "resample" is just a weighted aggregate and the
+    whole R={PB_REPS}-replicate bootstrap is ONE widened groupBy, never R
+    shuffled resamples (Owen & Eckles 2012, the web-scale bootstrap).
+    Reports the observed mean, the inner rank-[2, R-1] replicate
+    envelope (a 93.75% percentile CI), and the bootstrap SE.
+
+    Determinism: the Poisson draw is an integer-threshold inverse CDF on
+    a salted md5-bucket (literal thresholds floor(cdf(k)*1e6), the house
+    rand() substitute), per-replicate sums are exact HUGEINT/DECIMAL(38)
+    of integer cents, each replicate mean is an exact integer division
+    to micro-cents BEFORE any double arithmetic, and the CI bounds are
+    row_number picks with a rep tie-break. SE text is interpolated
+    verbatim into both engines; stable_round4 on every output rational.
+
+    Scale shape: the replicate grid is a broadcast {PB_REPS}-row
+    dimension; the widened scan shuffles {PB_REPS} partial-agg rows per
+    map task (map-side combine collapses the fan-out), the rollup is
+    {PB_REPS} rows. No per-replicate pass over the fact table exists
+    anywhere in the plan.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    obs = base.agg(
+        F.count("*").alias("n_orders"),
+        F.expr(
+            "CAST((sum(CAST(cents AS DECIMAL(38,0))) * 1000000)"
+            " div count(*) AS BIGINT)"
+        ).alias("obs_micro"),
+    )
+    reps = spark.range(PB_REPS).select(F.col("id").alias("rep"))
+    weighted = base.crossJoin(F.broadcast(reps)).select(
+        "rep",
+        "cents",
+        hash_bucket(
+            F.concat(
+                F.lit("pb"),
+                F.col("rep").cast("string"),
+                F.lit("-"),
+                F.col("k"),
+            ),
+            1000000,
+        ).alias("u"),
+    )
+    per_rep = weighted.groupBy("rep").agg(
+        F.expr(
+            f"sum(CAST({_PB_W} AS DECIMAL(38,0)) * cents)"
+        ).alias("swx"),
+        F.expr(f"sum(CAST({_PB_W} AS DECIMAL(38,0)))").alias("sw"),
+    )
+    means = per_rep.selectExpr(
+        "rep",
+        "CAST((swx * 1000000) div nullif(sw, 0) AS BIGINT) AS m",
+    )
+    ranked = means.select(
+        "m", F.row_number().over(W.orderBy("m", "rep")).alias("rk")
+    )
+    roll = ranked.selectExpr(
+        "CAST(sum(CAST(m AS DECIMAL(38,0))) AS DOUBLE)"
+        " / 100000000.0 AS sm",
+        "CAST(sum(CAST(m AS DECIMAL(38,0)) * m) AS DOUBLE)"
+        " / 10000000000000000.0 AS sm2",
+        "CAST(max(CASE WHEN rk = 2 THEN m END) AS DOUBLE)"
+        " / 100000000.0 AS lo",
+        f"CAST(max(CASE WHEN rk = {PB_REPS - 1} THEN m END) AS DOUBLE)"
+        " / 100000000.0 AS hi",
+    )
+    return obs.crossJoin(roll).selectExpr(
+        "n_orders",
+        f"CAST({sql_stable_round4('CAST(obs_micro AS DOUBLE) / 100000000.0')}"
+        " AS DOUBLE) AS mean_obs",
+        f"CAST({sql_stable_round4('lo')} AS DOUBLE) AS boot_lo",
+        f"CAST({sql_stable_round4('hi')} AS DOUBLE) AS boot_hi",
+        f"CAST({sql_stable_round4(_PB_SE)} AS DOUBLE) AS boot_se",
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_countmin_heavyhitters — Count-Min sketch certified on the top keys
+# --------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 64
+CM_TOPK = 10
+
+
+@register(
+    "agg_countmin_heavyhitters",
+    oracle=f"""
+    WITH grid AS (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS i),
+    counters AS (
+        SELECT i,
+               {sql_hash_bucket(
+                   "'cm' || CAST(i AS VARCHAR) || '-'"
+                   " || CAST(user_id AS VARCHAR)", CM_WIDTH)} AS h,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events CROSS JOIN grid
+        GROUP BY 1, 2),
+    truth AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+        FROM events GROUP BY 1),
+    topk AS (
+        SELECT user_id, true_cnt FROM truth
+        ORDER BY true_cnt DESC, user_id LIMIT {CM_TOPK}),
+    probe AS (
+        SELECT user_id, true_cnt, i,
+               {sql_hash_bucket(
+                   "'cm' || CAST(i AS VARCHAR) || '-'"
+                   " || CAST(user_id AS VARCHAR)", CM_WIDTH)} AS h
+        FROM topk CROSS JOIN grid)
+    SELECT p.user_id,
+           p.true_cnt,
+           min(c.cnt) AS cms_est,
+           min(c.cnt) - p.true_cnt AS overestimate
+    FROM probe p JOIN counters c ON p.i = c.i AND p.h = c.h
+    GROUP BY p.user_id, p.true_cnt
+    ORDER BY p.true_cnt DESC, p.user_id
+    """,
+)
+def agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over event users,
+    certified against exact truth on the top-{CM_TOPK} heavy hitters:
+    d={CM_DEPTH} salted md5 hash rows x w={CM_WIDTH} counters, point
+    estimate = min over rows of the collided counter. cms_est >=
+    true_cnt on every output row is the sketch's one-sided error
+    guarantee, hash-certified here (overestimate >= 0).
+
+    Determinism: the hash functions are salted md5-buckets (literal
+    salts 'cm0-'..'cm{CM_DEPTH - 1}-'), counters are exact integer
+    counts, top-k truth is LIMIT with a full (count DESC, user_id)
+    tie-break — no float anywhere.
+
+    Scale shape: the sketch build is ONE map-side-combinable aggregate
+    whose output is d*w = {CM_DEPTH * CM_WIDTH} rows regardless of input
+    size — the entire point of the sketch at 100 TB (the counter matrix
+    broadcasts; the shuffle carries d*w partials per map task). The
+    exact-truth side exists only to certify the estimates on k keys.
+    """
+    e = load(spark, sf_dir, "events")
+    grid = spark.range(CM_DEPTH).select(F.col("id").cast("int").alias("i"))
+
+    def h(col_i, col_user):
+        return hash_bucket(
+            F.concat(
+                F.lit("cm"),
+                col_i.cast("string"),
+                F.lit("-"),
+                col_user.cast("string"),
+            ),
+            CM_WIDTH,
+        )
+
+    counters = (
+        e.crossJoin(F.broadcast(grid))
+        .groupBy("i", h(F.col("i"), F.col("user_id")).alias("h"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    truth = e.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    topk = truth.orderBy(
+        F.col("true_cnt").desc(), F.col("user_id")
+    ).limit(CM_TOPK)
+    probe = topk.crossJoin(F.broadcast(grid)).select(
+        "user_id",
+        "true_cnt",
+        "i",
+        h(F.col("i"), F.col("user_id")).alias("h"),
+    )
+    est = (
+        probe.join(F.broadcast(counters), ["i", "h"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "true_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_cnt")).alias("overestimate"),
+    ).orderBy(F.col("true_cnt").desc(), F.col("user_id"))
+
+
+# --------------------------------------------------------------------------
+# ml_isotonic_calibration — PAV via the minimax identity over the bins
+# --------------------------------------------------------------------------
+
+ISO_BINS = 10
+# segment averages quantized to 1e-12 BEFORE the minimax lattice walk so
+# max/min compare integers, never engine-ordered doubles
+ISO_SCALE = 1_000_000_000_000
+
+
+@register(
+    "ml_isotonic_calibration",
+    oracle=f"""
+    WITH base AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+    r AS (
+        SELECT pos, rank() OVER (ORDER BY cents) AS rk,
+               count(*) OVER () AS n
+        FROM base),
+    b AS (
+        SELECT least(CAST((rk - 1) * {ISO_BINS} // (n - 1) AS INT),
+                     {ISO_BINS - 1}) AS bin, pos
+        FROM r),
+    g AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(pos) AS BIGINT) AS pos_b
+        FROM b GROUP BY 1),
+    segs AS (
+        SELECT j.bin AS jb, k.bin AS kb,
+               (sum(m.pos_b) * {ISO_SCALE}) // sum(m.n_b) AS aq
+        FROM g j JOIN g k ON j.bin <= k.bin
+        JOIN g m ON m.bin BETWEEN j.bin AND k.bin
+        GROUP BY 1, 2),
+    inner_min AS (
+        SELECT i.bin, s.jb, min(s.aq) AS mn
+        FROM g i JOIN segs s ON s.jb <= i.bin AND s.kb >= i.bin
+        GROUP BY 1, 2),
+    iso AS (
+        SELECT bin, max(mn) AS iso_q FROM inner_min GROUP BY 1)
+    SELECT g.bin, g.n_b AS n_bin, g.pos_b AS pos_bin,
+           {sql_stable_round4(
+               'CAST(g.pos_b AS DOUBLE) / CAST(g.n_b AS DOUBLE)')}
+               AS raw_rate,
+           {sql_stable_round4(
+               f'CAST(iso.iso_q AS DOUBLE) / {ISO_SCALE}.0')}
+               AS iso_rate
+    FROM g JOIN iso ON g.bin = iso.bin
+    ORDER BY g.bin
+    """,
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) recalibration of the rank-score reliability curve,
+    fitted relationally via the minimax identity iso(i) = max_{{j<=i}}
+    min_{{k>=i}} ybar(j..k) — the closed form of pool-adjacent-violators
+    (Robertson, Wright & Dykstra 1988), so no sequential pooling loop
+    exists in the plan. Same rank-cut base as ml_calibration_bins; the
+    output iso_rate is monotone non-decreasing in bin by construction
+    (the property a downstream score consumer relies on).
+
+    Determinism: bin stats are exact integer counts; every segment
+    average over bins j..k is quantized to an integer at 1e-12 by exact
+    integer division BEFORE the minimax max/min walk, so the lattice
+    compares integers, never engine-ordered doubles; final rates are one
+    double division each through stable_round4.
+
+    Scale shape: everything past the {ISO_BINS}-row bin aggregate is
+    lattice algebra on O(bins^2) = {ISO_BINS * ISO_BINS} rows — the fact
+    table is touched once by the same rank window the reliability
+    diagram already pays for.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    r = base.select(
+        "pos",
+        F.rank().over(W.orderBy("cents")).alias("rk"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    b = r.select(
+        F.least(
+            F.expr(f"CAST((rk - 1) * {ISO_BINS} DIV (n - 1) AS INT)"),
+            F.lit(ISO_BINS - 1),
+        ).alias("bin"),
+        "pos",
+    )
+    g = b.groupBy("bin").agg(
+        F.count("*").alias("n_b"), F.sum("pos").alias("pos_b")
+    )
+    j = g.select(F.col("bin").alias("jb"))
+    k = g.select(F.col("bin").alias("kb"))
+    m = g.select(
+        F.col("bin").alias("mb"), F.col("n_b").alias("mn_b"),
+        F.col("pos_b").alias("mpos_b"),
+    )
+    segs = (
+        j.join(k, F.col("jb") <= F.col("kb"))
+        .join(m, (F.col("mb") >= F.col("jb")) & (F.col("mb") <= F.col("kb")))
+        .groupBy("jb", "kb")
+        .agg(
+            F.expr(
+                f"(sum(mpos_b) * {ISO_SCALE}) div sum(mn_b)"
+            ).alias("aq")
+        )
+    )
+    inner_min = (
+        g.select(F.col("bin"))
+        .join(
+            segs,
+            (F.col("jb") <= F.col("bin")) & (F.col("kb") >= F.col("bin")),
+        )
+        .groupBy("bin", "jb")
+        .agg(F.min("aq").alias("mn"))
+    )
+    iso = inner_min.groupBy("bin").agg(F.max("mn").alias("iso_q"))
+    out = g.join(iso, "bin")
+    return out.selectExpr(
+        "bin",
+        "n_b AS n_bin",
+        "pos_b AS pos_bin",
+        f"CAST({sql_stable_round4('CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE)')}"
+        " AS DOUBLE) AS raw_rate",
+        f"CAST({sql_stable_round4(f'CAST(iso_q AS DOUBLE) / {ISO_SCALE}.0')}"
+        " AS DOUBLE) AS iso_rate",
+    ).orderBy("bin")

@@ -152,6 +152,7 @@ def load_all_modules() -> None:
         statsml3,
         statsml4,
         statsml5,
+        statsml6,
     )
     from .functions import scalar_queries  # noqa: F401
     from .sources import file_sources, pyds  # noqa: F401
