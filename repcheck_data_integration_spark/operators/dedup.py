@@ -1412,3 +1412,107 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_paragraphs_keep_first — CCNet-style sub-document keep-first dedup
+# --------------------------------------------------------------------------
+
+PARA_SIZE = 120  # non-overlapping char segments stand in for paragraphs
+
+
+@register(
+    "dedup_paragraphs_keep_first",
+    oracle=f"""
+    WITH segs AS (
+        SELECT doc_id, i AS seg_idx,
+               md5(substr(text, i * {PARA_SIZE} + 1, {PARA_SIZE})) AS sh,
+               CAST(length(substr(text, i * {PARA_SIZE} + 1, {PARA_SIZE}))
+                    AS BIGINT) AS seg_len
+        FROM documents, LATERAL unnest(
+            generate_series(0, greatest(length(text) - 1, 0)
+                               // {PARA_SIZE})
+        ) u(i)),
+    firsts AS (
+        SELECT sh, min(doc_id * 1000000 + seg_idx) AS first_pos
+        FROM segs GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(CASE WHEN s.doc_id * 1000000 + s.seg_idx = f.first_pos
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN s.doc_id * 1000000 + s.seg_idx = f.first_pos
+                         THEN s.seg_len ELSE 0 END) AS BIGINT)
+               AS chars_kept,
+           floor(sum(CASE WHEN s.doc_id * 1000000 + s.seg_idx = f.first_pos
+                          THEN 1 ELSE 0 END) * 1.0
+                 / count(*) * 10000.0 + 0.5) / 10000.0 AS kept_frac
+    FROM segs s JOIN firsts f USING (sh)
+    GROUP BY 1
+    """,
+)
+def dedup_paragraphs_keep_first(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style sub-document KEEP-FIRST dedup (Wenzek et al. 2020:
+    dedup the corpus at paragraph granularity, keeping each paragraph's
+    globally FIRST occurrence in corpus order and dropping every later
+    copy) — the removal op that pairs with dedup_boilerplate_sentences'
+    audit: that one flags frequency, this one decides which instance
+    survives. Segments are non-overlapping {PARA_SIZE}-char windows
+    (the fixture corpus has no newline paragraphing); each doc reports
+    how much of it survives: n_segs, n_kept, chars_kept, kept_frac.
+
+    Determinism: the survivor of a hash group is the minimum of the
+    PACKED position doc_id * 1e6 + seg_idx — a total order as one exact
+    BIGINT min, no window sort; kept_frac is one division through the
+    stable-round4 form.
+
+    Scale shape: segments travel as md5 from the scan projection on;
+    the first-occurrence rule is one map-side-combinable min aggregate
+    on the hash (NOT a row_number window — no per-group sort exists in
+    the plan), then one hash-keyed join back and a doc-keyed rollup.
+    Boilerplate hashes are Zipf-heavy, so the min-agg combines early;
+    the join's skewed hash keys are AQE-split at runtime.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_last = F.expr(f"greatest(length(text) - 1, 0) div {PARA_SIZE}")
+    seg = F.expr(f"substr(text, seg_idx * {PARA_SIZE} + 1, {PARA_SIZE})")
+    segs = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_last)).alias("seg_idx"),
+        "text",
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.md5(seg).alias("sh"),
+        F.length(seg).cast("long").alias("seg_len"),
+    )
+    firsts = segs.groupBy("sh").agg(
+        F.min(F.col("doc_id") * 1000000 + F.col("seg_idx")).alias(
+            "first_pos"
+        )
+    )
+    kept = (
+        F.col("doc_id") * 1000000 + F.col("seg_idx") == F.col("first_pos")
+    ).cast("int")
+    return (
+        segs.join(firsts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum(F.col("seg_len") * kept).cast("long").alias("chars_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_segs",
+            "n_kept",
+            "chars_kept",
+            (
+                F.floor(
+                    F.col("n_kept") * 1.0 / F.col("n_segs") * 10000.0 + 0.5
+                )
+                / 10000.0
+            ).alias("kept_frac"),
+        )
+    )

@@ -152,3 +152,119 @@ def join_map_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("m1_name", "m2_name", F.lit("UNMAPPED")).alias("mapped_name"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# join_cidr_lookup — longest-prefix-match IP routing as equi-join cascade
+# --------------------------------------------------------------------------
+
+from .sampling import hash_bucket, sql_hash_bucket  # noqa: E402
+
+# client IPs are hashed 28-bit values (top octet in [0, 16)), so the
+# derived 10.x.0.0 networks below receive real traffic; md5 is the house
+# cross-engine rand() substitute
+CIDR_IP_SPACE = 1 << 28
+
+
+@register(
+    "join_cidr_lookup",
+    oracle=f"""
+    WITH ips AS (
+        SELECT user_id,
+               {sql_hash_bucket(
+                   "'ip-' || CAST(user_id AS VARCHAR)", CIDR_IP_SPACE)}
+                   AS ip
+        FROM (SELECT DISTINCT user_id FROM events)),
+    nets16 AS (
+        SELECT (10 + n_regionkey) * 256 + (n_nationkey + 1) AS key16,
+               CAST(10 + n_regionkey AS VARCHAR) || '.'
+                   || CAST(n_nationkey + 1 AS VARCHAR) || '.0.0/16'
+                   AS net16
+        FROM nation),
+    nets8 AS (
+        SELECT 10 + r_regionkey AS key8,
+               CAST(10 + r_regionkey AS VARCHAR) || '.0.0.0/8' AS net8
+        FROM region),
+    routed AS (
+        SELECT CASE WHEN net16 IS NOT NULL THEN '/16'
+                    WHEN net8 IS NOT NULL THEN '/8'
+                    ELSE 'unrouted' END AS prefix_len,
+               coalesce(net16, net8, 'none') AS network
+        FROM ips
+        LEFT JOIN nets16 ON ip // 65536 = key16
+        LEFT JOIN nets8 ON ip // 16777216 = key8)
+    SELECT prefix_len, network,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM routed GROUP BY 1, 2
+    ORDER BY prefix_len, network
+    """,
+)
+def join_cidr_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match CIDR routing (geo-IP / network attribution —
+    the classic web-log enrichment) expressed as a CASCADE OF EQUI-JOINS,
+    never a range join: every prefix length present in the routing table
+    becomes one broadcast hash join on the ip's truncated prefix
+    (ip div 2^(32-len)), and LPM is the coalesce order from most to
+    least specific. Here: per-nation /16s inside per-region /8s over
+    deterministic md5-derived client IPs, rolled up per matched network.
+
+    Determinism: IPs are salted md5-buckets of user_id (integer in
+    [0, 2^28) so the derived 10.x networks receive traffic); prefixes
+    are exact integer divisions; counts are exact.
+
+    Scale shape: the routing table (real-world: ~1M BGP prefixes) is a
+    broadcast dimension per prefix length; the fact side computes each
+    truncation in the scan projection, so the whole LPM is N_prefix_len
+    broadcast joins with zero fact shuffles — the range-join
+    formulation a naive engine picks degenerates to per-row interval
+    search, which is exactly what this plan shape avoids at 100 TB.
+    """
+    e = load(spark, sf_dir, "events")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    ips = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            hash_bucket(
+                F.concat(F.lit("ip-"), F.col("user_id").cast("string")),
+                CIDR_IP_SPACE,
+            ).alias("ip"),
+        )
+    )
+    nets16 = nation.select(
+        ((10 + F.col("n_regionkey")) * 256 + F.col("n_nationkey") + 1).alias(
+            "key16"
+        ),
+        F.concat(
+            (10 + F.col("n_regionkey")).cast("string"),
+            F.lit("."),
+            (F.col("n_nationkey") + 1).cast("string"),
+            F.lit(".0.0/16"),
+        ).alias("net16"),
+    )
+    nets8 = region.select(
+        (10 + F.col("r_regionkey")).alias("key8"),
+        F.concat(
+            (10 + F.col("r_regionkey")).cast("string"), F.lit(".0.0.0/8")
+        ).alias("net8"),
+    )
+    routed = (
+        ips.withColumn("ip16", F.expr("ip div 65536"))
+        .withColumn("ip8", F.expr("ip div 16777216"))
+        .join(F.broadcast(nets16), F.col("ip16") == F.col("key16"), "left")
+        .join(F.broadcast(nets8), F.col("ip8") == F.col("key8"), "left")
+        .select(
+            F.when(F.col("net16").isNotNull(), "/16")
+            .when(F.col("net8").isNotNull(), "/8")
+            .otherwise("unrouted")
+            .alias("prefix_len"),
+            F.coalesce("net16", "net8", F.lit("none")).alias("network"),
+        )
+    )
+    return (
+        routed.groupBy("prefix_len", "network")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("prefix_len", "network")
+    )

@@ -429,3 +429,92 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({sql_stable_round4(f'CAST(iso_q AS DOUBLE) / {ISO_SCALE}.0')}"
         " AS DOUBLE) AS iso_rate",
     ).orderBy("bin")
+
+
+# --------------------------------------------------------------------------
+# priv_noisy_max — eps-DP selection via report-noisy-max (discrete Laplace)
+# --------------------------------------------------------------------------
+
+# Geometric(1 - e^-1) inverse CDF as integer thresholds on a uniform
+# md5-bucket in [0, 1e6): floor((1 - e^-(k+1)) * 1e6), k = 0..8, tail -> 9.
+# The DIFFERENCE of two iid geometric draws is the discrete Laplace with
+# scale 1/eps, eps = 1 (Inusah & Kozubowski 2006) — count sensitivity is 1
+# per user-event, so argmax(count + noise) is eps-DP selection.
+_NM_T = [632120, 864664, 950212, 981684, 993262, 997521, 999088, 999664,
+         999876]
+def _nm_geo(u: str) -> str:
+    return (
+        "CASE "
+        + " ".join(f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_NM_T))
+        + " ELSE 9 END"
+    )
+
+
+@register(
+    "priv_noisy_max",
+    oracle=f"""
+    WITH counts AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1),
+    draws AS (
+        SELECT event_type, n,
+               {sql_hash_bucket("'nm1-' || event_type", 1000000)} AS u1,
+               {sql_hash_bucket("'nm2-' || event_type", 1000000)} AS u2
+        FROM counts),
+    noisy AS (
+        SELECT event_type, n,
+               n + ({_nm_geo('u1')}) - ({_nm_geo('u2')}) AS noisy_n
+        FROM draws),
+    mx AS (SELECT max(noisy_n) AS m FROM noisy)
+    SELECT event_type, noisy_n,
+           CASE WHEN noisy_n = m THEN 1 ELSE 0 END AS is_selected
+    FROM noisy CROSS JOIN mx
+    ORDER BY noisy_n DESC, event_type
+    """,
+)
+def priv_noisy_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report-noisy-max eps-DP selection (eps = 1) of the most frequent
+    event type: each candidate's count gets independent discrete-Laplace
+    noise — the difference of two Geometric(1 - e^-1) draws (Inusah &
+    Kozubowski 2006) — and the released answer is the argmax plus the
+    noisy counts themselves (also DP by post-processing). Completes the
+    privacy kit's SELECTION corner: priv_dp_counts releases noisy
+    aggregates, priv_randomized_response is the device-local mechanism,
+    this is the DP argmax a pipeline uses to pick a category to publish.
+
+    Determinism: both geometric draws are integer-threshold inverse CDFs
+    (literal thresholds floor((1-e^-(k+1))*1e6)) on salted md5-buckets of
+    the candidate name — replayable, engine-exact, no float anywhere;
+    true counts never leave the plan (only noisy_n and the argmax flag
+    are projected out).
+
+    Scale shape: one map-side-combinable count over the fact table; the
+    mechanism itself runs on the |candidates|-row aggregate, and the max
+    is a broadcast 1-row scalar.
+    """
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    draws = counts.select(
+        "event_type",
+        "n",
+        hash_bucket(
+            F.concat(F.lit("nm1-"), F.col("event_type")), 1000000
+        ).alias("u1"),
+        hash_bucket(
+            F.concat(F.lit("nm2-"), F.col("event_type")), 1000000
+        ).alias("u2"),
+    )
+    noisy = draws.selectExpr(
+        "event_type",
+        f"n + ({_nm_geo('u1')}) - ({_nm_geo('u2')}) AS noisy_n",
+    )
+    mx = noisy.agg(F.max("noisy_n").alias("m"))
+    return (
+        noisy.crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "event_type",
+            "noisy_n",
+            "CASE WHEN noisy_n = m THEN 1 ELSE 0 END AS is_selected",
+        )
+        .orderBy(F.col("noisy_n").desc(), "event_type")
+    )

@@ -83,3 +83,80 @@ def test_isotonic_monotone_and_mean_preserving(spark, sf_dir):
     w_raw = sum(r["n_bin"] * r["raw_rate"] for r in rows)
     w_iso = sum(r["n_bin"] * r["iso_rate"] for r in rows)
     assert abs(w_raw - w_iso) <= 1e-3 * sum(r["n_bin"] for r in rows)
+
+
+def test_keep_first_partitions_hash_space(spark, sf_dir):
+    """Across the corpus, exactly one instance per distinct segment hash
+    survives: sum(n_kept) == |distinct hashes|, and every doc keeps at
+    least zero, at most all, of its segments."""
+    from repcheck_data_integration_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = registry.QUERIES["dedup_paragraphs_keep_first"](
+        spark, sf_dir
+    ).collect()
+    kept = sum(r["n_kept"] for r in rows)
+    d = load(spark, sf_dir, "documents")
+    n_hashes = (
+        d.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, greatest(length(text)-1,0)"
+                    " div 120), i -> md5(substr(text, i*120+1, 120)))"
+                )
+            ).alias("sh")
+        )
+        .distinct()
+        .count()
+    )
+    assert kept == n_hashes
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_segs"]
+        assert 0.0 <= r["kept_frac"] <= 1.0
+
+
+def test_cidr_lpm_prefers_most_specific(spark, sf_dir):
+    """Every routed row is one of the three levels; /16 networks sit
+    inside a /8 that also exists, so their traffic proves LPM beat the
+    shorter prefix; counts add up to the distinct-user total."""
+    from repcheck_data_integration_spark.tables import load
+
+    rows = registry.QUERIES["join_cidr_lookup"](spark, sf_dir).collect()
+    levels = {r["prefix_len"] for r in rows}
+    assert levels <= {"/16", "/8", "unrouted"}
+    total = sum(r["n_users"] for r in rows)
+    n_users = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert total == n_users
+    for r in rows:
+        if r["prefix_len"] == "/16":
+            assert r["network"].endswith(".0.0/16")
+        if r["prefix_len"] == "/8":
+            assert r["network"].endswith(".0.0.0/8")
+
+
+def test_noisy_max_selects_and_replays(spark, sf_dir):
+    """Exactly one selected candidate (max with name tie-break would
+    still mark ties — assert >= 1 and that selected rows carry the max),
+    noise is bounded by the geometric cap, and the mechanism replays
+    bit-identically."""
+    from repcheck_data_integration_spark.tables import load
+    from pyspark.sql import functions as F
+
+    q = registry.QUERIES["priv_noisy_max"]
+    a = q(spark, sf_dir).collect()
+    sel = [r for r in a if r["is_selected"] == 1]
+    assert len(sel) >= 1
+    mx = max(r["noisy_n"] for r in a)
+    assert all(r["noisy_n"] == mx for r in sel)
+    truth = {
+        r["event_type"]: r["cnt"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    for r in a:
+        assert abs(r["noisy_n"] - truth[r["event_type"]]) <= 18
+    assert a == q(spark, sf_dir).collect()
