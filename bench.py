@@ -153,6 +153,9 @@ HEADLINE = [
     "dedup_paragraphs_keep_first",
     "join_cidr_lookup",
     "priv_noisy_max",
+    "dedup_exact_substrings",
+    "text_pmi_collocations",
+    "agg_rfm_segments",
 ]
 
 

@@ -518,3 +518,116 @@ def priv_noisy_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("noisy_n").desc(), "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# agg_rfm_segments — recency/frequency/monetary quintile segmentation
+# --------------------------------------------------------------------------
+
+RFM_Q = 5
+
+
+@register(
+    "agg_rfm_segments",
+    oracle=f"""
+    WITH mx AS (
+        SELECT max(CAST(o_orderdate AS DATE)) AS corpus_max FROM orders),
+    per_cust AS (
+        SELECT o_custkey,
+               datediff('day', max(CAST(o_orderdate AS DATE)), corpus_max)
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders CROSS JOIN mx
+        GROUP BY o_custkey, corpus_max),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY recency_days, o_custkey) AS rr,
+               row_number() OVER (ORDER BY frequency, o_custkey) AS rf,
+               row_number() OVER (ORDER BY monetary_cents, o_custkey)
+                   AS rm,
+               count(*) OVER () AS n
+        FROM per_cust),
+    cells AS (
+        SELECT CAST((rr - 1) * {RFM_Q} // n AS INT) AS r_q,
+               CAST((rf - 1) * {RFM_Q} // n AS INT) AS f_q,
+               CAST((rm - 1) * {RFM_Q} // n AS INT) AS m_q,
+               monetary_cents
+        FROM ranked)
+    SELECT r_q, f_q, m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST((sum(CAST(monetary_cents AS HUGEINT)) * 100)
+                // count(*) AS BIGINT) AS avg_monetary_cents_x100
+    FROM cells GROUP BY 1, 2, 3
+    ORDER BY r_q, f_q, m_q
+    """,
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation — the
+    classic customer-value grid (Hughes 1994) and the house pattern for
+    any per-entity engagement cube: per customer, days since last order
+    (vs the corpus max date, so the fixture is self-contained), order
+    count, and lifetime cents; each axis cut into {RFM_Q} population
+    quantiles; the output is the (r, f, m) cell rollup.
+
+    Determinism: quantile cuts are exact integer rank arithmetic
+    (rank-1)*{RFM_Q} div n over row_number with a custkey tie-break
+    (identical text both engines); monetary stays integer cents, and
+    the per-cell average is an exact integer division to micro-dollars
+    — no double anywhere in the output.
+
+    Scale shape: one customer-keyed aggregate over orders; the three
+    rank windows run on the per-customer table (1/|orders-per-cust| the
+    fact size). Global row_number is single-partition at the extreme —
+    at 100 TB swap in percentile cuts from approx_percentile or a
+    two-pass range partitioner; the cell rollup is {RFM_Q}^3 rows.
+    """
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("corpus_max")
+    )
+    per_cust = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "corpus_max")
+        .agg(
+            F.datediff(
+                F.col("corpus_max"),
+                F.max(F.col("o_orderdate").cast("date")),
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).alias("monetary_cents"),
+        )
+    )
+    ranked = per_cust.select(
+        "monetary_cents",
+        F.row_number()
+        .over(W.orderBy("recency_days", "o_custkey"))
+        .alias("rr"),
+        F.row_number()
+        .over(W.orderBy("frequency", "o_custkey"))
+        .alias("rf"),
+        F.row_number()
+        .over(W.orderBy("monetary_cents", "o_custkey"))
+        .alias("rm"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    cells = ranked.selectExpr(
+        f"CAST((rr - 1) * {RFM_Q} div n AS INT) AS r_q",
+        f"CAST((rf - 1) * {RFM_Q} div n AS INT) AS f_q",
+        f"CAST((rm - 1) * {RFM_Q} div n AS INT) AS m_q",
+        "monetary_cents",
+    )
+    return (
+        cells.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.expr(
+                "CAST((sum(CAST(monetary_cents AS DECIMAL(38,0))) * 100)"
+                " div count(*) AS BIGINT)"
+            ).alias("avg_monetary_cents_x100"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

@@ -2908,3 +2908,119 @@ def dq_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- PMI collocation mining (log-free monotone rank) -------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+PMI_SCALE = 1_000_000
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, i AS pos, t[i] AS tok
+        FROM (SELECT doc_id,
+                     regexp_extract_all(text, '[a-z0-9]+') AS t
+              FROM documents),
+             LATERAL unnest(generate_series(1, len(t))) u(i)),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    nuni AS (SELECT CAST(sum(c) AS BIGINT) AS n_u FROM uni),
+    big AS (
+        SELECT a.tok AS w1, b.tok AS w2,
+               CAST(count(*) AS BIGINT) AS c_xy
+        FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+    nbig AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_b FROM big),
+    scored AS (
+        SELECT w1, w2, c_xy,
+               CAST((CAST(c_xy AS HUGEINT) * n_u * n_u * {PMI_SCALE})
+                    // (CAST(n_b AS HUGEINT) * cx.c * cy.c) AS BIGINT)
+                   AS lift_q
+        FROM big
+        CROSS JOIN nuni CROSS JOIN nbig
+        JOIN uni cx ON cx.tok = w1
+        JOIN uni cy ON cy.tok = w2
+        WHERE c_xy >= {PMI_MIN_COUNT})
+    SELECT w1, w2, c_xy,
+           CAST(lift_q AS DOUBLE) / {PMI_SCALE}.0 AS lift
+    FROM scored
+    ORDER BY lift_q DESC, w1, w2 LIMIT {PMI_TOPK}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOPK} PMI collocations (adjacent-bigram association
+    mining — the phrase detector in front of tokenizer/vocab builders,
+    Mikolov et al. 2013's phrase pass): score = p(xy) / (p(x) p(y)).
+    PMI itself is log of that ratio, and log is monotone — so the rank
+    is computed on the RATIONAL lift c_xy * N_u^2 / (N_b * c_x * c_y)
+    as an exact integer quantized at 1e-6, and no transcendental enters
+    either engine. Ties break lexicographically on the bigram.
+
+    Determinism: token/bigram counts are exact integers; the lift is
+    one HUGEINT/DECIMAL(38) integer division; the reported double is
+    the quantized integer descaled (bit-exact both sides).
+
+    Scale shape: two map-side-combinable counts — unigrams from one
+    token explode, bigrams assembled PER ROW inside the token array
+    (transform over adjacent indices: no self-join exists, so a 10k-token
+    document costs 10k bigram rows, never 10k^2 join candidates); the
+    unigram table joins back by token key; the corpus totals are
+    broadcast 1-row scalars. min-count {PMI_MIN_COUNT} prunes the
+    Zipf tail before the join.
+    """
+    d = load(spark, sf_dir, "documents")
+    toked = d.select(
+        F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)").alias("t")
+    )
+    uni = toked.select(F.explode("t").alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("c")
+    )
+    nuni = uni.agg(F.sum("c").alias("n_u"))
+    all_big = (
+        toked.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN"
+                    " transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                    " ELSE CAST(array() AS"
+                    " array<struct<w1: string, w2: string>>) END"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    nbig = all_big.agg(F.sum("c_xy").alias("n_b"))
+    big = all_big.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+    cx = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_x"))
+    cy = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_y"))
+    scored = (
+        big.crossJoin(F.broadcast(nuni))
+        .crossJoin(F.broadcast(nbig))
+        .join(cx, "w1")
+        .join(cy, "w2")
+        .selectExpr(
+            "w1",
+            "w2",
+            "c_xy",
+            f"CAST((CAST(c_xy AS DECIMAL(38,0)) * n_u * n_u * {PMI_SCALE})"
+            f" div (CAST(n_b AS DECIMAL(38,0)) * c_x * c_y) AS BIGINT)"
+            " AS lift_q",
+        )
+    )
+    return (
+        scored.orderBy(F.col("lift_q").desc(), "w1", "w2")
+        .limit(PMI_TOPK)
+        .selectExpr(
+            "w1",
+            "w2",
+            "c_xy",
+            f"CAST(lift_q AS DOUBLE) / {PMI_SCALE}.0 AS lift",
+        )
+    )

@@ -1160,3 +1160,46 @@ def test_ktruss_ordered_triangle_joins_cached(spark):
     # edge frames; no cartesian anywhere
     assert "InMemoryTableScan" in p
     assert "CartesianProduct" not in p
+
+
+def test_poisson_bootstrap_single_widened_agg(spark):
+    """The R-replicate fan-out is a broadcast grid feeding ONE partial+
+    final aggregate pair — no per-replicate scan of orders exists."""
+    p = plan(spark, "ml_poisson_bootstrap")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    import re
+    scans = re.findall(r"Scan parquet.*orders", p)
+    assert len(scans) <= 2  # one for obs, one for the replicate grid
+
+
+def test_countmin_sketch_is_one_aggregate(spark):
+    """The counter matrix build broadcasts the depth grid and partial-
+    aggregates map-side; the probe side broadcasts the 256-row matrix."""
+    p = plan(spark, "agg_countmin_heavyhitters")
+    assert "HashAggregate" in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_cidr_lpm_is_broadcast_cascade(spark):
+    """Both prefix-length joins broadcast the routing dimensions; no
+    range join / cartesian appears."""
+    p = plan(spark, "join_cidr_lookup")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_keep_first_has_no_rownumber_window(spark):
+    """Survivor choice is a min AGGREGATE on the segment hash, not a
+    row_number window (no per-group sort at scale)."""
+    p = plan(spark, "dedup_paragraphs_keep_first")
+    assert "Window" not in p
+    assert "HashAggregate" in p
+
+
+def test_pmi_bigrams_without_self_join(spark):
+    """Bigrams come from per-row array transform — the only joins are
+    the unigram-count lookups and broadcast scalar totals."""
+    p = plan(spark, "text_pmi_collocations")
+    assert "CartesianProduct" not in p
+    # token self-join on position would be a non-broadcast SMJ on doc_id
+    assert "SortMergeJoin" not in p

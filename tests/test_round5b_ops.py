@@ -160,3 +160,91 @@ def test_noisy_max_selects_and_replays(spark, sf_dir):
     for r in a:
         assert abs(r["noisy_n"] - truth[r["event_type"]]) <= 18
     assert a == q(spark, sf_dir).collect()
+
+
+def test_exact_substrings_flags_planted_duplicate(spark, tmp_path):
+    """Two docs share an identical 200-char head; a third is unique.
+    The shared heads must be flagged as duplicated spans covering ~the
+    shared region, and the unique doc must report zero duplication."""
+    import hashlib
+
+    def aperiodic(seed: str, n: int) -> str:
+        # md5-chained chars: no substring of length >= 50 ever repeats
+        out = []
+        h = seed.encode()
+        while len(out) < n:
+            h = hashlib.md5(h).digest()
+            out.extend(chr(97 + b % 26) for b in h)
+        return "".join(out[:n])
+
+    shared = aperiodic("shared", 200)
+    uniq_a = aperiodic("a", 150)
+    uniq_b = aperiodic("b", 150)
+    uniq_c = aperiodic("c", 350)
+    rows = [
+        (1, shared + uniq_a, "en", "s1", 350),
+        (2, shared + uniq_b, "en", "s2", 350),
+        (3, uniq_c, "en", "s3", 350),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["dedup_exact_substrings"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[3]["n_dup_spans"] == 0
+    assert out[3]["dup_chars"] == 0
+    for d in (1, 2):
+        assert out[d]["n_dup_spans"] >= 1
+        # the shared head is 200 chars; strided grams cover >= 150 and
+        # the merged span cannot exceed head + one gram length of slack
+        assert 150 <= out[d]["dup_chars"] <= 260
+        assert out[d]["dup_frac"] > 0.4
+
+
+def test_pmi_collocations_find_planted_phrase(spark, tmp_path):
+    """A phrase pair that always co-occurs adjacently ('zx qv') must
+    out-lift common independent bigrams."""
+    filler = "the data big fast slow table scan merge row key".split()
+    rows = []
+    for i in range(30):
+        words = [filler[(i + j) % len(filler)] for j in range(20)]
+        words.insert(5, "zx")
+        words.insert(6, "qv")  # 'zx qv' adjacent in every doc
+        rows.append((i, " ".join(words), "en", "s", 100))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = registry.QUERIES["text_pmi_collocations"](
+        spark, str(tmp_path)
+    ).collect()
+    assert out[0]["w1"] == "zx" and out[0]["w2"] == "qv"
+    assert out[0]["lift"] > 1.0
+    lifts = [r["lift"] for r in out]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_rfm_cells_partition_customers(spark, sf_dir):
+    """Every customer lands in exactly one cell; quintile indexes are in
+    range; cell sizes sum to the distinct-customer count."""
+    from repcheck_data_integration_spark.tables import load
+
+    rows = registry.QUERIES["agg_rfm_segments"](spark, sf_dir).collect()
+    n_cust = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert 0 <= r["r_q"] < 5 and 0 <= r["f_q"] < 5 and 0 <= r["m_q"] < 5
+        assert r["avg_monetary_cents_x100"] > 0
