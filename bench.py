@@ -146,9 +146,8 @@ HEADLINE = [
     "dedup_cluster_stats",
     "events_sequence_patterns",
     "mix_token_budget_allocation",
-    # round-5 continuation (resampling / sketch / sub-doc dedup / LPM)
+    # round-5 continuation (resampling / sub-doc dedup / LPM / privacy)
     "ml_poisson_bootstrap",
-    "agg_countmin_heavyhitters",
     "ml_isotonic_calibration",
     "dedup_paragraphs_keep_first",
     "join_cidr_lookup",

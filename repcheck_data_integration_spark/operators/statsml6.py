@@ -1,6 +1,6 @@
 """Resampling / sketch / calibration extensions (round-5 continuation).
 
-Three families the 100 TB experimentation-and-curation story still
+Families the 100 TB experimentation-and-curation story still
 lacked, each a pure DataFrame plan with an exact DuckDB oracle twin:
 
 - ml_poisson_bootstrap   the ONLINE bootstrap (Poisson resampling):
@@ -9,11 +9,6 @@ lacked, each a pure DataFrame plan with an exact DuckDB oracle twin:
                          hashed inverse-CDF draw, so R replicates cost one
                          widened aggregate instead of R shuffled resamples
                          (Owen & Eckles 2012; the standard web-scale CI).
-- agg_countmin_heavyhitters  Count-Min sketch (Cormode & Muthukrishnan
-                         2005): d x w integer counter matrix built in one
-                         map-side-combinable aggregate; point estimates
-                         (min over d rows) certified against exact truth
-                         on the top-k keys, est >= truth by construction.
 - ml_isotonic_calibration  PAV isotonic regression over the reliability
                          bins via the minimax identity
                          iso(i) = max_{j<=i} min_{k>=i} ybar(j..k) —
@@ -194,109 +189,6 @@ def ml_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({sql_stable_round4('hi')} AS DOUBLE) AS boot_hi",
         f"CAST({sql_stable_round4(_PB_SE)} AS DOUBLE) AS boot_se",
     )
-
-
-# --------------------------------------------------------------------------
-# agg_countmin_heavyhitters — Count-Min sketch certified on the top keys
-# --------------------------------------------------------------------------
-
-CM_DEPTH = 4
-CM_WIDTH = 64
-CM_TOPK = 10
-
-
-@register(
-    "agg_countmin_heavyhitters",
-    oracle=f"""
-    WITH grid AS (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS i),
-    counters AS (
-        SELECT i,
-               {sql_hash_bucket(
-                   "'cm' || CAST(i AS VARCHAR) || '-'"
-                   " || CAST(user_id AS VARCHAR)", CM_WIDTH)} AS h,
-               CAST(count(*) AS BIGINT) AS cnt
-        FROM events CROSS JOIN grid
-        GROUP BY 1, 2),
-    truth AS (
-        SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
-        FROM events GROUP BY 1),
-    topk AS (
-        SELECT user_id, true_cnt FROM truth
-        ORDER BY true_cnt DESC, user_id LIMIT {CM_TOPK}),
-    probe AS (
-        SELECT user_id, true_cnt, i,
-               {sql_hash_bucket(
-                   "'cm' || CAST(i AS VARCHAR) || '-'"
-                   " || CAST(user_id AS VARCHAR)", CM_WIDTH)} AS h
-        FROM topk CROSS JOIN grid)
-    SELECT p.user_id,
-           p.true_cnt,
-           min(c.cnt) AS cms_est,
-           min(c.cnt) - p.true_cnt AS overestimate
-    FROM probe p JOIN counters c ON p.i = c.i AND p.h = c.h
-    GROUP BY p.user_id, p.true_cnt
-    ORDER BY p.true_cnt DESC, p.user_id
-    """,
-)
-def agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch (Cormode & Muthukrishnan 2005) over event users,
-    certified against exact truth on the top-{CM_TOPK} heavy hitters:
-    d={CM_DEPTH} salted md5 hash rows x w={CM_WIDTH} counters, point
-    estimate = min over rows of the collided counter. cms_est >=
-    true_cnt on every output row is the sketch's one-sided error
-    guarantee, hash-certified here (overestimate >= 0).
-
-    Determinism: the hash functions are salted md5-buckets (literal
-    salts 'cm0-'..'cm{CM_DEPTH - 1}-'), counters are exact integer
-    counts, top-k truth is LIMIT with a full (count DESC, user_id)
-    tie-break — no float anywhere.
-
-    Scale shape: the sketch build is ONE map-side-combinable aggregate
-    whose output is d*w = {CM_DEPTH * CM_WIDTH} rows regardless of input
-    size — the entire point of the sketch at 100 TB (the counter matrix
-    broadcasts; the shuffle carries d*w partials per map task). The
-    exact-truth side exists only to certify the estimates on k keys.
-    """
-    e = load(spark, sf_dir, "events")
-    grid = spark.range(CM_DEPTH).select(F.col("id").cast("int").alias("i"))
-
-    def h(col_i, col_user):
-        return hash_bucket(
-            F.concat(
-                F.lit("cm"),
-                col_i.cast("string"),
-                F.lit("-"),
-                col_user.cast("string"),
-            ),
-            CM_WIDTH,
-        )
-
-    counters = (
-        e.crossJoin(F.broadcast(grid))
-        .groupBy("i", h(F.col("i"), F.col("user_id")).alias("h"))
-        .agg(F.count("*").alias("cnt"))
-    )
-    truth = e.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
-    topk = truth.orderBy(
-        F.col("true_cnt").desc(), F.col("user_id")
-    ).limit(CM_TOPK)
-    probe = topk.crossJoin(F.broadcast(grid)).select(
-        "user_id",
-        "true_cnt",
-        "i",
-        h(F.col("i"), F.col("user_id")).alias("h"),
-    )
-    est = (
-        probe.join(F.broadcast(counters), ["i", "h"])
-        .groupBy("user_id", "true_cnt")
-        .agg(F.min("cnt").alias("cms_est"))
-    )
-    return est.select(
-        "user_id",
-        "true_cnt",
-        "cms_est",
-        (F.col("cms_est") - F.col("true_cnt")).alias("overestimate"),
-    ).orderBy(F.col("true_cnt").desc(), F.col("user_id"))
 
 
 # --------------------------------------------------------------------------

@@ -1172,14 +1172,6 @@ def test_poisson_bootstrap_single_widened_agg(spark):
     assert len(scans) <= 2  # one for obs, one for the replicate grid
 
 
-def test_countmin_sketch_is_one_aggregate(spark):
-    """The counter matrix build broadcasts the depth grid and partial-
-    aggregates map-side; the probe side broadcasts the 256-row matrix."""
-    p = plan(spark, "agg_countmin_heavyhitters")
-    assert "HashAggregate" in p
-    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
-
-
 def test_cidr_lpm_is_broadcast_cascade(spark):
     """Both prefix-length joins broadcast the routing dimensions; no
     range join / cartesian appears."""
