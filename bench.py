@@ -155,6 +155,8 @@ HEADLINE = [
     "dedup_exact_substrings",
     "text_pmi_collocations",
     "agg_rfm_segments",
+    "events_attribution_shapley",
+    "ml_conformal_interval",
 ]
 
 

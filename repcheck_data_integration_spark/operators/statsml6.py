@@ -523,3 +523,315 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+# --------------------------------------------------------------------------
+# events_attribution_shapley — exact Shapley-value channel attribution
+# --------------------------------------------------------------------------
+
+# channels and their coalition bits (purchase is the CONVERSION, not a
+# channel); n = 4, so Shapley runs EXACTLY over the 16 coalitions
+SHAP_CHANNELS = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
+SHAP_N = 4
+# |S|! * (n-1-|S|)! for every coalition mask S with channel i absent —
+# precomputed per MASK as integer literals so neither engine needs a
+# popcount/factorial at runtime; sum of weights over S = n!/n = 6
+_SHAP_W = {0: 6, 1: 2, 2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 7: 6,
+           8: 2, 9: 2, 10: 2, 11: 6, 12: 2, 13: 6, 14: 6}
+def _shap_w_case(col: str) -> str:
+    return (
+        f"CASE {col} "
+        + " ".join(f"WHEN {m} THEN {w}" for m, w in sorted(_SHAP_W.items()))
+        + " END"
+    )
+_SHAP_MASK = " + ".join(
+    f"max(CASE WHEN event_type = '{c}' THEN {b} ELSE 0 END)"
+    for c, b in SHAP_CHANNELS
+)
+_SHAP_CH_CASE = (
+    "CASE bit "
+    + " ".join(f"WHEN {b} THEN '{c}'" for c, b in SHAP_CHANNELS)
+    + " END"
+)
+
+
+@register(
+    "events_attribution_shapley",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               {_SHAP_MASK} AS t_mask,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id),
+    observed AS (
+        SELECT t_mask, CAST(sum(conv) AS BIGINT) AS conv_cnt
+        FROM per_user GROUP BY 1),
+    smasks AS (SELECT unnest(generate_series(0, 15)) AS s_mask),
+    v AS (
+        SELECT s_mask,
+               CAST(coalesce(sum(CASE WHEN (t_mask & s_mask) = t_mask
+                                      THEN conv_cnt END), 0) AS BIGINT)
+                   AS v_s
+        FROM smasks LEFT JOIN observed ON true
+        GROUP BY 1),
+    chans AS (SELECT unnest([1, 2, 4, 8]) AS bit),
+    terms AS (
+        SELECT c.bit,
+               ({_shap_w_case("vo.s_mask")})
+                   * (vw.v_s - vo.v_s) AS term
+        FROM chans c
+        JOIN v vo ON (vo.s_mask & c.bit) = 0
+        JOIN v vw ON vw.s_mask = (vo.s_mask | c.bit)),
+    phi AS (
+        SELECT bit, CAST(sum(term) AS BIGINT) AS phi_x24
+        FROM terms GROUP BY 1),
+    tot AS (SELECT sum(phi_x24) AS t24 FROM phi)
+    SELECT {_SHAP_CH_CASE} AS channel,
+           phi_x24,
+           floor(phi_x24 / 24.0 * 10000.0 + 0.5) / 10000.0 AS phi,
+           floor(CAST(phi_x24 AS DOUBLE) / nullif(t24, 0) * 10000.0
+                 + 0.5) / 10000.0 AS share
+    FROM phi CROSS JOIN tot
+    ORDER BY channel
+    """,
+)
+def events_attribution_shapley(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT Shapley-value channel attribution (Shapley 1953; the
+    data-driven attribution model behind ad platforms — completes the
+    family next to events_attribution_last_touch / _linear): each user
+    contributes their touched-channel set (a 4-bit mask over
+    click/error/signup/view) and a conversion bit (purchased); the
+    coalition value v(S) = conversions of users whose touch set is
+    CONTAINED in S; channel i's credit is the Shapley average marginal
+    phi_i = sum_S |S|!(n-1-|S|)!/n! * (v(S+i) - v(S)). With n=4 the sum
+    runs exactly over all 16 coalitions — no sampling, no permutation
+    Monte Carlo. Efficiency holds by construction: sum phi = v(all) -
+    v(empty), certified by the share column.
+
+    Determinism: masks and conversion counts are exact integers; the
+    factorial weights are PRECOMPUTED integer literals per coalition
+    mask (no runtime popcount/factorial); phi is kept x24 (= n!) as a
+    BIGINT and descaled once through the stable-round4 form.
+
+    Scale shape: one user-keyed conditional aggregate over events (the
+    only pass over the fact table), collapsing to <= 16 observed-mask
+    rows; everything after — the subset-sum closure, the 4 x 8 marginal
+    grid, the rollup — is constant-size lattice algebra on broadcast
+    frames, independent of input volume.
+    """
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.expr(_SHAP_MASK).alias("t_mask"),
+        F.expr(
+            "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        ).alias("conv"),
+    )
+    observed = per_user.groupBy("t_mask").agg(
+        F.sum("conv").alias("conv_cnt")
+    )
+    smasks = spark.range(16).select(F.col("id").cast("int").alias("s_mask"))
+    v = (
+        smasks.join(F.broadcast(observed), F.lit(True), "left")
+        .groupBy("s_mask")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.expr("(t_mask & s_mask) = t_mask"),
+                        F.col("conv_cnt"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("v_s")
+        )
+    )
+    chans = spark.createDataFrame(
+        [(b,) for _, b in SHAP_CHANNELS], "bit int"
+    )
+    vo = v.select(F.col("s_mask"), F.col("v_s").alias("v_without"))
+    vw = v.select(
+        F.col("s_mask").alias("w_mask"), F.col("v_s").alias("v_with")
+    )
+    terms = (
+        chans.join(F.broadcast(vo), F.expr("(s_mask & bit) = 0"))
+        .join(F.broadcast(vw), F.expr("w_mask = (s_mask | bit)"))
+        .selectExpr(
+            "bit",
+            f"({_shap_w_case('s_mask')}) * (v_with - v_without)"
+            " AS term",
+        )
+    )
+    phi = terms.groupBy("bit").agg(
+        F.sum("term").cast("long").alias("phi_x24")
+    )
+    tot = phi.agg(F.sum("phi_x24").alias("t24"))
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            f"{_SHAP_CH_CASE} AS channel",
+            "phi_x24",
+            "CAST(floor(CAST(phi_x24 AS DOUBLE) / 24.0 * 10000.0 + 0.5)"
+            " / 10000.0 AS DOUBLE) AS phi",
+            "CAST(floor(CAST(phi_x24 AS DOUBLE) / nullif(t24, 0)"
+            " * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS share",
+        )
+        .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# ml_conformal_interval — split-conformal prediction intervals per group
+# --------------------------------------------------------------------------
+
+CONF_ALPHA_PCT = 10  # 90% marginal coverage
+
+
+@register(
+    "ml_conformal_interval",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority AS grp,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+               {sql_hash_bucket("'conf-' || CAST(o_orderkey AS VARCHAR)",
+                                2)} AS fold
+        FROM orders),
+    mu AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n_train,
+               CAST((sum(CAST(cents AS HUGEINT)) * 1000000) // count(*)
+                    AS BIGINT) AS mean_micro
+        FROM base WHERE fold = 0 GROUP BY 1),
+    calib AS (
+        SELECT b.grp, b.o_orderkey,
+               abs(b.cents * 1000000 - m.mean_micro) AS resid_micro
+        FROM base b JOIN mu m ON b.grp = m.grp
+        WHERE b.fold = 1),
+    ranked AS (
+        SELECT grp, resid_micro,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY resid_micro, o_orderkey) AS rk,
+               count(*) OVER (PARTITION BY grp) AS n_cal
+        FROM calib),
+    qhat AS (
+        SELECT grp, n_cal, resid_micro AS q_micro
+        FROM ranked
+        WHERE rk = least(
+            CAST(ceil((n_cal + 1) * (100 - {CONF_ALPHA_PCT}) / 100.0)
+                 AS BIGINT), n_cal)),
+    cov AS (
+        SELECT c.grp,
+               CAST(sum(CASE WHEN c.resid_micro <= q.q_micro
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+        FROM calib c JOIN qhat q ON c.grp = q.grp
+        GROUP BY 1)
+    SELECT m.grp AS priority,
+           m.n_train, q.n_cal,
+           floor(m.mean_micro / 100000000.0 * 10000.0 + 0.5) / 10000.0
+               AS center,
+           floor(q.q_micro / 100000000.0 * 10000.0 + 0.5) / 10000.0
+               AS half_width,
+           floor(c.n_in * 1.0 / q.n_cal * 10000.0 + 0.5) / 10000.0
+               AS calib_coverage
+    FROM mu m JOIN qhat q ON m.grp = q.grp JOIN cov c ON c.grp = m.grp
+    ORDER BY priority
+    """,
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per order priority (Vovk et
+    al. 2005; Lei et al. 2018 — the distribution-free uncertainty wrap
+    modern ML serving puts around ANY point predictor): a deterministic
+    md5 fold split, the fold-0 group mean as the predictor, fold-1
+    absolute residuals as conformity scores, and the interval half-width
+    is the ceil((n+1)(1-alpha))-th smallest calibration residual — rank
+    selection, no distributional assumption. 90% marginal coverage is
+    GUARANTEED by exchangeability; the calib_coverage column certifies
+    it empirically on the calibration fold (>= 0.9 by construction of
+    the rank pick).
+
+    Determinism: fold assignment is a salted md5-bucket; the group mean
+    is an exact integer division to micro-cents; residuals stay integer
+    micro-cents; the quantile is a row_number pick with an orderkey
+    tie-break; outputs descale once through the stable-round4 form.
+
+    Scale shape: one scan into a group-keyed partial agg (train means,
+    |groups| rows, broadcast back), one co-partitioned rank window on
+    the calibration fold (per-group sort, never global), constant-size
+    rollups after.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        hash_bucket(
+            F.concat(F.lit("conf-"), F.col("o_orderkey").cast("string")), 2
+        ).alias("fold"),
+    )
+    mu = (
+        base.filter(F.col("fold") == 0)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.expr(
+                "CAST((sum(CAST(cents AS DECIMAL(38,0))) * 1000000)"
+                " div count(*) AS BIGINT)"
+            ).alias("mean_micro"),
+        )
+    )
+    calib = (
+        base.filter(F.col("fold") == 1)
+        .join(F.broadcast(mu.select("grp", "mean_micro")), "grp")
+        .select(
+            "grp",
+            "o_orderkey",
+            F.abs(
+                F.col("cents") * 1000000 - F.col("mean_micro")
+            ).alias("resid_micro"),
+        )
+    )
+    wg = W.partitionBy("grp")
+    ranked = calib.select(
+        "grp",
+        "resid_micro",
+        F.row_number()
+        .over(wg.orderBy("resid_micro", "o_orderkey"))
+        .alias("rk"),
+        F.count("*").over(wg).alias("n_cal"),
+    )
+    qhat = ranked.filter(
+        F.expr(
+            f"rk = least(CAST(ceil((n_cal + 1)"
+            f" * (100 - {CONF_ALPHA_PCT}) / 100.0) AS BIGINT), n_cal)"
+        )
+    ).select("grp", "n_cal", F.col("resid_micro").alias("q_micro"))
+    cov = (
+        calib.join(F.broadcast(qhat.select("grp", "q_micro")), "grp")
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.when(F.col("resid_micro") <= F.col("q_micro"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_in")
+        )
+    )
+    out = mu.join(qhat, "grp").join(cov, "grp")
+    return out.selectExpr(
+        "grp AS priority",
+        "n_train",
+        "n_cal",
+        "CAST(floor(mean_micro / 100000000.0 * 10000.0 + 0.5) / 10000.0"
+        " AS DOUBLE) AS center",
+        "CAST(floor(q_micro / 100000000.0 * 10000.0 + 0.5) / 10000.0"
+        " AS DOUBLE) AS half_width",
+        "CAST(floor(n_in * 1.0 / n_cal * 10000.0 + 0.5) / 10000.0"
+        " AS DOUBLE) AS calib_coverage",
+    ).orderBy("priority")

@@ -2912,9 +2912,9 @@ def dq_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- PMI collocation mining (log-free monotone rank) -------------------------
 
-PMI_MIN_COUNT = 5
-PMI_TOPK = 20
-PMI_SCALE = 1_000_000
+COLL_MIN_COUNT = 5
+COLL_TOPK = 20
+COLL_SCALE = 1_000_000
 
 
 @register(
@@ -2937,24 +2937,25 @@ PMI_SCALE = 1_000_000
     nbig AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_b FROM big),
     scored AS (
         SELECT w1, w2, c_xy,
-               CAST((CAST(c_xy AS HUGEINT) * n_u * n_u * {PMI_SCALE})
+               CAST((CAST(c_xy AS HUGEINT) * n_u * n_u * {COLL_SCALE})
                     // (CAST(n_b AS HUGEINT) * cx.c * cy.c) AS BIGINT)
                    AS lift_q
         FROM big
         CROSS JOIN nuni CROSS JOIN nbig
         JOIN uni cx ON cx.tok = w1
         JOIN uni cy ON cy.tok = w2
-        WHERE c_xy >= {PMI_MIN_COUNT})
+        WHERE c_xy >= {COLL_MIN_COUNT})
     SELECT w1, w2, c_xy,
-           CAST(lift_q AS DOUBLE) / {PMI_SCALE}.0 AS lift
+           CAST(lift_q AS DOUBLE) / {COLL_SCALE}.0 AS lift
     FROM scored
-    ORDER BY lift_q DESC, w1, w2 LIMIT {PMI_TOPK}
+    ORDER BY lift_q DESC, w1, w2 LIMIT {COLL_TOPK}
     """,
 )
 def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{PMI_TOPK} PMI collocations (adjacent-bigram association
+    """Top-{COLL_TOPK} PMI collocations (ADJACENT-bigram association
     mining — the phrase detector in front of tokenizer/vocab builders,
-    Mikolov et al. 2013's phrase pass): score = p(xy) / (p(x) p(y)).
+    Mikolov et al. 2013's phrase pass; complements text_pmi_pairs, which
+    ranks NON-adjacent document co-occurrence): score = p(xy)/(p(x)p(y)).
     PMI itself is log of that ratio, and log is monotone — so the rank
     is computed on the RATIONAL lift c_xy * N_u^2 / (N_b * c_x * c_y)
     as an exact integer quantized at 1e-6, and no transcendental enters
@@ -2969,7 +2970,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transform over adjacent indices: no self-join exists, so a 10k-token
     document costs 10k bigram rows, never 10k^2 join candidates); the
     unigram table joins back by token key; the corpus totals are
-    broadcast 1-row scalars. min-count {PMI_MIN_COUNT} prunes the
+    broadcast 1-row scalars. min-count {COLL_MIN_COUNT} prunes the
     Zipf tail before the join.
     """
     d = load(spark, sf_dir, "documents")
@@ -2997,7 +2998,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c_xy"))
     )
     nbig = all_big.agg(F.sum("c_xy").alias("n_b"))
-    big = all_big.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+    big = all_big.filter(F.col("c_xy") >= COLL_MIN_COUNT)
     cx = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_x"))
     cy = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_y"))
     scored = (
@@ -3009,18 +3010,18 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "c_xy",
-            f"CAST((CAST(c_xy AS DECIMAL(38,0)) * n_u * n_u * {PMI_SCALE})"
+            f"CAST((CAST(c_xy AS DECIMAL(38,0)) * n_u * n_u * {COLL_SCALE})"
             f" div (CAST(n_b AS DECIMAL(38,0)) * c_x * c_y) AS BIGINT)"
             " AS lift_q",
         )
     )
     return (
         scored.orderBy(F.col("lift_q").desc(), "w1", "w2")
-        .limit(PMI_TOPK)
+        .limit(COLL_TOPK)
         .selectExpr(
             "w1",
             "w2",
             "c_xy",
-            f"CAST(lift_q AS DOUBLE) / {PMI_SCALE}.0 AS lift",
+            f"CAST(lift_q AS DOUBLE) / {COLL_SCALE}.0 AS lift",
         )
     )

@@ -209,3 +209,54 @@ def test_rfm_cells_partition_customers(spark, sf_dir):
     for r in rows:
         assert 0 <= r["r_q"] < 5 and 0 <= r["f_q"] < 5 and 0 <= r["m_q"] < 5
         assert r["avg_monetary_cents_x100"] > 0
+
+
+def test_shapley_attribution_credits_the_causal_channel(spark, tmp_path):
+    """Constructed corpus: every converter touched ONLY 'click'; every
+    non-converter touched only 'view'. All credit must go to click
+    (phi_click == conversions, others 0), and efficiency must hold:
+    sum(phi_x24) == 24 * (v(all) - v(empty))."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(10):  # converters: click -> purchase
+        rows.append((eid, t0, u, "click", 1.0, "{}")); eid += 1
+        rows.append((eid, t0, u, "purchase", 1.0, "{}")); eid += 1
+    for u in range(10, 25):  # non-converters: view only
+        rows.append((eid, t0, u, "view", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        r["channel"]: r
+        for r in registry.QUERIES["events_attribution_shapley"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {"click", "error", "signup", "view"}
+    assert out["click"]["phi"] == 10.0
+    assert out["click"]["share"] == 1.0
+    for c in ("error", "signup", "view"):
+        assert out[c]["phi_x24"] == 0
+    # efficiency on the real fixture too
+    real = registry.QUERIES["events_attribution_shapley"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert abs(sum(r["share"] for r in real) - 1.0) < 5e-4
+
+
+def test_conformal_coverage_guarantee(spark, sf_dir):
+    """The rank-picked half-width must cover >= 90% of calibration
+    residuals in every group (the conformal guarantee, certified
+    empirically), and widths are positive."""
+    rows = registry.QUERIES["ml_conformal_interval"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["calib_coverage"] >= 0.90
+        assert r["half_width"] > 0.0
+        assert r["n_train"] > 0 and r["n_cal"] > 0
