@@ -157,6 +157,7 @@ HEADLINE = [
     "agg_rfm_segments",
     "events_attribution_shapley",
     "ml_conformal_interval",
+    "llm_hybrid_rrf",
 ]
 
 

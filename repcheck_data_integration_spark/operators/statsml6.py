@@ -1,4 +1,4 @@
-"""Resampling / sketch / calibration extensions (round-5 continuation).
+"""Resampling / calibration / selection extensions (round-5 continuation).
 
 Families the 100 TB experimentation-and-curation story still
 lacked, each a pure DataFrame plan with an exact DuckDB oracle twin:
@@ -15,6 +15,20 @@ lacked, each a pure DataFrame plan with an exact DuckDB oracle twin:
                          the monotone recalibration map fitted
                          relationally (no sequential pooling loop), on
                          the same rank-score base as ml_calibration_bins.
+- priv_noisy_max         report-noisy-max eps-DP selection: discrete
+                         Laplace as the difference of two integer-
+                         threshold geometric inverse-CDF draws.
+- agg_rfm_segments       recency/frequency/monetary quintile grid,
+                         exact integer rank cuts and cell averages.
+- events_attribution_shapley  EXACT Shapley channel credit over all 16
+                         coalitions; factorial weights as per-mask
+                         integer literals, phi carried x24 as BIGINT.
+- ml_conformal_interval  split-conformal prediction intervals: rank-
+                         picked calibration residual, distribution-free
+                         coverage certified empirically.
+- llm_hybrid_rrf         reciprocal-rank fusion of the registered BM25
+                         leg and a quantized-cosine dense leg — exact
+                         integer floor(1e12/(k+rank)) scores.
 
 Reference seed: the reference repo's analytics are single-pass SQL
 aggregates (/root/reference/scripts/database/database.py:1); these extend
@@ -835,3 +849,147 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(n_in * 1.0 / n_cal * 10000.0 + 0.5) / 10000.0"
         " AS DOUBLE) AS calib_coverage",
     ).orderBy("priority")
+
+
+# --------------------------------------------------------------------------
+# llm_hybrid_rrf — reciprocal-rank fusion of the lexical and dense legs
+# --------------------------------------------------------------------------
+
+from ..registry import ORACLE  # noqa: E402
+from .textops import text_bm25_search  # noqa: E402  (registers its oracle)
+from .dedup import sql_cosine, cosine  # noqa: E402
+
+RRF_K = 60          # the standard damping constant (Cormack et al. 2009)
+RRF_SCALE = 10 ** 12  # 1/(k+r) kept as floor(SCALE/(k+r)) — exact integer
+RRF_TOP = 20
+RRF_QUERY_VEC = 0   # the fixed dense query: embedding of vec_id 0
+
+
+@register(
+    "llm_hybrid_rrf",
+    oracle=f"""
+    WITH lex_raw AS ({{BM25}}),
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score_q DESC, doc_id) AS r_lex
+        FROM lex_raw),
+    qv AS (SELECT embedding AS q FROM embeddings
+           WHERE vec_id = {RRF_QUERY_VEC}),
+    dense_scored AS (
+        SELECT c.vec_id AS doc_id,
+               CAST(floor({sql_cosine('c.embedding', 'qv.q')}
+                          * 1000000000.0 + 0.5) AS BIGINT) AS cos_q
+        FROM embeddings c CROSS JOIN qv
+        WHERE c.vec_id <> {RRF_QUERY_VEC}),
+    dense AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos_q DESC, doc_id) AS r_dense
+        FROM dense_scored
+        ORDER BY cos_q DESC, doc_id LIMIT {RRF_TOP}),
+    fused AS (
+        SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+               coalesce(l.r_lex, 0) AS r_lex,
+               coalesce(d.r_dense, 0) AS r_dense,
+               (CASE WHEN l.r_lex IS NULL THEN 0
+                     ELSE {RRF_SCALE} // ({RRF_K} + l.r_lex) END)
+               + (CASE WHEN d.r_dense IS NULL THEN 0
+                       ELSE {RRF_SCALE} // ({RRF_K} + d.r_dense) END)
+                   AS rrf_q
+        FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(r_lex AS BIGINT) AS r_lex,
+           CAST(r_dense AS BIGINT) AS r_dense,
+           CAST(rrf_q AS BIGINT) AS rrf_q,
+           CAST(rrf_q AS DOUBLE) / {RRF_SCALE}.0 AS rrf
+    FROM fused
+    ORDER BY rrf_q DESC, doc_id LIMIT {RRF_TOP}
+    """.replace("{BM25}", "__BM25_ORACLE__"),
+)
+def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher 2009 — the score-free fusion every hybrid search stack
+    ships): fuse the LEXICAL leg (text_bm25_search's top-{RRF_TOP} for
+    its fixed query, composed by calling the registered op) with the
+    DENSE leg (quantized-cosine top-{RRF_TOP} against the fixed query
+    embedding) by rrf(d) = sum over legs of 1/(k + rank_d), k={RRF_K}.
+    Rank positions, not scores, cross the fusion boundary — the reason
+    RRF needs no per-leg calibration.
+
+    Determinism: each leg's ranking tie-breaks on doc_id (the dense
+    cosine is quantized to an integer at 1e-9 BEFORE ranking); the RRF
+    score is the exact integer floor({RRF_SCALE}/(k+r)) summed over
+    legs — no float until the final descale. A leg miss contributes 0
+    and reports rank 0.
+
+    Scale shape: the lexical leg is the registered BM25 plan unchanged;
+    the dense leg broadcasts the 1-row query vector through the
+    embedding scan; fusion is a {RRF_TOP}-row full-outer join. At real
+    scale the dense leg swaps in sim_search_ivf's bucketed candidates —
+    the fusion stage is identical.
+    """
+    lex = text_bm25_search(spark, sf_dir).select(
+        "doc_id",
+        "score_q",
+    )
+    lex = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score_q").desc(), "doc_id"))
+        .alias("r_lex"),
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("q")
+    )
+    dense = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.floor(
+                cosine(F.col("embedding"), F.col("q")) * 1000000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("cos_q"),
+        )
+        .orderBy(F.col("cos_q").desc(), "doc_id")
+        .limit(RRF_TOP)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("cos_q").desc(), "doc_id"))
+            .alias("r_dense"),
+        )
+    )
+    fused = lex.join(
+        dense.withColumnRenamed("doc_id", "d_doc_id"),
+        F.col("doc_id") == F.col("d_doc_id"),
+        "full_outer",
+    ).selectExpr(
+        "coalesce(doc_id, d_doc_id) AS doc_id",
+        "coalesce(r_lex, 0) AS r_lex",
+        "coalesce(r_dense, 0) AS r_dense",
+        f"(CASE WHEN r_lex IS NULL THEN 0"
+        f" ELSE {RRF_SCALE} div ({RRF_K} + r_lex) END)"
+        f" + (CASE WHEN r_dense IS NULL THEN 0"
+        f" ELSE {RRF_SCALE} div ({RRF_K} + r_dense) END) AS rrf_q",
+    )
+    return (
+        fused.orderBy(F.col("rrf_q").desc(), "doc_id")
+        .limit(RRF_TOP)
+        .selectExpr(
+            "CAST(doc_id AS BIGINT) AS doc_id",
+            "CAST(r_lex AS BIGINT) AS r_lex",
+            "CAST(r_dense AS BIGINT) AS r_dense",
+            "CAST(rrf_q AS BIGINT) AS rrf_q",
+            f"CAST(rrf_q AS DOUBLE) / {RRF_SCALE}.0 AS rrf",
+        )
+    )
+
+
+# splice the registered BM25 oracle into the RRF twin now that both are
+# registered (decoration-time f-strings can't nest the brace-heavy SQL)
+ORACLE["llm_hybrid_rrf"] = ORACLE["llm_hybrid_rrf"].replace(
+    "__BM25_ORACLE__", ORACLE["text_bm25_search"]
+)

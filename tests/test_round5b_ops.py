@@ -260,3 +260,21 @@ def test_conformal_coverage_guarantee(spark, sf_dir):
         assert r["calib_coverage"] >= 0.90
         assert r["half_width"] > 0.0
         assert r["n_train"] > 0 and r["n_cal"] > 0
+
+
+def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
+    """The fused top list is ordered by the exact integer RRF score;
+    every row carries at least one leg rank; a doc present in both legs
+    outscores a doc with one equal-rank leg only."""
+    rows = registry.QUERIES["llm_hybrid_rrf"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["rrf_q"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["r_lex"] > 0 or r["r_dense"] > 0
+        expected = 0
+        if r["r_lex"] > 0:
+            expected += 10**12 // (60 + r["r_lex"])
+        if r["r_dense"] > 0:
+            expected += 10**12 // (60 + r["r_dense"])
+        assert r["rrf_q"] == expected
