@@ -158,6 +158,7 @@ HEADLINE = [
     "events_attribution_shapley",
     "ml_conformal_interval",
     "llm_hybrid_rrf",
+    "ml_qini_uplift",
 ]
 
 

@@ -993,3 +993,126 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["llm_hybrid_rrf"] = ORACLE["llm_hybrid_rrf"].replace(
     "__BM25_ORACLE__", ORACLE["text_bm25_search"]
 )
+
+
+# --------------------------------------------------------------------------
+# ml_qini_uplift — Qini curve for uplift targeting by activity decile
+# --------------------------------------------------------------------------
+
+QINI_BINS = 10
+
+
+@register(
+    "ml_qini_uplift",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INT) AS treat,
+               CAST(count(*) AS BIGINT) AS activity,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY 1),
+    ranked AS (
+        SELECT treat, conv,
+               row_number() OVER (ORDER BY activity DESC, user_id) AS rk,
+               count(*) OVER () AS n
+        FROM per_user),
+    binned AS (
+        SELECT least(CAST((rk - 1) * {QINI_BINS} // n AS INT),
+                     {QINI_BINS - 1}) AS bin, treat, conv
+        FROM ranked),
+    per_bin AS (
+        SELECT bin,
+               CAST(sum(treat) AS BIGINT) AS nt,
+               CAST(sum(1 - treat) AS BIGINT) AS nc,
+               CAST(sum(CASE WHEN treat = 1 THEN conv ELSE 0 END)
+                    AS BIGINT) AS ct,
+               CAST(sum(CASE WHEN treat = 0 THEN conv ELSE 0 END)
+                    AS BIGINT) AS cc
+        FROM binned GROUP BY 1),
+    cum AS (
+        SELECT bin,
+               sum(nt) OVER w AS cnt_t, sum(nc) OVER w AS cnt_c,
+               sum(ct) OVER w AS cum_ct, sum(cc) OVER w AS cum_cc
+        FROM per_bin
+        WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING))
+    SELECT bin,
+           CAST(cnt_t AS BIGINT) AS n_treat,
+           CAST(cnt_c AS BIGINT) AS n_ctrl,
+           CAST(cum_ct AS BIGINT) AS conv_treat,
+           CAST(cum_cc AS BIGINT) AS conv_ctrl,
+           floor((cum_ct - CAST(cum_cc AS DOUBLE) * cnt_t
+                  / nullif(cnt_c, 0)) * 10000.0 + 0.5) / 10000.0
+               AS qini
+    FROM cum ORDER BY bin
+    """,
+)
+def ml_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve (Radcliffe 2007 — THE uplift-modeling readout: how many
+    INCREMENTAL conversions targeting the top-x% by a score buys over
+    random): users randomize by id parity into treat/control, the
+    targeting score is activity (event count), and per cumulative decile
+    qini(x) = conv_t(x) - conv_c(x) * N_t(x)/N_c(x) — treated
+    conversions minus the control conversions rescaled to the treated
+    exposure. Completes the experimentation kit's TARGETING corner next
+    to the average-effect readouts (delta method, CUPED, SPRT).
+
+    Determinism: arms, conversions, and exposures are exact integers;
+    the decile cut is integer rank arithmetic with a user_id tie-break;
+    the single rescaling division is guarded by nullif and goes through
+    the stable-round4 form.
+
+    Scale shape: one user-keyed conditional aggregate over events, one
+    {QINI_BINS}-row cumulative window — the curve costs one scan
+    regardless of corpus size.
+    """
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.expr("CAST(user_id % 2 AS INT)").alias("treat"),
+        F.count("*").alias("activity"),
+        F.expr(
+            "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        ).alias("conv"),
+    )
+    ranked = per_user.select(
+        "treat",
+        "conv",
+        F.row_number()
+        .over(W.orderBy(F.col("activity").desc(), "user_id"))
+        .alias("rk"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    binned = ranked.selectExpr(
+        f"least(CAST((rk - 1) * {QINI_BINS} DIV n AS INT),"
+        f" {QINI_BINS - 1}) AS bin",
+        "treat",
+        "conv",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("treat").alias("nt"),
+        F.sum(1 - F.col("treat")).alias("nc"),
+        F.sum(F.expr("CASE WHEN treat = 1 THEN conv ELSE 0 END")).alias(
+            "ct"
+        ),
+        F.sum(F.expr("CASE WHEN treat = 0 THEN conv ELSE 0 END")).alias(
+            "cc"
+        ),
+    )
+    wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_bin.select(
+        "bin",
+        F.sum("nt").over(wc).alias("cnt_t"),
+        F.sum("nc").over(wc).alias("cnt_c"),
+        F.sum("ct").over(wc).alias("cum_ct"),
+        F.sum("cc").over(wc).alias("cum_cc"),
+    )
+    return cum.selectExpr(
+        "bin",
+        "CAST(cnt_t AS BIGINT) AS n_treat",
+        "CAST(cnt_c AS BIGINT) AS n_ctrl",
+        "CAST(cum_ct AS BIGINT) AS conv_treat",
+        "CAST(cum_cc AS BIGINT) AS conv_ctrl",
+        "CAST(floor((cum_ct - CAST(cum_cc AS DOUBLE) * cnt_t"
+        " / nullif(cnt_c, 0)) * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"
+        " AS qini",
+    ).orderBy("bin")

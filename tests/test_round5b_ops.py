@@ -278,3 +278,22 @@ def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
         if r["r_dense"] > 0:
             expected += 10**12 // (60 + r["r_dense"])
         assert r["rrf_q"] == expected
+
+
+def test_qini_curve_properties(spark, sf_dir):
+    """Cumulative exposures and conversions are non-decreasing; the last
+    bin covers every user; qini(last) equals the overall incremental
+    estimate computed directly."""
+    rows = registry.QUERIES["ml_qini_uplift"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_treat"] >= a["n_treat"]
+        assert b["conv_treat"] >= a["conv_treat"]
+    last = rows[-1]
+    direct = last["conv_treat"] - last["conv_ctrl"] * last["n_treat"] / last["n_ctrl"]
+    import math
+    assert math.isclose(
+        last["qini"],
+        math.floor(direct * 10000.0 + 0.5) / 10000.0,
+        abs_tol=1e-9,
+    )
