@@ -159,6 +159,7 @@ HEADLINE = [
     "ml_conformal_interval",
     "llm_hybrid_rrf",
     "ml_qini_uplift",
+    "ml_srm_check",
 ]
 
 

@@ -1116,3 +1116,74 @@ def ml_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / nullif(cnt_c, 0)) * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"
         " AS qini",
     ).orderBy("bin")
+
+
+# --------------------------------------------------------------------------
+# ml_srm_check — sample-ratio-mismatch guardrail (chi-square vs 50/50)
+# --------------------------------------------------------------------------
+
+# chi2(1) critical value at p = 0.001 — the SRM alarm threshold the
+# platforms use (Fabijan et al. 2019); literal so no distribution code runs
+SRM_CHI2_CRIT = 10.828
+
+
+@register(
+    "ml_srm_check",
+    oracle=f"""
+    WITH arms AS (
+        SELECT CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS nt,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS nc
+        FROM (SELECT DISTINCT user_id FROM events))
+    SELECT CAST(nt AS BIGINT) AS n_treat,
+           CAST(nc AS BIGINT) AS n_ctrl,
+           floor((nt - nc) * (nt - nc) / (nt + nc) * 10000.0 + 0.5)
+               / 10000.0 AS chi2,
+           (nt - nc) * (nt - nc) / (nt + nc) > {SRM_CHI2_CRIT}
+               AS srm_detected
+    FROM arms
+    """,
+)
+def ml_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (Fabijan et al. 2019 — the FIRST
+    check every experimentation platform runs: if the observed 50/50
+    assignment split deviates beyond chance, the experiment's telemetry
+    is broken and every downstream readout is invalid): chi-square of
+    the observed arm counts against the designed equal split,
+    chi2 = (nt - nc)^2 / (nt + nc), alarmed at the p = 0.001 critical
+    value {SRM_CHI2_CRIT} (literal — no distribution function runs).
+    Completes the experimentation kit's GUARDRAIL corner next to the
+    effect readouts (delta method, CUPED, SPRT, power, Qini).
+
+    Determinism: arm counts are exact integers from one distinct-user
+    conditional aggregate; the statistic is one division through the
+    stable-round4 form; the alarm is an exact comparison.
+
+    Scale shape: one distinct-shuffle on user_id collapsing to a 1-row
+    scalar aggregate — nothing wider than a row moves after the
+    distinct.
+    """
+    e = load(spark, sf_dir, "events")
+    arms = (
+        e.select("user_id")
+        .distinct()
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)"
+                " AS DOUBLE)"
+            ).alias("nt"),
+            F.expr(
+                "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)"
+                " AS DOUBLE)"
+            ).alias("nc"),
+        )
+    )
+    return arms.selectExpr(
+        "CAST(nt AS BIGINT) AS n_treat",
+        "CAST(nc AS BIGINT) AS n_ctrl",
+        "CAST(floor((nt - nc) * (nt - nc) / (nt + nc) * 10000.0 + 0.5)"
+        " / 10000.0 AS DOUBLE) AS chi2",
+        f"(nt - nc) * (nt - nc) / (nt + nc) > {SRM_CHI2_CRIT}"
+        " AS srm_detected",
+    )
