@@ -160,6 +160,7 @@ HEADLINE = [
     "llm_hybrid_rrf",
     "ml_qini_uplift",
     "ml_srm_check",
+    "src_sqlite_scan",
 ]
 
 

@@ -1236,3 +1236,108 @@ def src_zip_archive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     files = spark.read.format("binaryFile").load(os.path.join(d, "*.zip"))
     return files.select("content").mapInPandas(decode, schema=ZIP_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# src_sqlite_scan — distributed scan of SQLite database files
+# --------------------------------------------------------------------------
+
+SQLITE_SCHEMA = (
+    "c_custkey long, c_name string, c_nationkey long, acctbal_cents long"
+)
+
+
+@register(
+    "src_sqlite_scan",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_cents
+    FROM customer
+    """,
+)
+def src_sqlite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite-file source, scanned DISTRIBUTED: a directory of .sqlite
+    shard files (the edge/embedded-device export format — app telemetry,
+    browser profiles, mobile logs arrive as SQLite) is parallelized by
+    binaryFile with one task per shard; inside each Arrow task the blob
+    is opened IN MEMORY via stdlib sqlite3.Connection.deserialize — no
+    temp files, no native driver beyond the stdlib. The shard is the
+    honest split grain (SQLite's B-tree pages interleave tables, so a
+    single file is not block-splittable — same documented grain as the
+    zip source). Roundtrip oracle: the shards are built from the
+    customer table, money as integer cents, and the parsed union must
+    hash-equal the original relation.
+
+    Reference seed: the reference acquires into/out of a SQL store via
+    driver-side connections (scripts/database/database.py:30-39); this
+    is the file-shaped half of that surface at cluster scale.
+    """
+    import sqlite3
+
+    d = _fixture_dir(sf_dir, "sqlite_shards")
+    src = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5)
+        .cast("long")
+        .alias("acctbal_cents"),
+    )
+    if not _done(d):
+        os.makedirs(d, exist_ok=True)
+        rows = [r.asDict() for r in src.collect()]
+        n_shards = 4
+        for s in range(n_shards):
+            path = os.path.join(d, f"customers-{s}.sqlite")
+            if os.path.exists(path):
+                os.remove(path)
+            con = sqlite3.connect(path)
+            con.execute(
+                "CREATE TABLE customer (c_custkey INTEGER, c_name TEXT,"
+                " c_nationkey INTEGER, acctbal_cents INTEGER)"
+            )
+            con.executemany(
+                "INSERT INTO customer VALUES (?, ?, ?, ?)",
+                [
+                    (
+                        r["c_custkey"],
+                        r["c_name"],
+                        r["c_nationkey"],
+                        r["acctbal_cents"],
+                    )
+                    for r in rows[s::n_shards]
+                ],
+            )
+            con.commit()
+            con.close()
+        _mark_done(d)
+
+    def decode(batches):
+        import pandas as pd
+
+        cols = ["c_custkey", "c_name", "c_nationkey", "acctbal_cents"]
+        for pdf in batches:
+            frames = []
+            for blob in pdf["content"]:
+                con = sqlite3.connect(":memory:")
+                con.deserialize(bytes(blob))
+                frames.append(
+                    pd.read_sql_query(
+                        "SELECT c_custkey, c_name, c_nationkey,"
+                        " acctbal_cents FROM customer",
+                        con,
+                    )
+                )
+                con.close()
+            yield (
+                pd.concat(frames)
+                if frames
+                else pd.DataFrame(columns=cols)
+            )
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(d, "*.sqlite")
+    )
+    return files.select("content").mapInPandas(
+        decode, schema=SQLITE_SCHEMA
+    )
