@@ -221,6 +221,11 @@ PROBES = [
     "priv_noisy_max",
     "text_pmi_collocations",
     "agg_rfm_segments",
+    "events_attribution_shapley",
+    "ml_conformal_interval",
+    "llm_hybrid_rrf",
+    "ml_qini_uplift",
+    "ml_srm_check",
 ]
 
 
