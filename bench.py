@@ -146,15 +146,12 @@ HEADLINE = [
     "dedup_cluster_stats",
     "events_sequence_patterns",
     "mix_token_budget_allocation",
-    # round-5 continuation (resampling / sub-doc dedup / LPM / privacy)
-    "ml_poisson_bootstrap",
+    # round-5 continuation (calibration / sub-doc dedup / LPM / privacy)
     "ml_isotonic_calibration",
     "dedup_paragraphs_keep_first",
     "join_cidr_lookup",
     "priv_noisy_max",
-    "dedup_exact_substrings",
     "text_pmi_collocations",
-    "agg_rfm_segments",
     "events_attribution_shapley",
     "ml_conformal_interval",
     "llm_hybrid_rrf",

@@ -1516,155 +1516,3 @@ def dedup_paragraphs_keep_first(
             ).alias("kept_frac"),
         )
     )
-
-
-# --------------------------------------------------------------------------
-# dedup_exact_substrings — ExactSubstr duplicated-span detection
-# --------------------------------------------------------------------------
-
-XSUB_L = 50  # gram length (chars) — Lee et al. use 50 BPE tokens
-XSUB_S = 10  # gram stride
-
-
-@register(
-    "dedup_exact_substrings",
-    oracle=f"""
-    WITH grams AS (
-        SELECT doc_id, (i - 1) * {XSUB_S} AS pos,
-               md5(substr(text, (i - 1) * {XSUB_S} + 1, {XSUB_L})) AS gh
-        FROM documents, LATERAL unnest(generate_series(
-            1, greatest((length(text) - {XSUB_L}) // {XSUB_S} + 1, 0)
-        )) u(i)
-        WHERE length(substr(text, (i - 1) * {XSUB_S} + 1, {XSUB_L}))
-              = {XSUB_L}),
-    occ AS (SELECT gh, count(*) AS n_occ FROM grams GROUP BY 1),
-    dup AS (
-        SELECT g.doc_id, g.pos
-        FROM grams g JOIN occ USING (gh) WHERE occ.n_occ >= 2),
-    isl AS (
-        SELECT doc_id, pos,
-               CASE WHEN lag(pos) OVER w IS NULL
-                         OR pos - lag(pos) OVER w > {XSUB_L}
-                    THEN 1 ELSE 0 END AS brk
-        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-    spans AS (
-        SELECT doc_id,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid,
-               pos
-        FROM isl),
-    per_span AS (
-        SELECT doc_id, sid,
-               max(pos) + {XSUB_L} - min(pos) AS span_chars,
-               count(*) AS n_grams
-        FROM spans GROUP BY 1, 2),
-    per_doc AS (
-        SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS n_dup_spans,
-               CAST(sum(n_grams) AS BIGINT) AS n_dup_grams,
-               CAST(sum(span_chars) AS BIGINT) AS dup_chars
-        FROM per_span GROUP BY 1)
-    SELECT d.doc_id,
-           coalesce(p.n_dup_spans, 0) AS n_dup_spans,
-           coalesce(p.n_dup_grams, 0) AS n_dup_grams,
-           coalesce(p.dup_chars, 0) AS dup_chars,
-           floor(coalesce(p.dup_chars, 0) * 1.0
-                 / greatest(length(d.text), 1) * 10000.0 + 0.5)
-               / 10000.0 AS dup_frac
-    FROM documents d LEFT JOIN per_doc p USING (doc_id)
-    """,
-)
-def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ExactSubstr duplicated-span detection (Lee et al. 2022,
-    "Deduplicating Training Data Makes Language Models Better": any
-    {XSUB_L}-unit substring occurring more than once in the corpus is a
-    duplicate SPAN, removed character-exactly rather than whole-doc).
-    Suffix arrays don't distribute; the scalable re-expression is strided
-    {XSUB_L}-char grams every {XSUB_S} chars — a gram occurring >= 2
-    times anywhere (same doc included, as in the paper) marks its
-    positions duplicated, and overlapping duplicated positions merge
-    into maximal spans per doc (islands: a new span starts where the
-    gap to the previous duplicated position exceeds the gram length).
-    Per doc: span count, duplicated-gram count, duplicated chars, and
-    the duplicated fraction a removal pass would cut.
-
-    Determinism: grams travel as md5; positions/lengths are exact
-    integers; island detection is a lag + prefix-sum over an integer
-    total order; dup_frac is one stable-round4 division.
-
-    Scale shape: one occurrence-count aggregate on the gram hash
-    (map-side combinable, Zipf-heavy keys combine early), one hash join
-    back, then per-doc windows over ONLY the duplicated positions
-    (co-partitioned by doc_id — no global sort). The stride trades
-    recall granularity for a {XSUB_S}x gram-count reduction vs
-    every-offset suffix enumeration.
-    """
-    d = load(spark, sf_dir, "documents")
-    n_grams = F.expr(
-        f"greatest((length(text) - {XSUB_L}) div {XSUB_S} + 1, 0)"
-    )
-    gram = F.expr(f"substr(text, pos + 1, {XSUB_L})")
-    grams = (
-        d.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), n_grams)).alias("i"),
-            "text",
-        )
-        .select(
-            "doc_id",
-            ((F.col("i") - 1) * XSUB_S).alias("pos"),
-            F.md5(gram).alias("gh"),
-            F.length(gram).alias("__gl"),
-        )
-        .filter(F.col("__gl") == XSUB_L)
-        .drop("__gl")
-    )
-    occ = grams.groupBy("gh").agg(F.count("*").alias("n_occ"))
-    dup = (
-        grams.join(occ, "gh")
-        .filter(F.col("n_occ") >= 2)
-        .select("doc_id", "pos")
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    isl = dup.select(
-        "doc_id",
-        "pos",
-        F.when(
-            F.lag("pos").over(w).isNull()
-            | (F.col("pos") - F.lag("pos").over(w) > XSUB_L),
-            1,
-        )
-        .otherwise(0)
-        .alias("brk"),
-    )
-    spans = isl.select(
-        "doc_id", "pos", F.sum("brk").over(w).alias("sid")
-    )
-    per_span = spans.groupBy("doc_id", "sid").agg(
-        (F.max("pos") + XSUB_L - F.min("pos")).alias("span_chars"),
-        F.count("*").alias("n_grams"),
-    )
-    per_doc = per_span.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_dup_spans"),
-        F.sum("n_grams").cast("long").alias("n_dup_grams"),
-        F.sum("span_chars").cast("long").alias("dup_chars"),
-    )
-    return (
-        d.select("doc_id", F.length("text").alias("__len"))
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
-            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
-            (
-                F.floor(
-                    F.coalesce("dup_chars", F.lit(0))
-                    * 1.0
-                    / F.greatest(F.col("__len"), F.lit(1))
-                    * 10000.0
-                    + 0.5
-                )
-                / 10000.0
-            ).alias("dup_frac"),
-        )
-    )

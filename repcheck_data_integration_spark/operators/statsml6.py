@@ -1,14 +1,8 @@
-"""Resampling / calibration / selection extensions (round-5 continuation).
+"""Calibration / selection / fusion extensions (round-5 continuation).
 
 Families the 100 TB experimentation-and-curation story still
 lacked, each a pure DataFrame plan with an exact DuckDB oracle twin:
 
-- ml_poisson_bootstrap   the ONLINE bootstrap (Poisson resampling):
-                         the only bootstrap that distributes — each row
-                         mints its own per-replicate multiplicity from a
-                         hashed inverse-CDF draw, so R replicates cost one
-                         widened aggregate instead of R shuffled resamples
-                         (Owen & Eckles 2012; the standard web-scale CI).
 - ml_isotonic_calibration  PAV isotonic regression over the reliability
                          bins via the minimax identity
                          iso(i) = max_{j<=i} min_{k>=i} ybar(j..k) —
@@ -18,8 +12,6 @@ lacked, each a pure DataFrame plan with an exact DuckDB oracle twin:
 - priv_noisy_max         report-noisy-max eps-DP selection: discrete
                          Laplace as the difference of two integer-
                          threshold geometric inverse-CDF draws.
-- agg_rfm_segments       recency/frequency/monetary quintile grid,
-                         exact integer rank cuts and cell averages.
 - events_attribution_shapley  EXACT Shapley channel credit over all 16
                          coalitions; factorial weights as per-mask
                          integer literals, phi carried x24 as BIGINT.
@@ -32,7 +24,7 @@ lacked, each a pure DataFrame plan with an exact DuckDB oracle twin:
 
 Reference seed: the reference repo's analytics are single-pass SQL
 aggregates (/root/reference/scripts/database/database.py:1); these extend
-the §2-beyond inventory along the resampling/sketch axis. House
+the §2-beyond inventory along the calibration/selection axis. House
 determinism rules (CLAUDE.md): integer arithmetic until one final
 division per output column, identical expression strings interpolated
 into BOTH engines, stable_round4 on every rational, md5-buckets as the
@@ -49,161 +41,6 @@ from ..registry import register
 from ..tables import load
 from .dedup import sql_stable_round4
 from .sampling import hash_bucket, sql_hash_bucket
-
-# --------------------------------------------------------------------------
-# ml_poisson_bootstrap — online bootstrap CI for the mean order value
-# --------------------------------------------------------------------------
-
-PB_REPS = 32
-# Poisson(1) inverse CDF as integer thresholds on a uniform md5-bucket in
-# [0, 1e6): floor(cdf(k) * 1e6) for k = 0..7, tail mass (2e-6) -> 8.
-# Literal integers, so the per-row multiplicity is engine-exact.
-_PB_T = [367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989]
-_PB_W = (
-    "CASE "
-    + " ".join(f"WHEN u < {t} THEN {k}" for k, t in enumerate(_PB_T))
-    + " ELSE 8 END"
-)
-# replicate-level rollup expressions (sm/sm2 already descaled to dollars):
-_PB_SE = (
-    f"sqrt(greatest(({PB_REPS}.0 * sm2 - sm * sm)"
-    f" / ({PB_REPS}.0 * {PB_REPS - 1}.0), 0.0))"
-)
-
-
-@register(
-    "ml_poisson_bootstrap",
-    oracle=f"""
-    WITH base AS (
-        SELECT CAST(o_orderkey AS VARCHAR) AS k,
-               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
-        FROM orders),
-    obs AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_orders,
-               CAST((sum(CAST(cents AS HUGEINT)) * 1000000)
-                    // count(*) AS BIGINT) AS obs_micro
-        FROM base),
-    reps AS (SELECT unnest(generate_series(0, {PB_REPS - 1})) AS rep),
-    weighted AS (
-        SELECT rep, cents,
-               {sql_hash_bucket(
-                   "'pb' || CAST(rep AS VARCHAR) || '-' || k", 1000000)}
-                   AS u
-        FROM base CROSS JOIN reps),
-    per_rep AS (
-        SELECT rep,
-               sum(CAST({_PB_W} AS HUGEINT) * cents) AS swx,
-               sum(CAST({_PB_W} AS HUGEINT)) AS sw
-        FROM (SELECT rep, cents, u FROM weighted) GROUP BY rep),
-    means AS (
-        SELECT rep,
-               CAST((swx * 1000000) // nullif(sw, 0) AS BIGINT) AS m
-        FROM per_rep),
-    ranked AS (
-        SELECT m, row_number() OVER (ORDER BY m, rep) AS rk FROM means),
-    roll AS (
-        SELECT CAST(sum(CAST(m AS HUGEINT)) AS DOUBLE) / 100000000.0
-                   AS sm,
-               CAST(sum(CAST(m AS HUGEINT) * m) AS DOUBLE)
-                   / 10000000000000000.0 AS sm2,
-               CAST(max(CASE WHEN rk = 2 THEN m END) AS DOUBLE)
-                   / 100000000.0 AS lo,
-               CAST(max(CASE WHEN rk = {PB_REPS - 1} THEN m END)
-                    AS DOUBLE) / 100000000.0 AS hi
-        FROM ranked)
-    SELECT n_orders,
-           {sql_stable_round4('CAST(obs_micro AS DOUBLE) / 100000000.0')}
-               AS mean_obs,
-           {sql_stable_round4('lo')} AS boot_lo,
-           {sql_stable_round4('hi')} AS boot_hi,
-           {sql_stable_round4(_PB_SE)} AS boot_se
-    FROM obs CROSS JOIN roll
-    """,
-)
-def ml_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Online (Poisson) bootstrap CI for the mean order value: each order
-    mints, per replicate r, its own multiplicity w ~ Poisson(1) from the
-    inverse CDF of an md5-uniform draw keyed ('pb' || r || '-' || key) —
-    so replicate r's "resample" is just a weighted aggregate and the
-    whole R={PB_REPS}-replicate bootstrap is ONE widened groupBy, never R
-    shuffled resamples (Owen & Eckles 2012, the web-scale bootstrap).
-    Reports the observed mean, the inner rank-[2, R-1] replicate
-    envelope (a 93.75% percentile CI), and the bootstrap SE.
-
-    Determinism: the Poisson draw is an integer-threshold inverse CDF on
-    a salted md5-bucket (literal thresholds floor(cdf(k)*1e6), the house
-    rand() substitute), per-replicate sums are exact HUGEINT/DECIMAL(38)
-    of integer cents, each replicate mean is an exact integer division
-    to micro-cents BEFORE any double arithmetic, and the CI bounds are
-    row_number picks with a rep tie-break. SE text is interpolated
-    verbatim into both engines; stable_round4 on every output rational.
-
-    Scale shape: the replicate grid is a broadcast {PB_REPS}-row
-    dimension; the widened scan shuffles {PB_REPS} partial-agg rows per
-    map task (map-side combine collapses the fan-out), the rollup is
-    {PB_REPS} rows. No per-replicate pass over the fact table exists
-    anywhere in the plan.
-    """
-    o = load(spark, sf_dir, "orders")
-    base = o.select(
-        F.col("o_orderkey").cast("string").alias("k"),
-        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
-        .cast("long")
-        .alias("cents"),
-    )
-    obs = base.agg(
-        F.count("*").alias("n_orders"),
-        F.expr(
-            "CAST((sum(CAST(cents AS DECIMAL(38,0))) * 1000000)"
-            " div count(*) AS BIGINT)"
-        ).alias("obs_micro"),
-    )
-    reps = spark.range(PB_REPS).select(F.col("id").alias("rep"))
-    weighted = base.crossJoin(F.broadcast(reps)).select(
-        "rep",
-        "cents",
-        hash_bucket(
-            F.concat(
-                F.lit("pb"),
-                F.col("rep").cast("string"),
-                F.lit("-"),
-                F.col("k"),
-            ),
-            1000000,
-        ).alias("u"),
-    )
-    per_rep = weighted.groupBy("rep").agg(
-        F.expr(
-            f"sum(CAST({_PB_W} AS DECIMAL(38,0)) * cents)"
-        ).alias("swx"),
-        F.expr(f"sum(CAST({_PB_W} AS DECIMAL(38,0)))").alias("sw"),
-    )
-    means = per_rep.selectExpr(
-        "rep",
-        "CAST((swx * 1000000) div nullif(sw, 0) AS BIGINT) AS m",
-    )
-    ranked = means.select(
-        "m", F.row_number().over(W.orderBy("m", "rep")).alias("rk")
-    )
-    roll = ranked.selectExpr(
-        "CAST(sum(CAST(m AS DECIMAL(38,0))) AS DOUBLE)"
-        " / 100000000.0 AS sm",
-        "CAST(sum(CAST(m AS DECIMAL(38,0)) * m) AS DOUBLE)"
-        " / 10000000000000000.0 AS sm2",
-        "CAST(max(CASE WHEN rk = 2 THEN m END) AS DOUBLE)"
-        " / 100000000.0 AS lo",
-        f"CAST(max(CASE WHEN rk = {PB_REPS - 1} THEN m END) AS DOUBLE)"
-        " / 100000000.0 AS hi",
-    )
-    return obs.crossJoin(roll).selectExpr(
-        "n_orders",
-        f"CAST({sql_stable_round4('CAST(obs_micro AS DOUBLE) / 100000000.0')}"
-        " AS DOUBLE) AS mean_obs",
-        f"CAST({sql_stable_round4('lo')} AS DOUBLE) AS boot_lo",
-        f"CAST({sql_stable_round4('hi')} AS DOUBLE) AS boot_hi",
-        f"CAST({sql_stable_round4(_PB_SE)} AS DOUBLE) AS boot_se",
-    )
-
 
 # --------------------------------------------------------------------------
 # ml_isotonic_calibration — PAV via the minimax identity over the bins
@@ -423,119 +260,6 @@ def priv_noisy_max(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN noisy_n = m THEN 1 ELSE 0 END AS is_selected",
         )
         .orderBy(F.col("noisy_n").desc(), "event_type")
-    )
-
-
-# --------------------------------------------------------------------------
-# agg_rfm_segments — recency/frequency/monetary quintile segmentation
-# --------------------------------------------------------------------------
-
-RFM_Q = 5
-
-
-@register(
-    "agg_rfm_segments",
-    oracle=f"""
-    WITH mx AS (
-        SELECT max(CAST(o_orderdate AS DATE)) AS corpus_max FROM orders),
-    per_cust AS (
-        SELECT o_custkey,
-               datediff('day', max(CAST(o_orderdate AS DATE)), corpus_max)
-                   AS recency_days,
-               CAST(count(*) AS BIGINT) AS frequency,
-               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
-                    AS BIGINT) AS monetary_cents
-        FROM orders CROSS JOIN mx
-        GROUP BY o_custkey, corpus_max),
-    ranked AS (
-        SELECT *,
-               row_number() OVER (ORDER BY recency_days, o_custkey) AS rr,
-               row_number() OVER (ORDER BY frequency, o_custkey) AS rf,
-               row_number() OVER (ORDER BY monetary_cents, o_custkey)
-                   AS rm,
-               count(*) OVER () AS n
-        FROM per_cust),
-    cells AS (
-        SELECT CAST((rr - 1) * {RFM_Q} // n AS INT) AS r_q,
-               CAST((rf - 1) * {RFM_Q} // n AS INT) AS f_q,
-               CAST((rm - 1) * {RFM_Q} // n AS INT) AS m_q,
-               monetary_cents
-        FROM ranked)
-    SELECT r_q, f_q, m_q,
-           CAST(count(*) AS BIGINT) AS n_customers,
-           CAST((sum(CAST(monetary_cents AS HUGEINT)) * 100)
-                // count(*) AS BIGINT) AS avg_monetary_cents_x100
-    FROM cells GROUP BY 1, 2, 3
-    ORDER BY r_q, f_q, m_q
-    """,
-)
-def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM (recency / frequency / monetary) quintile segmentation — the
-    classic customer-value grid (Hughes 1994) and the house pattern for
-    any per-entity engagement cube: per customer, days since last order
-    (vs the corpus max date, so the fixture is self-contained), order
-    count, and lifetime cents; each axis cut into {RFM_Q} population
-    quantiles; the output is the (r, f, m) cell rollup.
-
-    Determinism: quantile cuts are exact integer rank arithmetic
-    (rank-1)*{RFM_Q} div n over row_number with a custkey tie-break
-    (identical text both engines); monetary stays integer cents, and
-    the per-cell average is an exact integer division to micro-dollars
-    — no double anywhere in the output.
-
-    Scale shape: one customer-keyed aggregate over orders; the three
-    rank windows run on the per-customer table (1/|orders-per-cust| the
-    fact size). Global row_number is single-partition at the extreme —
-    at 100 TB swap in percentile cuts from approx_percentile or a
-    two-pass range partitioner; the cell rollup is {RFM_Q}^3 rows.
-    """
-    o = load(spark, sf_dir, "orders")
-    mx = o.agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("corpus_max")
-    )
-    per_cust = (
-        o.crossJoin(F.broadcast(mx))
-        .groupBy("o_custkey", "corpus_max")
-        .agg(
-            F.datediff(
-                F.col("corpus_max"),
-                F.max(F.col("o_orderdate").cast("date")),
-            ).alias("recency_days"),
-            F.count("*").alias("frequency"),
-            F.sum(
-                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
-            ).alias("monetary_cents"),
-        )
-    )
-    ranked = per_cust.select(
-        "monetary_cents",
-        F.row_number()
-        .over(W.orderBy("recency_days", "o_custkey"))
-        .alias("rr"),
-        F.row_number()
-        .over(W.orderBy("frequency", "o_custkey"))
-        .alias("rf"),
-        F.row_number()
-        .over(W.orderBy("monetary_cents", "o_custkey"))
-        .alias("rm"),
-        F.count("*").over(W.partitionBy()).alias("n"),
-    )
-    cells = ranked.selectExpr(
-        f"CAST((rr - 1) * {RFM_Q} div n AS INT) AS r_q",
-        f"CAST((rf - 1) * {RFM_Q} div n AS INT) AS f_q",
-        f"CAST((rm - 1) * {RFM_Q} div n AS INT) AS m_q",
-        "monetary_cents",
-    )
-    return (
-        cells.groupBy("r_q", "f_q", "m_q")
-        .agg(
-            F.count("*").alias("n_customers"),
-            F.expr(
-                "CAST((sum(CAST(monetary_cents AS DECIMAL(38,0))) * 100)"
-                " div count(*) AS BIGINT)"
-            ).alias("avg_monetary_cents_x100"),
-        )
-        .orderBy("r_q", "f_q", "m_q")
     )
 
 

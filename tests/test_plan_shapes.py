@@ -1162,16 +1162,6 @@ def test_ktruss_ordered_triangle_joins_cached(spark):
     assert "CartesianProduct" not in p
 
 
-def test_poisson_bootstrap_single_widened_agg(spark):
-    """The R-replicate fan-out is a broadcast grid feeding ONE partial+
-    final aggregate pair — no per-replicate scan of orders exists."""
-    p = plan(spark, "ml_poisson_bootstrap")
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
-    import re
-    scans = re.findall(r"Scan parquet.*orders", p)
-    assert len(scans) <= 2  # one for obs, one for the replicate grid
-
-
 def test_cidr_lpm_is_broadcast_cascade(spark):
     """Both prefix-length joins broadcast the routing dimensions; no
     range join / cartesian appears."""

@@ -1,7 +1,7 @@
-"""Round-5 continuation unit tests: online Poisson bootstrap, isotonic
-calibration, keep-first sub-doc dedup, CIDR LPM, DP noisy-max,
-ExactSubstr spans, PMI collocations, RFM — invariants on the sf0.001
-fixture plus known-answer cases on constructed corpora."""
+"""Round-5 continuation unit tests: isotonic calibration, keep-first
+sub-doc dedup, CIDR LPM, DP noisy-max, PMI collocations, Shapley
+attribution, conformal intervals, RRF fusion, Qini — invariants on the
+sf0.001 fixture plus known-answer cases on constructed corpora."""
 
 from __future__ import annotations
 
@@ -10,24 +10,6 @@ import datetime as dt
 from repcheck_data_integration_spark import registry
 
 registry.load_all_modules()
-
-
-def test_poisson_bootstrap_envelope_and_determinism(spark, sf_dir):
-    """One row; the replicate envelope is ordered, the SE positive, and
-    the whole mechanism replayable (md5 draws, not rand())."""
-    q = registry.QUERIES["ml_poisson_bootstrap"]
-    a = q(spark, sf_dir).collect()
-    assert len(a) == 1
-    r = a[0]
-    assert r["boot_lo"] <= r["boot_hi"]
-    assert r["boot_se"] > 0.0
-    assert r["mean_obs"] > 0.0
-    # the observed mean sits inside (or on) the 93.75% replicate envelope
-    # widened by 3 SEs — a loose sanity band, not a statistical test
-    assert r["boot_lo"] - 3 * r["boot_se"] <= r["mean_obs"]
-    assert r["mean_obs"] <= r["boot_hi"] + 3 * r["boot_se"]
-    b = q(spark, sf_dir).collect()[0]
-    assert a[0] == b
 
 
 def test_isotonic_monotone_and_mean_preserving(spark, sf_dir):
@@ -123,53 +105,6 @@ def test_noisy_max_selects_and_replays(spark, sf_dir):
     assert a == q(spark, sf_dir).collect()
 
 
-def test_exact_substrings_flags_planted_duplicate(spark, tmp_path):
-    """Two docs share an identical 200-char head; a third is unique.
-    The shared heads must be flagged as duplicated spans covering ~the
-    shared region, and the unique doc must report zero duplication."""
-    import hashlib
-
-    def aperiodic(seed: str, n: int) -> str:
-        # md5-chained chars: no substring of length >= 50 ever repeats
-        out = []
-        h = seed.encode()
-        while len(out) < n:
-            h = hashlib.md5(h).digest()
-            out.extend(chr(97 + b % 26) for b in h)
-        return "".join(out[:n])
-
-    shared = aperiodic("shared", 200)
-    uniq_a = aperiodic("a", 150)
-    uniq_b = aperiodic("b", 150)
-    uniq_c = aperiodic("c", 350)
-    rows = [
-        (1, shared + uniq_a, "en", "s1", 350),
-        (2, shared + uniq_b, "en", "s2", 350),
-        (3, uniq_c, "en", "s3", 350),
-    ]
-    spark.createDataFrame(
-        rows,
-        "doc_id long, text string, lang string, source string,"
-        " n_chars long",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        str(tmp_path / "documents.parquet")
-    )
-    out = {
-        r["doc_id"]: r
-        for r in registry.QUERIES["dedup_exact_substrings"](
-            spark, str(tmp_path)
-        ).collect()
-    }
-    assert out[3]["n_dup_spans"] == 0
-    assert out[3]["dup_chars"] == 0
-    for d in (1, 2):
-        assert out[d]["n_dup_spans"] >= 1
-        # the shared head is 200 chars; strided grams cover >= 150 and
-        # the merged span cannot exceed head + one gram length of slack
-        assert 150 <= out[d]["dup_chars"] <= 260
-        assert out[d]["dup_frac"] > 0.4
-
-
 def test_pmi_collocations_find_planted_phrase(spark, tmp_path):
     """A phrase pair that always co-occurs adjacently ('zx qv') must
     out-lift common independent bigrams."""
@@ -194,21 +129,6 @@ def test_pmi_collocations_find_planted_phrase(spark, tmp_path):
     assert out[0]["lift"] > 1.0
     lifts = [r["lift"] for r in out]
     assert lifts == sorted(lifts, reverse=True)
-
-
-def test_rfm_cells_partition_customers(spark, sf_dir):
-    """Every customer lands in exactly one cell; quintile indexes are in
-    range; cell sizes sum to the distinct-customer count."""
-    from repcheck_data_integration_spark.tables import load
-
-    rows = registry.QUERIES["agg_rfm_segments"](spark, sf_dir).collect()
-    n_cust = (
-        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
-    )
-    assert sum(r["n_customers"] for r in rows) == n_cust
-    for r in rows:
-        assert 0 <= r["r_q"] < 5 and 0 <= r["f_q"] < 5 and 0 <= r["m_q"] < 5
-        assert r["avg_monetary_cents_x100"] > 0
 
 
 def test_shapley_attribution_credits_the_causal_channel(spark, tmp_path):

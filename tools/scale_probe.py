@@ -209,18 +209,15 @@ PROBES = [
     "agg_delta_method_ratio",
     "resolve_survivorship",
     "join_phonetic_block",
-    # round-5 continuation: resampling, PAV lattice, sub-doc dedup
-    # (keep-first + ExactSubstr inherit the dedup caveat — key-shifted
-    # copies are exact text twins, so kept_frac/dup coverage saturates
-    # by construction), LPM cascade, DP selection, collocations, RFM
-    "ml_poisson_bootstrap",
+    # round-5 continuation: PAV lattice, keep-first sub-doc dedup (the
+    # dedup caveat applies — key-shifted copies are exact text twins, so
+    # kept_frac saturates by construction), LPM cascade, DP selection,
+    # collocations, Shapley, conformal, RRF, Qini, SRM
     "ml_isotonic_calibration",
     "dedup_paragraphs_keep_first",
-    "dedup_exact_substrings",
     "join_cidr_lookup",
     "priv_noisy_max",
     "text_pmi_collocations",
-    "agg_rfm_segments",
     "events_attribution_shapley",
     "ml_conformal_interval",
     "llm_hybrid_rrf",
