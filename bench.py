@@ -158,6 +158,7 @@ HEADLINE = [
     "ml_qini_uplift",
     "ml_srm_check",
     "src_sqlite_scan",
+    "ml_diff_in_diff",
 ]
 
 

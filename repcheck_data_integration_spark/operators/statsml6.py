@@ -911,3 +911,198 @@ def ml_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(nt - nc) * (nt - nc) / (nt + nc) > {SRM_CHI2_CRIT}"
         " AS srm_detected",
     )
+
+
+# --------------------------------------------------------------------------
+# ml_diff_in_diff — 2x2 difference-in-differences on the user panel
+# --------------------------------------------------------------------------
+
+# cell means quantized to integers at 1e-9 BEFORE the DiD subtraction;
+# the SE uses the four exact cell variances (independent-cells DiD SE)
+_DID_VAR = "((n{c} * syy{c} - sy{c} * sy{c}) / nullif(n{c} * (n{c} - 1.0), 0.0) / nullif(n{c}, 0.0))"
+_DID_SE = (
+    "sqrt(greatest("
+    + " + ".join(_DID_VAR.format(c=c) for c in ("t1", "t0", "c1", "c0"))
+    + ", 0.0))"
+)
+_DID_EST = "((mt1 - mt0) - (mc1 - mc0))"
+
+
+@register(
+    "ml_diff_in_diff",
+    oracle=f"""
+    WITH span AS (
+        SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+                + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
+        FROM events),
+    panel AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS treat,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= mid
+                    THEN 1 ELSE 0 END AS post,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events CROSS JOIN span),
+    grid AS (
+        SELECT u.user_id, u.treat, p.post
+        FROM (SELECT DISTINCT user_id, treat FROM panel) u
+        CROSS JOIN (SELECT unnest([0, 1]) AS post) p),
+    per_up AS (
+        SELECT g.user_id, g.treat, g.post,
+               CAST(coalesce(sum(pl.y), 0) AS BIGINT) AS y
+        FROM grid g LEFT JOIN panel pl
+            ON pl.user_id = g.user_id AND pl.post = g.post
+        GROUP BY 1, 2, 3),
+    cells AS (
+        SELECT treat, post,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+               CAST((sum(CAST(y AS HUGEINT)) * 1000000000)
+                    // count(*) AS BIGINT) AS m_q
+        FROM per_up GROUP BY 1, 2),
+    wide AS (
+        SELECT
+            max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS nt1,
+            max(CASE WHEN treat = 1 AND post = 1 THEN sy END) AS syt1,
+            max(CASE WHEN treat = 1 AND post = 1 THEN syy END) AS syyt1,
+            max(CASE WHEN treat = 1 AND post = 1 THEN m_q END) AS mt1q,
+            max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS nt0,
+            max(CASE WHEN treat = 1 AND post = 0 THEN sy END) AS syt0,
+            max(CASE WHEN treat = 1 AND post = 0 THEN syy END) AS syyt0,
+            max(CASE WHEN treat = 1 AND post = 0 THEN m_q END) AS mt0q,
+            max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS nc1,
+            max(CASE WHEN treat = 0 AND post = 1 THEN sy END) AS syc1,
+            max(CASE WHEN treat = 0 AND post = 1 THEN syy END) AS syyc1,
+            max(CASE WHEN treat = 0 AND post = 1 THEN m_q END) AS mc1q,
+            max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS nc0,
+            max(CASE WHEN treat = 0 AND post = 0 THEN sy END) AS syc0,
+            max(CASE WHEN treat = 0 AND post = 0 THEN syy END) AS syyc0,
+            max(CASE WHEN treat = 0 AND post = 0 THEN m_q END) AS mc0q
+        FROM cells),
+    calc AS (
+        SELECT CAST(nt1 AS BIGINT) AS n_treat_post,
+               CAST(nc1 AS BIGINT) AS n_ctrl_post,
+               CAST(mt1q AS DOUBLE) / 1000000000.0 AS mt1,
+               CAST(mt0q AS DOUBLE) / 1000000000.0 AS mt0,
+               CAST(mc1q AS DOUBLE) / 1000000000.0 AS mc1,
+               CAST(mc0q AS DOUBLE) / 1000000000.0 AS mc0,
+               nt1 AS nt1_, syt1 AS syt1_, syyt1 AS syyt1_,
+               nt0, syt0, syyt0, nc1, syc1, syyc1, nc0, syc0, syyc0
+        FROM wide)
+    SELECT n_treat_post, n_ctrl_post,
+           floor(mt1 * 10000.0 + 0.5) / 10000.0 AS mean_treat_post,
+           floor(mt0 * 10000.0 + 0.5) / 10000.0 AS mean_treat_pre,
+           floor(mc1 * 10000.0 + 0.5) / 10000.0 AS mean_ctrl_post,
+           floor(mc0 * 10000.0 + 0.5) / 10000.0 AS mean_ctrl_pre,
+           floor({_DID_EST} * 10000.0 + 0.5) / 10000.0 AS did,
+           floor({_DID_SE} * 10000.0
+                 + 0.5) / 10000.0 AS did_se
+    FROM (SELECT n_treat_post, n_ctrl_post, mt1, mt0, mc1, mc0,
+                 nt1_ AS nt1, syt1_ AS syt1, syyt1_ AS syyt1,
+                 nt0, syt0, syyt0, nc1, syc1, syyc1, nc0, syc0, syyc0
+          FROM calc)
+    """,
+)
+def ml_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 difference-in-differences (Card & Krueger 1994 framing) on the
+    user panel: treat = id parity, periods split at the exact integer
+    midpoint of the event-time span, outcome = per-user purchase count
+    per period (zero-filled on the full user x period grid, so quiet
+    users count). DiD = (treat post - pre) - (ctrl post - pre); the SE
+    sums the four independent cell variances of the user-level means.
+    The causal-inference member of the experimentation kit that handles
+    a PRE-period — complements agg_cuped (variance reduction) with the
+    parallel-trends identification readout.
+
+    Determinism: the period cutoff is exact integer epoch arithmetic;
+    per-user outcomes are exact integer counts on an explicit grid;
+    cell means are integer divisions at 1e-9 BEFORE the DiD
+    subtraction; sufficient statistics are exact HUGEINT/DECIMAL(38)
+    sums; the SE expression text is interpolated verbatim into both
+    engines; stable_round4 on every output rational.
+
+    Scale shape: one scan for the span scalar (broadcast), one scan
+    into a (user, period)-keyed partial agg, a broadcast 2-row period
+    grid against the distinct-user frame, then a 4-row cell rollup
+    pivoted to one row. Nothing wider than the user dimension shuffles.
+    """
+    e = load(spark, sf_dir, "events")
+    span = e.agg(
+        F.expr(
+            "(CAST(unix_timestamp(min(ts)) AS BIGINT)"
+            " + CAST(unix_timestamp(max(ts)) AS BIGINT)) div 2"
+        ).alias("mid")
+    )
+    panel = e.crossJoin(F.broadcast(span)).selectExpr(
+        "user_id",
+        "CAST(user_id % 2 AS INT) AS treat",
+        "CASE WHEN CAST(unix_timestamp(ts) AS BIGINT) >= mid"
+        " THEN 1 ELSE 0 END AS post",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y",
+    )
+    users = panel.select("user_id", "treat").distinct()
+    periods = spark.createDataFrame([(0,), (1,)], "post int")
+    grid = users.crossJoin(F.broadcast(periods))
+    counts = panel.groupBy("user_id", "post").agg(
+        F.sum("y").alias("y_raw")
+    )
+    per_up = (
+        grid.join(counts, ["user_id", "post"], "left")
+        .select(
+            "treat",
+            "post",
+            F.coalesce("y_raw", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    cells = per_up.groupBy("treat", "post").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y"))
+        .cast("double")
+        .alias("syy"),
+        F.expr(
+            "CAST((sum(CAST(y AS DECIMAL(38,0))) * 1000000000)"
+            " div count(*) AS BIGINT)"
+        ).alias("m_q"),
+    )
+
+    def cell(tr, po, col):
+        return (
+            f"max(CASE WHEN treat = {tr} AND post = {po}"
+            f" THEN {col} END)"
+        )
+
+    wide = cells.selectExpr(
+        *(
+            f"{cell(tr, po, col)} AS {col}{tag}"
+            for tag, tr, po in (
+                ("t1", 1, 1), ("t0", 1, 0), ("c1", 0, 1), ("c0", 0, 0)
+            )
+            for col in ("n", "sy", "syy", "m_q")
+        )
+    )
+    calc = wide.selectExpr(
+        "CAST(nt1 AS BIGINT) AS n_treat_post",
+        "CAST(nc1 AS BIGINT) AS n_ctrl_post",
+        "CAST(m_qt1 AS DOUBLE) / 1000000000.0 AS mt1",
+        "CAST(m_qt0 AS DOUBLE) / 1000000000.0 AS mt0",
+        "CAST(m_qc1 AS DOUBLE) / 1000000000.0 AS mc1",
+        "CAST(m_qc0 AS DOUBLE) / 1000000000.0 AS mc0",
+        "nt1", "syt1", "syyt1", "nt0", "syt0", "syyt0",
+        "nc1", "syc1", "syyc1", "nc0", "syc0", "syyc0",
+    )
+    return calc.selectExpr(
+        "n_treat_post",
+        "n_ctrl_post",
+        "CAST(floor(mt1 * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"
+        " AS mean_treat_post",
+        "CAST(floor(mt0 * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"
+        " AS mean_treat_pre",
+        "CAST(floor(mc1 * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"
+        " AS mean_ctrl_post",
+        "CAST(floor(mc0 * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"
+        " AS mean_ctrl_pre",
+        f"CAST(floor({_DID_EST} * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"
+        " AS did",
+        f"CAST(floor({_DID_SE} * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"
+        " AS did_se",
+    )

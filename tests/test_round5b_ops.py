@@ -217,3 +217,17 @@ def test_qini_curve_properties(spark, sf_dir):
         math.floor(direct * 10000.0 + 0.5) / 10000.0,
         abs_tol=1e-9,
     )
+
+
+def test_diff_in_diff_identity(spark, sf_dir):
+    """DiD equals the four cell means combined; SE positive; cells are
+    the parity split of the distinct-user population."""
+    rows = registry.QUERIES["ml_diff_in_diff"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    did = (r["mean_treat_post"] - r["mean_treat_pre"]) - (
+        r["mean_ctrl_post"] - r["mean_ctrl_pre"]
+    )
+    assert abs(r["did"] - did) < 5e-4  # round4 on each term vs the combo
+    assert r["did_se"] > 0.0
+    assert r["n_treat_post"] > 0 and r["n_ctrl_post"] > 0

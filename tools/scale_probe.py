@@ -223,6 +223,7 @@ PROBES = [
     "llm_hybrid_rrf",
     "ml_qini_uplift",
     "ml_srm_check",
+    "ml_diff_in_diff",
 ]
 
 
