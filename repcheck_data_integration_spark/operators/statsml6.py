@@ -387,6 +387,11 @@ def events_attribution_shapley(
             .cast("long")
             .alias("v_s")
         )
+        # the 16-row lattice frame is reused by both marginal sides and
+        # the rollup: localCheckpoint it so events is scanned ONCE (the
+        # label-frame discipline from graph.py — without it every reuse
+        # recomputes the full lineage)
+        .localCheckpoint()
     )
     chans = spark.createDataFrame(
         [(b,) for _, b in SHAP_CHANNELS], "bit int"
@@ -407,9 +412,10 @@ def events_attribution_shapley(
     phi = terms.groupBy("bit").agg(
         F.sum("term").cast("long").alias("phi_x24")
     )
-    tot = phi.agg(F.sum("phi_x24").alias("t24"))
     return (
-        phi.crossJoin(F.broadcast(tot))
+        phi.withColumn(
+            "t24", F.sum("phi_x24").over(W.partitionBy())
+        )
         .selectExpr(
             f"{_SHAP_CH_CASE} AS channel",
             "phi_x24",

@@ -1185,3 +1185,43 @@ def test_pmi_bigrams_without_self_join(spark):
     assert "CartesianProduct" not in p
     # token self-join on position would be a non-broadcast SMJ on doc_id
     assert "SortMergeJoin" not in p
+
+
+def test_shapley_single_fact_pass(spark):
+    """Events is scanned once, eagerly, into the localCheckpointed
+    16-row lattice; the downstream plan reads ONLY that materialized
+    frame (zero parquet scans) — no shuffle wider than the coalition
+    frames, no cartesian product."""
+    import re
+    p = plan(spark, "events_attribution_shapley")
+    scans = re.findall(r"Scan parquet\s+\(\d+\)", p)
+    assert len(scans) == 0
+    assert "ExistingRDD" in p
+    assert "CartesianProduct" not in p
+
+
+def test_conformal_calib_window_is_copartitioned(spark):
+    """The conformal rank window partitions by group (never a global
+    single-partition sort of the calibration fold)."""
+    p = plan(spark, "ml_conformal_interval")
+    assert "Window" in p
+    # the only global (unpartitioned) window warning pattern is absent:
+    # partition spec must include grp
+    import re
+    wins = [l for l in p.splitlines() if "windowspecdefinition" in l.lower()]
+    assert any("grp" in w for w in wins)
+
+
+def test_qini_is_one_fact_aggregate(spark):
+    """Qini touches events once; the curve math runs on the 10-row bin
+    frame."""
+    import re
+    p = plan(spark, "ml_qini_uplift")
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", p)) == 1
+
+
+def test_did_no_cartesian_fact_blowup(spark):
+    """DiD's only cross joins are the broadcast 1-row span scalar and
+    the 2-row period grid."""
+    p = plan(spark, "ml_diff_in_diff")
+    assert "CartesianProduct" not in p
