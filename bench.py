@@ -159,6 +159,7 @@ HEADLINE = [
     "ml_srm_check",
     "src_sqlite_scan",
     "ml_diff_in_diff",
+    "ml_tost_equivalence",
 ]
 
 

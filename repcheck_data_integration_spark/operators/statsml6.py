@@ -1112,3 +1112,120 @@ def ml_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(floor({_DID_SE} * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"
         " AS did_se",
     )
+
+
+# --------------------------------------------------------------------------
+# ml_tost_equivalence — two one-sided tests for arm equivalence
+# --------------------------------------------------------------------------
+
+TOST_Z = 1.645       # one-sided z at alpha = 0.05, literal
+TOST_MARGIN_PCT = 1  # equivalence margin: 1% of the pooled mean
+
+_TOST_SE = (
+    "sqrt(greatest((n1 * s1q - s1 * s1) / nullif(n1 * n1 * (n1 - 1.0), 0.0)"
+    " + (n0 * s0q - s0 * s0) / nullif(n0 * n0 * (n0 - 1.0), 0.0), 0.0))"
+)
+_TOST_DIFF = "(s1 / n1 - s0 / n0)"
+_TOST_DELTA = f"(({TOST_MARGIN_PCT} / 100.0) * (s1 + s0) / (n1 + n0))"
+_TOST_TLO = f"(({_TOST_DIFF} + {_TOST_DELTA}) / nullif({_TOST_SE}, 0.0))"
+_TOST_THI = f"(({_TOST_DELTA} - {_TOST_DIFF}) / nullif({_TOST_SE}, 0.0))"
+
+
+@register(
+    "ml_tost_equivalence",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(o_custkey % 2 AS INT) AS arm,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+    st AS (
+        SELECT
+            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                AS n1,
+            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                AS n0,
+            CAST(sum(CASE WHEN arm = 1 THEN CAST(cents AS HUGEINT)
+                          ELSE 0 END) AS DOUBLE) / 100.0 AS s1,
+            CAST(sum(CASE WHEN arm = 0 THEN CAST(cents AS HUGEINT)
+                          ELSE 0 END) AS DOUBLE) / 100.0 AS s0,
+            CAST(sum(CASE WHEN arm = 1 THEN CAST(cents AS HUGEINT) * cents
+                          ELSE 0 END) AS DOUBLE) / 10000.0 AS s1q,
+            CAST(sum(CASE WHEN arm = 0 THEN CAST(cents AS HUGEINT) * cents
+                          ELSE 0 END) AS DOUBLE) / 10000.0 AS s0q
+        FROM base)
+    SELECT CAST(n1 AS BIGINT) AS n_arm1,
+           CAST(n0 AS BIGINT) AS n_arm0,
+           floor({_TOST_DIFF} * 10000.0 + 0.5) / 10000.0 AS mean_diff,
+           floor({_TOST_DELTA} * 10000.0 + 0.5) / 10000.0 AS margin,
+           floor({_TOST_TLO} * 10000.0 + 0.5) / 10000.0 AS t_lower,
+           floor({_TOST_THI} * 10000.0 + 0.5) / 10000.0 AS t_upper,
+           ({_TOST_TLO} > {TOST_Z}) AND ({_TOST_THI} > {TOST_Z})
+               AS equivalent
+    FROM st
+    """,
+)
+def ml_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987 — the NON-INFERIORITY
+    readout: a significant t-test proves arms differ, TOST proves they
+    DON'T, within a margin; the launch criterion for "this change is
+    safe"): two one-sided Welch z-tests of the arm mean-value difference
+    against ±{TOST_MARGIN_PCT}% of the pooled mean, equivalent iff BOTH
+    reject at the literal one-sided z {TOST_Z}. Completes the
+    experimentation kit's acceptance corner next to the difference
+    readouts (ztest, delta method, SPRT) and the guardrails (SRM).
+
+    Determinism: per-arm sufficient statistics are exact HUGEINT/
+    DECIMAL(38) sums of integer cents descaled by literal powers of
+    100; diff, margin, SE, and both t statistics are expression text
+    interpolated VERBATIM into both engines; stable_round4 on every
+    rational; degenerate arms NULL-propagate through nullif.
+
+    Scale shape: ONE conditional scalar aggregate over orders — the
+    whole test is six sums wide and one row tall; nothing wider than a
+    row moves.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.expr("CAST(o_custkey % 2 AS INT)").alias("arm"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    st = base.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+        ).alias("n1"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+        ).alias("n0"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN CAST(cents AS DECIMAL(38,0))"
+            " ELSE 0 END) AS DOUBLE) / 100.0"
+        ).alias("s1"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN CAST(cents AS DECIMAL(38,0))"
+            " ELSE 0 END) AS DOUBLE) / 100.0"
+        ).alias("s0"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN CAST(cents AS DECIMAL(38,0))"
+            " * cents ELSE 0 END) AS DOUBLE) / 10000.0"
+        ).alias("s1q"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN CAST(cents AS DECIMAL(38,0))"
+            " * cents ELSE 0 END) AS DOUBLE) / 10000.0"
+        ).alias("s0q"),
+    )
+    return st.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_arm1",
+        "CAST(n0 AS BIGINT) AS n_arm0",
+        f"CAST(floor({_TOST_DIFF} * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"
+        " AS mean_diff",
+        f"CAST(floor({_TOST_DELTA} * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"
+        " AS margin",
+        f"CAST(floor({_TOST_TLO} * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"
+        " AS t_lower",
+        f"CAST(floor({_TOST_THI} * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"
+        " AS t_upper",
+        f"({_TOST_TLO} > {TOST_Z}) AND ({_TOST_THI} > {TOST_Z})"
+        " AS equivalent",
+    )

@@ -231,3 +231,31 @@ def test_diff_in_diff_identity(spark, sf_dir):
     assert abs(r["did"] - did) < 5e-4  # round4 on each term vs the combo
     assert r["did_se"] > 0.0
     assert r["n_treat_post"] > 0 and r["n_ctrl_post"] > 0
+
+
+def test_tost_symmetric_under_identical_arms(spark, tmp_path):
+    """Construct orders where both arms have IDENTICAL value
+    distributions: diff == 0, both t statistics equal, and equivalence
+    must be declared (margin > 0, se small)."""
+    import datetime as dt2
+    t0 = dt2.datetime(2024, 1, 1)
+    rows = []
+    for k in range(200):
+        price = 100.0 + (k % 2) * 0.02  # tiny variance: margin >> se
+        rows.append((2 * k, 2 * k, "F", price, t0, "3-MEDIUM"))      # arm 0
+        rows.append((2 * k + 1, 2 * k + 1, "F", price, t0, "3-MEDIUM"))  # arm 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    r = registry.QUERIES["ml_tost_equivalence"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert r["mean_diff"] == 0.0
+    assert r["t_lower"] == r["t_upper"]
+    assert r["equivalent"] is True
+    assert r["margin"] > 0.0

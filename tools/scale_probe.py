@@ -224,6 +224,7 @@ PROBES = [
     "ml_qini_uplift",
     "ml_srm_check",
     "ml_diff_in_diff",
+    "ml_tost_equivalence",
 ]
 
 
