@@ -160,6 +160,7 @@ HEADLINE = [
     "src_sqlite_scan",
     "ml_diff_in_diff",
     "ml_tost_equivalence",
+    "ml_ucb_allocation",
 ]
 
 

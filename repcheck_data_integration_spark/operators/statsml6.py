@@ -1229,3 +1229,88 @@ def ml_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({_TOST_TLO} > {TOST_Z}) AND ({_TOST_THI} > {TOST_Z})"
         " AS equivalent",
     )
+
+
+# --------------------------------------------------------------------------
+# ml_ucb_allocation — UCB1 bandit arm selection over event types
+# --------------------------------------------------------------------------
+
+# the single libm ln is quantized with the house midpoint offset so a
+# JVM-vs-libm ulp cannot flip the selection (statsml2's DP-noise guard)
+_UCB_LNQ = "floor(ln(nn) * 1000000.0 + 0.5) / 1000000.0"
+_UCB_MEAN = "(CAST(mean_micro AS DOUBLE) / 1000000.0)"
+_UCB_BONUS = f"sqrt(2.0 * {_UCB_LNQ} / n)"
+_UCB = f"({_UCB_MEAN} + {_UCB_BONUS})"
+
+
+@register(
+    "ml_ucb_allocation",
+    oracle=f"""
+    WITH arms AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST((sum(CAST(CAST(round(value * 100, 0) AS BIGINT)
+                              AS HUGEINT)) * 10000)
+                    // count(*) AS BIGINT) AS mean_micro
+        FROM events GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM arms),
+    scored AS (
+        SELECT event_type, n, mean_micro, {_UCB} AS ucb
+        FROM arms CROSS JOIN tot),
+    mx AS (SELECT max(ucb) AS m FROM scored)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_pulls,
+           floor({_UCB_MEAN} * 10000.0 + 0.5) / 10000.0 AS mean_value,
+           floor(ucb * 10000.0 + 0.5) / 10000.0 AS ucb,
+           CASE WHEN ucb = m THEN 1 ELSE 0 END AS is_chosen
+    FROM scored CROSS JOIN mx
+    ORDER BY ucb DESC, event_type
+    """,
+)
+def ml_ucb_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit allocation (Auer, Cesa-Bianchi & Fischer 2002 — the
+    optimism-under-uncertainty rule behind adaptive traffic allocation):
+    each event type is an arm, its reward the event value; the next-pull
+    choice maximizes mean + sqrt(2 ln N / n), trading exploitation (the
+    mean) against exploration (rarely-pulled arms get a bigger bonus).
+    Completes the experimentation kit's ADAPTIVE corner next to the
+    fixed-horizon tests (ztest, TOST) and the sequential SPRT.
+
+    Determinism: per-arm means are exact integer divisions to 1e-6 from
+    HUGEINT/DECIMAL(38) cent sums; the single libm ln is quantized with
+    the midpoint offset (the statsml2 DP-noise guard) so a JVM-vs-libm
+    ulp cannot flip the argmax; sqrt and division are IEEE
+    correctly-rounded, so the ucb doubles are bit-identical across
+    engines; selection ties carry the full (ucb, event_type) order.
+
+    Scale shape: one map-side-combinable aggregate to |arms| rows; the
+    corpus total and the max are broadcast 1-row scalars. The statistic
+    a streaming allocator would maintain incrementally is exactly this
+    aggregate's partial state.
+    """
+    e = load(spark, sf_dir, "events")
+    arms = e.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.expr(
+            "CAST((sum(CAST(CAST(round(value * 100, 0) AS BIGINT)"
+            " AS DECIMAL(38,0))) * 10000) div count(*) AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+    tot = arms.agg(F.sum("n").alias("nn"))
+    scored = arms.crossJoin(F.broadcast(tot)).selectExpr(
+        "event_type", "n", "mean_micro", f"{_UCB} AS ucb"
+    )
+    mx = scored.agg(F.max("ucb").alias("m"))
+    return (
+        scored.crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "event_type",
+            "CAST(n AS BIGINT) AS n_pulls",
+            f"CAST(floor({_UCB_MEAN} * 10000.0 + 0.5) / 10000.0"
+            " AS DOUBLE) AS mean_value",
+            "CAST(floor(ucb * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"
+            " AS ucb",
+            "CASE WHEN ucb = m THEN 1 ELSE 0 END AS is_chosen",
+        )
+        .orderBy(F.col("ucb").desc(), "event_type")
+    )

@@ -259,3 +259,30 @@ def test_tost_symmetric_under_identical_arms(spark, tmp_path):
     assert r["t_lower"] == r["t_upper"]
     assert r["equivalent"] is True
     assert r["margin"] > 0.0
+
+
+def test_ucb_explores_the_rare_arm(spark, tmp_path):
+    """An arm with few pulls and mid rewards must outrank a heavily
+    pulled arm with slightly higher mean — the exploration bonus at
+    work — and exactly the max-ucb rows are flagged chosen."""
+    import datetime as dt2
+    t0 = dt2.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for _ in range(500):  # heavy arm: mean 1.0
+        rows.append((eid, t0, eid % 7, "heavy", 1.0, "{}")); eid += 1
+    for _ in range(5):    # rare arm: mean 0.9, huge bonus
+        rows.append((eid, t0, eid % 7, "rare", 0.9, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = registry.QUERIES["ml_ucb_allocation"](
+        spark, str(tmp_path)
+    ).collect()
+    assert out[0]["event_type"] == "rare"
+    assert out[0]["is_chosen"] == 1
+    assert out[1]["is_chosen"] == 0
+    assert out[0]["mean_value"] < out[1]["mean_value"]  # optimism won

@@ -225,6 +225,7 @@ PROBES = [
     "ml_srm_check",
     "ml_diff_in_diff",
     "ml_tost_equivalence",
+    "ml_ucb_allocation",
 ]
 
 
