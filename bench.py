@@ -161,6 +161,10 @@ HEADLINE = [
     "ml_diff_in_diff",
     "ml_tost_equivalence",
     "ml_ucb_allocation",
+    # round-6 additions
+    "text_token_count_bpe",
+    "dedup_embedding_pairs_star",
+    "dedup_embedding_pairs_capped",
 ]
 
 
@@ -175,7 +179,23 @@ def drain(df) -> None:
 def main() -> None:
     registry.load_all_modules()
     names = [n for n in HEADLINE if n in registry.QUERIES]
-    spark = get_spark("bench")
+    # SPARK_GRAFT_BENCH_DRIVER_PARITY=1 replays the bench under the DRIVER's
+    # session shape (inferTimestampNTZ at its default true, mirroring
+    # tools/check.py's parity flag) so a perf cliff that only manifests with
+    # NTZ timestamps — the round-3 crash pattern, but for time — would show
+    # up as a bench delta, not just a correctness one. See PERF.md "Bench
+    # driver-parity replay".
+    parity = os.environ.get("SPARK_GRAFT_BENCH_DRIVER_PARITY") == "1"
+    spark = get_spark(
+        "bench-driver-parity" if parity else "bench",
+        extra_conf=(
+            {"spark.sql.parquet.inferTimestampNTZ.enabled": "true"}
+            if parity
+            else None
+        ),
+    )
+    if parity:
+        print("# [bench driver-parity mode: inferTimestampNTZ=true]", file=sys.stderr)
 
     # warm up the JVM + whole-stage-codegen compile for each plan shape at
     # the smallest SF so the timed runs measure execution, not first-call

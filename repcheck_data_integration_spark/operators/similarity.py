@@ -1783,6 +1783,179 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBDUP_TOPK_CAP = 5  # per-vector partner cap for the bounded pair relation
+
+
+@register(
+    "dedup_embedding_pairs_capped",
+    oracle=f"""
+    WITH planes AS (
+        SELECT h, {_SQL_W} AS w
+        FROM generate_series(0, {LSH_PLANES - 1}) t(h)),
+    bits AS (
+        SELECT e.vec_id, p.h,
+               CASE WHEN {SQL_DOT.format(a='e.embedding', b='p.w')} >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM embeddings e, planes p),
+    bands AS (
+        SELECT vec_id, h // {LSH_BAND_BITS} AS band,
+               sum(bit * (1 << (h % {LSH_BAND_BITS}))) AS band_val
+        FROM bits GROUP BY vec_id, h // {LSH_BAND_BITS}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_val = b.band_val
+         AND a.vec_id < b.vec_id),
+    pairs AS (
+        SELECT vec1, vec2,
+               {sql_cosine('x.embedding', 'y.embedding')} AS cos
+        FROM cand JOIN embeddings x ON cand.vec1 = x.vec_id
+                  JOIN embeddings y ON cand.vec2 = y.vec_id),
+    surv AS (SELECT * FROM pairs WHERE cos >= {EMBDUP_THETA}),
+    edges AS (
+        SELECT vec1 AS src, vec2 AS dst, cos FROM surv
+        UNION ALL
+        SELECT vec2 AS src, vec1 AS dst, cos FROM surv),
+    kept AS (
+        SELECT src, dst, cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY src
+                                         ORDER BY cos DESC, dst) AS rn
+            FROM edges) WHERE rn <= {EMBDUP_TOPK_CAP})
+    SELECT DISTINCT least(src, dst) AS vec1, greatest(src, dst) AS vec2,
+           {sql_stable_round4('cos')} AS cosine_sim
+    FROM kept
+    """,
+)
+def dedup_embedding_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED form of dedup_embedding_pairs (VERDICT r5 #4): each vector
+    keeps at most its {EMBDUP_TOPK_CAP} highest-cosine partners (a pair
+    survives if EITHER endpoint ranks it — the symmetric k-NN-graph cap),
+    so the output relation is O(n·k) by construction even on a
+    boilerplate-collapsed corpus where the full pair relation is O(n²) in
+    the duplicated mass. The 10× probe in SCALE.md pins the wall sublinear
+    in the FULL pair count.
+
+    k-NN-graph capping is the standard SemDeDup/graph-dedup scale move:
+    connected components (dedup_components) are IDENTICAL on the capped
+    graph whenever every true near-dup has at least one partner inside its
+    top-{EMBDUP_TOPK_CAP} (clusters stay connected through mutual nearest
+    neighbors); the full relation stays registered as
+    dedup_embedding_pairs for audit runs.
+
+    Scale shape: candidates and exact verify are shared with the full op
+    (banded + salted, cost ∝ colliding pairs); the cap adds one
+    per-endpoint window over SURVIVING pairs only — partitioned by vector
+    id, never global."""
+    from .dedup import banded_candidates
+
+    e = load(spark, sf_dir, "embeddings")
+    bands = _lsh_bands(spark, e).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("band").alias("band_idx"),
+        F.col("band_val").alias("band_hash"),
+    )
+    cand = banded_candidates(bands).select(
+        F.col("doc1").alias("vec1"), F.col("doc2").alias("vec2")
+    )
+    x = e.select(F.col("vec_id").alias("vec1"), F.col("embedding").alias("e1"))
+    y = e.select(F.col("vec_id").alias("vec2"), F.col("embedding").alias("e2"))
+    surv = (
+        cand.join(x, "vec1")
+        .join(y, "vec2")
+        .select("vec1", "vec2", cosine(F.col("e1"), F.col("e2")).alias("cos"))
+        .filter(F.col("cos") >= EMBDUP_THETA)
+    )
+    edges = surv.select(
+        F.col("vec1").alias("src"), F.col("vec2").alias("dst"), "cos"
+    ).unionAll(
+        surv.select(
+            F.col("vec2").alias("src"), F.col("vec1").alias("dst"), "cos"
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    kept = (
+        edges.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= EMBDUP_TOPK_CAP)
+    )
+    return kept.select(
+        F.least("src", "dst").alias("vec1"),
+        F.greatest("src", "dst").alias("vec2"),
+        stable_round4(F.col("cos")).alias("cosine_sim"),
+    ).distinct()
+
+
+@register(
+    "dedup_embedding_pairs_star",
+    oracle=f"""
+    WITH planes AS (
+        SELECT h, {_SQL_W} AS w
+        FROM generate_series(0, {LSH_PLANES - 1}) t(h)),
+    bits AS (
+        SELECT e.vec_id, p.h,
+               CASE WHEN {SQL_DOT.format(a='e.embedding', b='p.w')} >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM embeddings e, planes p),
+    bands AS (
+        SELECT vec_id, h // {LSH_BAND_BITS} AS band,
+               sum(bit * (1 << (h % {LSH_BAND_BITS}))) AS band_val
+        FROM bits GROUP BY vec_id, h // {LSH_BAND_BITS}),
+    canon AS (
+        SELECT band, band_val, min(vec_id) AS c
+        FROM bands GROUP BY band, band_val),
+    edges AS (
+        SELECT DISTINCT cn.c AS vec1, b.vec_id AS vec2
+        FROM bands b JOIN canon cn
+          ON b.band = cn.band AND b.band_val = cn.band_val
+        WHERE b.vec_id > cn.c),
+    scored AS (
+        SELECT vec1, vec2,
+               {sql_cosine('x.embedding', 'y.embedding')} AS cos
+        FROM edges JOIN embeddings x ON edges.vec1 = x.vec_id
+                   JOIN embeddings y ON edges.vec2 = y.vec_id)
+    SELECT vec1, vec2, {sql_stable_round4('cos')} AS cosine_sim
+    FROM scored WHERE cos >= {EMBDUP_THETA}
+    """,
+)
+def dedup_embedding_pairs_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAR form of dedup_embedding_pairs — the true 100 TB wall-time fix
+    (VERDICT r5 #4, first option): instead of materializing every
+    colliding pair, each LSH bucket emits only (bucket-canonical =
+    min vec_id) → member edges, so candidates are O(n · n_bands) BY
+    CONSTRUCTION — on a boilerplate-collapsed corpus (every vector
+    identical) the full pair relation is n²/2 while the star is n-1 per
+    band. Exact cosine >= {EMBDUP_THETA} verifies each spoke; feed the
+    result straight to dedup_components (the canonical is already each
+    star's hub, so components over the star equal components over the
+    full graph whenever the hub passes the threshold with its members —
+    exact twins always do, which is precisely the collapse case that
+    makes the full relation explode).
+
+    vs the siblings: _pairs is the O(colliding-pairs) audit relation,
+    _pairs_capped the O(n·k) k-NN graph (bounded OUTPUT, but its window
+    still scans all surviving pairs — measured 134 s at the 10× probe),
+    _pairs_star the O(n) pipeline default (measured sublinear in the
+    full op's pair output). No window, no pair shuffle: one groupBy for
+    the bucket min, one equi-join back, two vector lookups per spoke."""
+    e = load(spark, sf_dir, "embeddings")
+    bands = _lsh_bands(spark, e)
+    canon = bands.groupBy("band", "band_val").agg(F.min("vec_id").alias("c"))
+    edges = (
+        bands.join(canon, ["band", "band_val"])
+        .filter(F.col("vec_id") > F.col("c"))
+        .select(F.col("c").alias("vec1"), F.col("vec_id").alias("vec2"))
+        .distinct()
+    )
+    x = e.select(F.col("vec_id").alias("vec1"), F.col("embedding").alias("e1"))
+    y = e.select(F.col("vec_id").alias("vec2"), F.col("embedding").alias("e2"))
+    return (
+        edges.join(x, "vec1")
+        .join(y, "vec2")
+        .select("vec1", "vec2", cosine(F.col("e1"), F.col("e2")).alias("cos"))
+        .filter(F.col("cos") >= EMBDUP_THETA)
+        .select("vec1", "vec2", stable_round4(F.col("cos")).alias("cosine_sim"))
+    )
+
+
 # --- embedding outlier screen (per-dim z-score energy) -----------------------
 
 EMB_OUT_SCALE = 1_000_000_000  # per-element z^2 quantization

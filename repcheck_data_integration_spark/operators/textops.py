@@ -1213,6 +1213,142 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- tokenizer-exact token counting with a FIXED published vocab ---------
+#
+# The reference counts tokens with tiktoken's published cl100k vocab
+# (/root/reference/scripts/ai/summarize_bills_federal.py:23-65) — a fixed
+# merge table applied at encode time, never trained on the corpus at hand.
+# text_bpe_train/encode above cover the TRAINING story; this op covers the
+# reference's actual usage: load a fixture-shipped merge table
+# (fixtures/bpe_merges_demo.txt, subword-nmt format — swap in any published
+# merges.txt, e.g. GPT-2's, unchanged) and count exactly.
+#
+# Exactness argument (pinned by tests/test_textops.py): for a
+# training-consistent merge table (every rule's symbols are single chars or
+# products of strictly EARLIER rules — true of every published BPE vocab by
+# construction), applying each rule as ONE leftmost-non-overlapping full
+# pass in rank order is equivalent to the iterative lowest-rank-first
+# algorithm tiktoken/GPT-2 use: a later rule can never create an earlier
+# rule's pair, because that pair would have to reference the later rule's
+# output symbol. Each pass is a plain string replace over a
+# boundary-delimited symbol string (\\x1f sym \\x1e per symbol — delimiters
+# make cross-symbol false matches impossible), and both Spark's and
+# DuckDB's replace() are leftmost-non-overlapping, so the whole encode is
+# engine-exact with no UDF.
+BPE_DEMO_US = "\x1f"  # unit sep: starts every symbol
+BPE_DEMO_RS = "\x1e"  # record sep: ends every symbol
+
+
+def _bpe_demo_merges() -> tuple[tuple[str, str], ...]:
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parents[1] / "fixtures" / "bpe_merges_demo.txt"
+    return tuple(
+        (w[0], w[1])
+        for line in p.read_text().splitlines()
+        if line and not line.startswith("#")
+        for w in [line.split()]
+    )
+
+
+BPE_DEMO_MERGES = _bpe_demo_merges()
+
+_BPE_DEMO_VALUES = ",".join(
+    f"({i + 1},'{BPE_DEMO_US}{a}{BPE_DEMO_RS}{BPE_DEMO_US}{b}{BPE_DEMO_RS}',"
+    f"'{BPE_DEMO_US}{a}{b}{BPE_DEMO_RS}')"
+    for i, (a, b) in enumerate(BPE_DEMO_MERGES)
+)
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=f"""
+    WITH RECURSIVE m(rank, pat, rep) AS (VALUES {_BPE_DEMO_VALUES}),
+    dw AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS word
+        FROM documents),
+    v AS (SELECT DISTINCT word FROM dw),
+    enc AS (
+        SELECT word,
+               regexp_replace(word, '(.)', '{BPE_DEMO_US}\\1{BPE_DEMO_RS}',
+                              'g') AS s,
+               0 AS step
+        FROM v
+        UNION ALL
+        SELECT e.word, replace(e.s, m.pat, m.rep), e.step + 1
+        FROM enc e JOIN m ON m.rank = e.step + 1),
+    vmap AS (
+        SELECT word,
+               CAST(length(s) - length(replace(s, '{BPE_DEMO_US}', ''))
+                    AS BIGINT) AS n_sub
+        FROM enc WHERE step = {len(BPE_DEMO_MERGES)}),
+    agg AS (
+        SELECT doc_id, sum(n_sub) AS n_bpe, count(*) AS n_words
+        FROM dw JOIN vmap USING (word) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(agg.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+           CAST(coalesce(agg.n_words, 0) AS BIGINT) AS n_words,
+           CAST({sql_stable_round4(
+               'CAST(agg.n_bpe AS DOUBLE) / agg.n_words'
+           )} AS DOUBLE) AS fertility
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-EXACT per-document token counts under the fixture-shipped
+    {n} -merge BPE vocab, plus the fertility row against the whitespace-ish
+    TOKEN_RE word-count proxy (fertility = bpe tokens per word — the number
+    the reference's tiktoken call would feed a context-budget check).
+
+    Scale shape — identical to text_bpe_encode: the merge chain runs over
+    the DISTINCT vocabulary (Zipf-small), never per token occurrence; the
+    corpus-sized side is one explode + one broadcast join + one
+    re-aggregate. The {n}-pass replace chain is a single codegen'd
+    projection on the vocab relation; the oracle expresses the same chain
+    as a rank-joined recursive CTE (DuckDB's binder caps nested calls at
+    128, so the fold is data, not syntax).
+    """
+    d = load(spark, sf_dir, "documents")
+    dw = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    v = dw.select("word").distinct()
+    s = F.regexp_replace(
+        F.col("word"), "(.)", f"{BPE_DEMO_US}$1{BPE_DEMO_RS}"
+    )
+    for a, b in BPE_DEMO_MERGES:
+        s = F.replace(
+            s,
+            F.lit(f"{BPE_DEMO_US}{a}{BPE_DEMO_RS}{BPE_DEMO_US}{b}{BPE_DEMO_RS}"),
+            F.lit(f"{BPE_DEMO_US}{a}{b}{BPE_DEMO_RS}"),
+        )
+    vmap = v.select(
+        "word",
+        (F.length(s) - F.length(F.replace(s, F.lit(BPE_DEMO_US))))
+        .cast("long")
+        .alias("n_sub"),
+    )
+    agg = (
+        dw.join(F.broadcast(vmap), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sub").alias("n_bpe"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bpe", F.lit(0)).cast("long").alias("n_bpe_tokens"),
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        stable_round4(
+            F.col("n_bpe").cast("double") / F.col("n_words")
+        ).alias("fertility"),
+    )
+
+
+text_token_count_bpe.__doc__ = text_token_count_bpe.__doc__.replace(
+    "{n}", str(len(BPE_DEMO_MERGES))
+)
+
+
 MG_CAPACITY = 200  # Misra–Gries counter budget per partition
 
 

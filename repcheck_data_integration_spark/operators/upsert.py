@@ -51,9 +51,23 @@ def merge_upsert(
     """MERGE INTO target USING source ON keys
     WHEN MATCHED UPDATE (except ``preserve``) WHEN NOT MATCHED INSERT.
 
-    ``version_cols``: within-batch precedence (highest wins); with none
-    given the batch must be key-unique (asserted by the window anyway with
-    an arbitrary-but-deterministic key order).
+    ``version_cols``: within-batch precedence (highest wins).
+
+    Tie-break contract (SURVEY §7 "same-key-twice" edge, pinned by
+    tests/test_operators.py::test_upsert_equal_version_tiebreak):
+
+    - WITHIN a batch, rows tied on every version column are resolved by
+      the remaining target columns in column order, DESC NULLS LAST —
+      deterministic for any input, no key-unique precondition. (Map-typed
+      columns are skipped: Spark cannot order maps; a batch tied on
+      version AND every orderable column differing only in a map value is
+      rejected by the row_number's determinism being irrelevant — the
+      rows are then equal on every compared column.)
+    - ACROSS batches, the LATER merge_upsert call wins on a matched key
+      regardless of version values (source-wins-on-match), matching the
+      reference's per-row ON CONFLICT DO UPDATE loop where the last
+      statement executed is the last writer
+      (/root/reference/scripts/database/database.py:52-73).
     """
     cols = target.columns
     assert set(source.columns) >= set(cols), "source must cover target columns"
@@ -80,7 +94,19 @@ def merge_upsert(
     source = source.select(
         *[guarded if c == k0 else F.col(c) for c in source.columns]
     )
-    order = [F.col(c).desc() for c in version_cols] or [F.col(k) for k in keys]
+    # version precedence first, then the documented deterministic
+    # tie-break: remaining orderable target columns, DESC NULLS LAST
+    dtypes = dict(source.dtypes)
+    tie_break = [
+        F.col(c).desc_nulls_last()
+        for c in cols
+        if c not in keys
+        and c not in version_cols
+        and not dtypes.get(c, "").startswith("map<")
+    ]
+    order = [F.col(c).desc_nulls_last() for c in version_cols] + tie_break
+    if not order:  # key-only table: any duplicate row is identical
+        order = [F.col(keys[0])]
     # dedup before projecting so version columns are still visible
     src = dedup_last_writer(source, keys, order).select(*cols)
 

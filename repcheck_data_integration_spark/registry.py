@@ -45,16 +45,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # covers what the engine is FOR; the full local gate (tools/check.py) still
 # checks all of them.
 #
-# Round-5 ordering rule (VERDICT.md r4 Next-round #2): the 5 ever-failed
-# rows stay pinned first (never rotate a failure out of the window), the 8
-# contract-pinned LLM north stars follow (tests/test_entry.py), and the
-# remaining 37 slots are filled with ops the driver has NEVER sampled in
-# any round (r2 covered the relational tranche, r3 the LLM flagships, r4
-# the stats/graph/eval tranche — union of CORRECTNESS_r0{2,3,4}.json keys
-# is 132 of 402). This round: the §2.7 scalar packs, the §2.1 source
-# scans, the §2.5/§2.6 window+setop cores — every fill row oracle-backed
-# (fn_uuid5 is rows-only so it stays outside; its stdlib-parity property
-# test is the stronger check anyway).
+# Round-6 ordering rule (VERDICT.md r5 Next-round #2): the 5 ever-failed
+# rows stay pinned first (never rotate a failure out of the window; the
+# only other non-green rows ever recorded — agg_approx_distinct /
+# agg_approx_percentile — are `no_oracle` BY DESIGN, approximate sketches
+# that cannot hash-match an exact oracle, so they don't count as failures
+# and stay outside). The 8 never-failed flagships drop out of the window
+# this round; all 45 remaining slots are filled with the OLDEST
+# never-driver-sampled oracle-backed queries in registration order (union
+# of CORRECTNESS_r0{2..5}.json keys is 169 of 431; this tranche burns the
+# dedup/curation/text-statistics/business-aggregate backlog from rounds
+# 3-4).
 DRIVER_PRIORITY: list[str] = [
     # ever-failed rows, pinned first forever (r2: tpch_q12; r3: the four):
     "win_session_features",
@@ -62,56 +63,55 @@ DRIVER_PRIORITY: list[str] = [
     "emb_normalize",
     "emb_quantize_int8",
     "tpch_q12_priority_counts",
-    # LLM-pipeline north stars (contract-pinned by tests/test_entry.py):
-    "dedup_minhash_lsh",
-    "sim_search_ivf",
-    "text_tfidf_topterms",
-    "pipeline_corpus_curation",
-    "llm_summarize",
-    "mm_binary_meta",
-    "join_fuzzy_topk",
-    "stream_tumbling_window",
-    # §2.7 scalar-function packs — never driver-sampled before round 5:
-    "fn_string_pack",
-    "fn_date_pack",
-    "fn_case_try_pack",
-    "fn_json_pack",
-    "fn_array_pack",
-    "fn_explode",
-    "fn_unaccent",
-    "fn_surrogate_key",
-    "fn_map_pack",
-    "fn_url_parse",
-    "fn_geo_pack",
-    "fn_variant_pack",
-    "fn_recursive_cte_depth",
-    "fn_collation_group",
-    "fn_try_arith_pack",
-    # §2.1 source scans — never driver-sampled before round 5:
-    "src_parquet_scan",
-    "src_json_dir_scan",
-    "src_jsonl_scan",
-    "src_csv_scan",
-    "src_yaml_dir_scan",
-    "src_ref_lookup",
-    "src_shapefile_scan",
-    "src_orc_scan",
-    # §2.5/§2.6 window + set-op cores — never driver-sampled before r5:
-    "win_top1_score",
-    "win_latest_version",
-    "win_running_sum",
-    "sort_order",
-    "lim_limit",
-    "set_union",
-    "set_except",
-    "set_intersect",
-    # remaining never-sampled fill to exactly 50:
-    "fn_unpivot",
-    "agg_grouping_sets",
-    "agg_mode",
-    "agg_median_exact",
-    "win_rank_dense",
-    "win_lag_lead",
+    # dedup family — never driver-sampled:
+    "dedup_components",
+    "dedup_winnowing_pairs",
+    "dedup_lsh_calibration",
+    "dedup_exact_normalized",
+    "dedup_url_canonical",
+    "dedup_paragraphs_keep_first",
+    # corpus mixing / sampling / curation — never driver-sampled:
+    "sample_domain_cap",
+    "mix_temperature_weights",
+    "pipeline_pretrain_corpus",
+    "mix_epoch_schedule",
+    "sample_class_balance",
+    "sample_weighted",
+    "pipeline_web_corpus",
+    "mix_annealing_schedule",
+    "mix_token_budget_allocation",
+    "corpus_data_card",
+    # text analysis / quality — never driver-sampled:
+    "text_fingerprint",
+    "text_gopher_filter",
+    "text_html_strip",
+    "text_quality_logreg",
+    "text_quality_quantile",
+    "text_lang_jsd",
+    "text_tokenizer_fertility",
+    "text_distinct_ngrams",
+    "text_zipf_fit",
+    "text_heaps_fit",
+    "text_term_burstiness",
+    "text_code_detect",
+    "fn_arrow_bytes_stats",
+    "ml_cohen_kappa",
+    # joins / business aggregates — never driver-sampled:
+    "join_cidr_lookup",
+    "agg_bitwise",
+    "agg_corr_matrix",
+    "agg_grouped_linreg",
+    "agg_copurchase_pairs",
+    "agg_ab_ttest",
+    "agg_rfm_scores",
+    "agg_pandas_api_counts",
+    "agg_abc_pareto",
+    "agg_gini_revenue",
+    "agg_backlog_aging",
+    "agg_cohort_ltv",
+    "agg_order_gaps",
+    "agg_market_basket_rules",
+    "agg_penny_allocation",
 ]
 
 

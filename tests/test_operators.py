@@ -49,6 +49,38 @@ def test_merge_upsert_in_batch_last_writer_wins(spark):
     assert len(out) == 1 and out[0]["val"] == 2
 
 
+def test_merge_upsert_equal_version_tiebreak(spark):
+    """The SURVEY §7 'same-key-twice' edge with an exact version TIE
+    (VERDICT r5 #6): within a batch, rows tied on every version column
+    resolve by the remaining target columns DESC NULLS LAST — deterministic
+    under any input partitioning/order, pinned to the documented winner."""
+    target = spark.createDataFrame([("a", "t", 0)], ["id", "val", "ver"])
+    tied = [("a", "x", 7), ("a", "z", 7), ("a", "y", 7), ("a", None, 7)]
+    for perm in (tied, tied[::-1], tied[2:] + tied[:2]):
+        for nparts in (1, 4):
+            source = spark.createDataFrame(perm, ["id", "val", "ver"]).repartition(
+                nparts
+            )
+            out = merge_upsert(
+                target, source, keys=["id"], version_cols=["ver"], preserve=()
+            ).collect()
+            # ver ties → 'val' DESC NULLS LAST → 'z' wins, nulls never win
+            assert len(out) == 1 and out[0]["val"] == "z"
+
+
+def test_merge_upsert_successive_batches_equal_version(spark):
+    """ACROSS batches the later merge wins on a matched key even when the
+    version column ties — source-wins-on-match, matching the reference's
+    last-statement-wins ON CONFLICT loop (database.py:52-73)."""
+    target = spark.createDataFrame([("a", "t", 0)], ["id", "val", "ver"])
+    b1 = spark.createDataFrame([("a", "first", 5), ("b", "b1", 5)], ["id", "val", "ver"])
+    b2 = spark.createDataFrame([("a", "second", 5), ("c", "c2", 5)], ["id", "val", "ver"])
+    step1 = merge_upsert(target, b1, keys=["id"], version_cols=["ver"], preserve=())
+    step2 = merge_upsert(step1, b2, keys=["id"], version_cols=["ver"], preserve=())
+    out = {r["id"]: r["val"] for r in step2.collect()}
+    assert out == {"a": "second", "b": "b1", "c": "c2"}
+
+
 def test_bbox_grid_join_matches_naive(spark):
     """Grid-bucketed join must equal the naive theta join for any cell size,
     including rects spanning many cells and negative coordinates."""

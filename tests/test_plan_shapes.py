@@ -1225,3 +1225,94 @@ def test_did_no_cartesian_fact_blowup(spark):
     the 2-row period grid."""
     p = plan(spark, "ml_diff_in_diff")
     assert "CartesianProduct" not in p
+
+
+# --- Unpartitioned-window inventory (VERDICT r5 #5) -----------------------
+#
+# `WindowExec: No Partition Defined` floods check.py's log (2000+ lines),
+# which is exactly the noise a REAL data-sized global window could hide in.
+# Every entry below was audited (tools/window_audit.py): each unpartitioned
+# window runs over a PRE-AGGREGATED bounded relation — a value alphabet
+# (Mann-Whitney's 50 quantity values), a fixed report grid (Lorenz deciles,
+# calibration bins, lift/qini/KS curves), a per-series time axis
+# (|hours| rows after the fact-table aggregate), or a top-k already capped
+# by a LIMIT — never raw fact rows. Global-by-algorithm prefix sums over
+# such relations are the post-aggregate cost a rank/cdf-based statistic
+# always pays; the fact scan itself is always partitioned.
+#
+# Any NEW query with an unpartitioned window fails here until it is either
+# partitioned or consciously added with a bounded-input justification.
+UNPARTITIONED_WINDOW_WHITELIST = {
+    # report grids / deciles / curves (<= ~100 rows by construction)
+    "agg_abc_pareto": 1,
+    "agg_lorenz_deciles": 3,
+    "agg_quantile_histogram": 1,
+    "agg_rfm_scores": 3,
+    "ml_calibration_bins": 3,
+    "ml_ks_statistic": 3,
+    "ml_lift_gains": 3,
+    "ml_qini_uplift": 3,
+    "llm_hybrid_rrf": 2,
+    # value-alphabet statistics (<= |distinct values| of a bounded column)
+    "ml_mann_whitney_u": 1,
+    "ml_spearman_corr": 2,
+    "ml_confusion_prf": 1,
+    "ml_bradley_terry": 1,
+    "agg_gini_revenue": 1,
+    "agg_copurchase_pairs": 1,
+    "agg_kmv_sketch": 1,
+    "agg_count_min_sketch": 1,
+    "emb_pq_encode": 1,
+    # per-series time axes (|hours|/|days| after the fact aggregate)
+    "events_gesd_outliers": 13,  # iterative GESD: one window per round, series-sized
+    "events_kaplan_meier": 2,
+    "events_late_data_audit": 1,
+    "events_logrank_test": 1,
+    "events_user_paths": 1,
+    "events_attribution_shapley": 1,  # 16-row coalition lattice
+    "ts_anomaly_seasonal": 8,
+    "ts_changepoint_binseg": 2,
+    "ts_decompose_seasonal": 2,
+    "ts_dominant_period": 1,
+    "ts_holt_linear": 2,
+    "ts_runs_test": 3,
+    "ts_theil_sen": 3,
+    # corpus mixing / vocab top-k (domain- or vocab-capped relations)
+    "corpus_data_card": 1,
+    "mix_epoch_schedule": 2,
+    "mix_temperature_weights": 2,
+    "mix_token_budget_allocation": 3,
+    "text_dsir_weights": 1,
+    "text_heaps_fit": 1,
+    "text_keyphrase_textrank": 1,
+    "text_pmi_pairs": 1,
+    "text_term_burstiness": 1,
+    "text_vocab_topk": 1,
+    "text_zipf_fit": 1,
+    # boosted stumps: one cdf window per boosting round over the value
+    # alphabet (not per fact row)
+    "ml_boosted_stumps": 8,
+}
+
+
+def test_unpartitioned_window_inventory_pinned(spark):
+    """Sweep every registered query's optimized plan and compare the
+    unpartitioned-Window inventory to the whitelist — new global windows
+    can't hide in the warning flood."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from window_audit import audit
+
+    found = audit(spark, SF)
+    new = {k: v for k, v in found.items() if k not in UNPARTITIONED_WINDOW_WHITELIST}
+    gone = {k: v for k, v in UNPARTITIONED_WINDOW_WHITELIST.items() if k not in found}
+    changed = {
+        k: (UNPARTITIONED_WINDOW_WHITELIST[k], v)
+        for k, v in found.items()
+        if k in UNPARTITIONED_WINDOW_WHITELIST and UNPARTITIONED_WINDOW_WHITELIST[k] != v
+    }
+    assert not new, f"NEW unpartitioned windows (audit + justify or partition): {new}"
+    assert not changed, f"count drift (re-audit): {changed}"
+    assert not gone, f"stale whitelist rows (remove): {gone}"

@@ -309,3 +309,99 @@ def test_pmi_pairs_planted_collocation(spark, tmp_path):
     # 'common' pairs sit at PMI ~ 0 (independence)
     ce = out[("common", "even")]
     assert abs(ce["pmi"]) < 0.001
+
+
+def test_token_count_bpe_matches_iterative_lowest_rank(spark):
+    """text_token_count_bpe's rank-ordered single-pass replace chain must
+    equal the iterative lowest-rank-first algorithm tiktoken/GPT-2 apply
+    (the equivalence holds for training-consistent merge tables — argued in
+    the op's module comment, PINNED here per symbol-count on the real
+    sf0.001 vocabulary plus adversarial overlap words)."""
+    from repcheck_data_integration_spark.operators.textops import (
+        BPE_DEMO_MERGES,
+        BPE_DEMO_RS,
+        BPE_DEMO_US,
+        text_token_count_bpe,
+    )
+
+    ranks = {m: i for i, m in enumerate(BPE_DEMO_MERGES)}
+
+    def ref_n_tokens(word: str) -> int:
+        syms = list(word)
+        while len(syms) > 1:
+            best = min(
+                (ranks.get((syms[i], syms[i + 1]), 10**9), i)
+                for i in range(len(syms) - 1)
+            )
+            if best[0] == 10**9:
+                break
+            a, b = BPE_DEMO_MERGES[best[0]]
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    # adversarial overlaps: repeated-pair runs, rule-feeding chains,
+    # merged-symbol boundaries that a delimiter-less replace would corrupt
+    words = [
+        "the", "theater", "thethe", "aaaa", "aaaaa", "ingesting",
+        "representation", "others", "section8", "government", "x", "90210",
+        "ththth", "erer", "anand", "ionion",
+    ]
+    import re
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("text")
+        .limit(50)
+        .collect()
+    )
+    vocab = sorted({w for r in docs for w in re.findall("[a-z0-9]+", r["text"])})
+    words += vocab[:400]
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    s = F.regexp_replace(F.col("word"), "(.)", f"{BPE_DEMO_US}$1{BPE_DEMO_RS}")
+    for a, b in BPE_DEMO_MERGES:
+        s = F.replace(
+            s,
+            F.lit(f"{BPE_DEMO_US}{a}{BPE_DEMO_RS}{BPE_DEMO_US}{b}{BPE_DEMO_RS}"),
+            F.lit(f"{BPE_DEMO_US}{a}{b}{BPE_DEMO_RS}"),
+        )
+    got = {
+        r["word"]: r["n"]
+        for r in df.select(
+            "word",
+            (F.length(s) - F.length(F.replace(s, F.lit(BPE_DEMO_US)))).alias("n"),
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == ref_n_tokens(w), (w, got[w], ref_n_tokens(w))
+
+
+def test_token_count_bpe_fertility_and_totals(spark):
+    """Per-doc totals are consistent: n_bpe_tokens <= sum of word lengths,
+    >= n_words (a merge can only shrink, never below 1 symbol per word),
+    and fertility == round4(n_bpe/n_words)."""
+    from repcheck_data_integration_spark.operators.textops import (
+        text_token_count_bpe,
+    )
+
+    rows = text_token_count_bpe(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    import math
+
+    for r in rows[:200]:
+        if r["n_words"] == 0:
+            assert r["n_bpe_tokens"] == 0 and r["fertility"] is None
+            continue
+        assert r["n_bpe_tokens"] >= r["n_words"]
+        want = math.floor(r["n_bpe_tokens"] / r["n_words"] * 10000.0 + 0.5) / 10000.0
+        assert r["fertility"] == want

@@ -226,6 +226,11 @@ PROBES = [
     "ml_diff_in_diff",
     "ml_tost_equivalence",
     "ml_ucb_allocation",
+    # round-6: the bounded pair relation (cap makes output O(n·k) where
+    # the full op's output explodes with the dedup caveat) and the
+    # fixed-vocab tokenizer-exact counter (distinct-vocab replace chain)
+    "dedup_embedding_pairs_capped",
+    "text_token_count_bpe",
 ]
 
 
@@ -289,6 +294,25 @@ def run(factor: int) -> dict[str, float]:
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     registry.load_all_modules()
+    subset = sys.argv[2:]
+    if subset:
+        # subset+append mode: probe only the named ops and append their
+        # rows to SCALE.md (new ops get scale evidence without re-running
+        # the whole battery)
+        global PROBES
+        PROBES = subset
+        t1 = run(1)
+        tn = run(factor)
+        path = os.path.join(os.path.dirname(__file__), "..", "SCALE.md")
+        with open(path, "a") as f:
+            for name in PROBES:
+                (s1, n1), (sn, nn) = t1[name], tn[name]
+                f.write(
+                    f"| {name} | {s1} ({n1}) | {sn} ({nn}) |"
+                    f" {sn / max(s1, 0.01):.1f}× |\n"
+                )
+        print(f"appended {len(PROBES)} rows to SCALE.md")
+        return
     t1 = run(1)
     tn = run(factor)
     lines = [

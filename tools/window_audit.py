@@ -1,0 +1,75 @@
+"""Unpartitioned-window inventory (VERDICT r5 #5).
+
+`WindowExec: No Partition Defined` means every row of that window's input
+is funneled through ONE task — a genuine scale-killer when the input is a
+data-sized relation, but harmless when the input is an already-aggregated
+tiny relation (global top-k over <=K rows, scalar ranks). check.py's log
+carries 2000+ of these warnings, which is exactly the noise a REAL global
+window could hide in.
+
+This audit walks the optimized logical plan of every registered query at
+sf0.001 (plan construction only — no job execution beyond what the query
+builder itself triggers) and records each query with >=1 Window node whose
+partitionSpec is empty. tests/test_plan_shapes.py pins the result set to
+an explicit whitelist; any new unpartitioned window fails the suite until
+either partitioned or consciously whitelisted with a bounded-input
+justification.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from repcheck_data_integration_spark import registry
+
+
+def count_unpartitioned_windows(df) -> int:
+    """Number of Window logical nodes with an empty partitionSpec in the
+    optimized plan (optimized, not analyzed: optimizer-collapsed windows
+    shouldn't count, and column pruning can't remove a window it needs)."""
+    n = 0
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().size() == 0:
+                n += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+        # inner subquery plans (scalar subqueries etc.) live in expressions;
+        # none of the registry queries use them for windows, and traversing
+        # expression trees over py4j is ~100x slower — skip deliberately.
+    return n
+
+
+def audit(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, int]:
+    """{query_name: unpartitioned_window_count} for every registered query
+    that has at least one. Queries whose builder fails (env-gated stubs)
+    are skipped — they can't hide a window."""
+    registry.load_all_modules()
+    out: dict[str, int] = {}
+    for name in names or list(registry.QUERIES):
+        try:
+            df = registry.QUERIES[name](spark, sf_dir)
+        except Exception:
+            continue
+        c = count_unpartitioned_windows(df)
+        if c:
+            out[name] = c
+    return out
+
+
+if __name__ == "__main__":
+    from repcheck_data_integration_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    spark = get_spark("window-audit")
+    found = audit(spark, sf_dir)
+    for k, v in sorted(found.items()):
+        print(f"{k}\t{v}")
+    print(f"# {len(found)} queries with unpartitioned windows")
+    spark.stop()
