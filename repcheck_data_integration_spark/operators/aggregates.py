@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..functions.exact import scaled_long
 from ..tables import load
 
 
@@ -254,9 +255,9 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import stable_round4
 
     li = load(spark, sf_dir, "lineitem")
-    qs = F.round(F.col("l_quantity") * 100, 0).cast("long").cast("decimal(38,0)")
+    qs = scaled_long(F.col("l_quantity"), 100).cast("decimal(38,0)")
     ps = (
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long").cast("decimal(38,0)")
+        scaled_long(F.col("l_extendedprice"), 100).cast("decimal(38,0)")
     )
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -439,9 +440,9 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     same point for hash parity."""
     li = load(spark, sf_dir, "lineitem")
     z = li.select(
-        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("q"),
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("p"),
-        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+        scaled_long(F.col("l_quantity"), 100).alias("q"),
+        scaled_long(F.col("l_extendedprice"), 100).alias("p"),
+        scaled_long(F.col("l_discount"), 100).alias("d"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s = z.agg(
@@ -528,7 +529,7 @@ def agg_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).cast(
         "long"
     )
-    y = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    y = scaled_long(F.col("o_totalprice"), 100)
     g = o.select("o_orderpriority", x.alias("x"), y.alias("y"))
     dec = "decimal(38,0)"
     a = g.groupBy("o_orderpriority").agg(
@@ -669,7 +670,7 @@ def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
     )
-    vc = F.round(F.col("value") * 100, 0).cast("long").cast("decimal(38,0)")
+    vc = scaled_long(F.col("value"), 100).cast("decimal(38,0)")
     s = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(vc).cast("double").alias("sx"),
@@ -747,7 +748,7 @@ def agg_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(RFM_ASOF).cast("date"), F.max(F.col("o_orderdate").cast("date"))
         ).alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+        F.sum(scaled_long(F.col("o_totalprice"), 100)).alias(
             "monetary_cents"
         ),
     )
@@ -848,7 +849,7 @@ def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     outgrows a sort (same note as agg_rfm_scores)."""
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+        F.sum(scaled_long(F.col("l_extendedprice"), 100)).alias(
             "rev_cents"
         )
     )
@@ -905,7 +906,7 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_abc_pareto."""
     o = load(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+        F.sum(scaled_long(F.col("o_totalprice"), 100)).alias(
             "cents"
         )
     )
@@ -981,7 +982,7 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     v = o.select(
         "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        scaled_long(F.col("o_totalprice"), 100).alias("cents"),
         "o_orderkey",
     )
     wa = W.partitionBy("o_orderpriority").orderBy(
@@ -1068,7 +1069,7 @@ def agg_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.select(
             bucket.alias("age_bucket"),
-            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            scaled_long(F.col("o_totalprice"), 100).alias(
                 "cents"
             ),
         )
@@ -1134,7 +1135,7 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.months_between(om, F.col("cohort_month"))
         .cast("long")
         .alias("month_offset"),
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        scaled_long(F.col("o_totalprice"), 100).alias("cents"),
     )
     cells = facts.groupBy("cohort_month", "month_offset").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -1272,7 +1273,7 @@ def agg_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries bucket partials (bounded by bucket count, not rows), and
     histograms for different time windows / cohorts union by key."""
     li = load(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    cents = scaled_long(F.col("l_extendedprice"), 100)
     e = (F.length(F.expr("bin(cents)")) - 1).alias("e")
     b = li.select(cents.alias("cents")).select("cents", e).select(
         "cents",
@@ -1529,9 +1530,7 @@ def agg_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") * 100, 0)
-        .cast("long")
-        .alias("w"),
+        scaled_long(F.col("l_extendedprice"), 100).alias("w"),
     )
     ordr = load(spark, sf_dir, "orders").select(
         "o_orderkey",

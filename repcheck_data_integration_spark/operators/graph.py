@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..functions.exact import scaled_long
 from ..tables import load
 from .dedup import sql_stable_round4
 
@@ -184,7 +185,7 @@ def agg_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized views depend on. The oracle computes daily directly; the
     engine goes raw → hourly → daily."""
     e = load(spark, sf_dir, "events")
-    scaled = F.round(F.col("value") * 100, 0).cast("long")
+    scaled = scaled_long(F.col("value"), 100)
     hourly = (
         e.groupBy(
             (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("hour_start"),

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..functions.exact import scaled_long
 from ..tables import load
 
 
@@ -368,7 +369,7 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares and the log10 references go through the shared floor-round."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     digit = F.substring(
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        scaled_long(F.col("o_totalprice"), 100).cast("string"),
         1, 1,
     ).cast("long")
     c = o.select(digit.alias("digit")).groupBy("digit").agg(
@@ -591,64 +592,55 @@ def dq_fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each child scan collapses to DISTINCT child keys via a
     map-side partial aggregate BEFORE the parent join (orphan ROWS are
     recovered from the carried per-key counts), so the join input is
-    |distinct keys|, not |child rows|; parent key columns are
-    dimension-sized and broadcast. Seven independent branches union into
-    a 7-row result — each branch prunes its scans to the single key
-    column. Everything is exact integer counting; no rationals at all.
+    |distinct keys|, not |child rows|; parent key columns are broadcast.
+    Seven independent single-row branches union into a 7-row result
+    inside ONE action (the DAG scheduler runs their stages concurrently)
+    — each branch prunes its scan to the single key column. Everything
+    is exact integer counting; no rationals at all.
     """
-    # ONE scan per distinct child table: stack every FK key of that table
-    # into (fk, k) rows with a posexplode-free inline array, so lineitem
-    # is read once for its three FKs (the naive per-edge loop cost 7
-    # branch scans + 7 single-row agg jobs — 1.65s of job floor at sf0.1;
-    # stacked it is |tables| scans, one shuffle, one join, one agg).
-    by_child: dict[str, list[tuple[str, str]]] = {}
-    for label, child, ck, _parent, _pk in FK_EDGES:
-        by_child.setdefault(child, []).append((label, ck))
-    stacked = None
-    for child, pairs in by_child.items():
-        c = load(spark, sf_dir, child).select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(label).alias("fk"),
-                            F.col(ck).cast("long").alias("k"),
-                        )
-                        for label, ck in pairs
-                    ]
-                )
-            ).alias("e")
-        ).select("e.fk", "e.k").filter(F.col("k").isNotNull())
-        stacked = c if stacked is None else stacked.unionAll(c)
-    keys = stacked.groupBy("fk", "k").agg(F.count(F.lit(1)).alias("cnt"))
-    # parent key dictionary: (fk, pkey) for every edge, dimension-sized
-    pdict = None
-    for label, _child, _ck, parent, pk in FK_EDGES:
-        p = load(spark, sf_dir, parent).select(
-            F.lit(label).alias("fk"), F.col(pk).cast("long").alias("pkey")
+    # Round-6 reshape (sf10 head-to-head, VERDICT r5 #1): per-edge
+    # branches over a stacked (fk, k) union. Round 3's stacked form
+    # avoided the per-edge job floor, but its single groupBy shuffled the
+    # UNION of all tagged child keys — at sf10 that is ~200M
+    # (string, long) rows through one exchange, 22.8 s. Per-edge branches
+    # shuffle each key column separately as bare longs with map-side
+    # combine (the fact fixtures cluster by key, so combine collapses
+    # most of the volume before the wire) and probe a broadcast parent:
+    # 9.6 s at sf10 AND 0.56 s vs 1.6 s at sf0.1 — the feared job floor
+    # does not exist in the union-single-action form.
+    outs = []
+    for label, child, ck, parent, pk in FK_EDGES:
+        c = (
+            load(spark, sf_dir, child)
+            .select(F.col(ck).cast("long").alias("k"))
+            .filter(F.col("k").isNotNull())
         )
-        pdict = p if pdict is None else pdict.unionAll(p)
-    j = keys.join(
-        F.broadcast(pdict),
-        (keys.fk == pdict.fk) & (keys.k == pdict.pkey),
-        "left",
-    ).select(keys.fk.alias("fk"), "cnt", "pkey")
-    return (
-        j.groupBy("fk")
-        .agg(
-            F.sum("cnt").cast("long").alias("child_rows"),
-            F.count(F.lit(1)).cast("long").alias("child_keys"),
-            F.sum(
-                F.when(F.col("pkey").isNull(), F.col("cnt")).otherwise(0)
+        keys = c.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+        p = F.broadcast(
+            load(spark, sf_dir, parent).select(
+                F.col(pk).cast("long").alias("pkey")
             )
-            .cast("long")
-            .alias("orphan_rows"),
-            F.sum(F.when(F.col("pkey").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("orphan_keys"),
         )
-        .orderBy("fk")
-    )
+        j = keys.join(p, keys.k == p.pkey, "left")
+        outs.append(
+            j.agg(
+                F.lit(label).alias("fk"),
+                F.sum("cnt").cast("long").alias("child_rows"),
+                F.count(F.lit(1)).cast("long").alias("child_keys"),
+                F.sum(
+                    F.when(F.col("pkey").isNull(), F.col("cnt")).otherwise(0)
+                )
+                .cast("long")
+                .alias("orphan_rows"),
+                F.sum(F.when(F.col("pkey").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("orphan_keys"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("fk")
 
 
 # ---------------------------------------------------------------------------

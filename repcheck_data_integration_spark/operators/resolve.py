@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 
 from ..registry import register
 from .dedup import sql_stable_round4, stable_round4
+from ..functions.exact import scaled_long
 from ..tables import load
 
 DEFAULT_THRESHOLD = 0.8  # mirrors vote_matching.py:178 (score >= 80)
@@ -741,7 +742,7 @@ def resolve_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ~2-row-per-key partition, never k shuffles. No driver loops.
     """
     c = load(spark, sf_dir, "customer")
-    bal_c = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    bal_c = scaled_long(F.col("c_acctbal"), 100)
     src_a = c.filter(F.col("c_custkey") % 7 != 0).select(
         F.col("c_custkey").alias("k"),
         F.lit(1).alias("prio"),

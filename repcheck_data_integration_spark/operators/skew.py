@@ -93,6 +93,7 @@ def write_bucketed(
 from pyspark.sql import SparkSession  # noqa: E402
 
 from ..registry import register  # noqa: E402
+from ..functions.exact import scaled_long
 from ..tables import load  # noqa: E402
 from .aggregates import SQL_SCALED  # noqa: E402
 
@@ -114,7 +115,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebraic aggregates are salt-invariant, which the hash-match proves.
     Sums ride the scaled-integer path so both phases stay exact."""
     li = load(spark, sf_dir, "lineitem")
-    scaled = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    scaled = scaled_long(F.col("l_quantity"), 100)
     out = salted_agg(
         li.select("l_returnflag", "l_quantity"),
         keys=["l_returnflag"],
@@ -157,7 +158,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = salted_broadcast_join(e, n, key="n_nationkey", n_salts=16)
-    scaled = F.round(F.col("value") * 100, 0).cast("long")
+    scaled = scaled_long(F.col("value"), 100)
     return joined.groupBy("event_type", "n_name").agg(
         F.count(F.lit(1)).alias("n_events"),
         (
@@ -258,7 +259,7 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
         (
-            F.sum(F.round(F.col("rev") * 100, 0).cast("long")).cast("double")
+            F.sum(scaled_long(F.col("rev"), 100)).cast("double")
             / 100.0
         ).cast("double").alias("revenue"),
     )

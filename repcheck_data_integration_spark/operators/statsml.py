@@ -46,6 +46,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..functions.exact import scaled_long
 from ..tables import load
 from .dedup import SQL_SHINGLES, sql_stable_round4, stable_round4, tokens
 
@@ -704,9 +705,9 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL, so the IEEE evaluation order matches step for step.
     """
     li = load(spark, sf_dir, "lineitem").select(
-        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("q2"),
-        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d2"),
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("p2"),
+        scaled_long(F.col("l_quantity"), 100).alias("q2"),
+        scaled_long(F.col("l_discount"), 100).alias("d2"),
+        scaled_long(F.col("l_extendedprice"), 100).alias("p2"),
     )
 
     def dsum(expr: str, scale: float) -> Column:

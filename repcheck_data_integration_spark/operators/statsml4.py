@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..functions.exact import scaled_long
 from ..tables import load
 from .dedup import sql_stable_round4
 from .statsml import _DET, _DET0, _DET1, _DET2
@@ -119,8 +120,8 @@ def ml_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same plan as ml_linreg_normal_eq, optimal at 100 TB.
     """
     li = load(spark, sf_dir, "lineitem").select(
-        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("q2"),
-        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d2"),
+        scaled_long(F.col("l_quantity"), 100).alias("q2"),
+        scaled_long(F.col("l_discount"), 100).alias("d2"),
         F.when(F.col("l_returnflag") == "R", F.lit(1))
         .otherwise(F.lit(-1))
         .alias("u"),
@@ -233,7 +234,7 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout already pays.
     """
     o = load(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = scaled_long(F.col("o_totalprice"), 100)
     split = F.lit(CUPED_SPLIT).cast("timestamp")
     base = (
         o.groupBy((F.col("o_custkey") % 2).alias("arm"), "o_custkey")
@@ -516,7 +517,7 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load(spark, sf_dir, "orders")
     daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        F.sum(scaled_long(F.col("o_totalprice"), 100))
         .cast("long")
         .alias("v")
     ).persist()  # prefix scan + totals both read it: one fact shuffle

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..functions.exact import scaled_long
 from ..tables import load
 from .dedup import sql_stable_round4
 
@@ -123,8 +124,8 @@ def ml_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     joint = (
         li.groupBy(
-            F.round("l_quantity", 0).cast("long").alias("q"),
-            F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+            scaled_long(F.col("l_quantity"), 1).alias("q"),
+            scaled_long(F.col("l_discount"), 100).alias("d"),
         )
         .agg(F.count("*").cast("long").alias("c"))
         .persist()  # joint + both marginals read it: one fact shuffle
@@ -246,7 +247,7 @@ def ml_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     vl = li.groupBy(
-        F.round("l_quantity", 0).cast("long").alias("q")
+        scaled_long(F.col("l_quantity"), 1).alias("q")
     ).agg(
         F.count("*").cast("long").alias("c"),
         F.sum(
@@ -367,7 +368,7 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact scan, one 5-row shuffle at any SF.
     """
     o = load(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = scaled_long(F.col("o_totalprice"), 100)
     grp = o.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("ng"),
         F.sum(cents.cast("decimal(38,0)")).alias("sg"),
@@ -480,8 +481,8 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = (
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+        scaled_long(F.col("l_extendedprice"), 100)
+        * (100 - scaled_long(F.col("l_discount"), 100))
     )
     srev = li.groupBy("l_suppkey").agg(
         F.sum(rev.cast("decimal(38,0)")).alias("rev")
@@ -770,9 +771,9 @@ def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adding rounds adds zero fact-table passes.
     """
     li = load(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    cents = scaled_long(F.col("l_extendedprice"), 100)
     vl = (
-        li.groupBy(F.round("l_quantity", 0).cast("long").alias("v"))
+        li.groupBy(scaled_long(F.col("l_quantity"), 1).alias("v"))
         .agg(
             F.count("*").cast("long").alias("nv"),
             F.sum(cents.cast("decimal(38,0)")).alias("sv"),
@@ -1098,8 +1099,8 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     joint = (
         li.groupBy(
-            F.round("l_quantity", 0).cast("long").alias("q"),
-            F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+            scaled_long(F.col("l_quantity"), 1).alias("q"),
+            scaled_long(F.col("l_discount"), 100).alias("d"),
         )
         .agg(F.count("*").cast("decimal(38,0)").alias("c"))
         .persist()  # pairs + marginals + totals: one fact shuffle
@@ -3189,7 +3190,7 @@ def agg_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     three extra sum columns to an aggregate the readout already runs.
     """
     e = load(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cents = scaled_long(F.col("value"), 100)
     per_user = e.groupBy(
         (F.col("user_id") % 2).alias("arm"), "user_id"
     ).agg(
@@ -3408,7 +3409,7 @@ def agg_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     experiment readout at the cost of the rollup it needs anyway.
     """
     o = load(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = scaled_long(F.col("o_totalprice"), 100)
     split = F.lit(PT_SPLIT).cast("timestamp")
     per_cust = o.groupBy("o_custkey").agg(
         (

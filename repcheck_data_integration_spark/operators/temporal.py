@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..functions.exact import scaled_long
 from ..tables import load
 
 # SCD2 open-row sentinel. NOT 9999-12-31: the driver canonicalizes results
@@ -545,7 +546,7 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("high"),
         F.min("value").alias("low"),
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
-        (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+        (F.sum(scaled_long(F.col("value"), 100)) / 100.0)
         .cast("double")
         .alias("volume"),
     )

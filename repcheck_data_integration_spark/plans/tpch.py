@@ -98,9 +98,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit(f"{Q3_DATE} 00:00:00").cast("timestamp")
     )
+    # broadcast-reduce orders by the BUILDING customers BEFORE the
+    # orderkey fact shuffle: the semi-selective dimension join keeps only
+    # ~1/5 of orders, so the exchange carries 2.9M rows instead of 14.4M
+    # at sf10 — apply the most selective reduction before the widest
+    # shuffle, at any scale
+    ocust = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(ocust, li.l_orderkey == ocust.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(

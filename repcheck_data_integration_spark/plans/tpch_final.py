@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import exact_sum, sql_exact_sum
+from ..functions.exact import exact_sum, sql_exact_sum, scaled_long
 from ..registry import register
 from ..tables import load
 
@@ -108,9 +108,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(
             F.sum(
-                F.round(
-                    (F.col("l_quantity") * F.col("p_retailprice")) * 100, 0
-                ).cast("long")
+                scaled_long(
+                    F.col("l_quantity") * F.col("p_retailprice"), 100
+                )
             ).alias("pv_c")
         )
     )

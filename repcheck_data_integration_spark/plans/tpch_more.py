@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import exact_sum, sql_exact_sum
+from ..functions.exact import exact_sum, sql_exact_sum, scaled_long
 from ..registry import register
 from ..tables import load
 
@@ -194,7 +194,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("sq"))
+        .agg(F.sum(scaled_long(F.col("l_quantity"), 100)).alias("sq"))
         .filter(F.col("sq") > 15000)
         .select("l_orderkey")
     )

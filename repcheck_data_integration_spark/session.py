@@ -47,6 +47,13 @@ def get_spark(
     if master:
         b = b.master(master)
         b = b.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # autoBroadcastJoinThreshold stays at the 10m DEFAULT: measured
+        # both ways at the sf1/sf10 probes — 64m helped q5 marginally
+        # (5.87s -> 5.42s at sf10) but regressed q3 2x at sf1 (0.70s ->
+        # 1.53s: Catalyst's post-filter size estimate let a 1.4M-row
+        # orders side onto the broadcast build path). A static threshold
+        # is scale-brittle; the conservative default plus AQE's runtime
+        # re-selection is the right posture at every SF.
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

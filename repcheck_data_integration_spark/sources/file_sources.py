@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import register
+from ..functions.exact import scaled_long
 from ..tables import load
 
 FIXTURE_ROOT = "/tmp/repcheck_spark_fixtures"
@@ -863,7 +864,7 @@ def maint_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            F.sum(scaled_long(F.col("value"), 100)).alias(
                 "value_cents"
             ),
         )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..registry import register
+from ..functions.exact import scaled_long
 from ..tables import load
 
 TUMBLE_S = 600
@@ -48,7 +49,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+            (F.sum(scaled_long(F.col("value"), 100)) / 100.0)
             .cast("double")
             .alias("total_value"),
         )
@@ -223,7 +224,7 @@ def stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+        F.sum(scaled_long(F.col("value"), 100)).alias(
             "value_cents"
         ),
     )
@@ -667,7 +668,7 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     v = e.select(
         "event_id", "ts", "user_id",
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        scaled_long(F.col("value"), 100).alias("cents"),
     )
     u = v.groupBy("user_id").agg(
         F.sum("cents").alias("sum_cents"), F.count(F.lit(1)).alias("n_u")
@@ -1230,7 +1231,7 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
     base = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+        F.sum(scaled_long(F.col("value"), 100)).alias(
             "total_cents"
         ),
         F.floor(F.unix_timestamp(F.min("ts"))).cast("long").alias("first_s"),
@@ -1377,7 +1378,7 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("p_id"),
         "user_id",
         F.col("ts").alias("p_ts"),
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        scaled_long(F.col("value"), 100).alias("cents"),
     )
     t = e.filter(F.col("event_type").isin("click", "view")).select(
         F.col("event_id").alias("t_id"),

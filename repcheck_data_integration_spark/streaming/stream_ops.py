@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..functions.exact import scaled_long
 from ..operators.upsert import merge_upsert
 
 EVENTS_SCHEMA = (
@@ -417,7 +418,7 @@ def make_hourly_merge_batch(target_path: str, run_id: str | None = None):
             "event_type",
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            F.sum(scaled_long(F.col("value"), 100)).alias(
                 "value_cents"
             ),
         )
@@ -891,7 +892,7 @@ def make_histogram_merge_batch(target_path: str, run_id: str | None = None):
         if epoch_id <= rollup_applied_epoch(target_path, run_id):
             return  # replayed epoch: already folded in
         cents = F.greatest(
-            F.round(F.col("value") * 100, 0).cast("long"), F.lit(1)
+            scaled_long(F.col("value"), 100), F.lit(1)
         )
         b = batch.select(cents.alias("cents")).select(
             "cents",
@@ -1068,7 +1069,7 @@ def make_attribution_merge_batch(
             F.col("event_id").alias("p_id"),
             "user_id",
             F.col("ts").alias("p_ts"),
-            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            scaled_long(F.col("value"), 100).alias("cents"),
         )
         before = (F.col("t_ts") < F.col("p_ts")) | (
             (F.col("t_ts") == F.col("p_ts"))

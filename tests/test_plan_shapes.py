@@ -579,13 +579,16 @@ def test_fk_coverage_broadcast_parents_key_only_scans(spark):
     # to distinct keys before the join
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
-    # ONE lineitem scan serves all three of its FKs, reading only the
-    # three key columns (not seven per-edge scans)
-    assert (
-        "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,"
-        "l_suppkey:bigint>" in p
-    )
-    assert p.count("lineitem.parquet") == 1
+    # round-6 reshape (sf10 head-to-head): PER-EDGE branches, each child
+    # scan reading exactly ONE bare key column — the round-3 stacked form
+    # shuffled the union of all tagged keys through one exchange (~200M
+    # (string,long) rows at sf10, 22.8s vs 9.6s per-edge; and 1.6s vs
+    # 0.56s at sf0.1). Three lineitem scans, one per FK, each 1-column.
+    assert p.count("lineitem.parquet") == 3
+    for key in ("l_orderkey", "l_partkey", "l_suppkey"):
+        assert f"ReadSchema: struct<{key}:bigint>" in p
+    # every branch combines map-side before its exchange (partial count)
+    assert "partial_count" in p or p.count("HashAggregate") >= 14
 
 
 def test_regularity_single_user_shuffle(spark):
