@@ -74,3 +74,57 @@ def test_zorder_key_is_morton_code(spark):
     )
     got = {(r["x"], r["y"]): r["z"] for r in df.collect()}
     assert got == {(x, y): morton(x, y) for x, y in pairs}
+
+
+def test_scaled_long_matches_spark_round_exactly(spark):
+    """scaled_long is the drop-in for F.round(x*s, 0).cast('long') across
+    every per-row hot path (round-6 sweep) — pin bit-equality against
+    Spark's own round on adversarial values: negative, exact dyadic halves
+    (1/128 * 1e6 = 7812.5), near-half ulp neighbors, money decimals."""
+    from pyspark.sql import functions as F
+
+    from repcheck_data_integration_spark.functions.exact import scaled_long
+
+    vals = [
+        0.0, 1.0, -1.0, 123.455, -123.455, 0.005, -0.005,
+        1 / 128, -1 / 128, 0.4999999999999999, -0.4999999999999999,
+        2.5e-7, -2.5e-7, 7812.5 / 1e6, -7812.5 / 1e6,
+        987654.321, -987654.321, 1e-12, -1e-12,
+    ]
+    import random
+
+    rng = random.Random(6)
+    vals += [rng.uniform(-2, 2) for _ in range(2000)]
+    vals += [rng.uniform(-200000, 200000) for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    for s in (1, 100, 10000, 1000000):
+        bad = (
+            df.select(
+                (F.round(F.col("v") * s, 0).cast("long")
+                 != scaled_long(F.col("v"), s)).alias("d")
+            )
+            .filter("d")
+            .count()
+        )
+        assert bad == 0, f"scale {s}: {bad} mismatches"
+
+
+def test_exact_sum_floor_form_is_order_independent(spark):
+    """exact_sum's floor(x*s+0.5) stays order-independent and matches the
+    sequential python sum of scaled integers under any partitioning."""
+    from pyspark.sql import functions as F
+
+    from repcheck_data_integration_spark.functions.exact import exact_sum
+
+    import math
+    import random
+
+    rng = random.Random(42)
+    vals = [round(rng.uniform(-1000, 1000), 2) for _ in range(5000)]
+    want = sum(math.floor(v * 100 + 0.5) for v in vals) / 100.0
+    for nparts in (1, 7, 32):
+        df = spark.createDataFrame([(v,) for v in vals], ["v"]).repartition(
+            nparts
+        )
+        got = df.agg(exact_sum(F.col("v")).alias("s")).collect()[0]["s"]
+        assert got == want, (nparts, got, want)

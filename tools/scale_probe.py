@@ -230,6 +230,7 @@ PROBES = [
     # the full op's output explodes with the dedup caveat) and the
     # fixed-vocab tokenizer-exact counter (distinct-vocab replace chain)
     "dedup_embedding_pairs_capped",
+    "dedup_embedding_pairs_star",
     "text_token_count_bpe",
 ]
 
