@@ -30,7 +30,14 @@ from pyspark.sql import functions as F
 
 
 def exact_sum(col: Column, scale: int = 2) -> Column:
-    """Order-independent sum of a fixed-point double column, as double."""
+    """Order-independent sum of a fixed-point double column, as double.
+
+    PRECONDITION (ADVICE r6): the column must be NON-NEGATIVE fixed-point
+    (money/quantity domains). floor(x*s + 0.5) rounds negative exact
+    halves toward +inf, unlike round-half-away-from-zero; for signed
+    columns use :func:`scaled_long` (sign-aware, bit-equal to Spark's
+    round) inside your own sum, and mirror the same formula in the
+    oracle twin."""
     s = 10**scale
     return (
         F.sum(F.floor(col * F.lit(s) + F.lit(0.5)).cast("long"))
@@ -39,7 +46,9 @@ def exact_sum(col: Column, scale: int = 2) -> Column:
 
 
 def exact_avg(col: Column, scale: int = 2) -> Column:
-    """Order-independent avg of a fixed-point double column, as double."""
+    """Order-independent avg of a fixed-point double column, as double.
+
+    Same NON-NEGATIVE fixed-point precondition as :func:`exact_sum`."""
     s = 10**scale
     return (
         F.sum(F.floor(col * F.lit(s) + F.lit(0.5)).cast("long"))

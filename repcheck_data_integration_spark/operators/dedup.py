@@ -156,8 +156,10 @@ def _bands_sql() -> str:
 CAND_BUCKET_CAP = 64  # max left-side rows one salted candidate task compares
 
 
-def banded_candidates(bands: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, band_hash) → distinct (doc1 < doc2) candidate
+def banded_candidates(
+    bands: DataFrame, right: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) → distinct (doc1, doc2) candidate
     pairs via the bucket equi-join, with HOT-BUCKET SALTING (VERDICT r4
     #6): a boilerplate-dominated corpus collapses ~10% of docs into one
     band bucket, and that bucket's self-join H² OUTPUT explosion lands in
@@ -171,7 +173,16 @@ def banded_candidates(bands: DataFrame) -> DataFrame:
     Common-path cost: one extra map-side-combined aggregate over the band
     rows (4 fixed-width rows/doc) plus the broadcast of the (few) hot
     bucket keys — measured +0.2-0.4s at sf0.1 against the unsalted join,
-    bought against the unbounded single-task H² worst case."""
+    bought against the unbounded single-task H² worst case.
+
+    Self-join form (``right=None``): pairs are deduped to doc1 < doc2.
+    Two-frame form (round 7, VERDICT r6 #4): ``right`` is a second
+    (doc_id, band_idx, band_hash) frame — e.g. the accumulated signature
+    STATE a streaming micro-batch probes — and the output is every
+    distinct (doc1 ∈ bands, doc2 ∈ right) bucket collision, no ordering
+    filter. Salting splits by the LEFT bucket count, so a batch whose
+    docs collapse into one band bucket still fans its comparisons across
+    tasks even when the state bucket is huge."""
     hot = (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.count(F.lit(1)).alias("bn"))
@@ -196,15 +207,31 @@ def banded_candidates(bands: DataFrame) -> DataFrame:
         F.col("doc_id").alias("doc1"),
         F.pmod(F.xxhash64("doc_id"), F.col("g")).cast("int").alias("salt"),
     )
-    b = bl.select(
+    if right is None:
+        b = bl.select(
+            "band_idx",
+            "band_hash",
+            F.col("doc_id").alias("doc2"),
+            F.explode(F.expr("sequence(0, g - 1)")).alias("salt"),
+        )
+        return (
+            a.join(b, ["band_idx", "band_hash", "salt"])
+            .filter(F.col("doc1") < F.col("doc2"))
+            .select("doc1", "doc2")
+            .distinct()
+        )
+    rb = right.join(
+        F.broadcast(hot), ["band_idx", "band_hash"], "left"
+    ).select(
         "band_idx",
         "band_hash",
         F.col("doc_id").alias("doc2"),
-        F.explode(F.expr("sequence(0, g - 1)")).alias("salt"),
+        F.explode(
+            F.expr("sequence(0, coalesce(g, 1) - 1)")
+        ).alias("salt"),
     )
     return (
-        a.join(b, ["band_idx", "band_hash", "salt"])
-        .filter(F.col("doc1") < F.col("doc2"))
+        a.join(rb, ["band_idx", "band_hash", "salt"])
         .select("doc1", "doc2")
         .distinct()
     )
@@ -519,6 +546,12 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        # the changed-this-round flag rides ALONG in the checkpointed
+        # frame (VERDICT r6 #5: the old probe re-joined new vs old labels
+        # as a second heavyweight action per round; a label changes iff a
+        # neighbor offered something smaller, which is knowable in the
+        # same projection), so the convergence probe is a filter+limit(1)
+        # over already-materialized partitions — near-free, early-exit.
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -527,18 +560,16 @@ def connected_components(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
+                (
+                    F.col("nbr_component").isNotNull()
+                    & (F.col("nbr_component") < F.col("component"))
+                ).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     edges.unpersist()

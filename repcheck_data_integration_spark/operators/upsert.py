@@ -97,13 +97,16 @@ def merge_upsert(
     )
     # version precedence first, then the documented deterministic
     # tie-break: remaining orderable target columns, DESC NULLS LAST
+    # a column is orderable only if NO map appears anywhere in its type
+    # (ADVICE r6: array<map<...>> / struct-containing-map throw in ORDER
+    # BY just like a top-level map — substring match, not startswith)
     dtypes = dict(source.dtypes)
     tie_break = [
         F.col(c).desc_nulls_last()
         for c in cols
         if c not in keys
         and c not in version_cols
-        and not dtypes.get(c, "").startswith("map<")
+        and "map<" not in dtypes.get(c, "")
     ]
     order = [F.col(c).desc_nulls_last() for c in version_cols] + tie_break
     if not order:  # key-only table: any duplicate row is identical

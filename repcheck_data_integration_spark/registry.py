@@ -45,17 +45,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # covers what the engine is FOR; the full local gate (tools/check.py) still
 # checks all of them.
 #
-# Round-6 ordering rule (VERDICT.md r5 Next-round #2): the 5 ever-failed
+# Round-7 ordering rule (VERDICT.md r6 Next-round #2): the 5 ever-failed
 # rows stay pinned first (never rotate a failure out of the window; the
 # only other non-green rows ever recorded — agg_approx_distinct /
 # agg_approx_percentile — are `no_oracle` BY DESIGN, approximate sketches
 # that cannot hash-match an exact oracle, so they don't count as failures
-# and stay outside). The 8 never-failed flagships drop out of the window
-# this round; all 45 remaining slots are filled with the OLDEST
-# never-driver-sampled oracle-backed queries in registration order (union
-# of CORRECTNESS_r0{2..5}.json keys is 169 of 431; this tranche burns the
-# dedup/curation/text-statistics/business-aggregate backlog from rounds
-# 3-4).
+# and stay outside). Slot 6 re-checks agg_rfm_scores in the DRIVER's own
+# environment because round 7 changed BOTH its plan (global ntile ->
+# broadcast percentile boundaries) and its oracle — the one changed op
+# whose parity rests on cross-engine float interpolation rather than pure
+# integer arithmetic. The remaining 44 slots burn the never-driver-sampled
+# backlog in registration order (union of CORRECTNESS_r0{2..6}.json keys
+# is 214 of 435; this tranche covers the window/embedding/ANN/multimodal/
+# LLM-ingest families from rounds 3-4, leaving ~167 after r7).
 DRIVER_PRIORITY: list[str] = [
     # ever-failed rows, pinned first forever (r2: tpch_q12; r3: the four):
     "win_session_features",
@@ -63,55 +65,57 @@ DRIVER_PRIORITY: list[str] = [
     "emb_normalize",
     "emb_quantize_int8",
     "tpch_q12_priority_counts",
-    # dedup family — never driver-sampled:
-    "dedup_components",
-    "dedup_winnowing_pairs",
-    "dedup_lsh_calibration",
-    "dedup_exact_normalized",
-    "dedup_url_canonical",
-    "dedup_paragraphs_keep_first",
-    # corpus mixing / sampling / curation — never driver-sampled:
-    "sample_domain_cap",
-    "mix_temperature_weights",
-    "pipeline_pretrain_corpus",
-    "mix_epoch_schedule",
-    "sample_class_balance",
-    "sample_weighted",
-    "pipeline_web_corpus",
-    "mix_annealing_schedule",
-    "mix_token_budget_allocation",
-    "corpus_data_card",
-    # text analysis / quality — never driver-sampled:
-    "text_fingerprint",
-    "text_gopher_filter",
-    "text_html_strip",
-    "text_quality_logreg",
-    "text_quality_quantile",
-    "text_lang_jsd",
-    "text_tokenizer_fertility",
-    "text_distinct_ngrams",
-    "text_zipf_fit",
-    "text_heaps_fit",
-    "text_term_burstiness",
-    "text_code_detect",
-    "fn_arrow_bytes_stats",
-    "ml_cohen_kappa",
-    # joins / business aggregates — never driver-sampled:
-    "join_cidr_lookup",
-    "agg_bitwise",
-    "agg_corr_matrix",
-    "agg_grouped_linreg",
-    "agg_copurchase_pairs",
-    "agg_ab_ttest",
+    # round-7 changed-op re-check (new plan + new oracle):
     "agg_rfm_scores",
-    "agg_pandas_api_counts",
-    "agg_abc_pareto",
-    "agg_gini_revenue",
-    "agg_backlog_aging",
-    "agg_cohort_ltv",
-    "agg_order_gaps",
-    "agg_market_basket_rules",
-    "agg_penny_allocation",
+    # windows / set ops / CDC — never driver-sampled:
+    "win_asof_last",
+    "win_distribution",
+    "win_moving_avg",
+    "win_ewma_trailing",
+    "win_drawdown",
+    "win_max_concurrency",
+    "set_distinct",
+    "snk_cdc_delta",
+    # fuzzy / phonetic / spatial joins — never driver-sampled:
+    "join_fuzzy_multipass",
+    "resolve_survivorship",
+    "join_phonetic_block",
+    "fn_zorder_key",
+    "join_spatial_area_weight",
+    # embeddings / ANN / semantic dedup — never driver-sampled:
+    "sim_search_dot_norm",
+    "emb_random_projection",
+    "sim_search_recall_report",
+    "emb_matryoshka_truncate",
+    "ml_pca_power_iteration",
+    "emb_quantile_normalize",
+    "sim_search_range",
+    "emb_dim_stats",
+    "sim_search_mips",
+    "dedup_embedding_pairs",
+    "dedup_embedding_pairs_capped",
+    "dedup_embedding_pairs_star",
+    "emb_outlier_zscore",
+    "llm_mmr_select",
+    # multimodal — never driver-sampled:
+    "mm_frame_sample",
+    "mm_decode_stub",
+    "mm_resize_stub",
+    "mm_phash_bands",
+    "mm_scene_cuts",
+    # LLM ingest / text chunking — never driver-sampled:
+    "llm_dedup_minhash",
+    "llm_sim_search",
+    "llm_text_stats",
+    "llm_pdf_extract",
+    "text_feature_hash",
+    "text_chunk_windows",
+    "pipeline_llm_ingest",
+    "text_chunk_tokens",
+    "text_sentence_split",
+    "fn_udtf_sentences",
+    "text_boilerplate_lines",
+    "text_bpe_pair_counts",
 ]
 
 

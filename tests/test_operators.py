@@ -227,6 +227,81 @@ def test_approx_percentile_bounded_error(spark):
             <= 0.02 * exact[k]["p90_price"]
 
 
+def test_approx_distinct_bounded_error(spark):
+    """HLL++ approximate distinct (rows-only op: sketch estimates are
+    engine-specific by construction) stays within 10% (5x the requested
+    rsd=0.02) of the exact per-group distinct count."""
+    from repcheck_data_integration_spark.operators.aggregates import (
+        agg_approx_distinct,
+    )
+    from repcheck_data_integration_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in agg_approx_distinct(spark, sf).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= 0.10 * n, (k, approx[k], n)
+
+
+def test_fuzzy_wratio_kernel_and_plan(spark):
+    """join_fuzzy_wratio (rows-only: pandas_udf scorer not SQL-
+    expressible): the WRatio-family kernel equals its pure-python recipe
+    (max of full-string and sorted-token SequenceMatcher ratios), and in
+    the registered query every even-key probe (name unmodified) resolves
+    to itself exactly while odd-key probes (last char dropped,
+    lowercased) still fuzzy-resolve to their own supplier."""
+    from difflib import SequenceMatcher
+
+    from repcheck_data_integration_spark import registry
+
+    def py_wratio(x, y):
+        x, y = x.lower().strip(), y.lower().strip()
+        full = SequenceMatcher(None, x, y).ratio()
+        tok = SequenceMatcher(
+            None,
+            " ".join(sorted(x.split())),
+            " ".join(sorted(y.split())),
+        ).ratio()
+        return round(max(full, tok), 4)
+
+    from repcheck_data_integration_spark.operators.resolve import (
+        wratio_scorer,
+    )
+
+    pairs = [
+        ("Supplier#000000001", "Supplier#000000001"),
+        ("baldwin tammy", "tammy baldwin"),
+        ("supplier one", "completely different"),
+    ]
+    df = spark.createDataFrame(pairs, ["a", "b"]).select(
+        wratio_scorer(F.col("a"), F.col("b")).alias("s"), "a", "b"
+    )
+    for r in df.collect():
+        assert r["s"] == py_wratio(r["a"], r["b"]), (r["a"], r["b"])
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["probe_id"]: r
+        for r in registry.QUERIES["join_fuzzy_wratio"](spark, sf).collect()
+    }
+    assert out, "no resolutions at all"
+    for pid, r in out.items():
+        if pid % 2 == 0:
+            assert r["method"] == "exact" and r["matched_id"] == pid
+        else:
+            assert r["matched_id"] == pid and r["score"] >= 0.9
+
+
 def test_pagerank_properties(spark):
     """Integer fixed-point PageRank: determinism across runs, rank mass
     roughly conserved (damping leaks a bounded amount to the 0.15 floor),

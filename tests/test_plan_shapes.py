@@ -583,8 +583,12 @@ def test_fk_coverage_broadcast_parents_key_only_scans(spark):
     # scan reading exactly ONE bare key column — the round-3 stacked form
     # shuffled the union of all tagged keys through one exchange (~200M
     # (string,long) rows at sf10, 22.8s vs 9.6s per-edge; and 1.6s vs
-    # 0.56s at sf0.1). Three lineitem scans, one per FK, each 1-column.
-    assert p.count("lineitem.parquet") == 3
+    # 0.56s at sf0.1). Three lineitem scans, one per FK, each 1-column —
+    # round 7 moved the l_orderkey edge onto the BUCKETED layout (its
+    # scan reads the warehouse table, not the raw parquet; exchange-count
+    # pin in test_dq_fk_coverage_bucketed_orderkey_edge), so two raw
+    # parquet scans remain.
+    assert p.count("lineitem.parquet") == 2
     for key in ("l_orderkey", "l_partkey", "l_suppkey"):
         assert f"ReadSchema: struct<{key}:bigint>" in p
     # every branch combines map-side before its exchange (partial count)
@@ -1216,11 +1220,22 @@ def test_conformal_calib_window_is_copartitioned(spark):
 
 
 def test_qini_is_one_fact_aggregate(spark):
-    """Qini touches events once; the curve math runs on the 10-row bin
-    frame."""
+    """Qini touches events once: the per-user frame is checkpointed after
+    ONE fact scan (which happens eagerly during query construction), so
+    the returned plan reads the materialized RDD — zero parquet scans —
+    and every downstream branch (offset table, total, rank join, bin
+    cumulative) works off dimension-sized frames. Round 7 also removed
+    the global row_number/count: rank is reconstructed from a distinct-
+    activity offset table + a PARTITIONED window (window_audit: 0)."""
     import re
     p = plan(spark, "ml_qini_uplift")
-    assert len(re.findall(r"Scan parquet\s+\(\d+\)", p)) == 1
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", p)) == 0
+    assert "ExistingRDD" in p  # the checkpointed per-bin frame
+    # the rank window (partitioned by activity) ran EAGERLY inside the
+    # per_bin checkpoint during construction, so the returned plan has no
+    # Window node at all — the cumulative is the broadcast theta join
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p
 
 
 def test_did_no_cartesian_fact_blowup(spark):
@@ -1231,6 +1246,15 @@ def test_did_no_cartesian_fact_blowup(spark):
 
 
 # --- Unpartitioned-window inventory (VERDICT r5 #5) -----------------------
+#
+# Round 7 (VERDICT r6 #3): agg_rfm_scores and ml_qini_uplift were REMOVED
+# from this list by departitioning — the r6 verdict correctly called out
+# that their windows ran over the per-customer / per-user DIMENSION (not a
+# bounded grid): rfm now assigns quintiles from a broadcast exact-percentile
+# boundary row, qini reconstructs the global rank from a distinct-activity
+# offset table plus a PARTITIONED window, and both ops' 10-ish-row
+# cumulative grids became broadcast theta joins. Neither op has any
+# unpartitioned window left.
 #
 # `WindowExec: No Partition Defined` floods check.py's log (2000+ lines),
 # which is exactly the noise a REAL data-sized global window could hide in.
@@ -1250,11 +1274,9 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     "agg_abc_pareto": 1,
     "agg_lorenz_deciles": 3,
     "agg_quantile_histogram": 1,
-    "agg_rfm_scores": 3,
     "ml_calibration_bins": 3,
     "ml_ks_statistic": 3,
     "ml_lift_gains": 3,
-    "ml_qini_uplift": 3,
     "llm_hybrid_rrf": 2,
     # value-alphabet statistics (<= |distinct values| of a bounded column)
     "ml_mann_whitney_u": 1,
@@ -1346,3 +1368,53 @@ def test_bucketed_join_has_no_exchange_under_join(spark):
     # aggregate) and no exchange below the join
     final = p.split("== Initial Plan ==")[0]
     assert len(re.findall(r"\bExchange\b", final)) == 1, final[:2500]
+
+
+def _final_shuffle_exchanges(spark, name: str) -> tuple[str, int]:
+    """Executed plan string + count of SHUFFLE exchanges in the AQE final
+    plan (\bExchange\b does not match BroadcastExchange), with auto-
+    broadcast disabled so tiny-SF Catalyst can't hide a fact shuffle
+    behind a broadcast that would never fire at 100 TB."""
+    import re
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(spark, name, execute=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    final = p.split("== Initial Plan ==")[0]
+    return p, len(re.findall(r"\bExchange\b", final))
+
+
+def test_q3_bucketed_path_zero_exchanges(spark):
+    """Round-7 registered path (VERDICT r6 #1): tpch_q3 reads orders and
+    lineitem through tables.load_bucketed, so the fact-fact join AND the
+    orderkey-keyed aggregate need no shuffle at all — the whole plan is
+    exchange-free (the dim join is an explicit broadcast hint, the top-k
+    is TakeOrdered). This is the 100 TB contract: the monster table
+    never moves."""
+    p, n = _final_shuffle_exchanges(spark, "tpch_q3_shipping_priority")
+    assert p.count("Bucketed: true") >= 2, p[:2000]
+    assert "SortMergeJoin" in p
+    assert n == 0, p[:2500]
+
+
+def test_q5_bucketed_path_two_exchanges(spark):
+    """tpch_q5 via the bucketed layout: zero exchanges under the joins;
+    the only shuffles left are the 25-row n_name aggregate and the final
+    sort."""
+    p, n = _final_shuffle_exchanges(spark, "tpch_q5_local_supplier_volume")
+    assert p.count("Bucketed: true") >= 2, p[:2000]
+    assert "SortMergeJoin" in p
+    assert n == 2, p[:2500]
+
+
+def test_dq_fk_coverage_bucketed_orderkey_edge(spark):
+    """dq_fk_coverage's heaviest edge (lineitem grouped by l_orderkey)
+    reads the bucketed layout, so its distinct-key aggregate needs no
+    exchange: 6 groupBy shuffles (the non-bucket-key edges) + 7 single-
+    row final aggregates = 13, down from 14 on the raw-parquet path."""
+    p, n = _final_shuffle_exchanges(spark, "dq_fk_coverage")
+    assert p.count("Bucketed: true") >= 1, p[:2000]
+    assert n == 13, p[:2500]

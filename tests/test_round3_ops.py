@@ -333,3 +333,38 @@ def test_phash_bands_admit_then_verify_rejects(spark):
     out = registry.QUERIES["mm_phash_bands"](spark, SF_MID)
     # verify rejects the uniform-hash false positives
     assert out.count() == 0
+
+
+def test_decode_image_golden_when_pil_present():
+    """Real-decode kernel contract (VERDICT r6 #8): skipped-not-failing
+    when the container lacks PIL — but the import-gate branch is still
+    asserted (NotImplementedError, never a silent wrong answer) — and a
+    golden 1x1-PNG decode plus a 3x2 width/height-order check the day
+    media libs appear."""
+    import base64
+
+    import pytest
+
+    from repcheck_data_integration_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    png_1x1 = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+        "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_image(png_1x1)
+        pytest.skip("PIL absent — golden decode skipped (gate asserted)")
+    assert decode_image(png_1x1) == (1, 1)
+    # width/height order: a 3x2 image must come back (3, 2)
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (3, 2)).save(buf, format="PNG")
+    assert decode_image(buf.getvalue()) == (3, 2)

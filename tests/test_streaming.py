@@ -749,6 +749,51 @@ def test_stream_minhash_dedup_incremental_equals_batch(spark, tmp_path):
     assert inc == batch
 
 
+def test_stream_minhash_dedup_collapsed_corpus_salted(spark, tmp_path):
+    """Hot-bucket skew guard (round 7, VERDICT r6 #4): a boilerplate-
+    collapsed corpus — every doc the SAME text, so every band of every
+    doc lands in one bucket, well above CAND_BUCKET_CAP — must still
+    (a) produce the exact unsalted candidate pair set through
+    dedup.banded_candidates (self-join AND two-frame forms), and
+    (b) fold incrementally to the same single cluster as the batch twin.
+    Before round 7 the streaming paths used the raw band self-join,
+    putting the whole H² bucket on one task."""
+    from repcheck_data_integration_spark.operators.dedup import (
+        CAND_BUCKET_CAP,
+        banded_candidates,
+    )
+
+    n = CAND_BUCKET_CAP * 2 + 22  # decisively above the salting threshold
+    text = " ".join(f"boiler plate w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(1, n + 1)], ["doc_id", "text"]
+    )
+    sigs = stream_ops.minhash_signatures(docs)
+    bands = stream_ops._sig_bands(sigs)
+
+    # exact pair set despite salting: all n-choose-2 pairs, each once
+    pairs = banded_candidates(bands)
+    assert pairs.count() == n * (n - 1) // 2
+
+    # two-frame form: batch (first half) probing state (second half)
+    lo = bands.filter(F.col("doc_id") <= n // 2)
+    hi = bands.filter(F.col("doc_id") > n // 2)
+    cross = banded_candidates(lo, right=hi)
+    assert cross.count() == (n // 2) * (n - n // 2)
+
+    # incremental fold == batch twin == one cluster, canonical = min id
+    target = str(tmp_path / "collapsed")
+    merge = stream_ops.make_minhash_dedup_merge_batch(target)
+    merge(docs.filter(F.col("doc_id") <= n // 2), 0)
+    merge(docs.filter(F.col("doc_id") > n // 2), 1)
+    inc = sorted(map(tuple, spark.read.parquet(target)
+                     .select("doc_id", "canonical_id").collect()))
+    assert inc == [(i, 1) for i in range(1, n + 1)]
+    batch = sorted(map(tuple,
+                       stream_ops.minhash_components_batch(docs).collect()))
+    assert inc == batch
+
+
 def test_stream_minhash_dedup_retroactive_relabel(spark, tmp_path):
     """A later doc bridging two previously-separate clusters must relabel
     the losing cluster's state rows (union-find semantics) so incremental

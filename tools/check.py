@@ -189,6 +189,7 @@ def main(names):
         )
 
     n_pass = n_fail = n_rowsonly = 0
+    rowsonly_names: list[str] = []
     for name in todo:
         if name not in registry.QUERIES:
             print(f"[SKIP] {name}: not registered")
@@ -206,6 +207,7 @@ def main(names):
             print(f"[ROWS] {name}: {len(srows)} rows (no oracle) "
                   f"({time.time()-t0:.1f}s)")
             n_rowsonly += 1
+            rowsonly_names.append(name)
             continue
         try:
             rel = con.sql(registry.ORACLE[name])
@@ -245,6 +247,11 @@ def main(names):
             n_fail += 1
 
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
+    if rowsonly_names:
+        # auditable by name (VERDICT r6 #7): each has a why-no-oracle +
+        # unit-test row in COVERAGE.md "Rows-only registry"
+        print("rows-only (see COVERAGE.md 'Rows-only registry'): "
+              + ", ".join(sorted(rowsonly_names)))
     spark.stop()
     return 1 if n_fail else 0
 

@@ -256,7 +256,7 @@ def scaled_load(factor):
     return load
 
 
-def run(factor: int) -> dict[str, float]:
+def run(factor: int) -> dict[str, tuple[float, int]]:
     import repcheck_data_integration_spark.tables as t
 
     orig = t.load
