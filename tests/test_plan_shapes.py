@@ -1393,11 +1393,19 @@ def test_q3_bucketed_path_zero_exchanges(spark):
     orderkey-keyed aggregate need no shuffle at all — the whole plan is
     exchange-free (the dim join is an explicit broadcast hint, the top-k
     is TakeOrdered). This is the 100 TB contract: the monster table
-    never moves."""
+    never moves. And because load_bucketed writes ONE file per bucket
+    and the session honors bucketed sortBy metadata (session.py:
+    legacy.bucketedTableScan.outputOrdering), the SMJ consumes the
+    pre-sorted buckets directly: zero Sort nodes either (q3 at sf10:
+    3.19 s raw -> 1.52 s bucketed-unsorted -> 1.10 s sorted)."""
+    import re
+
     p, n = _final_shuffle_exchanges(spark, "tpch_q3_shipping_priority")
     assert p.count("Bucketed: true") >= 2, p[:2000]
     assert "SortMergeJoin" in p
     assert n == 0, p[:2500]
+    final = p.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"[+:]- Sort ", final)) == 0, final[:2500]
 
 
 def test_q5_bucketed_path_two_exchanges(spark):
