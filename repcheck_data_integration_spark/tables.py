@@ -129,9 +129,15 @@ def load_bucketed(
     # a location the other is mid-read (measured race: a parallel pytest +
     # gate run threw FAILED_READ_FILE when both claimed the same location;
     # a live concurrent process can never hold OUR pid)
-    tbl = (
-        f"bkt_{name}_{key}_{_content_fingerprint(path)}_p{os.getpid()}"
-    ).lower()
+    try:
+        tbl = (
+            f"bkt_{name}_{key}_{_content_fingerprint(path)}_p{os.getpid()}"
+        ).lower()
+    except OSError:
+        # no physical parquet at that path (e.g. a probe harness feeding
+        # synthetic frames through a patched load()) — layout is an
+        # optimization, never a dependency
+        return load(spark, sf_dir, name)
     try:
         if not spark.catalog.tableExists(tbl):
             wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
