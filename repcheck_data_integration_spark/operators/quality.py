@@ -613,27 +613,41 @@ def dq_fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (tables.load_bucketed), so its distinct-key aggregate needs no
     # exchange at all: the bucketed scan already clusters by the group
     # key (cast long->long folds away, alias keeps the partitioning).
-    # The other edges group on non-bucket keys and keep the bare-long
-    # map-side-combined shuffle.
+    # Its PARENT side is bucketed too: broadcasting orders' 15M-key PK
+    # column (the r6 shape) builds a >100 MB hash relation on the
+    # driver — exactly the non-broadcastable-side mistake at 100 TB.
+    # With both sides hash-partitioned on the same key the orphan left
+    # join is a co-located SMJ: no broadcast build, no exchange (the
+    # parent stream arrives pre-sorted from the bucket sortBy; only the
+    # post-aggregate key side needs its in-task sort). The other edges
+    # keep genuinely-small broadcast parents and bare-long map-side-
+    # combined shuffles on non-bucket keys.
     from ..tables import load_bucketed
 
     outs = []
     for label, child, ck, parent, pk in FK_EDGES:
-        if (child, ck) == ("lineitem", "l_orderkey"):
-            src = load_bucketed(spark, sf_dir, child, ck)
-        else:
-            src = load(spark, sf_dir, child)
+        big_edge = (child, ck) == ("lineitem", "l_orderkey")
+        src = (
+            load_bucketed(spark, sf_dir, child, ck)
+            if big_edge
+            else load(spark, sf_dir, child)
+        )
         c = (
             src
             .select(F.col(ck).cast("long").alias("k"))
             .filter(F.col("k").isNotNull())
         )
         keys = c.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
-        p = F.broadcast(
-            load(spark, sf_dir, parent).select(
+        if big_edge:
+            p = load_bucketed(spark, sf_dir, parent, pk).select(
                 F.col(pk).cast("long").alias("pkey")
             )
-        )
+        else:
+            p = F.broadcast(
+                load(spark, sf_dir, parent).select(
+                    F.col(pk).cast("long").alias("pkey")
+                )
+            )
         j = keys.join(p, keys.k == p.pkey, "left")
         outs.append(
             j.agg(
