@@ -67,6 +67,12 @@ def _ntz_to_ltz(df: DataFrame) -> DataFrame:
 # Iceberg-Delta clustering) and the count is sized to executors.
 BUCKETS_N = int(os.environ.get("SPARK_GRAFT_BUCKETS", "32"))
 
+# Harnesses that monkeypatch load() (tools/scale_probe.py feeds scaled
+# unions through the same sf_dir) must set this so the bucketed-table
+# cache key reflects the IMPERSONATED content, not just the raw file
+# fingerprint — otherwise a 10x probe run reuses the 1x buckets.
+LAYOUT_SALT = ""
+
 
 def _content_fingerprint(path: str) -> str:
     """Size+mtime digest of the parquet file (or dir of part files).
@@ -131,7 +137,8 @@ def load_bucketed(
     # a live concurrent process can never hold OUR pid)
     try:
         tbl = (
-            f"bkt_{name}_{key}_{_content_fingerprint(path)}_p{os.getpid()}"
+            f"bkt_{name}_{key}_{LAYOUT_SALT}{_content_fingerprint(path)}"
+            f"_p{os.getpid()}"
         ).lower()
     except OSError:
         # no physical parquet at that path (e.g. a probe harness feeding

@@ -261,6 +261,11 @@ def run(factor: int) -> dict[str, tuple[float, int]]:
 
     orig = t.load
     t.load = scaled_load(factor)
+    # the bucketed-layout cache fingerprints the SOURCE parquet; with
+    # load() patched the same file now yields different content per
+    # factor, so salt the table names or the 10x run would silently
+    # reuse the 1x buckets (the ADVICE-r6 staleness class, probe form)
+    t.LAYOUT_SALT = f"x{factor}"
     # operator modules captured `load` at import time — patch them too
     for mod in list(sys.modules.values()):
         if getattr(mod, "__name__", "").startswith(
