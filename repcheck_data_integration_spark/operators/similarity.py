@@ -33,6 +33,7 @@ from .dedup import (
     sql_cosine,
     sql_stable_round4,
     stable_round4,
+    vec_norm,
 )
 
 TOP_K = 10
@@ -1774,12 +1775,29 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = banded_candidates(bands).select(
         F.col("doc1").alias("vec1"), F.col("doc2").alias("vec2")
     )
-    x = e.select(F.col("vec_id").alias("vec1"), F.col("embedding").alias("e1"))
-    y = e.select(F.col("vec_id").alias("vec2"), F.col("embedding").alias("e2"))
+    # per-vector norms joined in (dedup.vec_norm): one fold per pair,
+    # not three — bit-identical to cosine(), oracle twin unchanged
+    x = e.select(
+        F.col("vec_id").alias("vec1"),
+        F.col("embedding").alias("e1"),
+        vec_norm(F.col("embedding")).alias("n1"),
+    )
+    y = e.select(
+        F.col("vec_id").alias("vec2"),
+        F.col("embedding").alias("e2"),
+        vec_norm(F.col("embedding")).alias("n2"),
+    )
     scored = (
         cand.join(x, "vec1")
         .join(y, "vec2")
-        .select("vec1", "vec2", cosine(F.col("e1"), F.col("e2")).alias("cos"))
+        .select(
+            "vec1",
+            "vec2",
+            (
+                dot_double(F.col("e1"), F.col("e2"))
+                / (F.col("n1") * F.col("n2"))
+            ).alias("cos"),
+        )
     )
     return scored.filter(F.col("cos") >= EMBDUP_THETA).select(
         "vec1", "vec2", stable_round4(F.col("cos")).alias("cosine_sim")
@@ -1860,12 +1878,27 @@ def dedup_embedding_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = banded_candidates(bands).select(
         F.col("doc1").alias("vec1"), F.col("doc2").alias("vec2")
     )
-    x = e.select(F.col("vec_id").alias("vec1"), F.col("embedding").alias("e1"))
-    y = e.select(F.col("vec_id").alias("vec2"), F.col("embedding").alias("e2"))
+    x = e.select(
+        F.col("vec_id").alias("vec1"),
+        F.col("embedding").alias("e1"),
+        vec_norm(F.col("embedding")).alias("n1"),
+    )
+    y = e.select(
+        F.col("vec_id").alias("vec2"),
+        F.col("embedding").alias("e2"),
+        vec_norm(F.col("embedding")).alias("n2"),
+    )
     surv = (
         cand.join(x, "vec1")
         .join(y, "vec2")
-        .select("vec1", "vec2", cosine(F.col("e1"), F.col("e2")).alias("cos"))
+        .select(
+            "vec1",
+            "vec2",
+            (
+                dot_double(F.col("e1"), F.col("e2"))
+                / (F.col("n1") * F.col("n2"))
+            ).alias("cos"),
+        )
         .filter(F.col("cos") >= EMBDUP_THETA)
     )
     edges = surv.select(
@@ -1948,12 +1981,27 @@ def dedup_embedding_pairs_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c").alias("vec1"), F.col("vec_id").alias("vec2"))
         .distinct()
     )
-    x = e.select(F.col("vec_id").alias("vec1"), F.col("embedding").alias("e1"))
-    y = e.select(F.col("vec_id").alias("vec2"), F.col("embedding").alias("e2"))
+    x = e.select(
+        F.col("vec_id").alias("vec1"),
+        F.col("embedding").alias("e1"),
+        vec_norm(F.col("embedding")).alias("n1"),
+    )
+    y = e.select(
+        F.col("vec_id").alias("vec2"),
+        F.col("embedding").alias("e2"),
+        vec_norm(F.col("embedding")).alias("n2"),
+    )
     return (
         edges.join(x, "vec1")
         .join(y, "vec2")
-        .select("vec1", "vec2", cosine(F.col("e1"), F.col("e2")).alias("cos"))
+        .select(
+            "vec1",
+            "vec2",
+            (
+                dot_double(F.col("e1"), F.col("e2"))
+                / (F.col("n1") * F.col("n2"))
+            ).alias("cos"),
+        )
         .filter(F.col("cos") >= EMBDUP_THETA)
         .select("vec1", "vec2", stable_round4(F.col("cos")).alias("cosine_sim"))
     )

@@ -2688,20 +2688,32 @@ def emb_pair_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", "vec_id", "embedding")
     )
+    # per-member norms computed BEFORE the self-join (dedup.vec_norm):
+    # one array fold per pair instead of cosine()'s three; dot/(na*nb)
+    # is bit-identical so the oracle keeps the inline form
+    from .dedup import dot_double, vec_norm
+
     a = kept.select(
         F.col("label").alias("la"),
         F.col("vec_id").alias("ida"),
         F.col("embedding").alias("ea"),
+        vec_norm(F.col("embedding")).alias("na"),
     )
     b = kept.select(
         F.col("label").alias("lb"),
         F.col("vec_id").alias("idb"),
         F.col("embedding").alias("eb"),
+        vec_norm(F.col("embedding")).alias("nb"),
     )
     pairs = a.join(
         b,
         (F.col("la") == F.col("lb")) & (F.col("ida") < F.col("idb")),
-    ).select(cosine(F.col("ea"), F.col("eb")).alias("cs"))
+    ).select(
+        (
+            dot_double(F.col("ea"), F.col("eb"))
+            / (F.col("na") * F.col("nb"))
+        ).alias("cs")
+    )
     binned = pairs.select(
         F.least(
             F.greatest(
