@@ -506,7 +506,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup: blocked (same label ≙ same coarse cluster) pairwise
     cosine. The label block stands in for an ANN cell assignment — at scale
     the block key comes from LSH/IVF (see similarity.py), never all-pairs."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        # per-vector norm BEFORE the self-join: one fold per pair, not
+        # three — dot/(na*nb) is bit-identical to cosine(), oracle as-is
+        "__n",
+        vec_norm(F.col("embedding")),
+    )
     a, b = e.alias("a"), e.alias("b")
     scored = a.join(
         b,
@@ -515,7 +520,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("vec1"),
         F.col("b.vec_id").alias("vec2"),
-        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("__cos"),
+        (
+            dot_double(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.__n") * F.col("b.__n"))
+        ).alias("__cos"),
     )  # fold each pair's dot products once, then filter on the column
     return scored.filter(F.col("__cos") >= COSINE_THRESHOLD).select(
         "vec1", "vec2", stable_round4(F.col("__cos")).alias("cosine_sim")
