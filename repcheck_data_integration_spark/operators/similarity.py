@@ -273,15 +273,25 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the codebook stays broadcast-sized (k × dim) while the data
     never re-shuffles."""
     e = load(spark, sf_dir, "embeddings")
-    cents = cell_centroids(e)
-    ac = e.select("vec_id", "embedding").join(F.broadcast(cents))
+    cents = cell_centroids(e).withColumn(
+        "__cn", vec_norm(F.col("centroid"))
+    )
+    # vector norm computed ONCE per row below the k-way broadcast join:
+    # the assignment then folds each (row, centroid) pair once (dot)
+    # instead of cosine()'s three — bit-identical, oracle unchanged
+    ac = e.select(
+        "vec_id", "embedding", vec_norm(F.col("embedding")).alias("__en")
+    ).join(F.broadcast(cents))
     w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("label"))
     assign = (
         ac.select(
             "vec_id",
             "embedding",
             "label",
-            cosine(F.col("embedding"), F.col("centroid")).alias("cos"),
+            (
+                dot_double(F.col("embedding"), F.col("centroid"))
+                / (F.col("__en") * F.col("__cn"))
+            ).alias("cos"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -785,11 +795,18 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is a per-row array fold; the top-k window partitions by label
     so ranking distributes across cells."""
     e = load(spark, sf_dir, "embeddings")
-    cents = cell_centroids(e)
-    scored = e.join(F.broadcast(cents), "label").select(
+    cents = cell_centroids(e).withColumn(
+        "__cn", vec_norm(F.col("centroid"))
+    )
+    scored = e.withColumn("__en", vec_norm(F.col("embedding"))).join(
+        F.broadcast(cents), "label"
+    ).select(
         "vec_id",
         "label",
-        cosine(F.col("embedding"), F.col("centroid")).alias("cos"),
+        (
+            dot_double(F.col("embedding"), F.col("centroid"))
+            / (F.col("__en") * F.col("__cn"))
+        ).alias("cos"),
     )
     w = W.partitionBy("label").orderBy(F.col("cos").asc(), F.col("vec_id"))
     return (
