@@ -1516,12 +1516,20 @@ def dedup_semantic_contamination(
         F.col("vec_id") < SEMCON_EVAL_CAP
     )
     ev = e.filter(is_eval).select(
-        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_emb")
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("e_emb"),
+        vec_norm(F.col("embedding")).alias("__evn"),
     )
     tr = e.filter(~is_eval).select(
-        F.col("vec_id").alias("train_id"), F.col("embedding").alias("t_emb")
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("t_emb"),
+        vec_norm(F.col("embedding")).alias("__trn"),
     )
-    cos = cosine(F.col("t_emb"), F.col("e_emb"))
+    # norms once per side below the broadcast: each (train, eval) pair
+    # folds only the dot (bit-identical to cosine(); oracle unchanged)
+    cos = dot_double(F.col("t_emb"), F.col("e_emb")) / (
+        F.col("__trn") * F.col("__evn")
+    )
     best = (
         tr.join(F.broadcast(ev))
         .select("train_id", "eval_id", cos.alias("cos"))
