@@ -132,3 +132,52 @@ def test_random_projection_matches_numpy_exactly(spark):
     assert K * 0.7 < mean_ratio < K * 1.3
     assert all(K / 4 < r < K * 4 for r in ratios)
     assert math.isfinite(mean_ratio)
+
+
+def test_vec_norm_factored_cosine_is_bit_identical(spark):
+    """The round-7 pair-join rewrite (dedup.vec_norm joined in, cosine =
+    dot/(n1*n2)) must be BIT-identical to the inline 3-fold cosine() —
+    the DuckDB oracle twins kept the inline form, so any float
+    divergence here is a silent hash mismatch waiting for a driver run.
+    Checked on adversarial vectors: denormal-adjacent magnitudes, mixed
+    signs, repeated values, and the fixture embeddings themselves."""
+    from pyspark.sql import functions as F
+
+    from repcheck_data_integration_spark.operators.dedup import (
+        cosine,
+        dot_double,
+        vec_norm,
+    )
+    from repcheck_data_integration_spark.tables import load
+
+    rows = [
+        (1, [1e-30, -2e-30, 3e-30], [9e29, 8e29, -7e29]),
+        (2, [0.1] * 7, [0.3] * 7),
+        (3, [1.5, -2.25, 3.125, -4.0625], [-0.5, 0.25, -0.125, 0.0625]),
+        (4, [123456789.123, -0.000000123, 42.0], [1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["i", "a", "b"])
+    out = df.select(
+        cosine(F.col("a"), F.col("b")).alias("inline"),
+        (
+            dot_double(F.col("a"), F.col("b"))
+            / (vec_norm(F.col("a")) * vec_norm(F.col("b")))
+        ).alias("factored"),
+    ).collect()
+    for r in out:
+        assert r["inline"] == r["factored"], r
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    a = e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("a"))
+    b = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("b"))
+    pairs = a.join(b, F.col("i") < F.col("j"))
+    mism = pairs.select(
+        (
+            cosine(F.col("a"), F.col("b"))
+            != (
+                dot_double(F.col("a"), F.col("b"))
+                / (vec_norm(F.col("a")) * vec_norm(F.col("b")))
+            )
+        ).alias("diff")
+    ).filter(F.col("diff")).count()
+    assert mism == 0
