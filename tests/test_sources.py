@@ -485,3 +485,38 @@ def test_load_bucketed_contract(spark):
         assert fb.count() == 3
     finally:
         T.load = orig
+
+
+def test_bucket_table_gc_scope(tmp_path):
+    """_gc_dead_bucket_tables is a DESTRUCTIVE sweep — pin its scope: it
+    reaps dead-pid bkt_* locations and pre-round-7 legacy names, and must
+    NEVER touch our own pid's tables, a live pid's tables, or unrelated
+    warehouse dirs."""
+    import os as _os
+
+    import repcheck_data_integration_spark.tables as T
+
+    wh = str(tmp_path)
+    mine = f"bkt_lineitem_l_orderkey_abc123_p{_os.getpid()}"
+    live = "bkt_orders_o_orderkey_def456_p1"  # pid 1 = init, always alive
+    dead = "bkt_orders_o_orderkey_def456_p999999999"
+    legacy_nopid = "bkt_lineitem_l_orderkey_0123456789"
+    legacy_probe = "li_bkt_0123abcd"
+    unrelated = "some_other_table"
+    probe_own = "li_bkt"  # bucketed_probe's live session tables: no sweep
+    for d in (mine, live, dead, legacy_nopid, legacy_probe, unrelated,
+              probe_own):
+        _os.makedirs(_os.path.join(wh, d))
+    T._GC_DONE = False
+    try:
+        T._gc_dead_bucket_tables(wh)
+    finally:
+        T._GC_DONE = False  # don't poison other tests' first-call sweep
+    left = set(_os.listdir(wh))
+    assert mine in left
+    assert live in left
+    assert unrelated in left
+    assert probe_own in left
+    assert dead not in left
+    assert legacy_nopid not in left
+    assert legacy_probe not in left
