@@ -80,6 +80,16 @@ def main() -> None:
     # shots swing 2-5x on this runner)
     sparkt: dict[str, float] = {}
     for name in names:
+        # SYMMETRY with the DuckDB side, which gets one untimed
+        # warm-the-file-cache run before its timed shot: give Spark the
+        # same at the TARGET sf (the sf0.001 loop above only warms plan
+        # compilation). This also absorbs one-time layout
+        # materialization (tables.load_bucketed's bucketed write), which
+        # is ingest-time table DDL on a cluster, not query cost —
+        # without it the Spark trials read cold files against a warmed
+        # DuckDB (measured: q3 at sf10 3.9 s cold-vs-warm, 1.2 s
+        # warm-vs-warm).
+        drain(registry.QUERIES[name](spark, sf_dir))
         trials = []
         for _ in range(2):
             t0 = time.time()
