@@ -156,16 +156,39 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result by orderkey INTO lineitem's bucketing — the monster table
     still never moves; Spark plans that automatically once the broadcast
     threshold rules the dim out. Plan pinned in tests/test_plan_shapes.py.
+
+    Region pruning pushed to the CUSTOMER scan: c_nationkey =
+    s_nationkey forces customer-nation = supplier-nation, and the
+    supplier's nation must fall in the queried regions — so customers of
+    excluded nations can never reach the result, and filtering them at
+    the scan (an In predicate over the ~15 surviving nation keys,
+    collected from the 25-row dim — a bounded driver-side dim read)
+    shrinks the broadcast build AND every fact row carried through the
+    SMJ by ~40%. This is the manual form of the join-order/filter
+    inference a CBO does with constraint propagation.
     """
-    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_regionkey").isin(0, 1, 2))
+    region_nations = [
+        r["n_nationkey"]
+        for r in nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select("n_nationkey")
+        .collect()
+    ]
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(region_nations))
+        .select("c_custkey", "c_nationkey")
+    )
     orders = load_bucketed(spark, sf_dir, "orders", "o_orderkey").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
     )
     li = load_bucketed(spark, sf_dir, "lineitem", "l_orderkey")
     supp = load(spark, sf_dir, "supplier")
-    nation = load(spark, sf_dir, "nation")
-    region = load(spark, sf_dir, "region").filter(F.col("r_regionkey").isin(0, 1, 2))
     ocust = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
         li.join(ocust, li.l_orderkey == ocust.o_orderkey)
