@@ -622,8 +622,17 @@ def dq_fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # post-aggregate key side needs its in-task sort). The other edges
     # keep genuinely-small broadcast parents and bare-long map-side-
     # combined shuffles on non-bucket keys.
+    # Round-8 (VERDICT r7 next #3): the part and customer parents are
+    # fact-scaled too (2M / 1.5M keys at sf10 — a borderline >100 MB
+    # driver hash relation each, unbounded at 100 TB). Read them through
+    # their own bucketed layouts: the parent side then joins with ZERO
+    # exchange and no broadcast build; only the child's already-collapsed
+    # distinct-key aggregate shuffles, straight into the parent's
+    # bucketing. Genuinely bounded dims (supplier, nation, region) keep
+    # the broadcast.
     from ..tables import load_bucketed
 
+    BUCKETED_PARENTS = {"orders", "part", "customer"}
     outs = []
     for label, child, ck, parent, pk in FK_EDGES:
         big_edge = (child, ck) == ("lineitem", "l_orderkey")
@@ -638,7 +647,7 @@ def dq_fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("k").isNotNull())
         )
         keys = c.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
-        if big_edge:
+        if parent in BUCKETED_PARENTS:
             p = load_bucketed(spark, sf_dir, parent, pk).select(
                 F.col(pk).cast("long").alias("pkey")
             )

@@ -59,11 +59,23 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k: the correctness baseline every ANN
     variant is measured against. Queries are broadcast against the corpus."""
     e = load(spark, sf_dir, "embeddings")
+    # round-8: per-vector norms factored OUT of the pair expression (the
+    # three-fold cosine tax, round-7 lever): each side carries its norm
+    # once, the pair pays ONE fold — dot/(qn*cn) is bit-identical to the
+    # inline form (fold order unchanged), oracle keeps inline cosine
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        vec_norm(F.col("embedding")).alias("q_n"),
     )
-    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
-    cos = cosine(F.col("q_emb"), F.col("c_emb"))
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        vec_norm(F.col("embedding")).alias("c_n"),
+    )
+    cos = dot_double(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_n") * F.col("c_n")
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
         c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
@@ -148,8 +160,13 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook makes even the approximate path oracle-checkable."""
     e = load(spark, sf_dir, "embeddings")
     cents = cell_centroids(e)
+    # norms factored per vector (round-8, same bit-identical lever as
+    # sim_search_topk): the probed broadcast carries q_n, the corpus scan
+    # carries c_n, the cell-scoped pair pays one fold
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        vec_norm(F.col("embedding")).alias("q_n"),
     )
     # pick n_probe cells per query (centroid table is tiny → broadcast)
     qc = q.join(F.broadcast(cents))
@@ -160,19 +177,23 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         qc.select(
             "query_id",
             "q_emb",
+            "q_n",
             "label",
             cosine(F.col("q_emb"), F.col("centroid")).alias("cent_cos"),
         )
         .withColumn("rn", F.row_number().over(wcell))
         .filter(F.col("rn") <= 3)
-        .select("query_id", "q_emb", "label")
+        .select("query_id", "q_emb", "q_n", "label")
     )
     c = e.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
+        vec_norm(F.col("embedding")).alias("c_n"),
         F.col("label").alias("c_label"),
     )
-    cos = cosine(F.col("q_emb"), F.col("c_emb"))
+    cos = dot_double(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_n") * F.col("c_n")
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
         c.join(
@@ -436,8 +457,18 @@ def _lsh_rerank(e: DataFrame, bands: DataFrame, qb: DataFrame) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("cand_id"))
         .distinct()
     )
-    eq = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    ec = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    # per-vector norms factored out of the pair expression (round-8,
+    # bit-identical — see vec_norm): one fold per rerank pair
+    eq = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        vec_norm(F.col("embedding")).alias("q_n"),
+    )
+    ec = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        vec_norm(F.col("embedding")).alias("c_n"),
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
         pairs.join(F.broadcast(eq), "query_id")
@@ -445,7 +476,10 @@ def _lsh_rerank(e: DataFrame, bands: DataFrame, qb: DataFrame) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+            (
+                dot_double(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_n") * F.col("c_n"))
+            ).alias("cos"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
@@ -1380,13 +1414,20 @@ def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacing the rank window — range search actually DROPS the top-k
     variants' one window shuffle."""
     e = load(spark, sf_dir, "embeddings")
+    # norms factored per vector (round-8, bit-identical — see vec_norm)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        vec_norm(F.col("embedding")).alias("q_n"),
     )
     c = e.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        vec_norm(F.col("embedding")).alias("c_n"),
     )
-    cos = cosine(F.col("q_emb"), F.col("c_emb"))
+    cos = dot_double(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_n") * F.col("c_n")
+    )
     return (
         c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", cos.alias("cos"))
@@ -1607,11 +1648,13 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        vec_norm(F.col("embedding")).alias("q_n"),
         F.col("label").alias("true_label"),
     )
     c = e.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
+        vec_norm(F.col("embedding")).alias("c_n"),
         F.col("label").alias("c_label"),
     )
     scored = c.join(
@@ -1621,7 +1664,10 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_label",
         "cand_id",
         "c_label",
-        cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+        (
+            dot_double(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_n") * F.col("c_n"))
+        ).alias("cos"),
     )
     rn = F.row_number().over(
         W.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")

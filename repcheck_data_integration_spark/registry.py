@@ -45,19 +45,22 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # covers what the engine is FOR; the full local gate (tools/check.py) still
 # checks all of them.
 #
-# Round-7 ordering rule (VERDICT.md r6 Next-round #2): the 5 ever-failed
-# rows stay pinned first (never rotate a failure out of the window; the
-# only other non-green rows ever recorded — agg_approx_distinct /
-# agg_approx_percentile — are `no_oracle` BY DESIGN, approximate sketches
-# that cannot hash-match an exact oracle, so they don't count as failures
-# and stay outside). Slot 6 re-checks agg_rfm_scores in the DRIVER's own
-# environment because round 7 changed BOTH its plan (global ntile ->
-# broadcast percentile boundaries) and its oracle — the one changed op
-# whose parity rests on cross-engine float interpolation rather than pure
-# integer arithmetic. The remaining 44 slots burn the never-driver-sampled
-# backlog in registration order (union of CORRECTNESS_r0{2..6}.json keys
-# is 214 of 435; this tranche covers the window/embedding/ANN/multimodal/
-# LLM-ingest families from rounds 3-4, leaving ~167 after r7).
+# Round-8 ordering rule (VERDICT.md r7 Next-round #2, same policy as r7):
+# the 5 ever-failed rows stay pinned first (never rotate a failure out of
+# the window; the only other non-green rows ever recorded —
+# agg_approx_distinct / agg_approx_percentile — are `no_oracle` BY DESIGN
+# and stay outside). Slot 6 re-checks agg_gini_revenue in the DRIVER's own
+# environment: round 8 departitioned it via operators/prefix.py and its
+# iw accumulator changed type long -> DECIMAL(38,0), the one changed op
+# this round whose final formula mixes that new type into cross-engine
+# float arithmetic (abc_pareto/copurchase also changed plans but stay
+# integer-exact end-to-end and were driver-green before; both gate
+# session shapes re-verify them). The remaining 44 slots burn the
+# never-driver-sampled backlog (177 after r7) in registration order,
+# EXCEPT the two changed-this-round ops that are ALSO first-timers —
+# agg_lorenz_deciles (departitioned) and dq_fk_coverage (part/customer
+# parents moved off broadcast onto bucketed layouts) — which jump the
+# queue. 133 never-sampled remain for r9+.
 DRIVER_PRIORITY: list[str] = [
     # ever-failed rows, pinned first forever (r2: tpch_q12; r3: the four):
     "win_session_features",
@@ -65,57 +68,57 @@ DRIVER_PRIORITY: list[str] = [
     "emb_normalize",
     "emb_quantize_int8",
     "tpch_q12_priority_counts",
-    # round-7 changed-op re-check (new plan + new oracle):
-    "agg_rfm_scores",
-    # windows / set ops / CDC — never driver-sampled:
-    "win_asof_last",
-    "win_distribution",
-    "win_moving_avg",
-    "win_ewma_trailing",
-    "win_drawdown",
-    "win_max_concurrency",
-    "set_distinct",
-    "snk_cdc_delta",
-    # fuzzy / phonetic / spatial joins — never driver-sampled:
-    "join_fuzzy_multipass",
-    "resolve_survivorship",
-    "join_phonetic_block",
-    "fn_zorder_key",
-    "join_spatial_area_weight",
-    # embeddings / ANN / semantic dedup — never driver-sampled:
-    "sim_search_dot_norm",
-    "emb_random_projection",
-    "sim_search_recall_report",
-    "emb_matryoshka_truncate",
-    "ml_pca_power_iteration",
-    "emb_quantile_normalize",
-    "sim_search_range",
-    "emb_dim_stats",
-    "sim_search_mips",
-    "dedup_embedding_pairs",
-    "dedup_embedding_pairs_capped",
-    "dedup_embedding_pairs_star",
-    "emb_outlier_zscore",
-    "llm_mmr_select",
-    # multimodal — never driver-sampled:
-    "mm_frame_sample",
-    "mm_decode_stub",
-    "mm_resize_stub",
-    "mm_phash_bands",
-    "mm_scene_cuts",
-    # LLM ingest / text chunking — never driver-sampled:
-    "llm_dedup_minhash",
-    "llm_sim_search",
-    "llm_text_stats",
-    "llm_pdf_extract",
-    "text_feature_hash",
-    "text_chunk_windows",
-    "pipeline_llm_ingest",
-    "text_chunk_tokens",
-    "text_sentence_split",
-    "fn_udtf_sentences",
-    "text_boilerplate_lines",
-    "text_bpe_pair_counts",
+    # round-8 changed-op re-check (new plan + new accumulator type):
+    "agg_gini_revenue",
+    # changed this round AND never driver-sampled:
+    "agg_lorenz_deciles",
+    "dq_fk_coverage",
+    # text / corpus stats — never driver-sampled:
+    "text_compression_ratio",
+    "pack_best_fit",
+    "agg_hll_rollup",
+    "win_grouped_zscore_pandas_demo",
+    "join_fuzzy_wratio",
+    "join_spatial_refine",
+    "text_bigram_xent",
+    "text_bpe_encode1",
+    "text_bpe_encode",
+    "text_bpe_train",
+    "text_token_count_bpe",
+    "agg_heavy_hitters_exact",
+    "agg_count_min_sketch",
+    "text_rake_keywords",
+    "corpus_report",
+    "text_pmi_pairs",
+    "text_keyphrase_textrank",
+    "text_kneser_ney_xent",
+    "text_watermark_score",
+    "text_source_overlap_matrix",
+    "dedup_boilerplate_sentences",
+    "text_ngram_novelty",
+    "dq_pii_report",
+    "text_pmi_collocations",
+    # LLM eval — never driver-sampled:
+    "llm_eval_chrf",
+    "ml_bradley_terry",
+    "llm_eval_edit_rate",
+    "llm_rag_eval",
+    # data-quality suite — never driver-sampled:
+    "dq_profile",
+    "dq_constraint_check",
+    "dq_histogram",
+    "dq_outliers_mad",
+    "sample_deterministic",
+    "sample_stratified",
+    "dq_distribution_shift",
+    "dq_benford_digits",
+    "dq_rater_agreement",
+    # temporal joins — never driver-sampled:
+    "ts_gap_fill",
+    "join_asof_forward",
+    "join_asof_tolerance",
+    "ts_resample_ohlc",
+    "join_interval_overlap",
 ]
 
 

@@ -74,6 +74,44 @@ BUCKETS_N = int(os.environ.get("SPARK_GRAFT_BUCKETS", "32"))
 LAYOUT_SALT = ""
 
 
+def _host_tag() -> str:
+    """Short host digest baked into bucketed-table names (ADVICE r7):
+    /proc/<pid> liveness is HOST-LOCAL, so on a warehouse dir shared
+    across hosts (NFS) one host could reap another live host's tables.
+    Names carry the host tag and the GC only reaps entries matching it."""
+    import hashlib
+    import socket
+
+    return hashlib.md5(socket.gethostname().encode()).hexdigest()[:6]
+
+
+def _assert_single_file_buckets(location: str) -> None:
+    """Raise unless every bucket of the freshly-written table is exactly
+    one file (ADVICE r7, medium): session.py turns on the legacy sorted
+    bucketed scan, which is only SOUND for single-file buckets — a future
+    write that bypasses the repartition-first recipe (or a config like
+    spark.sql.files.maxRecordsPerFile splitting files) would make SMJs
+    consume unsorted streams as sorted, i.e. silent wrong joins. Cheap
+    listdir; on violation the caller drops the table and falls back."""
+    import re
+
+    seen: set[str] = set()
+    for f in os.listdir(location):
+        m = re.match(r"part-\d+-.*_(\d{5})(?:\.|$)", f)
+        if m is None:
+            continue
+        if m.group(1) in seen:
+            raise RuntimeError(
+                f"bucketed write produced multiple files for bucket "
+                f"{m.group(1)} under {location}; sorted bucketed scan "
+                f"would be unsound — falling back to raw parquet"
+            )
+        seen.add(m.group(1))
+
+
+_FALLBACK_LOGGED: set[str] = set()
+
+
 def _content_fingerprint(path: str) -> str:
     """Size+mtime digest of the parquet file (or dir of part files).
 
@@ -138,7 +176,7 @@ def load_bucketed(
     try:
         tbl = (
             f"bkt_{name}_{key}_{LAYOUT_SALT}{_content_fingerprint(path)}"
-            f"_p{os.getpid()}"
+            f"_h{_host_tag()}_p{os.getpid()}"
         ).lower()
     except OSError:
         # no physical parquet at that path (e.g. a probe harness feeding
@@ -166,8 +204,27 @@ def load_bucketed(
                 .mode("overwrite")
                 .saveAsTable(tbl)
             )
+            # verify the single-file-per-bucket invariant the sorted
+            # bucketed scan depends on (ADVICE r7); drop + fall back if a
+            # config (maxRecordsPerFile, speculative dupes) split files
+            try:
+                _assert_single_file_buckets(os.path.join(wh, tbl))
+            except RuntimeError:
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+                raise
         return spark.table(tbl)
-    except Exception:
+    except Exception as exc:
+        # layout is an optimization, never a correctness dependency — but
+        # a silent fallback hides real layout regressions (ADVICE r7):
+        # log once per table so gate/bench output shows the degradation
+        if tbl not in _FALLBACK_LOGGED:
+            _FALLBACK_LOGGED.add(tbl)
+            print(
+                f"[tables] load_bucketed({name}, {key}) fell back to raw "
+                f"scan: {type(exc).__name__}: {exc}",
+                flush=True,
+            )
         return load(spark, sf_dir, name)
 
 
@@ -194,9 +251,23 @@ def _gc_dead_bucket_tables(warehouse: str) -> None:
         entries = os.listdir(warehouse)
     except OSError:
         return
+    host = _host_tag()
     for d in entries:
+        m = re.fullmatch(r"bkt_.*_h([0-9a-f]{6})_p(\d+)", d)
+        if m:
+            # /proc liveness is host-local (ADVICE r7): only reap entries
+            # THIS host wrote; another host's live pids are invisible here
+            if m.group(1) != host:
+                continue
+            if int(m.group(2)) != os.getpid() and not os.path.exists(
+                f"/proc/{m.group(2)}"
+            ):
+                shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
+            continue
         m = re.fullmatch(r"bkt_.*_p(\d+)", d)
         if m:
+            # pre-round-8 names (no host tag): keep the original pid rule —
+            # a long-lived older process may still be reading its tables
             if int(m.group(1)) != os.getpid() and not os.path.exists(
                 f"/proc/{m.group(1)}"
             ):

@@ -335,36 +335,109 @@ def test_phash_bands_admit_then_verify_rejects(spark):
     assert out.count() == 0
 
 
-def test_decode_image_golden_when_pil_present():
-    """Real-decode kernel contract (VERDICT r6 #8): skipped-not-failing
-    when the container lacks PIL — but the import-gate branch is still
-    asserted (NotImplementedError, never a silent wrong answer) — and a
-    golden 1x1-PNG decode plus a 3x2 width/height-order check the day
-    media libs appear."""
+def _encode_png(width, height, rows, colortype=2, filters=None):
+    """Minimal stdlib PNG ENCODER for the golden test: magic + IHDR +
+    one IDAT (zlib of filter-prefixed scanlines) + IEND, CRCs included.
+    `filters` picks the filter type PER ROW so the decoder's Sub/Up/
+    Average/Paeth reconstruction paths are all exercised — the encoder
+    applies the actual forward filter, so a decoder that merely ignores
+    the filter byte fails the pixel compare."""
+    import struct
+    import zlib
+
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[colortype]
+    stride = width * bpp
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, row in enumerate(rows):
+        assert len(row) == stride
+        f = filters[y]
+        raw.append(f)
+        for i in range(stride):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = row[i]
+            elif f == 1:
+                v = row[i] - a
+            elif f == 2:
+                v = row[i] - b
+            elif f == 3:
+                v = row[i] - ((a + b) >> 1)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = row[i] - pr
+            raw.append(v & 0xFF)
+        prev = row
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_image_png_stdlib():
+    """decode_image's PNG path RUNS in this container (VERDICT r7 #4 —
+    no PIL needed): dims from a real 1x1 fixture, width/height order on
+    3x2, exact pixel reconstruction through ALL FIVE filter types, CRC
+    corruption caught, and the PIL gate still guarding non-PNG."""
     import base64
 
     import pytest
 
     from repcheck_data_integration_spark.operators.multimodal import (
         decode_image,
+        decode_png,
     )
 
     png_1x1 = base64.b64decode(
         "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
         "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
     )
+    assert decode_image(png_1x1) == (1, 1)
+    # width/height order: a 3x2 RGB image must come back (3, 2)
+    rows_3x2 = [bytes(range(9)), bytes(range(100, 109))]
+    assert decode_image(_encode_png(3, 2, rows_3x2)) == (3, 2)
+    # pixel-exact round trip through every filter type, RGB and RGBA
+    import random
+
+    rng = random.Random(8)
+    for colortype in (0, 2, 4, 6):
+        bpp = {0: 1, 2: 3, 4: 2, 6: 4}[colortype]
+        w, h = 5, 5
+        rows = [
+            bytes(rng.randrange(256) for _ in range(w * bpp))
+            for _ in range(h)
+        ]
+        payload = _encode_png(
+            w, h, rows, colortype=colortype, filters=[0, 1, 2, 3, 4]
+        )
+        gw, gh, got = decode_png(payload)
+        assert (gw, gh) == (w, h)
+        assert got == rows, f"colortype {colortype} pixel mismatch"
+    # integrity: a flipped byte fails the chunk CRC loudly
+    bad = bytearray(_encode_png(3, 2, rows_3x2))
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    # non-PNG stays behind the PIL import gate in this container
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError):
-            decode_image(png_1x1)
-        pytest.skip("PIL absent — golden decode skipped (gate asserted)")
-    assert decode_image(png_1x1) == (1, 1)
-    # width/height order: a 3x2 image must come back (3, 2)
-    import io
-
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.new("RGB", (3, 2)).save(buf, format="PNG")
-    assert decode_image(buf.getvalue()) == (3, 2)
+            decode_image(b"\xff\xd8\xff\xe0fakejpeg")

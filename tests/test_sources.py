@@ -497,15 +497,23 @@ def test_bucket_table_gc_scope(tmp_path):
     import repcheck_data_integration_spark.tables as T
 
     wh = str(tmp_path)
-    mine = f"bkt_lineitem_l_orderkey_abc123_p{_os.getpid()}"
-    live = "bkt_orders_o_orderkey_def456_p1"  # pid 1 = init, always alive
-    dead = "bkt_orders_o_orderkey_def456_p999999999"
+    h = T._host_tag()
+    mine = f"bkt_lineitem_l_orderkey_abc123_h{h}_p{_os.getpid()}"
+    live = f"bkt_orders_o_orderkey_def456_h{h}_p1"  # pid 1 = always alive
+    dead = f"bkt_orders_o_orderkey_def456_h{h}_p999999999"
+    # ADVICE r7: another HOST's entries are never reaped, even with a pid
+    # that is dead here — /proc liveness is host-local
+    other_host = "bkt_orders_o_orderkey_def456_habcdef_p999999998"
+    # pre-round-8 names (no host tag) keep the original pid rule
+    old_mine = f"bkt_lineitem_l_orderkey_abc123_p{_os.getpid()}"
+    old_live = "bkt_orders_o_orderkey_def456_p1"
+    old_dead = "bkt_orders_o_orderkey_def456_p999999999"
     legacy_nopid = "bkt_lineitem_l_orderkey_0123456789"
     legacy_probe = "li_bkt_0123abcd"
     unrelated = "some_other_table"
     probe_own = "li_bkt"  # bucketed_probe's live session tables: no sweep
-    for d in (mine, live, dead, legacy_nopid, legacy_probe, unrelated,
-              probe_own):
+    for d in (mine, live, dead, other_host, old_mine, old_live, old_dead,
+              legacy_nopid, legacy_probe, unrelated, probe_own):
         _os.makedirs(_os.path.join(wh, d))
     T._GC_DONE = False
     try:
@@ -515,8 +523,12 @@ def test_bucket_table_gc_scope(tmp_path):
     left = set(_os.listdir(wh))
     assert mine in left
     assert live in left
+    assert other_host in left
+    assert old_mine in left
+    assert old_live in left
     assert unrelated in left
     assert probe_own in left
     assert dead not in left
+    assert old_dead not in left
     assert legacy_nopid not in left
     assert legacy_probe not in left
