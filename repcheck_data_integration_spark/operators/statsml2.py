@@ -843,9 +843,11 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the decile cut is the INTEGER (rn-1)*{LIFT_DECILES}
     div n over a fully tie-broken row_number (cents DESC, o_orderkey) —
     no percentile doubles anywhere; gains/lift are exact-integer ratios
-    divided once. Scale shape: one global sort-rank (the same shape any
-    top-k% targeting job needs), one grouped count over
-    {LIFT_DECILES} rows, one {LIFT_DECILES}-row cumsum.
+    divided once. Scale shape (round-8 departition): the global rank is
+    off_cnt(cents) + a PARTITIONED within-tie-group window (the lorenz /
+    qini machinery, operators/prefix.py), so no single-task sort of the
+    fact; the only whole-frame window left is the {LIFT_DECILES}-row
+    cumsum over the decile grid.
     """
     o = load(spark, sf_dir, "orders")
     base = o.select(
@@ -855,13 +857,35 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    r = base.select(
-        "pos",
-        F.row_number()
-        .over(W.orderBy(F.col("cents").desc(), F.col("o_orderkey")))
-        .alias("rn"),
-        F.count("*").over(W.partitionBy()).alias("n"),
-        F.sum("pos").over(W.partitionBy()).alias("p"),
+    # round-8 departition: the global row_number over (cents DESC,
+    # orderkey) is off_cnt (higher-cents count, from prefix_offsets over
+    # DISTINCT cents) + a PARTITIONED within-tie-group window; n/p come
+    # from the distinct-value table's 1-row aggregate instead of
+    # whole-frame windows. The within-group numbering is still needed —
+    # a decile boundary can split a tie group whose rows differ in pos.
+    from .prefix import prefix_offsets
+
+    vals = base.groupBy("cents").agg(
+        F.count("*").alias("cnt"), F.sum("pos").alias("pos_c")
+    )
+    offs = prefix_offsets(vals, "cents", ["cnt", "pos_c"], ascending=False)
+    r = (
+        base.join(
+            offs.select(
+                "cents",
+                "off_cnt",
+                F.col("tot_cnt").alias("n"),
+                F.col("tot_pos_c").alias("p"),
+            ),
+            "cents",
+        )
+        .withColumn(
+            "rn_g",
+            F.row_number().over(
+                W.partitionBy("cents").orderBy("o_orderkey")
+            ),
+        )
+        .selectExpr("pos", "off_cnt + rn_g AS rn", "n", "p")
     )
     b = r.select(
         (
@@ -940,9 +964,12 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the CDF gap is the cross-multiplied integer
     |cp*Q - cq*P| (never a float subtraction), the argmax tie-breaks on
     the smaller threshold, and the single division happens after the
-    max. Scale shape: scores collapse to distinct-value counts first,
-    then one ordered cumsum window and a top-1 over the distinct-score
-    series — never a row-level sort of the raw table.
+    max. Scale shape (round-8 departition): scores collapse to
+    distinct-value counts, the CDF prefixes come from prefix_offsets'
+    two-level range scan (distinct cents ~ |orders|, so the old ordered
+    cumsum window was a data-sized single task), and the argmax is a
+    distributed TakeOrderedAndProject top-1 — no unpartitioned window
+    at all.
     """
     o = load(spark, sf_dir, "orders")
     base = o.select(
@@ -951,15 +978,24 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
+    # round-8 departition: distinct o_totalprice cents ~ |orders| — the
+    # ordered cumsum windows and the argmax row_number funneled a
+    # data-sized relation through one task. CDF prefixes now come from
+    # prefix_offsets (cp = off + own), totals from a broadcast 1-row
+    # aggregate, and the argmax is orderBy().limit(1) —
+    # TakeOrderedAndProject, a distributed top-1.
+    from .prefix import prefix_offsets
+
     g = base.groupBy("cents").agg(
         F.sum("pos").alias("p_c"), F.sum(1 - F.col("pos")).alias("q_c")
     )
-    c = g.select(
+    offs = prefix_offsets(g, "cents", ["p_c", "q_c"], ascending=True)
+    c = offs.select(
         "cents",
-        F.sum("p_c").over(W.orderBy("cents")).alias("cp"),
-        F.sum("q_c").over(W.orderBy("cents")).alias("cq"),
-        F.sum("p_c").over(W.partitionBy()).alias("p"),
-        F.sum("q_c").over(W.partitionBy()).alias("q"),
+        F.col("tot_p_c").alias("p"),
+        F.col("tot_q_c").alias("q"),
+        (F.col("off_p_c") + F.col("p_c")).alias("cp"),
+        (F.col("off_q_c") + F.col("q_c")).alias("cq"),
     )
     d = c.select(
         "cents",
@@ -968,11 +1004,8 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("cp") * F.col("q") - F.col("cq") * F.col("p")).alias(
             "dnum"
         ),
-    ).withColumn(
-        "rn",
-        F.row_number().over(W.orderBy(F.col("dnum").desc(), F.col("cents"))),
     )
-    return d.filter(F.col("rn") == 1).select(
+    return d.orderBy(F.col("dnum").desc(), F.col("cents")).limit(1).select(
         F.col("p").cast("long").alias("n_pos"),
         F.col("q").cast("long").alias("n_neg"),
         F.col("cents").cast("long").alias("ks_at_cents"),
@@ -1043,8 +1076,11 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     |conf - acc| = |sum(rank-1) - pos_b*(n-1)| / ((n-1) * n_b), and
     ECE = sum_b |...| / ((n-1) * n) — the bin cut itself is integer
     (rk-1)*{CAL_BINS} div (n-1). No float enters before the final
-    divisions. Scale shape: one rank window (ties share ranks, so
-    distinct-value skew is harmless), one {CAL_BINS}-row aggregate.
+    divisions. Scale shape (round-8 departition): the rank transform is
+    reconstructed from prefix_offsets over the DISTINCT score values
+    (ties share ranks, so rk-1 is exactly the smaller-value count) —
+    no single-task sort of the fact anywhere; the only whole-frame
+    window left is the ECE sum over the {CAL_BINS}-row grid.
     """
     o = load(spark, sf_dir, "orders")
     base = o.select(
@@ -1054,24 +1090,34 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    r = base.select(
-        "pos",
-        F.rank().over(W.orderBy("cents")).alias("rk"),
-        F.count("*").over(W.partitionBy()).alias("n"),
+    # round-8 departition (the rank-cut family): rank() with ties sharing
+    # depends ONLY on cents — rk-1 = #rows with smaller cents = off_cnt
+    # from prefix_offsets over the DISTINCT cents values; every row of a
+    # cents group shares rk AND bin, so srk = cnt * (rk-1) per group. No
+    # unpartitioned fact window anywhere; n comes from the checkpointed
+    # distinct-value table, not a whole-frame window.
+    from .prefix import prefix_offsets
+
+    vg = base.groupBy("cents").agg(
+        F.count("*").alias("cnt"), F.sum("pos").alias("pos_c")
     )
-    b = r.select(
+    offs = prefix_offsets(vg, "cents", ["cnt"], ascending=True)
+    b = offs.select(
         F.least(
-            F.expr(f"CAST((rk - 1) * {CAL_BINS} DIV (n - 1) AS INT)"),
+            F.expr(f"CAST(off_cnt * {CAL_BINS} DIV (tot_cnt - 1) AS INT)"),
             F.lit(CAL_BINS - 1),
         ).alias("bin"),
-        "pos",
-        "rk",
-        "n",
+        "cnt",
+        "pos_c",
+        "off_cnt",
+        F.col("tot_cnt").alias("n"),
     )
     g = b.groupBy("bin", "n").agg(
-        F.count("*").alias("n_b"),
-        F.sum("pos").alias("pos_b"),
-        F.sum(F.col("rk") - 1).alias("srk"),
+        F.sum("cnt").alias("n_b"),
+        F.sum("pos_c").alias("pos_b"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("off_cnt"))
+        .cast("long")
+        .alias("srk"),
     )
     e = g.withColumn(
         "ece_num",

@@ -2232,9 +2232,10 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (order-independent); uncertainty is expression text over exact
     counts. stable_round4 everywhere.
 
-    Scale shape: one rank window over the score (the calibration map),
-    one 10-row bin aggregate, scalar algebra — ml_calibration_bins'
-    plan plus one extra exact reduction.
+    Scale shape (round-8 departition): prefix_offsets over the distinct
+    score values replaces the global fact rank (no unpartitioned window,
+    no fact-sized persist), one 10-row bin aggregate, scalar algebra —
+    ml_calibration_bins' plan plus one extra exact reduction.
     """
     o = load(spark, sf_dir, "orders")
     base = o.select(
@@ -2243,35 +2244,61 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    r = base.select(
-        "pos",
-        F.rank().over(W.orderBy("cents")).alias("rk"),
-        F.count("*").over(W.partitionBy()).alias("n"),
-    ).persist()  # brier numerator + bins + base rate all read it
+    # round-8 departition (rank-cut family): rank() with ties sharing is
+    # off_cnt(cents)+1 from prefix_offsets over the DISTINCT cents values
+    # — the old form was a global fact rank funneled through one task,
+    # AND its .persist() made the optimizer substitute InMemoryRelation
+    # into every identical subtree, hiding the windows from the plan
+    # audit for two rounds (the audit now recurses into cached plans).
+    # Rows collapse to (cents, pos) groups: rk, bin, and every per-row
+    # term are constant within a group, so each aggregate weights by the
+    # group count. The compact group table is checkpointed once — the
+    # numerator, the bins, and the base rate all branch from it without
+    # re-scanning the fact.
+    from .prefix import prefix_offsets
+
+    vg = base.groupBy("cents", "pos").agg(F.count("*").alias("cnt"))
+    cg = vg.groupBy("cents").agg(F.sum("cnt").alias("vc"))
+    offs = prefix_offsets(cg, "cents", ["vc"], ascending=True)
+    r = vg.join(
+        offs.select(
+            "cents",
+            F.col("off_vc").alias("rkm1"),
+            F.col("tot_vc").alias("n"),
+        ),
+        "cents",
+    ).localCheckpoint(eager=True)
+    dev = (F.col("rkm1") - F.col("pos") * (F.col("n") - 1)).cast(
+        "decimal(38,0)"
+    )
     bs = r.agg(
         F.sum(
-            (
-                (F.col("rk") - 1) - F.col("pos") * (F.col("n") - 1)
-            ).cast("decimal(38,0)")
-            * ((F.col("rk") - 1) - F.col("pos") * (F.col("n") - 1))
+            dev
+            * (F.col("rkm1") - F.col("pos") * (F.col("n") - 1))
+            * F.col("cnt")
         )
         .cast("double")
         .alias("bnum")
     )
     b = r.select(
         F.least(
-            F.expr("CAST((rk - 1) * 10 DIV (n - 1) AS INT)"), F.lit(9)
+            F.expr("CAST(rkm1 * 10 DIV (n - 1) AS INT)"), F.lit(9)
         ).alias("bin"),
         "pos",
-        "rk",
+        "cnt",
+        "rkm1",
         "n",
     )
     g = b.groupBy("bin", "n").agg(
-        F.count("*").cast("long").alias("n_b"),
-        F.sum("pos").cast("long").alias("pos_b"),
-        F.sum(F.col("rk") - 1).cast("long").alias("srk"),
+        F.sum("cnt").cast("long").alias("n_b"),
+        F.sum(F.col("pos") * F.col("cnt")).cast("long").alias("pos_b"),
+        F.sum(F.col("rkm1").cast("decimal(38,0)") * F.col("cnt"))
+        .cast("long")
+        .alias("srk"),
     )
-    pt = r.agg(F.sum("pos").cast("long").alias("p"))
+    pt = r.agg(
+        F.sum(F.col("pos") * F.col("cnt")).cast("long").alias("p")
+    )
     terms = g.crossJoin(F.broadcast(pt)).selectExpr(
         "n", "p", f"{_BR_REL_T} AS rel_t", f"{_BR_RES_T} AS res_t"
     )

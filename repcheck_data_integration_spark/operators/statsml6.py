@@ -109,10 +109,12 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares integers, never engine-ordered doubles; final rates are one
     double division each through stable_round4.
 
-    Scale shape: everything past the {ISO_BINS}-row bin aggregate is
-    lattice algebra on O(bins^2) = {ISO_BINS * ISO_BINS} rows — the fact
-    table is touched once by the same rank window the reliability
-    diagram already pays for.
+    Scale shape (round-8 departition): the bin cut comes from
+    prefix_offsets over the distinct score values (no global fact rank
+    — the old window was the 3.0x row in SCALE.md's 10x probe, hidden
+    from the plan audit by a sibling op's persist); everything past the
+    {ISO_BINS}-row bin aggregate is lattice algebra on O(bins^2) =
+    {ISO_BINS * ISO_BINS} rows.
     """
     o = load(spark, sf_dir, "orders")
     base = o.select(
@@ -121,21 +123,31 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    r = base.select(
-        "pos",
-        F.rank().over(W.orderBy("cents")).alias("rk"),
-        F.count("*").over(W.partitionBy()).alias("n"),
+    # round-8 departition (rank-cut family, same machinery as
+    # ml_calibration_bins): rank() ties share, so the bin of every row
+    # in a cents group is determined by off_cnt(cents) alone — compute
+    # it with prefix_offsets over the DISTINCT values instead of a
+    # global fact rank through one task.
+    from .prefix import prefix_offsets
+
+    vg = base.groupBy("cents").agg(
+        F.count("*").alias("cnt"), F.sum("pos").alias("pos_c")
     )
-    b = r.select(
+    offs = prefix_offsets(vg, "cents", ["cnt"], ascending=True)
+    b = offs.select(
         F.least(
-            F.expr(f"CAST((rk - 1) * {ISO_BINS} DIV (n - 1) AS INT)"),
+            F.expr(f"CAST(off_cnt * {ISO_BINS} DIV (tot_cnt - 1) AS INT)"),
             F.lit(ISO_BINS - 1),
         ).alias("bin"),
-        "pos",
+        "cnt",
+        "pos_c",
     )
     g = b.groupBy("bin").agg(
-        F.count("*").alias("n_b"), F.sum("pos").alias("pos_b")
-    )
+        F.sum("cnt").alias("n_b"), F.sum("pos_c").alias("pos_b")
+    ).localCheckpoint(eager=True)
+    # ^ the minimax lattice references g FIVE times (j/k/m legs, the
+    # inner-min probe, the final join) — unpinned, each leg re-ran the
+    # entire prefix DAG; pinned, the lattice reads 10 cached rows
     j = g.select(F.col("bin").alias("jb"))
     k = g.select(F.col("bin").alias("kb"))
     m = g.select(

@@ -3113,8 +3113,17 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = d.select(
         F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)").alias("t")
     )
-    uni = toked.select(F.explode("t").alias("tok")).groupBy("tok").agg(
-        F.count("*").alias("c")
+    # round-8 (SCALE.md 5.0x row): uni feeds THREE branches (corpus
+    # total + both sides of the lift join) and all_big feeds two — left
+    # lazy, each branch re-tokenized the corpus, so the regex pass ran
+    # ~5x per action. Checkpoint the two VOCAB-SIZED aggregates (never
+    # the wide token arrays — the round-4 persist trap): tokenization
+    # now runs exactly twice (once per count shape).
+    uni = (
+        toked.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     nuni = uni.agg(F.sum("c").alias("n_u"))
     all_big = (
@@ -3132,6 +3141,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bg.w1", "bg.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c_xy"))
+        .localCheckpoint(eager=True)
     )
     nbig = all_big.agg(F.sum("c_xy").alias("n_b"))
     big = all_big.filter(F.col("c_xy") >= COLL_MIN_COUNT)

@@ -1013,11 +1013,26 @@ def test_dominant_period_bounded_band_join(spark):
 
 
 def test_lorenz_pruned_partial_agg(spark):
+    """Round-8 shape: the per-customer aggregate is eagerly checkpointed
+    (the prefix machinery and the join-back both branch from it), so the
+    parquet scan no longer appears in the FINAL plan — the pruning
+    property moved into the checkpointed subquery and the pin here is
+    the departitioned shape itself: no unpartitioned window, no global
+    sort, cumulative via broadcast theta join over the <=10 decile
+    rows."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from window_audit import count_unpartitioned_windows
+
+    from repcheck_data_integration_spark import registry
+
+    df = registry.QUERIES["agg_lorenz_deciles"](spark, SF)
+    assert count_unpartitioned_windows(df) == 0
     p = plan(spark, "agg_lorenz_deciles")
-    rs = p.split("ReadSchema", 1)[1][:250]
-    assert "o_custkey" in rs and "o_totalprice" in rs
-    assert "o_comment" not in rs
-    assert p.count("HashAggregate") >= 2  # partial+final customer totals
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2  # decile partial+final
 
 
 def test_fixed_width_scan_codegen_no_python(spark):
@@ -1069,13 +1084,26 @@ def test_mcnemar_token_join_no_cartesian(spark):
     assert "InMemoryTableScan" in p  # shared (doc,lang,tok) subtree
 
 
-def test_brier_cached_rank_frame_pruned(spark):
+def test_brier_departitioned_no_fact_rank(spark):
+    """Round-8 shape: the persisted global fact-rank frame is GONE (its
+    .persist() was the InMemoryRelation substitution that blinded the
+    window audit for two rounds); the (cents,pos) group table rides the
+    prefix machinery and is checkpointed for the three readers. Pin:
+    zero unpartitioned windows anywhere (including inside cached plans —
+    count_unpartitioned_windows recurses), no cartesian."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from window_audit import count_unpartitioned_windows
+
+    from repcheck_data_integration_spark import registry
+
     spark.catalog.clearCache()
+    df = registry.QUERIES["ml_brier_decomposition"](spark, SF)
+    assert count_unpartitioned_windows(df) == 0
     p = plan(spark, "ml_brier_decomposition")
-    assert "InMemoryTableScan" in p  # rank frame persisted for 3 readers
-    rs = p.split("ReadSchema", 1)[1][:250]
-    assert "o_totalprice" in rs and "o_orderstatus" in rs
-    assert "o_comment" not in rs
+    assert "CartesianProduct" not in p
 
 
 def test_gesd_rounds_on_cached_bounded_series(spark):
@@ -1277,13 +1305,19 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     # gini |customers| — were departitioned via operators/prefix.py and
     # removed; "the output is 10 rows" never justifies a whitelist entry.)
     "agg_quantile_histogram": 1,
-    "ml_calibration_bins": 3,
-    "ml_ks_statistic": 3,
-    "ml_lift_gains": 3,
+    # round-8: the rank-cut family (calibration/brier/isotonic/KS/lift)
+    # was departitioned via operators/prefix.py after the audit's cache
+    # blindness was fixed (a sibling op's persist had hidden isotonic's
+    # 10 fact windows); what remains is one <=10-row grid window each
+    "ml_calibration_bins": 1,  # ECE sum over the 10-row bin grid
+    "ml_lift_gains": 1,  # cumsum over the 10-row decile grid
     # top-k windows over a relation ALREADY capped by a LIMIT
     # (TakeOrderedAndProject runs distributed; the rank window sees <= K)
     "llm_hybrid_rrf": 2,
     "agg_copurchase_pairs": 1,  # rank over the <= MB_TOP survivors
+    "sim_search_ivfpq": 2,  # codebook seed numbering over limit(PQ_K);
+    # counted twice because the audit now recurses into the two cached
+    # plans (pos/cb persists) that both contain it
     # value-alphabet statistics: window input is <= |distinct values| of a
     # genuinely bounded alphabet (quantity grades, confusion labels, sketch
     # registers) — NOT a per-entity aggregate like customer revenue

@@ -38,7 +38,7 @@ def test_prefix_offsets_matches_bruteforce(spark, asc):
     vals = rng.sample(range(100000), 500)
     rows = [{"v": v, "cnt": (v % 7) + 1, "s": v * 3} for v in vals]
     df = spark.createDataFrame(rows)
-    out = prefix_offsets(df, "v", ["cnt", "s"], ascending=asc, npart=8)
+    out = prefix_offsets(df, "v", ["cnt", "s"], ascending=asc, nbuckets=8)
     got = {r["v"]: r.asDict() for r in out.collect()}
     exp = _brute(rows, asc, ["cnt", "s"])
     assert set(got) == set(exp)
@@ -52,7 +52,7 @@ def test_prefix_offsets_matches_bruteforce(spark, asc):
 def test_prefix_offsets_more_partitions_than_rows(spark):
     rows = [{"v": 5, "cnt": 2}, {"v": 3, "cnt": 4}, {"v": 9, "cnt": 1}]
     out = prefix_offsets(
-        spark.createDataFrame(rows), "v", ["cnt"], ascending=True, npart=16
+        spark.createDataFrame(rows), "v", ["cnt"], ascending=True, nbuckets=16
     )
     got = {r["v"]: r["off_cnt"] for r in out.collect()}
     assert got == {3: 0, 5: 4, 9: 6}
@@ -60,8 +60,34 @@ def test_prefix_offsets_more_partitions_than_rows(spark):
 
 def test_prefix_offsets_single_row(spark):
     df = spark.createDataFrame([{"v": 7, "cnt": 3}])
-    row = prefix_offsets(df, "v", ["cnt"], npart=4).collect()[0]
+    row = prefix_offsets(df, "v", ["cnt"], nbuckets=4).collect()[0]
     assert row["off_cnt"] == 0 and row["cnt"] == 3
+
+
+def test_prefix_offsets_clustered_and_negative_values(spark):
+    """Degenerate domains: all values inside one bucket width (the skew
+    worst case collapses to a single within-bucket window — still
+    correct), and negative values (bucket id = (v - min) DIV width must
+    stay non-negative)."""
+    rows = [{"v": 1000000 + i, "cnt": i + 1} for i in range(50)]
+    got = {
+        r["v"]: r["off_cnt"]
+        for r in prefix_offsets(
+            spark.createDataFrame(rows), "v", ["cnt"], nbuckets=4096
+        ).collect()
+    }
+    exp = _brute(rows, True, ["cnt"])
+    assert got == {v: e["off_cnt"] for v, e in exp.items()}
+
+    rows = [{"v": v, "cnt": 1} for v in (-100, -3, 0, 7, 250)]
+    got = {
+        r["v"]: r["off_cnt"]
+        for r in prefix_offsets(
+            spark.createDataFrame(rows), "v", ["cnt"], ascending=False,
+            nbuckets=8,
+        ).collect()
+    }
+    assert got == {250: 0, 7: 1, 0: 2, -3: 3, -100: 4}
 
 
 # --- RFM percentile boundary jitter (ADVICE r7) ----------------------------

@@ -34,9 +34,30 @@ def count_unpartitioned_windows(df) -> int:
     stack = [df._jdf.queryExecution().optimizedPlan()]
     while stack:
         node = stack.pop()
-        if node.getClass().getSimpleName() == "Window":
+        cls = node.getClass().getSimpleName()
+        # logical Window (pre-substitution) and physical WindowExec (inside
+        # a cached plan) both carry partitionSpec
+        if cls in ("Window", "WindowExec"):
             if node.partitionSpec().size() == 0:
                 n += 1
+        elif cls == "InMemoryRelation":
+            # round-8 blindness fix, self-persist form: a query that
+            # persists its own subtree gets InMemoryRelation substituted
+            # into its own optimized plan, hiding every Window inside it
+            # (ml_brier_decomposition audited 0 while carrying a global
+            # fact rank). Recurse into the cached PHYSICAL plan and count
+            # WindowExec there.
+            try:
+                stack.append(node.cachedPlan())
+            except Exception:
+                pass
+        elif cls == "AdaptiveSparkPlanExec":
+            # cached plans are AQE-wrapped with no TreeNode children;
+            # the real tree hangs off initialPlan
+            try:
+                stack.append(node.initialPlan())
+            except Exception:
+                pass
         ch = node.children()
         for i in range(ch.size()):
             stack.append(ch.apply(i))
@@ -53,6 +74,14 @@ def audit(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, int]:
     registry.load_all_modules()
     out: dict[str, int] = {}
     for name in names or list(registry.QUERIES):
+        # Round-8 blindness fix: a PRIOR query's .persist() of a shared
+        # subtree makes the optimizer substitute InMemoryRelation into
+        # every later identical subplan — the Window nodes inside it
+        # vanish from the optimized plan and the audit under-counts
+        # (ml_brier_decomposition's persisted fact-rank hid
+        # ml_isotonic_calibration's 10 windows for two rounds). Sweep
+        # each query against an empty cache.
+        spark.catalog.clearCache()
         try:
             df = registry.QUERIES[name](spark, sf_dir)
         except Exception:
