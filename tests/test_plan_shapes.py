@@ -1341,6 +1341,11 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     "ts_dominant_period": 1,
     "ts_holt_linear": 2,
     "ts_runs_test": 3,
+    # |days|^2 PAIR relation of the daily series (Theil-Sen medians):
+    # quadratic in the time axis, not in fact rows — ~13M pairs at a
+    # 10-year span, the known ceiling of the exact estimator; swap for
+    # the repeated-median or a prefix_offsets rank if the series ever
+    # outgrows a sort
     "ts_theil_sen": 3,
     # corpus mixing / vocab top-k (domain- or vocab-capped relations)
     "corpus_data_card": 1,
