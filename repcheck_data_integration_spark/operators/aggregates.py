@@ -782,8 +782,10 @@ def agg_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     `percentile` buffers O(distinct metric values) on ONE reducer —
     for monetary_cents that is ≈|customers|, so at the extreme end
     swap in `approx_percentile(col, qs, 10000)` (GK sketch, bounded
-    memory, mergeable); the boundary-rule scoring is unchanged, only
-    the boundary VALUES become approximate."""
+    memory, mergeable) — or, to stay EXACT with bounded memory, the
+    agg_percentile_exact_distributed machinery (prefix-offsets order
+    statistics, this module); the boundary-rule scoring is unchanged
+    either way."""
     o = load(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.datediff(
@@ -1682,4 +1684,98 @@ def agg_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "allocated_cents",
         "max_line_cents",
         "min_line_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_percentile_exact_distributed — exact quantiles with bounded memory
+# ---------------------------------------------------------------------------
+
+QEX_PS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@register(
+    "agg_percentile_exact_distributed",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders)
+    """
+    + "\nUNION ALL\n".join(
+        f"""SELECT {p}::DOUBLE AS p, quantile_cont(cents, {p}) AS q_cents,
+           CAST(count(*) AS BIGINT) AS n FROM v"""
+        for p in QEX_PS
+    )
+    + "\nORDER BY p",
+)
+def agg_percentile_exact_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT interpolated quantiles of a fact column with BOUNDED memory
+    per task — the scale-safe alternative to Spark's single-reduce
+    `percentile` (which buffers O(distinct values) on ONE reducer, the
+    documented ceiling of agg_rfm_scores' boundary aggregate) and to
+    `approx_percentile` (which trades exactness away). The order
+    statistic x_k is located relationally: per distinct value,
+    prefix_offsets gives off_cnt = #rows with smaller values, so the
+    row whose [off_cnt, off_cnt + cnt) interval covers position k IS
+    x_k — a broadcast theta join of the <= |ps| * 2 target positions
+    against the distinct-value table, no sort, no single big reducer.
+    quantile_cont's linear interpolation — the SYMMETRIC form
+    x_lo*(1-frac) + x_hi*frac, which differs from lo + frac*(hi-lo) in
+    the last ulp (see inline note) — runs once per requested p on the
+    joined pair, bit-matching DuckDB by construction.
+
+    Scale shape: one map-side-combined aggregate to distinct values,
+    the prefix scan's bounded levels, and two broadcast-nested-loop
+    probes of |ps| rows each — every task's memory is O(its value
+    range), never O(all distinct values).
+    """
+    from .prefix import prefix_offsets
+
+    o = load(spark, sf_dir, "orders")
+    vals = o.groupBy(
+        scaled_long(F.col("o_totalprice"), 100).alias("cents")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    offs = prefix_offsets(vals, "cents", ["cnt"], ascending=True)
+    targets = (
+        offs.select(F.col("tot_cnt").alias("n"))
+        .limit(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(float(p)) for p in QEX_PS])
+            ).alias("p"),
+            "n",
+        )
+        .withColumn("h", F.col("p") * (F.col("n") - 1))
+        .withColumn("klo", F.floor("h").cast("long"))
+        .withColumn("khi", F.ceil("h").cast("long"))
+    )
+    lo = offs.join(
+        F.broadcast(targets),
+        (F.col("off_cnt") <= F.col("klo"))
+        & (F.col("klo") < F.col("off_cnt") + F.col("cnt")),
+    ).select("p", "n", "h", "klo", F.col("cents").alias("x_lo"))
+    hi = offs.join(
+        F.broadcast(targets.select("p", "khi")),
+        (F.col("off_cnt") <= F.col("khi"))
+        & (F.col("khi") < F.col("off_cnt") + F.col("cnt")),
+    ).select(F.col("p").alias("p2"), F.col("cents").alias("x_hi"))
+    return (
+        lo.join(hi, lo.p == hi.p2)
+        .select(
+            "p",
+            # quantile_cont's EXACT float recipe is the symmetric form
+            # x_lo*(1-frac) + x_hi*frac — NOT lo + frac*(hi-lo), which
+            # differs in the last ulp (measured at p=0.99, sf0.01:
+            # ...59 vs ...589999996). Reverse-engineered empirically;
+            # the boundary-jitter test's cases happen to agree on both
+            # forms, so it could not distinguish them.
+            (
+                F.col("x_lo") * (1 - (F.col("h") - F.col("klo")))
+                + F.col("x_hi") * (F.col("h") - F.col("klo"))
+            ).cast("double").alias("q_cents"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("p")
     )

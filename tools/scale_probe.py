@@ -232,6 +232,9 @@ PROBES = [
     "dedup_embedding_pairs_capped",
     "dedup_embedding_pairs_star",
     "text_token_count_bpe",
+    # round-8: exact distributed order statistics (prefix-offsets probe
+    # joins — the bounded-memory alternative to single-reduce percentile)
+    "agg_percentile_exact_distributed",
 ]
 
 
