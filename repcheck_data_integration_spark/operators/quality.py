@@ -592,7 +592,10 @@ def dq_fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each child scan collapses to DISTINCT child keys via a
     map-side partial aggregate BEFORE the parent join (orphan ROWS are
     recovered from the carried per-key counts), so the join input is
-    |distinct keys|, not |child rows|; parent key columns are broadcast.
+    |distinct keys|, not |child rows|; fact-scaled parents (orders,
+    part, customer) read their own bucketed layouts and join as
+    co-located SMJs with ZERO parent exchange, while genuinely bounded
+    dims (supplier, nation, region) broadcast.
     Seven independent single-row branches union into a 7-row result
     inside ONE action (the DAG scheduler runs their stages concurrently)
     — each branch prunes its scan to the single key column. Everything
@@ -651,6 +654,20 @@ def dq_fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             p = load_bucketed(spark, sf_dir, parent, pk).select(
                 F.col(pk).cast("long").alias("pkey")
             )
+            if not big_edge:
+                # part/customer edges: shuffled-HASH join, not SMJ —
+                # the child's aggregated keys arrive unsorted, so SMJ
+                # sorts BOTH sides (the parent's bucket sortBy is on a
+                # different bucket count alignment after the child
+                # realign); hashing the parent's per-partition slice
+                # (|parent|/buckets keys — the same fits-in-memory bound
+                # the sort path assumes) skips both sorts. Measured at
+                # sf10: part 3.2->2.4 s, customer 1.6->1.1 s. The
+                # orderkey edge KEEPS its SMJ: there both sides are
+                # co-located on the same 32 buckets and the parent
+                # stream arrives pre-sorted, so SMJ is sort-free and
+                # measured equal (1.21 vs 1.25 s).
+                p = p.hint("shuffle_hash")
         else:
             p = F.broadcast(
                 load(spark, sf_dir, parent).select(
