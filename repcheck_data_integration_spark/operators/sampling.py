@@ -1102,3 +1102,82 @@ def mix_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("alloc_tokens"),
         F.col("w").cast("long").alias("weight_q"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_safe — cluster-aware train/valid/test (round 8)
+# ---------------------------------------------------------------------------
+
+_SLS_ORACLE = f"""
+    WITH comp AS (SELECT * FROM (__COMPONENTS__)),
+    keyed AS (
+        SELECT d.doc_id, d.source,
+               coalesce(c.canonical_doc_id, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+    b AS (
+        SELECT doc_id, source, split_key,
+               {sql_hash_bucket("CAST(split_key AS VARCHAR)", 100)} AS bucket
+        FROM keyed)
+    SELECT doc_id, source,
+           CAST(split_key AS BIGINT) AS split_key,
+           CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < {SPLIT_PCT[0]} THEN 'train'
+                WHEN bucket < {SPLIT_PCT[0] + SPLIT_PCT[1]} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+    """
+
+
+@register("split_leakage_safe", oracle=_SLS_ORACLE)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test assignment that cannot leak near-duplicates
+    across the split boundary: the md5 bucket is computed on the
+    document's NEAR-DUP CLUSTER canonical id (dedup_components'
+    MinHash-LSH → verified-Jaccard → connected components), not on the
+    document id — so an entire cluster of near-copies lands in ONE
+    split, and the eval set can never contain a paraphrase of a training
+    document. split_train_valid_test's plain hash-of-doc-id split is
+    exactly the pipeline bug this op guards against: two 0.9-Jaccard
+    twins hash independently and straddle the boundary ~9.5% of the
+    time. Singleton documents (no near-dup) key on their own id, so the
+    assignment stays reprocessing-stable for them just like the plain
+    split, and cluster members move ONLY if their cluster grows a new
+    minimum member.
+
+    Scale shape: the component relation is |clustered docs| (candidates
+    come banded+salted, closure via pointer jumping — dedup.py), the
+    split assignment is one left join on doc_id plus a pure hash
+    projection; no new shuffle class beyond what dedup_components
+    already pays.
+    """
+    from .dedup import dedup_components
+
+    comp = dedup_components(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    keyed = d.join(
+        comp.withColumnRenamed("canonical_doc_id", "_canon"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("_canon"), F.col("doc_id")).alias("split_key"),
+    )
+    b = hash_bucket(F.col("split_key").cast("string"), 100)
+    return keyed.select(
+        "doc_id",
+        "source",
+        F.col("split_key").cast("long").alias("split_key"),
+        b.cast("long").alias("bucket"),
+        F.when(b < SPLIT_PCT[0], "train")
+        .when(b < SPLIT_PCT[0] + SPLIT_PCT[1], "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# splice the registered components oracle in (decoration-time f-strings
+# can't nest the brace-heavy recursive CTE — the llm_hybrid_rrf pattern)
+from ..registry import ORACLE as _ORACLE  # noqa: E402
+
+_ORACLE["split_leakage_safe"] = _ORACLE["split_leakage_safe"].replace(
+    "__COMPONENTS__", _ORACLE["dedup_components"]
+)
