@@ -1181,3 +1181,118 @@ from ..registry import ORACLE as _ORACLE  # noqa: E402
 _ORACLE["split_leakage_safe"] = _ORACLE["split_leakage_safe"].replace(
     "__COMPONENTS__", _ORACLE["dedup_components"]
 )
+
+
+# ---------------------------------------------------------------------------
+# dq_split_contamination — audit an existing split for cluster straddling
+# ---------------------------------------------------------------------------
+
+_DSC_ORACLE = f"""
+    WITH comp AS (SELECT * FROM (__COMPONENTS__)),
+    plain AS (
+        SELECT doc_id,
+               CASE WHEN {sql_hash_bucket("CAST(doc_id AS VARCHAR)", 100)}
+                         < {SPLIT_PCT[0]} THEN 'train'
+                    WHEN {sql_hash_bucket("CAST(doc_id AS VARCHAR)", 100)}
+                         < {SPLIT_PCT[0] + SPLIT_PCT[1]} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents),
+    members AS (
+        SELECT c.canonical_doc_id AS cl, p.doc_id, p.split
+        FROM comp c JOIN plain p ON c.doc_id = p.doc_id),
+    per_cl AS (
+        SELECT cl,
+               count(*) AS n_members,
+               count(DISTINCT split) AS n_splits,
+               max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train
+        FROM members GROUP BY cl),
+    leaked AS (
+        SELECT count(*) AS n_leaked FROM members m
+        JOIN per_cl ON per_cl.cl = m.cl
+        WHERE m.split <> 'train' AND per_cl.has_train = 1),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_straddling,
+               CAST(sum(n_members) AS BIGINT) AS n_clustered_docs
+        FROM per_cl)
+    SELECT n_clusters, n_straddling, n_clustered_docs,
+           CAST(n_leaked AS BIGINT) AS n_eval_docs_leaked,
+           CAST(floor(CAST(n_straddling AS DOUBLE)
+                      / nullif(n_clusters, 0) * 10000.0 + 0.5) / 10000.0
+                AS DOUBLE) AS straddle_rate
+    FROM s CROSS JOIN leaked
+    """
+
+
+@register("dq_split_contamination", oracle=_DSC_ORACLE)
+def dq_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the PLAIN hash split against the near-dup cluster graph:
+    how many clusters straddle a split boundary, and how many valid/test
+    documents have a near-duplicate in train (the count an eval-
+    contamination report leads with). This is the measurement companion
+    to split_leakage_safe — run it on an EXISTING corpus before deciding
+    whether re-splitting is worth invalidating cached eval baselines.
+
+    Scale shape: components as in dedup_components; the audit itself is
+    one join of the |clustered docs| relation against the zero-shuffle
+    split projection, a per-cluster aggregate, and a 1-row rollup."""
+    from .dedup import dedup_components
+
+    comp = dedup_components(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    b = hash_bucket(F.col("doc_id").cast("string"), 100)
+    plain = d.select(
+        "doc_id",
+        F.when(b < SPLIT_PCT[0], "train")
+        .when(b < SPLIT_PCT[0] + SPLIT_PCT[1], "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    members = comp.select(
+        F.col("canonical_doc_id").alias("cl"), "doc_id"
+    ).join(plain, "doc_id")
+    per_cl = members.groupBy("cl").agg(
+        F.count("*").alias("n_members"),
+        F.countDistinct("split").alias("n_splits"),
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "has_train"
+        ),
+    )
+    # NOT broadcast: the cluster relation is data-scaled (|clusters|);
+    # both sides key on cl, so the planner's shuffle join is the safe
+    # default and tiny SFs auto-broadcast on their own
+    leaked = (
+        members.join(
+            per_cl.filter(F.col("has_train") == 1).select("cl"), "cl"
+        )
+        .filter(F.col("split") != "train")
+        .agg(F.count("*").alias("n_leaked"))
+    )
+    s = per_cl.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_straddling"),
+        F.sum("n_members").cast("long").alias("n_clustered_docs"),
+    )
+    return s.crossJoin(F.broadcast(leaked)).select(
+        "n_clusters",
+        "n_straddling",
+        "n_clustered_docs",
+        F.col("n_leaked").cast("long").alias("n_eval_docs_leaked"),
+        (
+            F.floor(
+                F.col("n_straddling").cast("double")
+                / F.expr("nullif(n_clusters, 0)")
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).cast("double").alias("straddle_rate"),
+    )
+
+
+_ORACLE["dq_split_contamination"] = _ORACLE["dq_split_contamination"].replace(
+    "__COMPONENTS__", _ORACLE["dedup_components"]
+)
