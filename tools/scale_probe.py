@@ -235,6 +235,11 @@ PROBES = [
     # round-8: exact distributed order statistics (prefix-offsets probe
     # joins — the bounded-memory alternative to single-reduce percentile)
     "agg_percentile_exact_distributed",
+    # round-8: cluster-aware split + contamination audit (both inherit
+    # the dedup caveat — key-shifted copies are exact text twins, so the
+    # cluster graph explodes by construction at the probe)
+    "split_leakage_safe",
+    "dq_split_contamination",
 ]
 
 
