@@ -966,7 +966,7 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smaller threshold, and the single division happens after the
     max. Scale shape (round-8 departition): scores collapse to
     distinct-value counts, the CDF prefixes come from prefix_offsets'
-    two-level range scan (distinct cents ~ |orders|, so the old ordered
+    bucketed prefix scan (distinct cents ~ |orders|, so the old ordered
     cumsum window was a data-sized single task), and the argmax is a
     distributed TakeOrderedAndProject top-1 — no unpartitioned window
     at all.

@@ -1596,7 +1596,7 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (round-8 departition, VERDICT r7 "what's wrong" #3): the
     global (cents, custkey) rank over |customers| is reconstructed as
     off_cnt(cents) + row_number PARTITIONED by the cents tie group —
-    off_cnt from prefix_offsets' two-level range scan over the distinct
+    off_cnt from prefix_offsets' bucketed prefix scan over the distinct
     cents values (operators/prefix.py), so no single-task sort of the
     customer dimension. Which customer of a tie group lands on which side
     of a decile boundary cannot change the output (their cents are

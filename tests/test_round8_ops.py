@@ -1,8 +1,9 @@
 """Round-8 unit tests.
 
-- prefix_offsets (operators/prefix.py): the two-level range scan that
-  replaced the last dimension-sized unpartitioned windows must produce
-  exactly the exclusive prefix sums a single-task sort would have.
+- prefix_offsets (operators/prefix.py): the deterministic min/max-
+  bucketed prefix scan that replaced the last dimension-sized
+  unpartitioned windows must produce exactly the exclusive prefix sums
+  a single-task sort would have.
 - agg_rfm_scores boundary jitter (ADVICE r7): the op's correctness rests
   on Spark's exact `percentile` and DuckDB's `quantile_cont` being
   bit-identical on integer inputs — pin that on the adversarial inputs
