@@ -75,9 +75,20 @@ def prefix_offsets(
         F.min(order_col).alias("_mn"), F.max(order_col).alias("_mx")
     )
     width = f"((_mx - _mn) DIV {nbuckets} + 1)"
+    # overflow guard (docstring contract): a value range wider than the
+    # LONG domain wraps (_mx - _mn) negative and would bucket garbage —
+    # fail loudly instead. Woven into the needed column via assert_true
+    # (an eager count guard would double the source scan, CLAUDE.md).
+    bkt = F.coalesce(
+        F.assert_true(
+            F.col("_mx") - F.col("_mn") >= 0,
+            F.lit("prefix_offsets: value range exceeds the LONG domain"),
+        ).cast("long"),
+        F.expr(f"({order_col} - _mn) DIV {width}"),
+    )
     v = (
         vp.join(F.broadcast(mm))
-        .withColumn("_bkt", F.expr(f"({order_col} - _mn) DIV {width}"))
+        .withColumn("_bkt", bkt)
         .drop("_mn", "_mx")
     )
     sort = F.col(order_col).asc() if ascending else F.col(order_col).desc()

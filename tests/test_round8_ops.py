@@ -164,3 +164,15 @@ def test_split_leakage_safe_clusters_never_straddle(spark):
     # and the plain split would have straddled at least one cluster in
     # general — verify the op's key differs from doc_id for members
     assert any(r["split_key"] != r["doc_id"] for r in rows)
+
+
+def test_prefix_offsets_range_overflow_fails_loudly(spark):
+    """A value range wider than the LONG domain wraps (max - min)
+    negative; the woven assert_true must raise, never bucket garbage."""
+    rows = [{"v": -(2**62), "cnt": 1}, {"v": 2**62, "cnt": 1}]
+    df = spark.createDataFrame(rows)
+    # ANSI mode already throws ARITHMETIC_OVERFLOW on (max - min); the
+    # woven assert_true is the belt for non-ANSI sessions — either way
+    # the failure is loud, never silent garbage buckets
+    with pytest.raises(Exception, match="(?i)overflow|assert|LONG domain"):
+        prefix_offsets(df, "v", ["cnt"], nbuckets=8).collect()
