@@ -150,7 +150,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     join key + nationkey — before the broadcast), which preserves the
     bucketed partitioning, then the lineitem SMJ consumes co-located
     buckets with no exchange on either side. The only exchanges left
-    are the 25-row n_name aggregate and the final sort. At 100 TB where
+    are the 25-row n_name aggregate and the final sort. Above the
+    session's runtime-bloom scan threshold (512 MB locally — sf10 and
+    up; see session.py) Spark additionally injects a bloom from the
+    filtered orders⋈customer build into the LINEITEM scan, DuckDB's
+    dynamic join-filter pushdown in Spark form: ~73% of lineitem rows
+    drop before the merge (sf10 same-session A/B: 6.5 s -> 3.8 s). The
+    sf0.001 plan pin sits below the threshold and keeps its 2-exchange
+    shape. At 100 TB where
     customer outgrows a broadcast, the posture flips to shuffling ORDERS
     (the 10x-smaller fact) by custkey for that dim join and re-shuffling
     the result by orderkey INTO lineitem's bucketing — the monster table
