@@ -165,7 +165,25 @@ HEADLINE = [
     "text_token_count_bpe",
     "dedup_embedding_pairs_star",
     "dedup_embedding_pairs_capped",
+    # round-9 additions (VERDICT r8 #1): the two slowest registry ops +
+    # the exact-percentile machinery, previously bench-invisible. The two
+    # split ops share one ckpt.shared_components build per session; the
+    # FIRST trial of the first of them pays that build (visible in the
+    # stderr trials list), min-of-2 reports the steady state the memo is
+    # designed to deliver — PERF.md "Round-9 heavy-op rows" documents both
+    # numbers.
+    "split_leakage_safe",
+    "dq_split_contamination",
+    "agg_percentile_exact_distributed",
 ]
+
+# Rows added in round 9 — excluded from the same-set subtotal so the
+# round-over-round diff (VERDICT r8 #8) compares identical query sets.
+_R9_ADDITIONS = {
+    "split_leakage_safe",
+    "dq_split_contamination",
+    "agg_percentile_exact_distributed",
+}
 
 
 def drain(df) -> None:
@@ -241,6 +259,11 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: v for k, v in slowest},
         "n_queries": len(per_query),
+        # subtotal over the round-8 HEADLINE set (r9 additions excluded)
+        # so BENCH_r09 vs BENCH_r08 compares identical sets
+        "value_r8_set": round(
+            sum(v for k, v in per_query.items() if k not in _R9_ADDITIONS), 3
+        ),
         "sf": float(sf) if sf else None,
     }
     print(json.dumps(out))

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from .ckpt import pin
 from ..registry import register
 from ..functions.exact import scaled_long
 from ..tables import load
@@ -922,7 +923,7 @@ def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(scaled_long(F.col("l_extendedprice"), 100)).alias(
             "rev_cents"
         )
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     # ^ three branches (distinct-value table, join-back, total) would
     # otherwise each re-scan the lineitem fact
     tot = rev.agg(F.sum("rev_cents").alias("t"))

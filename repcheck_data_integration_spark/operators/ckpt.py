@@ -1,0 +1,98 @@
+"""Checkpoint hygiene: build-time pin helper + shared components frame.
+
+Round-9, from two round-8 advisories:
+
+1. ``pin()`` — the eager ``localCheckpoint`` that several operators run at
+   DataFrame-CONSTRUCTION time (multi-branch lattices re-read a small
+   aggregate instead of re-running its whole upstream DAG per branch)
+   truncates lineage into a ``LogicalRDD`` node that plan-only consumers
+   (tools/window_audit.py, tests/test_plan_shapes.py) cannot recurse
+   into — a window upstream of the checkpoint would be invisible to the
+   audit, the same blindness class round 8 fixed for ``.persist()``.
+   Routing every build-time checkpoint through ``pin()`` gives those
+   consumers one switch (``PLAN_ONLY = True``) that returns the frame
+   un-checkpointed, so the FULL logical plan stays auditable and query
+   construction has no job-execution side effects. Iterative loops whose
+   convergence probes execute at build time anyway (connected
+   components, PageRank, BPE merges) keep their unconditional
+   checkpoints — disabling those would deepen plans quadratically
+   without making anything more auditable that their per-round actions
+   don't already execute.
+
+2. ``shared_components()`` — split_leakage_safe and
+   dq_split_contamination each rebuilt the full dedup_components DAG
+   (MinHash-LSH banding + iterative CC, ~5 s at sf0.1), so a gate or
+   bench run paid the component build twice back-to-back (VERDICT r8
+   "what's wrong" #3). This memoizes the (doc_id, canonical_doc_id)
+   frame per (session, source content) behind an eager localCheckpoint —
+   NOT ``.persist()``, which would let the optimizer substitute
+   InMemoryRelation into OTHER queries' identical subtrees (the
+   CLAUDE.md round-8 cross-plan hazard). A localCheckpoint is a private
+   RDD scan: only DataFrames derived from the returned object read it.
+   Keyed like tables.load_bucketed — content fingerprint + LAYOUT_SALT —
+   so in-place fixture regeneration and scale_probe impersonation never
+   reuse stale components. On a real cluster this frame is the persisted
+   dedup-cluster table an ingest pipeline maintains; the memo stands in
+   for that materialization locally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Plan-only consumers (window_audit, plan-shape tests) flip this to True
+# to build queries WITHOUT build-time checkpoint side effects, so the
+# optimized plan exposes the full pre-checkpoint tree. Never set it in a
+# path that will EXECUTE the query: the multi-branch lattices downstream
+# of pin() re-run their upstream DAG once per branch when unpinned.
+PLAN_ONLY = False
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Eagerly localCheckpoint a SMALL multi-branch frame (bounded grid /
+    per-entity aggregate), unless a plan-only consumer disabled
+    build-time side effects."""
+    if PLAN_ONLY:
+        return df
+    return df.localCheckpoint(eager=True)
+
+
+def lazy_pin(df: DataFrame) -> DataFrame:
+    """Lazy variant — checkpoints at first action instead of at build."""
+    if PLAN_ONLY:
+        return df
+    return df.localCheckpoint(eager=False)
+
+
+# (session id, sf_dir, layout salt, content fingerprint) -> components
+_COMPONENTS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_components' (doc_id, canonical_doc_id) frame, computed once
+    per (session, documents-content) and served from a localCheckpoint.
+
+    Falls back to a fresh un-memoized build when the fixture path has no
+    stat-able parquet (probe harnesses patching tables.load) or in
+    PLAN_ONLY mode — the memo is an optimization, never a correctness
+    or auditability dependency."""
+    import os
+
+    from .. import tables
+    from .dedup import dedup_components
+
+    if PLAN_ONLY:
+        return dedup_components(spark, sf_dir)
+    try:
+        fp = tables._content_fingerprint(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+    except OSError:
+        return dedup_components(spark, sf_dir)
+    key = (id(spark), sf_dir, tables.LAYOUT_SALT, fp)
+    hit = _COMPONENTS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    comp = dedup_components(spark, sf_dir).localCheckpoint(eager=True)
+    _COMPONENTS_CACHE[key] = comp
+    return comp

@@ -50,6 +50,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .ckpt import pin
+
 B2 = 64  # super-bucket fan-in (level-3 theta join is <= B2^2 pair evals)
 
 
@@ -70,7 +72,7 @@ def prefix_offsets(
     the output, which would re-run the whole prefix DAG once per
     branch). Exclusive prefix sums, computed without any unpartitioned
     window (module docstring)."""
-    vp = vals.localCheckpoint(eager=True)
+    vp = pin(vals)  # ckpt.PLAN_ONLY consumers audit the full tree
     mm = vp.agg(
         F.min(order_col).alias("_mn"), F.max(order_col).alias("_mx")
     )

@@ -1148,11 +1148,14 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     come banded+salted, closure via pointer jumping — dedup.py), the
     split assignment is one left join on doc_id plus a pure hash
     projection; no new shuffle class beyond what dedup_components
-    already pays.
+    already pays — and that build is paid ONCE per session: the
+    components frame comes from ckpt.shared_components (round-9), so a
+    gate/bench run of this op and dq_split_contamination back-to-back
+    no longer rebuilds the LSH+CC DAG twice.
     """
-    from .dedup import dedup_components
+    from .ckpt import shared_components
 
-    comp = dedup_components(spark, sf_dir)
+    comp = shared_components(spark, sf_dir)
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
     keyed = d.join(
         comp.withColumnRenamed("canonical_doc_id", "_canon"), "doc_id", "left"
@@ -1234,12 +1237,14 @@ def dq_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     to split_leakage_safe — run it on an EXISTING corpus before deciding
     whether re-splitting is worth invalidating cached eval baselines.
 
-    Scale shape: components as in dedup_components; the audit itself is
-    one join of the |clustered docs| relation against the zero-shuffle
-    split projection, a per-cluster aggregate, and a 1-row rollup."""
-    from .dedup import dedup_components
+    Scale shape: components as in dedup_components — served from the
+    per-session ckpt.shared_components checkpoint (round-9, see
+    split_leakage_safe); the audit itself is one join of the |clustered
+    docs| relation against the zero-shuffle split projection, a
+    per-cluster aggregate, and a 1-row rollup."""
+    from .ckpt import shared_components
 
-    comp = dedup_components(spark, sf_dir)
+    comp = shared_components(spark, sf_dir)
     d = load(spark, sf_dir, "documents").select("doc_id")
     b = hash_bucket(F.col("doc_id").cast("string"), 100)
     plain = d.select(

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
+from .ckpt import pin
 from .dedup import sql_stable_round4, stable_round4
 
 # --------------------------------------------------------------------------
@@ -815,7 +816,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy(F.col("next_type").alias("node"))
             .agg(F.sum(F.expr("(r * n) div ns")).alias("r"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
     emp = pc.groupBy(F.col("next_type").alias("node")).agg(
         F.sum("n").alias("cnt")

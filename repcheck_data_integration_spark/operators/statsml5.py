@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..functions.exact import scaled_long
 from ..tables import load
+from .ckpt import pin
 from .dedup import sql_stable_round4
 
 # --------------------------------------------------------------------------
@@ -1614,7 +1615,7 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("cents")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     vals = cr.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
     offs = prefix_offsets(vals, "cents", ["cnt"], ascending=True)
     nt = cr.agg(
@@ -1641,7 +1642,7 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
         F.max("tot").cast("double").alias("tot"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     # cumulative over <=10 decile rows via broadcast theta join (the
     # ml_qini_uplift shape), not an unpartitioned window
     prev = s.select(
@@ -2267,7 +2268,7 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tot_vc").alias("n"),
         ),
         "cents",
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     dev = (F.col("rkm1") - F.col("pos") * (F.col("n") - 1)).cast(
         "decimal(38,0)"
     )

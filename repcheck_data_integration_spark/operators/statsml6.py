@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
+from .ckpt import lazy_pin, pin
 from .dedup import sql_stable_round4
 from .sampling import hash_bucket, sql_hash_bucket
 
@@ -144,7 +145,7 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = b.groupBy("bin").agg(
         F.sum("cnt").alias("n_b"), F.sum("pos_c").alias("pos_b")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     # ^ the minimax lattice references g FIVE times (j/k/m legs, the
     # inner-min probe, the final join) — unpinned, each leg re-ran the
     # entire prefix DAG; pinned, the lattice reads 10 cached rows
@@ -403,7 +404,7 @@ def events_attribution_shapley(
         # the rollup: localCheckpoint it so events is scanned ONCE (the
         # label-frame discipline from graph.py — without it every reuse
         # recomputes the full lineage)
-        .localCheckpoint()
+        .transform(lazy_pin)
     )
     chans = spark.createDataFrame(
         [(b,) for _, b in SHAP_CHANNELS], "bit int"
@@ -824,7 +825,7 @@ def ml_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
         ).alias("conv"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     # ^ materialized ONCE: the offset table, the total, and the rank
     # assignment all branch from this |users|-sized frame — without the
     # checkpoint each branch re-scans the events fact (8 scans at plan
@@ -868,7 +869,7 @@ def ml_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cumulative over <= QINI_BINS rows via broadcast theta join (<= bin),
     # not an unpartitioned window; the 10-row frame is pinned so the
     # theta join's two references don't re-run the user aggregation
-    per_bin = per_bin.localCheckpoint(eager=True)
+    per_bin = per_bin.transform(pin)
     pb = per_bin.select(
         F.col("bin").alias("p_bin"),
         F.col("nt").alias("p_nt"),

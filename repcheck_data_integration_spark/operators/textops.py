@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
+from .ckpt import pin
 from .dedup import TOKEN_RE, sql_stable_round4, stable_round4, tokens
 
 EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -3123,7 +3124,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         toked.select(F.explode("t").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     nuni = uni.agg(F.sum("c").alias("n_u"))
     all_big = (
@@ -3141,7 +3142,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bg.w1", "bg.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c_xy"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     nbig = all_big.agg(F.sum("c_xy").alias("n_b"))
     big = all_big.filter(F.col("c_xy") >= COLL_MIN_COUNT)

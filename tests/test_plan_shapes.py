@@ -1019,17 +1019,28 @@ def test_lorenz_pruned_partial_agg(spark):
     property moved into the checkpointed subquery and the pin here is
     the departitioned shape itself: no unpartitioned window, no global
     sort, cumulative via broadcast theta join over the <=10 decile
-    rows."""
+    rows.
+
+    Round-9 (ADVICE r8 #1): the window count is taken on a PLAN_ONLY
+    build so the checkpoint cannot hide its upstream subtree — the
+    count_unauditable_nodes == 0 assert proves the whole lattice is
+    actually visible to the walk, making the 0-window pin non-vacuous."""
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
-    from window_audit import count_unpartitioned_windows
+    from window_audit import count_unauditable_nodes, count_unpartitioned_windows
 
     from repcheck_data_integration_spark import registry
+    from repcheck_data_integration_spark.operators import ckpt
 
-    df = registry.QUERIES["agg_lorenz_deciles"](spark, SF)
-    assert count_unpartitioned_windows(df) == 0
+    ckpt.PLAN_ONLY = True
+    try:
+        df = registry.QUERIES["agg_lorenz_deciles"](spark, SF)
+        assert count_unauditable_nodes(df) == 0
+        assert count_unpartitioned_windows(df) == 0
+    finally:
+        ckpt.PLAN_ONLY = False
     p = plan(spark, "agg_lorenz_deciles")
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 2  # decile partial+final
@@ -1095,15 +1106,81 @@ def test_brier_departitioned_no_fact_rank(spark):
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
-    from window_audit import count_unpartitioned_windows
+    from window_audit import count_unauditable_nodes, count_unpartitioned_windows
 
     from repcheck_data_integration_spark import registry
+    from repcheck_data_integration_spark.operators import ckpt
 
     spark.catalog.clearCache()
-    df = registry.QUERIES["ml_brier_decomposition"](spark, SF)
-    assert count_unpartitioned_windows(df) == 0
+    ckpt.PLAN_ONLY = True
+    try:
+        df = registry.QUERIES["ml_brier_decomposition"](spark, SF)
+        assert count_unauditable_nodes(df) == 0
+        assert count_unpartitioned_windows(df) == 0
+    finally:
+        ckpt.PLAN_ONLY = False
     p = plan(spark, "ml_brier_decomposition")
     assert "CartesianProduct" not in p
+
+
+def test_prefix_family_departition_visible_full_tree(spark):
+    """Round-9 (ADVICE r8 #1): every prefix_offsets consumer is audited
+    with build-time checkpoints DISABLED (ckpt.PLAN_ONLY), so the walk
+    sees the complete pre-checkpoint tree — 0 unauditable leaves AND 0
+    unpartitioned windows per query. This is the non-vacuous version of
+    the round-8 departition pins: a future unpartitioned window hidden
+    ABOVE a localCheckpoint now fails here instead of going undetected
+    (the same blindness class .persist() had before round 8)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from window_audit import count_unauditable_nodes, count_unpartitioned_windows
+
+    from repcheck_data_integration_spark import registry
+    from repcheck_data_integration_spark.operators import ckpt
+
+    registry.load_all_modules()
+    prefix_consumers = [
+        "agg_gini_revenue",
+        "agg_abc_pareto",
+        "agg_lorenz_deciles",
+        "ml_isotonic_calibration",
+        "ml_ks_statistic",
+        "ml_qini_uplift",
+        "agg_percentile_exact_distributed",
+        "text_pmi_collocations",
+    ]
+    ckpt.PLAN_ONLY = True
+    try:
+        for name in prefix_consumers:
+            spark.catalog.clearCache()
+            df = registry.QUERIES[name](spark, SF)
+            assert count_unauditable_nodes(df) == 0, name
+            assert count_unpartitioned_windows(df) == 0, name
+    finally:
+        ckpt.PLAN_ONLY = False
+
+
+def test_shared_components_memoized_single_build(spark):
+    """split_leakage_safe and dq_split_contamination must NOT rebuild the
+    LSH+CC component DAG twice in one session (VERDICT r8 #3): the memo
+    returns the identical checkpointed frame for both calls, and the
+    split ops' plans read an RDD leaf instead of re-running the banding
+    (no MapInPandas/minhash subtree in either optimized plan)."""
+    from repcheck_data_integration_spark.operators import ckpt
+
+    ckpt._COMPONENTS_CACHE.clear()
+    a = ckpt.shared_components(spark, SF)
+    b = ckpt.shared_components(spark, SF)
+    assert a is b
+    assert len(ckpt._COMPONENTS_CACHE) == 1
+    # the checkpointed frame severs the LSH lineage: downstream split
+    # plans contain a scan leaf, not the minhash pipeline
+    from repcheck_data_integration_spark import registry
+
+    p = plan(spark, "split_leakage_safe")
+    assert "MapInPandas" not in p and "posexplode" not in p.lower()
 
 
 def test_gesd_rounds_on_cached_bounded_series(spark):

@@ -30,7 +30,27 @@ def count_unpartitioned_windows(df) -> int:
     """Number of Window logical nodes with an empty partitionSpec in the
     optimized plan (optimized, not analyzed: optimizer-collapsed windows
     shouldn't count, and column pruning can't remove a window it needs)."""
+    n, _ = _walk_plan(df)
+    return n
+
+
+def count_unauditable_nodes(df) -> int:
+    """Number of lineage-truncated leaves (LogicalRDD / RDDScanExec /
+    ExistingRDD) in the optimized plan — each one is a subtree the
+    window count CANNOT see into (ADVICE r8 #1: an eager localCheckpoint
+    hides its upstream windows from the audit exactly the way .persist()
+    did before round 8's InMemoryRelation recursion). A sound audit of a
+    checkpointing query builds it with operators.ckpt.PLAN_ONLY = True
+    (audit() does) so this returns 0; a non-zero count means the pin
+    `count_unpartitioned_windows(df) == 0` is partially vacuous."""
+    _, u = _walk_plan(df)
+    return u
+
+
+def _walk_plan(df) -> tuple[int, int]:
+    """(unpartitioned window count, unauditable truncated-leaf count)."""
     n = 0
+    unauditable = 0
     stack = [df._jdf.queryExecution().optimizedPlan()]
     while stack:
         node = stack.pop()
@@ -40,6 +60,10 @@ def count_unpartitioned_windows(df) -> int:
         if cls in ("Window", "WindowExec"):
             if node.partitionSpec().size() == 0:
                 n += 1
+        elif cls in ("LogicalRDD", "RDDScanExec", "ExternalRDD"):
+            # a localCheckpoint (or any RDD-backed leaf) severs lineage:
+            # whatever plan produced the RDD is gone from this tree
+            unauditable += 1
         elif cls == "InMemoryRelation":
             # round-8 blindness fix, self-persist form: a query that
             # persists its own subtree gets InMemoryRelation substituted
@@ -64,31 +88,54 @@ def count_unpartitioned_windows(df) -> int:
         # inner subquery plans (scalar subqueries etc.) live in expressions;
         # none of the registry queries use them for windows, and traversing
         # expression trees over py4j is ~100x slower — skip deliberately.
-    return n
+    return n, unauditable
 
 
-def audit(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, int]:
+def audit(
+    spark,
+    sf_dir: str,
+    names: list[str] | None = None,
+    unauditable_out: dict[str, int] | None = None,
+) -> dict[str, int]:
     """{query_name: unpartitioned_window_count} for every registered query
     that has at least one. Queries whose builder fails (env-gated stubs)
-    are skipped — they can't hide a window."""
+    are skipped — they can't hide a window.
+
+    Builds every query with operators.ckpt.PLAN_ONLY = True (round-9,
+    ADVICE r8 #1/#3): build-time eager localCheckpoints are suppressed so
+    (a) the audit sees the FULL pre-checkpoint tree instead of an opaque
+    LogicalRDD, and (b) merely auditing no longer executes the prefix /
+    lattice upstream jobs. Any truncated leaf that SURVIVES plan-only
+    mode (iterative loops whose convergence actions run at build time)
+    is reported through ``unauditable_out`` so vacuous coverage is
+    visible, not silent."""
+    from repcheck_data_integration_spark.operators import ckpt
+
     registry.load_all_modules()
     out: dict[str, int] = {}
-    for name in names or list(registry.QUERIES):
-        # Round-8 blindness fix: a PRIOR query's .persist() of a shared
-        # subtree makes the optimizer substitute InMemoryRelation into
-        # every later identical subplan — the Window nodes inside it
-        # vanish from the optimized plan and the audit under-counts
-        # (ml_brier_decomposition's persisted fact-rank hid
-        # ml_isotonic_calibration's 10 windows for two rounds). Sweep
-        # each query against an empty cache.
-        spark.catalog.clearCache()
-        try:
-            df = registry.QUERIES[name](spark, sf_dir)
-        except Exception:
-            continue
-        c = count_unpartitioned_windows(df)
-        if c:
-            out[name] = c
+    prior = ckpt.PLAN_ONLY
+    ckpt.PLAN_ONLY = True
+    try:
+        for name in names or list(registry.QUERIES):
+            # Round-8 blindness fix: a PRIOR query's .persist() of a shared
+            # subtree makes the optimizer substitute InMemoryRelation into
+            # every later identical subplan — the Window nodes inside it
+            # vanish from the optimized plan and the audit under-counts
+            # (ml_brier_decomposition's persisted fact-rank hid
+            # ml_isotonic_calibration's 10 windows for two rounds). Sweep
+            # each query against an empty cache.
+            spark.catalog.clearCache()
+            try:
+                df = registry.QUERIES[name](spark, sf_dir)
+            except Exception:
+                continue
+            c, u = _walk_plan(df)
+            if c:
+                out[name] = c
+            if u and unauditable_out is not None:
+                unauditable_out[name] = u
+    finally:
+        ckpt.PLAN_ONLY = prior
     return out
 
 
@@ -97,8 +144,12 @@ if __name__ == "__main__":
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     spark = get_spark("window-audit")
-    found = audit(spark, sf_dir)
+    unaud: dict[str, int] = {}
+    found = audit(spark, sf_dir, unauditable_out=unaud)
     for k, v in sorted(found.items()):
         print(f"{k}\t{v}")
     print(f"# {len(found)} queries with unpartitioned windows")
+    for k, v in sorted(unaud.items()):
+        print(f"# unauditable (lineage-truncated leaves survive plan-only "
+              f"mode): {k}\t{v}")
     spark.stop()
