@@ -1009,9 +1009,15 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = rev.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
     offs = prefix_offsets(vals, "cents", ["cnt"], ascending=True)
     # sum of global ranks inside a tie group: c*off + c(c+1)/2 (exact —
-    # c(c+1) is always even); weight by the group's constant cents in
-    # DECIMAL so iw never wraps at the 100 TB posture
-    ranksum = F.expr("cnt * off_cnt + (cnt * (cnt + 1)) DIV 2")
+    # c(c+1) is always even); the whole rank-sum accumulates in DECIMAL
+    # (ADVICE r8: cnt*off_cnt in LONG could wrap silently in non-ANSI
+    # mode for a large tie group high in a ~1e10-customer domain — the
+    # decimal cast must cover the rank product, not just the cents
+    # multiply below)
+    ranksum = F.expr(
+        "CAST(cnt AS DECIMAL(38,0)) * off_cnt"
+        " + (CAST(cnt AS DECIMAL(38,0)) * (cnt + 1)) DIV 2"
+    )
     s = offs.agg(
         F.sum("cnt").alias("n"),
         F.sum(F.col("cnt") * F.col("cents")).alias("t"),

@@ -45,26 +45,24 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # covers what the engine is FOR; the full local gate (tools/check.py) still
 # checks all of them.
 #
-# Round-8 ordering rule (VERDICT.md r7 Next-round #2, same policy as r7):
-# the 5 ever-failed rows stay pinned first (never rotate a failure out of
-# the window; the only other non-green rows ever recorded —
-# agg_approx_distinct / agg_approx_percentile — are `no_oracle` BY DESIGN
-# and stay outside). Slot 6 re-checks agg_gini_revenue in the DRIVER's own
-# environment: round 8 departitioned it via operators/prefix.py and its
-# iw accumulator changed type long -> DECIMAL(38,0), the one changed op
-# this round whose final formula mixes that new type into cross-engine
-# float arithmetic (abc_pareto/copurchase also changed plans but stay
-# integer-exact end-to-end and were driver-green before; both gate
-# session shapes re-verify them). The remaining 44 slots burn the
-# never-driver-sampled backlog (177 after r7) in registration order,
-# EXCEPT (a) the two changed-this-round ops that are ALSO first-timers —
-# agg_lorenz_deciles (departitioned) and dq_fk_coverage (part/customer
-# parents moved off broadcast onto bucketed layouts) — which jump the
-# queue, and (b) rows-only ops, which stay OUTSIDE the window (policy
-# pinned by tests/test_entry.py: a window slot spent on a query that can
-# never hash-match wastes hash-verification surface; their correctness
-# is their unit tests, COVERAGE.md "Rows-only registry"). 133
-# never-sampled remain for r9+ (125 oracle-backed + 8 rows-only).
+# Round-9 ordering rule (VERDICT.md r8 Next-round #2, same policy since
+# r6): the 5 ever-failed rows stay pinned first (never rotate a failure
+# out of the window). Slot 6 re-checks agg_gini_revenue: round 9 moved
+# its tie-group rank-sum product into DECIMAL(38,0) (ADVICE r8 — the
+# LONG cnt*off_cnt could wrap silently at a ~1e10-customer domain), the
+# one changed-formula op this round. Slots 7-8 are the two round-8 split
+# ops — changed this round (their shared components subtree now rides
+# ckpt.shared_components' per-session checkpoint) AND never sampled — so
+# they jump the queue, followed by the rest of the VERDICT r8 gate-only
+# flagships (dedup_cluster_stats, llm_hybrid_rrf, the three streaming
+# batch twins, join_set_similarity, agg_percentile_exact_distributed).
+# The remaining slots burn the never-driver-sampled backlog (126
+# oracle-backed after r8) in registration order. Rows-only ops stay
+# OUTSIDE the window (policy pinned by tests/test_entry.py: a slot spent
+# on a query that can never hash-match wastes hash-verification surface;
+# their correctness is their unit tests, COVERAGE.md "Rows-only
+# registry"). After this window: ~82 oracle-backed never-sampled remain
+# for r10+.
 DRIVER_PRIORITY: list[str] = [
     # ever-failed rows, pinned first forever (r2: tpch_q12; r3: the four):
     "win_session_features",
@@ -72,58 +70,55 @@ DRIVER_PRIORITY: list[str] = [
     "emb_normalize",
     "emb_quantize_int8",
     "tpch_q12_priority_counts",
-    # round-8 changed-op re-check (new plan + new accumulator type):
+    # round-9 changed-op re-check (DECIMAL rank-sum accumulator):
     "agg_gini_revenue",
-    # changed this round AND never driver-sampled:
-    "agg_lorenz_deciles",
-    "dq_fk_coverage",
-    # text / corpus stats — never driver-sampled:
-    "text_bigram_xent",
-    "text_bpe_encode1",
-    "text_token_count_bpe",
-    "agg_heavy_hitters_exact",
-    "agg_count_min_sketch",
-    "text_rake_keywords",
-    "corpus_report",
-    "text_pmi_pairs",
-    "text_keyphrase_textrank",
-    "text_kneser_ney_xent",
-    "text_watermark_score",
-    "text_source_overlap_matrix",
-    "dedup_boilerplate_sentences",
-    "text_ngram_novelty",
-    "dq_pii_report",
-    "text_pmi_collocations",
-    # LLM eval — never driver-sampled:
-    "llm_eval_chrf",
-    "ml_bradley_terry",
-    "llm_eval_edit_rate",
-    "llm_rag_eval",
-    # data-quality suite — never driver-sampled:
-    "dq_profile",
-    "dq_constraint_check",
-    "dq_histogram",
-    "dq_outliers_mad",
-    "sample_deterministic",
-    "sample_stratified",
-    "dq_distribution_shift",
-    "dq_benford_digits",
-    "dq_rater_agreement",
-    # temporal joins — never driver-sampled:
-    "ts_gap_fill",
-    "join_asof_forward",
-    "join_asof_tolerance",
-    "ts_resample_ohlc",
-    "join_interval_overlap",
-    "join_asof_nearest",
-    "join_pit_scd2",
-    "temporal_align_segments",
-    # graph family — never driver-sampled:
-    "graph_degree",
-    "graph_two_hop",
-    "graph_triangle_count",
-    "agg_reaggregate",
-    "graph_label_propagation",
+    # changed this round AND never driver-sampled (shared components memo):
+    "split_leakage_safe",
+    "dq_split_contamination",
+    # VERDICT r8 gate-only flagships, never driver-sampled:
+    "agg_percentile_exact_distributed",
+    "dedup_cluster_stats",
+    "llm_hybrid_rrf",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup_keys",
+    "join_set_similarity",
+    # never-sampled backlog in registration order:
+    "graph_clustering_coeff",
+    "graph_random_walks",
+    "graph_jaccard_neighbors",
+    "graph_bfs_distance",
+    "graph_degree_assortativity",
+    "graph_modularity",
+    "graph_katz_centrality",
+    "graph_ktruss",
+    "graph_ppr",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "agg_kmv_sketch",
+    "dq_t_closeness",
+    "ts_autocorr",
+    "ml_linreg_normal_eq",
+    "ml_naive_bayes_lang",
+    "ml_confusion_prf",
+    "ml_auc_roc",
+    "ml_decision_stump",
+    "ts_theil_sen",
+    "ts_cross_correlation",
+    "rec_item_item_cosine",
+    "priv_dp_counts",
+    "ml_lift_gains",
+    "ml_ks_statistic",
+    "ml_calibration_bins",
+    "ts_ses_forecast",
+    "agg_theil_index",
+    "agg_bootstrap_ci",
+    "ts_decompose_seasonal",
+    "ts_anomaly_seasonal",
+    "events_entropy_rate",
+    "ml_sprt_ab",
+    "events_markov_stationary",
+    "ml_logreg_newton",
 ]
 
 
