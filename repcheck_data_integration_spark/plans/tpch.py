@@ -202,7 +202,18 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier").filter(
         F.col("s_nationkey").isin(region_nations)
     )
-    ocust = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    # shuffle_hash over the co-located buckets (round 9): both sides are
+    # bucketed on orderkey so the hint changes SMJ -> SHJ with still ZERO
+    # exchanges — the hash build is the FILTERED orders side (date+region
+    # selective, ~215k rows x 3 cols per bucket at sf10; bounded by the
+    # ingest-time bucket sizing at any SF), the 60M-row lineitem side
+    # streams through probes instead of a merge compare. Interleaved
+    # min-of-4 at sf10: 3.14 s vs 3.57 s SMJ, never slower in-session.
+    # Remaining floor is the 4-column lineitem materialization itself
+    # (2.42 s measured bare in the same session) — see PERF.md round-9.
+    ocust = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).hint("shuffle_hash")
     return (
         li.join(ocust, li.l_orderkey == ocust.o_orderkey)
         .join(
