@@ -1418,12 +1418,10 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     "ts_dominant_period": 1,
     "ts_holt_linear": 2,
     "ts_runs_test": 3,
-    # |days|^2 PAIR relation of the daily series (Theil-Sen medians):
-    # quadratic in the time axis, not in fact rows — ~13M pairs at a
-    # 10-year span, the known ceiling of the exact estimator; swap for
-    # the repeated-median or a prefix_offsets rank if the series ever
-    # outgrows a sort
-    "ts_theil_sen": 3,
+    # (ts_theil_sen left this list in round 9: both pair-multiset
+    # medians now run through _median_center_avg's bucketed exact
+    # selection — every window partitioned, the quadratic pair relation
+    # stays a distributed theta join)
     # corpus mixing / vocab top-k (domain- or vocab-capped relations)
     "corpus_data_card": 1,
     "mix_epoch_schedule": 2,
