@@ -584,11 +584,12 @@ def test_fk_coverage_broadcast_parents_key_only_scans(spark):
     # shuffled the union of all tagged keys through one exchange (~200M
     # (string,long) rows at sf10, 22.8s vs 9.6s per-edge; and 1.6s vs
     # 0.56s at sf0.1). Three lineitem scans, one per FK, each 1-column —
-    # round 7 moved the l_orderkey edge onto the BUCKETED layout (its
-    # scan reads the warehouse table, not the raw parquet; exchange-count
-    # pin in test_dq_fk_coverage_bucketed_orderkey_edge), so two raw
-    # parquet scans remain.
-    assert p.count("lineitem.parquet") == 2
+    # round 7 moved the l_orderkey edge onto the BUCKETED layout, and
+    # round 9 the l_partkey edge onto its secondary FK-clustered layout
+    # (exchange-count pin in test_dq_fk_coverage_bucketed_orderkey_edge),
+    # so ONE raw parquet scan remains (l_suppkey, whose 100k-key domain
+    # collapses in map-side combine and needs no layout).
+    assert p.count("lineitem.parquet") == 1
     for key in ("l_orderkey", "l_partkey", "l_suppkey"):
         assert f"ReadSchema: struct<{key}:bigint>" in p
     # every branch combines map-side before its exchange (partial count)
