@@ -414,3 +414,88 @@ def test_window_funnel_enforces_step_deadline(spark, tmp_path):
     assert r["conv_click"] == math.floor(2 / 3 * 10000 + 0.5) / 10000
     assert r["conv_purchase"] == 0.5
     assert r["avg_hours_to_convert"] == 34.0  # user 1: 34h view->purchase
+
+
+# ---------------------------------------------------------------------------
+# _median_center_avg — the round-9 bucketed exact median selection
+# ---------------------------------------------------------------------------
+
+
+def _ref_center_avg(values):
+    """Reference: mean of the rows with 1-based rank in
+    [(m+1)//2, m//2+1] of the sorted multiset — one value for odd m, the
+    two central values for even m."""
+    s = sorted(values)
+    m = len(s)
+    lo, hi = (m + 1) // 2, m // 2 + 1
+    mid = s[lo - 1 : hi]
+    return sum(mid) / len(mid)
+
+
+def test_median_center_avg_matches_reference_shapes(spark):
+    """Odd/even counts, duplicates, negatives, values clustered so the
+    target ranks straddle a bucket boundary, and the all-equal degenerate
+    (single-bucket) case — each against the sorted-list reference."""
+    from repcheck_data_integration_spark.operators.statsml2 import (
+        _median_center_avg,
+    )
+
+    cases = [
+        [5.0],                                   # singleton
+        [2.0, 4.0],                              # even: mean of both
+        [1.0, 2.0, 3.0],                         # odd
+        [1.0, 1.0, 1.0, 1.0],                    # all equal (width 0)
+        [-3.0, -1.0, 0.0, 2.0, 7.0, 7.0],        # even, negatives, ties
+        [float(i) for i in range(1, 1001)],      # even, many buckets
+        [float(i) for i in range(1, 1002)],      # odd, many buckets
+        # heavy clustering: most mass in one bucket, median inside it
+        [0.0] * 400 + [1e-9] * 300 + [1e6, 2e6],
+        # ranks straddle two adjacent buckets: 500 small + 500 large,
+        # centers are the max small and min large
+        [float(i) for i in range(500)] + [1e5 + i for i in range(500)],
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        got = _median_center_avg(df, "v").collect()[0]["avg"]
+        assert got == _ref_center_avg(vals), vals[:5]
+
+
+def test_median_center_avg_tie_order_irrelevant(spark):
+    """The selected central VALUES depend only on the value multiset —
+    permuting rows / tie columns never changes the result (the property
+    that lets the selection skip a global tie-broken row_number)."""
+    from repcheck_data_integration_spark.operators.statsml2 import (
+        _median_center_avg,
+    )
+
+    vals = [3.0, 1.0, 3.0, 2.0, 3.0, 1.0]  # even m, ties at the center
+    a = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], ["v", "t"]
+    )
+    b = spark.createDataFrame(
+        [(v, 99 - i) for i, v in enumerate(reversed(vals))], ["v", "t"]
+    )
+    ra = _median_center_avg(a, "v", "t").collect()[0]["avg"]
+    rb = _median_center_avg(b, "v", "t").collect()[0]["avg"]
+    assert ra == rb == _ref_center_avg(vals)
+
+
+def test_median_center_avg_hypothesis_random_multisets(spark):
+    """Randomized multisets (drawn once, deterministic seed) including
+    integer-valued doubles and duplicates, odd and even sizes."""
+    import random
+
+    from repcheck_data_integration_spark.operators.statsml2 import (
+        _median_center_avg,
+    )
+
+    rng = random.Random(2609)
+    for trial in range(6):
+        m = rng.randrange(1, 60)
+        vals = [
+            float(rng.choice([rng.randrange(-50, 50), rng.uniform(-5, 5)]))
+            for _ in range(m)
+        ]
+        df = spark.createDataFrame([(v,) for v in vals], ["v"]).repartition(4)
+        got = _median_center_avg(df, "v").collect()[0]["avg"]
+        assert got == _ref_center_avg(vals), (trial, m)
