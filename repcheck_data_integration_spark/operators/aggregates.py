@@ -960,6 +960,28 @@ def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gini_ranksum_expr():
+    """Sum of global ranks inside a ``cnt``-sized tie group whose smaller
+    neighbors number ``off_cnt``: c*off + c(c+1)/2, accumulated in
+    DECIMAL(38,0) with NO integral divide on a decimal-sized product.
+
+    Spark's ``DIV`` (IntegralDivide) returns BIGINT even for DECIMAL
+    operands, so the round-9 form ``(dec(cnt) * (cnt+1)) DIV 2`` silently
+    wrapped once cnt(cnt+1)/2 exceeded Long.MAX (cnt ≳ 4.3e9 — live repro
+    in VERDICT r9 #1: cnt=5e9 → -5946744071209551616). Exactly one of
+    cnt / cnt+1 is even, so halve THAT factor first — both halvings stay
+    in LONG range (cnt is a group count ≤ total rows < 9.2e18) — and only
+    then multiply in DECIMAL. Pinned at cnt=5e9 (both parities) by
+    tests/test_exact.py::test_gini_ranksum_no_bigint_wrap."""
+    return F.expr(
+        "CAST(cnt AS DECIMAL(38,0)) * off_cnt"
+        " + CASE WHEN cnt % 2 = 0"
+        "        THEN CAST(cnt DIV 2 AS DECIMAL(38,0)) * (cnt + 1)"
+        "        ELSE CAST(cnt AS DECIMAL(38,0)) * ((cnt + 1) DIV 2)"
+        "   END"
+    )
+
+
 @register(
     "agg_gini_revenue",
     oracle="""
@@ -1008,16 +1030,7 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vals = rev.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
     offs = prefix_offsets(vals, "cents", ["cnt"], ascending=True)
-    # sum of global ranks inside a tie group: c*off + c(c+1)/2 (exact —
-    # c(c+1) is always even); the whole rank-sum accumulates in DECIMAL
-    # (ADVICE r8: cnt*off_cnt in LONG could wrap silently in non-ANSI
-    # mode for a large tie group high in a ~1e10-customer domain — the
-    # decimal cast must cover the rank product, not just the cents
-    # multiply below)
-    ranksum = F.expr(
-        "CAST(cnt AS DECIMAL(38,0)) * off_cnt"
-        " + (CAST(cnt AS DECIMAL(38,0)) * (cnt + 1)) DIV 2"
-    )
+    ranksum = _gini_ranksum_expr()
     s = offs.agg(
         F.sum("cnt").alias("n"),
         F.sum(F.col("cnt") * F.col("cents")).alias("t"),

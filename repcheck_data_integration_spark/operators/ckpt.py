@@ -57,15 +57,32 @@ def pin(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-def lazy_pin(df: DataFrame) -> DataFrame:
-    """Lazy variant — checkpoints at first action instead of at build."""
-    if PLAN_ONLY:
-        return df
-    return df.localCheckpoint(eager=False)
+# (applicationId, sf_dir, layout salt, content fingerprint)
+#   -> (owning session, components frame)
+# Keyed on applicationId, NOT id(spark) (VERDICT r9 #6: CPython reuses
+# ids after GC, so a new session could alias a dead session's entry and
+# be handed a checkpointed RDD from a stopped SparkContext). The session
+# object rides along so lookups can sweep entries whose context has been
+# stopped — mirroring tables.py's dead-pid sweep for bucketed layouts
+# (ADVICE r9: without eviction, long-lived multi-session processes pin
+# dead sessions and their checkpoints forever).
+_COMPONENTS_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
 
 
-# (session id, sf_dir, layout salt, content fingerprint) -> components
-_COMPONENTS_CACHE: dict[tuple, DataFrame] = {}
+def _session_stopped(s: SparkSession) -> bool:
+    """True when the session's underlying SparkContext has been stopped
+    (PySpark nulls the JVM handle on stop)."""
+    try:
+        return s.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def _sweep_dead_sessions() -> None:
+    for k in [
+        k for k, (s, _) in _COMPONENTS_CACHE.items() if _session_stopped(s)
+    ]:
+        del _COMPONENTS_CACHE[k]
 
 
 def shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,10 +106,16 @@ def shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     except OSError:
         return dedup_components(spark, sf_dir)
-    key = (id(spark), sf_dir, tables.LAYOUT_SALT, fp)
+    _sweep_dead_sessions()
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        tables.LAYOUT_SALT,
+        fp,
+    )
     hit = _COMPONENTS_CACHE.get(key)
     if hit is not None:
-        return hit
+        return hit[1]
     comp = dedup_components(spark, sf_dir).localCheckpoint(eager=True)
-    _COMPONENTS_CACHE[key] = comp
+    _COMPONENTS_CACHE[key] = (spark, comp)
     return comp

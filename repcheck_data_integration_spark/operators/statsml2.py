@@ -330,9 +330,23 @@ def _median_center_avg(vals: DataFrame, col: str, *ties: str) -> DataFrame:
         F.count(F.lit(1)).alias("_m"),
     )
     width = (F.col("_mx") - F.col("_mn")) / F.lit(float(B))
+    # Degenerate-width guard (ADVICE r9): the old `_mx <= _mn` test missed
+    # widths that are 0.0 by subnormal underflow (_mx > _mn but the /B
+    # quotient flushes to zero) or non-finite (±inf endpoints make the
+    # span inf, all-inf inputs make it NaN — and Spark's NaN compares
+    # GREATER than 0, so `width > 0` alone would not catch it). Any such
+    # width would turn (v - mn)/width into inf/NaN, wrap the int cast
+    # negative, and break the bucket-order-follows-value-order invariant
+    # the rank offsets rely on. Route ALL rows to bucket 0 instead — the
+    # documented single-window degradation, never wrong.
+    degenerate = (
+        F.isnan(width)
+        | (width <= F.lit(0.0))
+        | (width == F.lit(float("inf")))
+    )
     j = vals.join(F.broadcast(mm)).withColumn(
         "_bkt",
-        F.when(F.col("_mx") <= F.col("_mn"), F.lit(0)).otherwise(
+        F.when(degenerate, F.lit(0)).otherwise(
             F.least(
                 F.floor((F.col(col) - F.col("_mn")) / width).cast("int"),
                 F.lit(B - 1),

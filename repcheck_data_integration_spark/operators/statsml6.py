@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
-from .ckpt import lazy_pin, pin
+from .ckpt import pin
 from .dedup import sql_stable_round4
 from .sampling import hash_bucket, sql_hash_bucket
 
@@ -403,8 +403,11 @@ def events_attribution_shapley(
         # the 16-row lattice frame is reused by both marginal sides and
         # the rollup: localCheckpoint it so events is scanned ONCE (the
         # label-frame discipline from graph.py — without it every reuse
-        # recomputes the full lineage)
-        .transform(lazy_pin)
+        # recomputes the full lineage). Eager pin, matching the pre-r9
+        # bare .localCheckpoint() (ADVICE r9: the r9 reroute through
+        # lazy_pin silently moved the events scan from build time into
+        # the first action — a behavior change, not a pure refactor)
+        .transform(pin)
     )
     chans = spark.createDataFrame(
         [(b,) for _, b in SHAP_CHANNELS], "bit int"

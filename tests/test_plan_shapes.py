@@ -1184,6 +1184,31 @@ def test_shared_components_memoized_single_build(spark):
     assert "MapInPandas" not in p and "posexplode" not in p.lower()
 
 
+def test_shared_components_sweeps_stopped_sessions(spark):
+    """VERDICT r9 #6 / ADVICE r9: the memo keys on applicationId (never
+    id(spark) — CPython id reuse after GC could alias a NEW session to a
+    dead one's entry and serve a checkpointed RDD from a stopped
+    context), and lookups sweep entries whose owning SparkContext has
+    been stopped so multi-session processes don't pin dead sessions."""
+    from types import SimpleNamespace
+
+    from repcheck_data_integration_spark.operators import ckpt
+
+    ckpt._COMPONENTS_CACHE.clear()
+    live = ckpt.shared_components(spark, SF)
+    (live_key,) = ckpt._COMPONENTS_CACHE
+    assert live_key[0] == spark.sparkContext.applicationId
+    # a stopped session's context has _jsc nulled — plant one and verify
+    # the next lookup evicts it while keeping the live entry
+    dead = SimpleNamespace(sparkContext=SimpleNamespace(_jsc=None))
+    dead_key = ("dead-app-id",) + live_key[1:]
+    ckpt._COMPONENTS_CACHE[dead_key] = (dead, live)
+    again = ckpt.shared_components(spark, SF)
+    assert again is live
+    assert dead_key not in ckpt._COMPONENTS_CACHE
+    assert live_key in ckpt._COMPONENTS_CACHE
+
+
 def test_gesd_rounds_on_cached_bounded_series(spark):
     spark.catalog.clearCache()
     p = plan(spark, "events_gesd_outliers")

@@ -499,3 +499,32 @@ def test_median_center_avg_hypothesis_random_multisets(spark):
         df = spark.createDataFrame([(v,) for v in vals], ["v"]).repartition(4)
         got = _median_center_avg(df, "v").collect()[0]["avg"]
         assert got == _ref_center_avg(vals), (trial, m)
+
+
+def test_median_center_avg_degenerate_width_guard(spark):
+    """ADVICE r9: widths that are 0.0 by subnormal underflow or non-finite
+    (±inf endpoints → inf span; Spark's NaN compares GREATER than 0, so a
+    bare `width > 0` test would pass NaN through) must route every row to
+    bucket 0 — the single-window degradation — instead of wrapping the
+    int cast negative and scrambling rank offsets."""
+    from repcheck_data_integration_spark.operators.statsml2 import (
+        _median_center_avg,
+    )
+
+    inf = float("inf")
+    cases = [
+        # inf span: (_mx - _mn) overflows to +inf → width inf
+        ([-1.7e308, 1.7e308, 1.0, 2.0, 3.0], 2.0),
+        # explicit ±inf endpoints, finite median
+        ([-inf, 0.0, inf], 0.0),
+        # NaN width: all values +inf → _mx - _mn = inf - inf = NaN
+        ([inf, inf, inf], inf),
+        # subnormal underflow: span/256 flushes to exactly 0.0
+        ([5e-324, 1e-323, 1.5e-323], 1e-323),
+        # even m across an inf span: mean of the two central values
+        ([-1.7e308, -1.0, 1.0, 1.7e308], 0.0),
+    ]
+    for vals, want in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = _median_center_avg(df, "v").collect()[0]["avg"]
+        assert got == want, (vals, got, want)

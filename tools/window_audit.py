@@ -36,7 +36,7 @@ def count_unpartitioned_windows(df) -> int:
 
 def count_unauditable_nodes(df) -> int:
     """Number of lineage-truncated leaves (LogicalRDD / RDDScanExec /
-    ExistingRDD) in the optimized plan — each one is a subtree the
+    ExternalRDD) in the optimized plan — each one is a subtree the
     window count CANNOT see into (ADVICE r8 #1: an eager localCheckpoint
     hides its upstream windows from the audit exactly the way .persist()
     did before round 8's InMemoryRelation recursion). A sound audit of a
@@ -104,11 +104,16 @@ def audit(
     Builds every query with operators.ckpt.PLAN_ONLY = True (round-9,
     ADVICE r8 #1/#3): build-time eager localCheckpoints are suppressed so
     (a) the audit sees the FULL pre-checkpoint tree instead of an opaque
-    LogicalRDD, and (b) merely auditing no longer executes the prefix /
-    lattice upstream jobs. Any truncated leaf that SURVIVES plan-only
-    mode (iterative loops whose convergence actions run at build time)
-    is reported through ``unauditable_out`` so vacuous coverage is
-    visible, not silent."""
+    LogicalRDD, and (b) the pin()-routed checkpoint side effects never
+    fire during a mere audit. Iterative loops are the documented
+    exception (ADVICE r9): their convergence probes (connected
+    components, PageRank, BPE) still execute jobs at CONSTRUCTION time
+    even in plan-only mode — e.g. split_leakage_safe /
+    dq_split_contamination fall through shared_components to a live
+    dedup_components CC loop. Any truncated leaf that survives plan-only
+    mode is reported through ``unauditable_out`` so vacuous coverage is
+    visible, not silent; tools/window_audit.py --rounds (round-10) audits
+    one representative loop round for those."""
     from repcheck_data_integration_spark.operators import ckpt
 
     registry.load_all_modules()
