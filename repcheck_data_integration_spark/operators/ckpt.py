@@ -116,6 +116,12 @@ def shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _COMPONENTS_CACHE.get(key)
     if hit is not None:
         return hit[1]
+    import time as _time
+
+    _t0 = _time.time()
     comp = dedup_components(spark, sf_dir).localCheckpoint(eager=True)
+    tables.FIXED_COSTS[
+        f"components:{os.path.basename(sf_dir.rstrip('/'))}"
+    ] = round(_time.time() - _t0, 3)
     _COMPONENTS_CACHE[key] = (spark, comp)
     return comp

@@ -1547,14 +1547,19 @@ def _register_bradley_terry() -> None:
             )
         )
         # the |sources|^2-row game matrix: checkpoint so the MM rounds
-        # below never re-plan (or re-run) the corpus-sized subtree
-        nij = (
-            edges.groupBy("i", "j")
-            .agg(
+        # below never re-plan (or re-run) the corpus-sized subtree.
+        # Routed through ckpt.pin (round-10): this loop is a FIXED
+        # unroll with no convergence .count() probes, so unlike the
+        # CC/PageRank/BPE loops nothing executes at build time in
+        # PLAN_ONLY mode — the window audit sees the full tree and
+        # ml_bradley_terry leaves the unauditable tail entirely.
+        from .ckpt import pin as _pin
+
+        nij = _pin(
+            edges.groupBy("i", "j").agg(
                 F.count(F.lit(1)).cast("long").alias("n"),
                 F.sum("wf").cast("long").alias("w"),
             )
-            .localCheckpoint()
         )
         wt = nij.groupBy("i").agg(
             F.sum("w").cast("long").alias("wins"),
@@ -1562,7 +1567,7 @@ def _register_bradley_terry() -> None:
         )
         nn = wt.agg(F.count(F.lit(1)).alias("n_src"))
         s_q = wt.select("i", F.lit(S).cast("long").alias("sq"))
-        for _ in range(BT_ROUNDS):
+        for _round in range(BT_ROUNDS):
             t = (
                 nij.join(
                     s_q.select(F.col("i"), F.col("sq").alias("sqi")), "i"
@@ -1593,14 +1598,18 @@ def _register_bradley_terry() -> None:
                     .cast("long")
                     .alias("sq"),
                 )
-                # truncate per-round lineage: without this each round
-                # nests the previous one TWICE (sqi/sqj) and the final
-                # plan is 2^rounds small-join trees of 32-partition
-                # shuffles — the coalesce keeps the 20-row round a
-                # single-task job
-                .coalesce(1)
-                .localCheckpoint()
             )
+            # Truncate lineage every SECOND round, never after the last
+            # (round-10, VERDICT r9 #3: the per-round eager checkpoints
+            # made job-count × per-job-overhead the whole cost — fusing
+            # halves the eager jobs, and the final round rides the output
+            # action). Each un-checkpointed round nests the previous one
+            # TWICE (sqi/sqj), so a fused pair costs a 4-leaf subtree of
+            # |sources|-row joins over the pinned nij — cheap. The
+            # coalesce keeps the 20-row round a single-task job; pin
+            # (not bare localCheckpoint) keeps the tree audit-visible.
+            if _round % 2 == 1 and _round != BT_ROUNDS - 1:
+                s_q = _pin(s_q.coalesce(1))
         out = wt.join(s_q, "i").select(
             F.col("i").alias("source"),
             "games",

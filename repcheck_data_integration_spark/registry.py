@@ -45,24 +45,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # covers what the engine is FOR; the full local gate (tools/check.py) still
 # checks all of them.
 #
-# Round-9 ordering rule (VERDICT.md r8 Next-round #2, same policy since
+# Round-10 ordering rule (VERDICT.md r9 Next-round #1, same policy since
 # r6): the 5 ever-failed rows stay pinned first (never rotate a failure
-# out of the window). Slot 6 re-checks agg_gini_revenue: round 9 moved
-# its tie-group rank-sum product into DECIMAL(38,0) (ADVICE r8 — the
-# LONG cnt*off_cnt could wrap silently at a ~1e10-customer domain), the
-# one changed-formula op this round. Slots 7-8 are the two round-8 split
-# ops — changed this round (their shared components subtree now rides
-# ckpt.shared_components' per-session checkpoint) AND never sampled — so
-# they jump the queue, followed by the rest of the VERDICT r8 gate-only
-# flagships (dedup_cluster_stats, llm_hybrid_rrf, the three streaming
-# batch twins, join_set_similarity, agg_percentile_exact_distributed).
-# The remaining slots burn the never-driver-sampled backlog (126
-# oracle-backed after r8) in registration order. Rows-only ops stay
-# OUTSIDE the window (policy pinned by tests/test_entry.py: a slot spent
-# on a query that can never hash-match wastes hash-verification surface;
-# their correctness is their unit tests, COVERAGE.md "Rows-only
-# registry"). After this window: ~82 oracle-backed never-sampled remain
-# for r10+.
+# out of the window). Slot 6 re-checks agg_gini_revenue — its rank-sum
+# formula changed AGAIN this round (VERDICT r9 #1 demonstrated the r9
+# DECIMAL form still wrapping through BIGINT `DIV`; _gini_ranksum_expr
+# now halves the even factor in LONG before the decimal multiply), and a
+# changed formula always re-earns its driver row. Slots 7-50 burn the
+# never-driver-sampled oracle-backed backlog (82 after r9, every one
+# gate-green in both session shapes and driver_sim-prevalidated) in
+# registration order — 44 first-time rows, leaving 38 of the original 82
+# for r11. Rows-only ops stay OUTSIDE the window (policy pinned by
+# tests/test_entry.py: a slot spent on a query that can never hash-match
+# wastes hash-verification surface; their correctness is their unit
+# tests, COVERAGE.md "Rows-only registry").
 DRIVER_PRIORITY: list[str] = [
     # ever-failed rows, pinned first forever (r2: tpch_q12; r3: the four):
     "win_session_features",
@@ -70,55 +66,53 @@ DRIVER_PRIORITY: list[str] = [
     "emb_normalize",
     "emb_quantize_int8",
     "tpch_q12_priority_counts",
-    # round-9 changed-op re-check (DECIMAL rank-sum accumulator):
+    # round-10 changed-op re-check (BIGINT-wrap-free rank-sum):
     "agg_gini_revenue",
-    # changed this round AND never driver-sampled (shared components memo):
-    "split_leakage_safe",
-    "dq_split_contamination",
-    # VERDICT r8 gate-only flagships, never driver-sampled:
-    "agg_percentile_exact_distributed",
-    "dedup_cluster_stats",
-    "llm_hybrid_rrf",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup_keys",
-    "join_set_similarity",
-    # never-sampled backlog in registration order:
-    "graph_clustering_coeff",
-    "graph_random_walks",
-    "graph_jaccard_neighbors",
-    "graph_bfs_distance",
-    "graph_degree_assortativity",
-    "graph_modularity",
-    "graph_katz_centrality",
-    "graph_ktruss",
-    "graph_ppr",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "agg_kmv_sketch",
-    "dq_t_closeness",
-    "ts_autocorr",
-    "ml_linreg_normal_eq",
-    "ml_naive_bayes_lang",
-    "ml_confusion_prf",
-    "ml_auc_roc",
-    "ml_decision_stump",
-    "ts_theil_sen",
-    "ts_cross_correlation",
-    "rec_item_item_cosine",
-    "priv_dp_counts",
-    "ml_lift_gains",
-    "ml_ks_statistic",
-    "ml_calibration_bins",
-    "ts_ses_forecast",
-    "agg_theil_index",
-    "agg_bootstrap_ci",
-    "ts_decompose_seasonal",
-    "ts_anomaly_seasonal",
-    "events_entropy_rate",
-    "ml_sprt_ab",
-    "events_markov_stationary",
-    "ml_logreg_newton",
+    # never-sampled backlog in registration order (first 44 of 82):
+    "agg_cuped",
+    "ts_granger_causality",
+    "ts_changepoint_binseg",
+    "rec_slope_one",
+    "ml_spearman_corr",
+    "ml_mann_whitney_u",
+    "agg_anova_oneway",
+    "agg_hhi_concentration",
+    "ts_ljung_box",
+    "ml_boosted_stumps",
+    "ts_pacf",
+    "ml_kendall_tau",
+    "ml_auc_pr",
+    "agg_trimmed_mean",
+    "ts_dominant_period",
+    "ts_adf_test",
+    "ml_two_proportion_ztest",
+    "ml_lasso_cd",
+    "ml_mcnemar_test",
+    "ml_brier_decomposition",
+    "ts_dow_profile",
+    "events_gesd_outliers",
+    "priv_randomized_response",
+    "emb_pair_cosine_histogram",
+    "events_logrank_test",
+    "ts_seasonal_strength",
+    "ml_cmh_test",
+    "agg_delta_method_ratio",
+    "ts_runs_test",
+    "agg_paired_ttest",
+    "ml_power_analysis",
+    "ml_isotonic_calibration",
+    "priv_noisy_max",
+    "events_attribution_shapley",
+    "ml_conformal_interval",
+    "ml_qini_uplift",
+    "ml_srm_check",
+    "ml_diff_in_diff",
+    "ml_tost_equivalence",
+    "ml_ucb_allocation",
+    "snk_parquet_roundtrip",
+    "src_orc_roundtrip",
+    "src_text_scan",
+    "src_xml_dir_scan",
 ]
 
 

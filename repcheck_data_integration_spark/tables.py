@@ -111,6 +111,16 @@ def _assert_single_file_buckets(location: str) -> None:
 
 _FALLBACK_LOGGED: set[str] = set()
 
+# One-time session costs observed at first use, keyed
+# "bkt:<sf>/<table>/<key>" (bucketed-layout writes, recorded below) and
+# "components:<sf>" (ckpt.shared_components' LSH+CC build). bench.py
+# publishes the map as "fixed_costs" in its JSON line (VERDICT r9 #8:
+# min-of-N trials exclude the trial-1 builds, so without this field a
+# BENCH total silently under-reports real session cost). On a cluster
+# these are ingest-DDL costs paid once per table lifetime, not per query
+# — which is exactly why they're reported separately from steady state.
+FIXED_COSTS: dict[str, float] = {}
+
 
 def _content_fingerprint(path: str) -> str:
     """Size+mtime digest of the parquet file (or dir of part files).
@@ -183,8 +193,11 @@ def load_bucketed(
         # synthetic frames through a patched load()) — layout is an
         # optimization, never a dependency
         return load(spark, sf_dir, name)
+    import time as _time
+
     try:
         if not spark.catalog.tableExists(tbl):
+            _t0 = _time.time()
             wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
             _gc_dead_bucket_tables(wh)
             # a FRESH session's in-memory catalog doesn't know tables an
@@ -213,6 +226,9 @@ def load_bucketed(
                 spark.sql(f"DROP TABLE IF EXISTS {tbl}")
                 shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
                 raise
+            FIXED_COSTS[
+                f"bkt:{os.path.basename(sf_dir.rstrip('/'))}/{name}/{key}"
+            ] = round(_time.time() - _t0, 3)
         return spark.table(tbl)
     except Exception as exc:
         # layout is an optimization, never a correctness dependency — but

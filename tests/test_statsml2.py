@@ -528,3 +528,72 @@ def test_median_center_avg_degenerate_width_guard(spark):
         df = spark.createDataFrame([(v,) for v in vals], "v double")
         got = _median_center_avg(df, "v").collect()[0]["avg"]
         assert got == want, (vals, got, want)
+
+
+# ---------------------------------------------------------------------------
+# ts_theil_sen span cap + sampled estimator (round-10, VERDICT r9 #4)
+# ---------------------------------------------------------------------------
+
+
+def _write_orders_weeks(spark, tmp, week_counts):
+    """orders.parquet whose weekly count series is exactly week_counts
+    (one date per week, 7-day spacing)."""
+    import datetime
+    import os
+
+    base = datetime.date(2020, 1, 6)
+    rows, k = [], 0
+    for w, c in week_counts:
+        for _ in range(c):
+            rows.append((k, base + datetime.timedelta(days=7 * w)))
+            k += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date"
+    ).coalesce(2).write.mode("overwrite").parquet(
+        os.path.join(tmp, "orders.parquet")
+    )
+
+
+def test_theil_sen_span_cap_fails_fast(spark, tmp_path):
+    """Exact all-pairs Theil-Sen is O(span²) by algorithm: past
+    TS_SEN_MAX_WEEKS the woven assert_true must fail the query instead
+    of launching a multi-billion-pair join — and the sampled estimator
+    must handle the same span (O(span·K) draws)."""
+    import pytest
+
+    from repcheck_data_integration_spark.operators.statsml2 import (
+        TS_SEN_MAX_WEEKS,
+        ts_theil_sen,
+        ts_theil_sen_sampled,
+    )
+
+    tmp = str(tmp_path)
+    _write_orders_weeks(spark, tmp, [(0, 3), (TS_SEN_MAX_WEEKS + 100, 2)])
+    with pytest.raises(Exception, match="capped at"):
+        ts_theil_sen(spark, tmp).collect()
+    row = ts_theil_sen_sampled(spark, tmp).collect()[0]
+    assert row["n_weeks"] == TS_SEN_MAX_WEEKS + 101
+    assert row["slope"] is not None
+
+
+def test_theil_sen_sampled_recovers_trend_with_outliers(spark, tmp_path):
+    """Estimator quality: on a slope-2 linear weekly series with three
+    corrupted weeks (+500 orders), both the exact median and the sampled
+    median must recover slope 2 — the sample keeps ≥K pairs per week, so
+    3/100 outlier weeks stay a minority of sampled slopes."""
+    from repcheck_data_integration_spark.operators.statsml2 import (
+        ts_theil_sen,
+        ts_theil_sen_sampled,
+    )
+
+    tmp = str(tmp_path)
+    counts = [
+        (w, 50 + 2 * w + (500 if w in (10, 40, 70) else 0))
+        for w in range(100)
+    ]
+    _write_orders_weeks(spark, tmp, counts)
+    e = ts_theil_sen(spark, tmp).collect()[0]
+    s = ts_theil_sen_sampled(spark, tmp).collect()[0]
+    assert e["slope"] == 2.0
+    assert abs(s["slope"] - 2.0) <= 0.05, s["slope"]
+    assert 0 < s["n_pairs_sampled"] < e["n_pairs"]
