@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from .ckpt import pin
 from ..registry import register
 from ..functions.exact import scaled_long
-from ..tables import load
+from ..tables import literal_frame, load
 
 
 @register(
@@ -1418,7 +1418,8 @@ def agg_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    qs = spark.createDataFrame(
+    qs = literal_frame(
+        spark,
         [(50, 1, 2), (90, 9, 10), (99, 99, 100)],
         "q_pct int, q_num long, q_den long",
     )

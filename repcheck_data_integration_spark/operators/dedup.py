@@ -567,46 +567,7 @@ def connected_components(
         .persist()
     )
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        # the changed-this-round flag rides ALONG in the checkpointed
-        # frame (VERDICT r6 #5: the old probe re-joined new vs old labels
-        # as a second heavyweight action per round; a label changes iff
-        # the final label is smaller than the old one, knowable in the
-        # same projection), so the convergence probe is a filter+limit(1)
-        # over already-materialized partitions — near-free, early-exit.
-        stepped = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("component"),
-                F.coalesce(F.col("nbr_component"), F.col("component")),
-            ).alias("component"),
-            F.col("component").alias("__old"),
-        )
-        # pointer jump: a label is always a NODE id inside the same
-        # component (initially self; neighbor mins preserve it), so
-        # every label has its own row — adopt the label's label. Labels
-        # shrink monotonically toward the component min, 2^k hops/round.
-        jump = stepped.select(
-            F.col("node").alias("__jn"), F.col("component").alias("__jc")
-        )
-        new_labels = (
-            stepped.join(jump, stepped.component == F.col("__jn"), "left")
-            .select(
-                "node",
-                F.coalesce(F.col("__jc"), F.col("component")).alias(
-                    "component"
-                ),
-                (
-                    F.coalesce(F.col("__jc"), F.col("component"))
-                    < F.col("__old")
-                ).alias("__chg"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        new_labels = cc_round(edges, labels).localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("__chg")).limit(1).count()
         labels.unpersist()
         labels = new_labels.drop("__chg")
@@ -614,6 +575,53 @@ def connected_components(
             break
     edges.unpersist()
     return labels
+
+
+def cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE pointer-jumping round, pre-checkpoint: hash-min over the
+    neighborhood, then adopt the label's label. Module-level (round-10,
+    VERDICT r9 #5) so operators/audit_hooks.py can build a representative
+    round over LocalRelation stand-ins and the window audit can walk the
+    loop body's plan — the loop's convergence .count() probes execute at
+    construction even under ckpt.PLAN_ONLY, so the final label frames are
+    inherently lineage-truncated leaves; auditing round 1 audits them all
+    (the body is identical per round).
+
+    ``edges`` is the doubled (a, b) relation; ``labels`` is (node,
+    component); returns (node, component, __chg) where __chg marks labels
+    that shrank this round (the changed-flag rides ALONG in the
+    checkpointed frame, VERDICT r6 #5 — a label changes iff the final
+    label is smaller than the old one, so the convergence probe is a
+    filter+limit(1) over already-materialized partitions)."""
+    neighbor_min = (
+        edges.join(labels, edges.b == labels.node)
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.min("component").alias("nbr_component"))
+    )
+    stepped = labels.join(neighbor_min, "node", "left").select(
+        "node",
+        F.least(
+            F.col("component"),
+            F.coalesce(F.col("nbr_component"), F.col("component")),
+        ).alias("component"),
+        F.col("component").alias("__old"),
+    )
+    # pointer jump: a label is always a NODE id inside the same
+    # component (initially self; neighbor mins preserve it), so
+    # every label has its own row — adopt the label's label. Labels
+    # shrink monotonically toward the component min, 2^k hops/round.
+    jump = stepped.select(
+        F.col("node").alias("__jn"), F.col("component").alias("__jc")
+    )
+    return stepped.join(
+        jump, stepped.component == F.col("__jn"), "left"
+    ).select(
+        "node",
+        F.coalesce(F.col("__jc"), F.col("component")).alias("component"),
+        (
+            F.coalesce(F.col("__jc"), F.col("component")) < F.col("__old")
+        ).alias("__chg"),
+    )
 
 
 @register(

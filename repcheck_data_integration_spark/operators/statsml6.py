@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load
+from ..tables import literal_frame, load
 from .ckpt import pin
 from .dedup import sql_stable_round4
 from .sampling import hash_bucket, sql_hash_bucket
@@ -409,8 +409,8 @@ def events_attribution_shapley(
         # the first action — a behavior change, not a pure refactor)
         .transform(pin)
     )
-    chans = spark.createDataFrame(
-        [(b,) for _, b in SHAP_CHANNELS], "bit int"
+    chans = literal_frame(
+        spark, [(b,) for _, b in SHAP_CHANNELS], "bit int"
     )
     vo = v.select(F.col("s_mask"), F.col("v_s").alias("v_without"))
     vw = v.select(
@@ -1100,7 +1100,7 @@ def ml_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y",
     )
     users = panel.select("user_id", "treat").distinct()
-    periods = spark.createDataFrame([(0,), (1,)], "post int")
+    periods = literal_frame(spark, [(0,), (1,)], "post int")
     grid = users.crossJoin(F.broadcast(periods))
     counts = panel.groupBy("user_id", "post").agg(
         F.sum("y").alias("y_raw")

@@ -407,7 +407,9 @@ def read_avro_dir_split(
                 columns=field_names,
             )
 
-    sdf = spark.createDataFrame(
-        splits, "path string, start long, end long"
+    from ..tables import literal_frame
+
+    sdf = literal_frame(
+        spark, splits, "path string, start long, end long"
     ).repartition(max(len(splits), 1))
     return sdf.mapInPandas(decode, schema=spark_schema)

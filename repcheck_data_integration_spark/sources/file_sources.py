@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 
 from ..registry import register
 from ..functions.exact import scaled_long
-from ..tables import load
+from ..tables import literal_frame, load
 
 FIXTURE_ROOT = "/tmp/repcheck_spark_fixtures"
 
@@ -1026,7 +1026,8 @@ def src_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     (psycopg2/Postgres, scripts/database/database.py:22-28); a columnar
     lake makes that metadata a first-class, auditable input.
     """
-    files = spark.createDataFrame(
+    files = literal_frame(
+        spark,
         [
             (t, os.path.join(sf_dir, f"{t}.parquet"), cols)
             for t, cols in _PQMETA_COLS.items()

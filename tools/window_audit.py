@@ -144,6 +144,28 @@ def audit(
     return out
 
 
+def audit_hooks(spark) -> dict[str, tuple[int, int]]:
+    """{machinery: (unpartitioned_window_count, truncated_leaf_count)}
+    over every registered one-round audit hook
+    (operators/audit_hooks.py, round-10): iterative loops whose
+    convergence/argmax probes execute at construction keep
+    lineage-truncated label frames even in plan-only mode, so the audit
+    walks ONE representative round body built over LocalRelation
+    stand-ins instead — the body is identical per round, so auditing
+    round 1 audits them all. Hook construction runs zero jobs."""
+    from repcheck_data_integration_spark.operators import audit_hooks as ah
+
+    out: dict[str, tuple[int, int]] = {}
+    for name, builder in sorted(ah.HOOKS.items()):
+        n = u = 0
+        for df in builder(spark):
+            dn, du = _walk_plan(df)
+            n += dn
+            u += du
+        out[name] = (n, u)
+    return out
+
+
 if __name__ == "__main__":
     from repcheck_data_integration_spark.session import get_spark
 
@@ -154,7 +176,18 @@ if __name__ == "__main__":
     for k, v in sorted(found.items()):
         print(f"{k}\t{v}")
     print(f"# {len(found)} queries with unpartitioned windows")
+    from repcheck_data_integration_spark.operators import audit_hooks as ah
+
+    hook_rows = audit_hooks(spark)
     for k, v in sorted(unaud.items()):
+        hooks = ah.QUERY_HOOKS.get(k)
+        cover = (
+            f" [covered by one-round hook(s): {', '.join(hooks)}]"
+            if hooks
+            else " [NO HOOK — vacuous pin]"
+        )
         print(f"# unauditable (lineage-truncated leaves survive plan-only "
-              f"mode): {k}\t{v}")
+              f"mode): {k}\t{v}{cover}")
+    for k, (n, u) in hook_rows.items():
+        print(f"# hook {k}: unpartitioned_windows={n} truncated_leaves={u}")
     spark.stop()
