@@ -1201,6 +1201,11 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     def dsum(expr: str) -> Column:
         return F.sum(F.expr(expr).cast("decimal(38,0)")).cast("double")
 
+    # degree products are widened BEFORE the multiply: `kx * kx` under a
+    # trailing decimal cast still evaluates the product in LONG, which
+    # wraps for a hub of degree > ~3e9 (same IntegralDivide/overflow
+    # class as the gini rank-sum, VERDICT r9 #1). The decimal multiply
+    # runs once per edge row but the whole aggregate is a single pass.
     st = (
         edges.join(ds, edges.src == ds.sn)
         .join(dd, edges.dst == dd.dn)
@@ -1208,9 +1213,9 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double").alias("m"),
             dsum("kx").alias("sx"),
             dsum("ky").alias("sy"),
-            dsum("kx * kx").alias("sxx"),
-            dsum("kx * ky").alias("sxy"),
-            dsum("ky * ky").alias("syy"),
+            dsum("CAST(kx AS DECIMAL(38,0)) * kx").alias("sxx"),
+            dsum("CAST(kx AS DECIMAL(38,0)) * ky").alias("sxy"),
+            dsum("CAST(ky AS DECIMAL(38,0)) * ky").alias("syy"),
         )
     )
     return st.selectExpr(

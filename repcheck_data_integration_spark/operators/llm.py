@@ -1424,16 +1424,19 @@ def _register_bradley_terry() -> None:
         return f"""
     t{k} AS (
         SELECT nij.i,
-               CAST(sum((nij.n * {S} * {S}) // (a.sq + b.sq)) AS BIGINT) AS t
+               CAST(sum((CAST(nij.n AS HUGEINT) * {S} * {S})
+                        // (a.sq + b.sq)) AS BIGINT) AS t
         FROM nij JOIN {prev} a ON nij.i = a.i
                  JOIN {prev} b ON nij.j = b.i
         GROUP BY 1),
     raw{k} AS (
-        SELECT wt.i, (wt.wins * {S} * {S}) // t{k}.t AS raw
+        SELECT wt.i,
+               CAST((CAST(wt.wins AS HUGEINT) * {S} * {S}) // t{k}.t
+                    AS BIGINT) AS raw
         FROM wt JOIN t{k} ON wt.i = t{k}.i),
     r{k} AS (
         SELECT raw{k}.i,
-               CAST((raw{k}.raw * nn.n_src * {S})
+               CAST((CAST(raw{k}.raw AS HUGEINT) * nn.n_src * {S})
                     // (SELECT sum(raw) FROM raw{k}) AS BIGINT) AS sq
         FROM raw{k} CROSS JOIN nn)"""
 
@@ -1580,13 +1583,31 @@ def _register_bradley_terry() -> None:
                 )
                 .groupBy("i")
                 .agg(
-                    F.sum(F.expr(f"(n * {S}L * {S}L) div (sqi + sqj)"))
+                    # n * S^2 widens through DECIMAL before the div:
+                    # in LONG it wraps at n > 9.2e6 games per source
+                    # pair (trivially reachable at corpus scale, and
+                    # invisible to the gate — DuckDB BIGINT ERRORS on
+                    # overflow instead of wrapping). Spark's DIV on
+                    # decimal operands computes the exact integral
+                    # quotient (gini lesson: only the QUOTIENT must fit
+                    # LONG — here ~n*S^2/(2*S) ≈ n*S/2, safe to ~1.8e13
+                    # games per pair). Twin oracle uses HUGEINT. The
+                    # relation is |sources|^2 rows, so decimal is free.
+                    F.sum(
+                        F.expr(
+                            f"(CAST(n AS DECIMAL(38,0)) * {S} * {S})"
+                            " div (sqi + sqj)"
+                        )
+                    )
                     .cast("long")
                     .alias("t")
                 )
             )
             raw = wt.join(t, "i").select(
-                "i", F.expr(f"(wins * {S}L * {S}L) div t").alias("raw")
+                "i",
+                F.expr(
+                    f"(CAST(wins AS DECIMAL(38,0)) * {S} * {S}) div t"
+                ).alias("raw"),
             )
             tot = raw.agg(F.sum("raw").alias("tot"))
             s_q = (
@@ -1594,7 +1615,10 @@ def _register_bradley_terry() -> None:
                 .crossJoin(F.broadcast(tot))
                 .select(
                     "i",
-                    F.expr(f"(raw * n_src * {S}L) div tot")
+                    F.expr(
+                        f"(CAST(raw AS DECIMAL(38,0)) * n_src * {S})"
+                        " div tot"
+                    )
                     .cast("long")
                     .alias("sq"),
                 )

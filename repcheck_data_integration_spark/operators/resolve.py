@@ -592,8 +592,17 @@ def _register_fs_score() -> None:
             cb = b.groupBy(F.col(col_b).alias("v")).agg(
                 F.count(F.lit(1)).alias("nb_")
             )
+            # DECIMAL product: na_*nb_ are per-value row counts of the
+            # two sides — a dominant value on two fact-scaled inputs
+            # (e.g. 50% nulls at 1e10 rows each) puts a single product
+            # at 2.5e19 > Long.MAX, wrapping a LONG sum silently while
+            # the DuckDB twin stays exact in HUGEINT. The relation is
+            # |distinct values| rows, so decimal costs nothing; the
+            # agreement weight itself is log-ratio double either way.
             return ca.join(cb, "v").agg(
-                F.sum(F.col("na_") * F.col("nb_")).alias("num")
+                F.sum(
+                    F.col("na_").cast("decimal(38,0)") * F.col("nb_")
+                ).alias("num")
             )
 
         na = a.agg(F.count(F.lit(1)).alias("n_a"))
@@ -601,7 +610,9 @@ def _register_fs_score() -> None:
 
         def weights(field: str, num_df: DataFrame, wa: str, wd: str):
             m = FS_M[field]
-            den = F.col("n_a") * F.col("n_b")
+            # decimal for the same reason as freq_num: n_a*n_b wraps
+            # LONG once both sides exceed ~3e9 rows; 1-row relation.
+            den = F.col("n_a").cast("decimal(38,0)") * F.col("n_b")
             j = num_df.join(na).join(nb)
             return j.select(
                 F.floor(

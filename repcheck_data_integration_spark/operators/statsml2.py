@@ -1213,8 +1213,17 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_pos").cast("double") / F.col("p").cast("double")
         ).alias("gain"),
         stable_round4(
-            (F.col("cum_pos") * F.col("n")).cast("double")
-            / (F.col("cum_n") * F.col("p")).cast("double")
+            # decimal before the multiply (round-10 overflow sweep):
+            # cum_pos*n and cum_n*p are count×count products that wrap
+            # LONG at ~3e9 rows each side; DECIMAL(19,0)*LONG is exact
+            # and converts to DOUBLE with the same single rounding the
+            # DuckDB twin's HUGEINT product gets. 10-row relation.
+            (F.col("cum_pos").cast("decimal(19,0)") * F.col("n")).cast(
+                "double"
+            )
+            / (F.col("cum_n").cast("decimal(19,0)") * F.col("p")).cast(
+                "double"
+            )
         ).alias("lift"),
     ).orderBy("decile")
 
@@ -1295,13 +1304,19 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("off_p_c") + F.col("p_c")).alias("cp"),
         (F.col("off_q_c") + F.col("q_c")).alias("cq"),
     )
+    # DECIMAL cross-multiply (round-10 overflow sweep): cp*Q and cq*P
+    # are cumulative-count × total-count products — LONG wraps at ~3e9
+    # positives/negatives while the DuckDB twin stays exact in HUGEINT.
+    # The decimal argmax ordering is the same total order the exact
+    # integers have; the one division still happens after the max.
     d = c.select(
         "cents",
         "p",
         "q",
-        F.abs(F.col("cp") * F.col("q") - F.col("cq") * F.col("p")).alias(
-            "dnum"
-        ),
+        F.abs(
+            F.col("cp").cast("decimal(19,0)") * F.col("q")
+            - F.col("cq").cast("decimal(19,0)") * F.col("p")
+        ).alias("dnum"),
     )
     return d.orderBy(F.col("dnum").desc(), F.col("cents")).limit(1).select(
         F.col("p").cast("long").alias("n_pos"),
@@ -1309,7 +1324,9 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").cast("long").alias("ks_at_cents"),
         stable_round4(
             F.col("dnum").cast("double")
-            / F.expr("nullif(CAST(p * q AS DOUBLE), 0.0)")
+            / F.expr(
+                "nullif(CAST(CAST(p AS DECIMAL(19,0)) * q AS DOUBLE), 0.0)"
+            )
         ).alias("ks"),
     )
 
@@ -1622,9 +1639,17 @@ THEIL_SCALE = 1_000_000_000
 
 # shared per-term expression: ratio = x*n/S (one division of exact
 # integers), term = quantized ratio*ln(ratio) with the midpoint offset.
+# x*n widens through DECIMAL(19,0) before the multiply (round-10
+# overflow sweep): a $100M customer (x=1e10 cents) at the 1e10-customer
+# posture puts the LONG product at 1e20 — silent wrap in Spark, ERROR
+# in DuckDB; the decimal product is exact in both and rounds to DOUBLE
+# once, exactly like the old form wherever it didn't wrap. (19,0)
+# because DuckDB binds decimal multiplies at p1+p2 <= 38.
 _THEIL_TERM = (
-    "floor((CAST(x * n AS DOUBLE) / CAST(s AS DOUBLE))"
-    " * ln(CAST(x * n AS DOUBLE) / CAST(s AS DOUBLE))"
+    "floor((CAST(CAST(x AS DECIMAL(19,0)) * n AS DOUBLE)"
+    " / CAST(s AS DOUBLE))"
+    " * ln(CAST(CAST(x AS DECIMAL(19,0)) * n AS DOUBLE)"
+    " / CAST(s AS DOUBLE))"
     f" * {float(THEIL_SCALE)!r} + 0.5)"
 )
 
@@ -1674,7 +1699,12 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = rev.crossJoin(F.broadcast(st)).select(
         F.expr(_THEIL_TERM).alias("term"), "n", "s"
     )
-    agg = terms.groupBy("n", "s").agg(F.sum("term").alias("tsum"))
+    # the quantized terms sum to ~n * T * 1e9 — a LONG accumulator
+    # wraps at n >= ~1e9/T customers (the DuckDB twin sums exactly);
+    # decimal costs one cast per row on an already map-side pipeline.
+    agg = terms.groupBy("n", "s").agg(
+        F.sum(F.col("term").cast("decimal(38,0)")).alias("tsum")
+    )
     return agg.select(
         F.col("n").cast("long").alias("n_customers"),
         F.col("s").cast("long").alias("total_cents"),

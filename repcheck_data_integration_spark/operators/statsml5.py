@@ -1179,13 +1179,19 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 AP_SCALE = 1_000_000_000_000  # per-level term quantized at 1e-12
 
 # Step-interpolated AP = sum over distinct score levels v (descending)
-# of (p_v / P) * (tp_v / (tp_v + fp_v)). Each term's numerator p_v*tp_v
-# and denominator P*(tp_v+fp_v) are exact integers < 2^53, so the
-# quantized term (one multiply + one divide + floor, identical IEEE text
-# in both engines) is bit-identical; the level sum is an integer sum.
+# of (p_v / P) * (tp_v / (tp_v + fp_v)): one multiply + one divide +
+# floor, identical expression text in both engines, so the quantized
+# term is bit-identical; the level sum is an integer sum.
+# pv*tp and p*(tp+fp) widen through DECIMAL(19,0) before the multiply
+# (round-10 overflow sweep): count x cumulative-count products wrap
+# LONG at ~3e9 positives, silently in Spark, as an ERROR in DuckDB.
+# The quantized term itself is a precision-weighted fraction <= 1, so
+# AP_SCALE never ceilings.
 _AP_TERM = (
-    f"CAST(floor({AP_SCALE}.0 * (CAST(pv * tp AS DOUBLE)"
-    " / CAST(p * (tp + fp) AS DOUBLE))) AS BIGINT)"
+    f"CAST(floor({AP_SCALE}.0 *"
+    " (CAST(CAST(pv AS DECIMAL(19,0)) * tp AS DOUBLE)"
+    " / CAST(CAST(p AS DECIMAL(19,0)) * (tp + fp) AS DOUBLE)))"
+    " AS BIGINT)"
 )
 
 
@@ -2153,19 +2159,31 @@ def ml_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ml_brier_decomposition — Murphy decomposition of the Brier score
 # --------------------------------------------------------------------------
 
-BRIER_SCALE = 1_000_000_000_000  # per-bin REL/RES terms quantized at 1e-12
+# Round-10 overflow sweep: was 1e12, which put the quantized REL term
+# (<= n_b * SCALE) past BIGINT at just ~9.2e6 rows per bin — an sf100
+# fixture would have breached it. 1e6 gives ~9.2e12-rows-per-bin
+# headroom; the 1e-6 quantum is still two orders below the 4-decimal
+# output rounding.
+BRIER_SCALE = 1_000_000  # per-bin REL/RES terms quantized at 1e-6
 
 # per-bin reliability and resolution terms (Murphy 1973): each is ONE
-# division of exact-integer inputs, quantized to an integer BEFORE the
-# 10-row bin sum so the sum is never order-dependent doubles.
+# division quantized to an integer BEFORE the 10-row bin sum so the sum
+# is never order-dependent doubles. The interior rank/count masses
+# (srk ~ n_b*n, pos_b*(n-1), pos_b*n - p*n_b) exceed 2^63 LONG at the
+# 1e10-row posture, so the diffs are formed in DOUBLE from the start —
+# identical in both engines (same expression text), bit-equal to the
+# old exact-integer form wherever every mass fit 2^53, and gracefully
+# approximate (never wrapped) beyond.
 _BR_REL_T = (
-    f"CAST(floor({BRIER_SCALE}.0 * (CAST((srk - pos_b * (n - 1))"
-    " * (srk - pos_b * (n - 1)) AS DOUBLE)"
+    f"CAST(floor({BRIER_SCALE}.0 *"
+    " ((CAST(srk AS DOUBLE) - CAST(pos_b AS DOUBLE) * (n - 1))"
+    " * (CAST(srk AS DOUBLE) - CAST(pos_b AS DOUBLE) * (n - 1))"
     " / (CAST((n - 1) AS DOUBLE) * (n - 1) * n_b))) AS BIGINT)"
 )
 _BR_RES_T = (
-    f"CAST(floor({BRIER_SCALE}.0 * (CAST((pos_b * n - p * n_b)"
-    " * (pos_b * n - p * n_b) AS DOUBLE)"
+    f"CAST(floor({BRIER_SCALE}.0 *"
+    " ((CAST(pos_b AS DOUBLE) * n - CAST(p AS DOUBLE) * n_b)"
+    " * (CAST(pos_b AS DOUBLE) * n - CAST(p AS DOUBLE) * n_b)"
     " / (CAST(n AS DOUBLE) * n * n_b))) AS BIGINT)"
 )
 _BR_UNC = "(p * (n - p) / (n * n))"
@@ -2229,7 +2247,7 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the forecast is the integer rank transform
     (rk-1)/(n-1), so the raw Brier numerator sum((rk-1) - y(n-1))^2 is
     an exact HUGEINT/DECIMAL integer; each per-bin REL/RES term is one
-    division of exact integers quantized at 1e-12 BEFORE the 10-row
+    division quantized at 1e-6 BEFORE the 10-row
     sum (order-independent); uncertainty is expression text over exact
     counts. stable_round4 everywhere.
 
@@ -2293,9 +2311,13 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = b.groupBy("bin", "n").agg(
         F.sum("cnt").cast("long").alias("n_b"),
         F.sum(F.col("pos") * F.col("cnt")).cast("long").alias("pos_b"),
-        F.sum(F.col("rkm1").cast("decimal(38,0)") * F.col("cnt"))
-        .cast("long")
-        .alias("srk"),
+        # srk stays DECIMAL: the within-bin rank mass is ~n_b*n, which
+        # exceeds LONG at the 1e10-row posture — the old .cast("long")
+        # was a CHECKED cast in Spark 4 and would have crashed there.
+        # _BR_REL_T only ever reads CAST(srk AS DOUBLE).
+        F.sum(F.col("rkm1").cast("decimal(38,0)") * F.col("cnt")).alias(
+            "srk"
+        ),
     )
     pt = r.agg(
         F.sum(F.col("pos") * F.col("cnt")).cast("long").alias("p")
@@ -2787,17 +2809,27 @@ def emb_pair_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_logrank_test — two-arm log-rank test over the KM risk sets
 # --------------------------------------------------------------------------
 
-LR_SCALE = 1_000_000_000_000  # per-time E/V terms quantized at 1e-12
+# Round-10 overflow sweep: was 1e12, which ceilinged the quantized
+# per-time expectation (<= risk-set size * SCALE) at ~9.2e6 — near
+# fixture scale. 1e6 buys ~9.2e12 risk-set headroom; the 1e-6 quantum
+# stays two orders below the 4-decimal chi2 output rounding.
+LR_SCALE = 1_000_000  # per-time E/V terms quantized at 1e-6
 LR_CENSOR_GAP_S = 7 * 86400  # same censoring rule as events_kaplan_meier
 
 # per-event-time expectation and variance terms (Mantel 1966), each ONE
-# division of exact integers, quantized BEFORE the time sum:
+# division of exact integers, quantized BEFORE the time sum. dt*n1
+# widens through DECIMAL(19,0) (p1+p2 <= 38, the DuckDB bind cap):
+# the LONG product wraps at ~3e9 deaths x risk-set rows, silently in
+# Spark, as an ERROR in DuckDB; the decimal product converts to DOUBLE
+# with the identical single rounding.
 _LR_E1 = (
-    f"CAST(floor({LR_SCALE}.0 * (CAST(dt * n1 AS DOUBLE) / nt))"
+    f"CAST(floor({LR_SCALE}.0 *"
+    " (CAST(CAST(dt AS DECIMAL(19,0)) * n1 AS DOUBLE) / nt))"
     " AS BIGINT)"
 )
 _LR_V = (
-    f"CAST(floor({LR_SCALE}.0 * (CAST(dt * n1 AS DOUBLE) * n2 * (nt - dt)"
+    f"CAST(floor({LR_SCALE}.0 *"
+    " (CAST(CAST(dt AS DECIMAL(19,0)) * n1 AS DOUBLE) * n2 * (nt - dt)"
     " / (CAST(nt AS DOUBLE) * nt * (nt - 1.0)))) AS BIGINT)"
 )
 _LR_CHI2 = (
@@ -2878,7 +2910,7 @@ def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the KM op's exact integers (same censor rule, same
     strictly-preceding cumulative risk-set construction, no self-join);
     each time's E and V terms are ONE division of exact integers
-    quantized at 1e-12 BEFORE the time sum; chi2 is expression text
+    quantized at 1e-6 BEFORE the time sum; chi2 is expression text
     with an explicit zero-variance guard.
 
     Scale shape: one user-keyed aggregate over the corpus, then
@@ -2982,9 +3014,19 @@ def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 SS_SCALE = 1_000_000  # per-group s_g^2/n_g quantized at 1e-6
 
 # between-group mass term per dow group: one exact-integer division,
-# quantized BEFORE the 7-row sum
+# quantized BEFORE the 7-row sum. sg*sg widens through DECIMAL(19,0)
+# before the multiply (round-10 overflow sweep): the bare LONG product
+# wraps at sg > ~3e9 events per weekday-group — silent in Spark, an
+# ERROR in DuckDB — while the decimal product is exact in both and
+# converts to DOUBLE with the identical single rounding the old form
+# had wherever it didn't wrap. (19,0) and not (38,0) because DuckDB
+# binds decimal multiplies at p1+p2 <= 38. The quantized BIGINT itself
+# still ceilings at 2^63 (floor() on a double returns LONG in Spark) —
+# that residual bound is assert-guarded in the Spark function, loud
+# not silent.
 _SS_GTERM = (
-    f"CAST(floor({SS_SCALE}.0 * (CAST(sg * sg AS DOUBLE) / ng))"
+    f"CAST(floor({SS_SCALE}.0 *"
+    " (CAST(CAST(sg AS DECIMAL(19,0)) * sg AS DOUBLE) / ng))"
     " AS BIGINT)"
 )
 _SS_SSB = f"(sbq / {SS_SCALE}.0 - s * s / n)"
@@ -3056,14 +3098,30 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("ng"),
         F.sum("c").cast("long").alias("sg"),
     )
+    # the quantized group mass has an inherent 2^63 ceiling (see
+    # _SS_GTERM comment); fail loudly instead of summing a wrapped
+    # LONG. coalesce-woven (round-10 trap: a when/otherwise guard with
+    # equal branches gets DELETED by CaseWhen simplification).
+    guarded_gterm = (
+        "coalesce(CAST(assert_true("
+        f"{SS_SCALE}.0 *"
+        " (CAST(CAST(sg AS DECIMAL(19,0)) * sg AS DOUBLE) / ng)"
+        " < 9.0e18,"
+        " 'ts_seasonal_strength: quantized group mass exceeds BIGINT;"
+        " pre-aggregate the series to coarser buckets') AS BIGINT),"
+        f" {_SS_GTERM})"
+    )
     tq = g.agg(
-        F.sum(F.expr(_SS_GTERM)).cast("double").alias("sbq"),
+        F.sum(F.expr(guarded_gterm)).cast("double").alias("sbq"),
         F.count("*").cast("double").alias("k"),
     )
     tot = dw.agg(
         F.count("*").cast("double").alias("n"),
         F.sum("c").cast("double").alias("s"),
-        F.sum(F.col("c") * F.col("c")).cast("double").alias("ss"),
+        # decimal product: c*c in LONG wraps at c > ~3e9 events/day
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c"))
+        .cast("double")
+        .alias("ss"),
     )
     return tq.crossJoin(F.broadcast(tot)).selectExpr(
         "CAST(n AS BIGINT) AS n_days",
@@ -3078,16 +3136,23 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ml_cmh_test — Cochran-Mantel-Haenszel stratified association test
 # --------------------------------------------------------------------------
 
-CMH_SCALE = 1_000_000_000_000
+# Round-10 overflow sweep: was 1e12 (quantized per-stratum expectation
+# ceilinged at ~9.2e6 rows per stratum); 1e6 buys ~9.2e12. Same change
+# and rationale as LR_SCALE above.
+CMH_SCALE = 1_000_000
 
 # per-stratum expectation and variance of the (urgent, finalized) cell
-# under the stratum margins, quantized before the stratum sum:
+# under the stratum margins, quantized before the stratum sum. mt*n1
+# widens through DECIMAL(19,0) — the LONG margin product wraps at ~3e9
+# rows per margin (see _LR_E1).
 _CMH_E = (
-    f"CAST(floor({CMH_SCALE}.0 * (CAST(mt * n1 AS DOUBLE) / nt))"
+    f"CAST(floor({CMH_SCALE}.0 *"
+    " (CAST(CAST(mt AS DECIMAL(19,0)) * n1 AS DOUBLE) / nt))"
     " AS BIGINT)"
 )
 _CMH_V = (
-    f"CAST(floor({CMH_SCALE}.0 * (CAST(mt * n1 AS DOUBLE) * n2 * (nt - mt)"
+    f"CAST(floor({CMH_SCALE}.0 *"
+    " (CAST(CAST(mt AS DECIMAL(19,0)) * n1 AS DOUBLE) * n2 * (nt - mt)"
     " / (CAST(nt AS DOUBLE) * nt * (nt - 1.0)))) AS BIGINT)"
 )
 _CMH_CHI2 = (
@@ -3141,7 +3206,7 @@ def ml_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the per-stratum margins are exact integer counts from
     one conditional aggregate; each stratum's hypergeometric E and V
-    are one division of exact integers quantized at 1e-12 BEFORE the
+    are one division of exact integers quantized at 1e-6 BEFORE the
     stratum sum (the log-rank discipline — CMH and log-rank are the
     same Mantel machinery over different slicings); chi2 is expression
     text with a zero-variance guard. Degenerate strata (single-arm or

@@ -2196,8 +2196,16 @@ PMI_SCALE = 1_000_000.0
 
 # shared quantized-PMI expression: one division of exact integers, one
 # libm ln, midpoint-offset quantization (ADVICE r3 guard band).
+# cxy*nd and cx*cy widen through DECIMAL(19,0) before the multiply
+# (round-10 overflow sweep): document-frequency products at corpus
+# scale (cx, cy up to |docs| ~ 1e10+ each) wrap LONG silently in Spark
+# while the DuckDB twin ERRORS; the decimal product is exact in both
+# and rounds to DOUBLE once, identical to the old form wherever it
+# didn't wrap. The quantized value is a log ratio (|PMI| < ~50), so
+# PMI_SCALE never ceilings.
 _PMI_Q = (
-    "CAST(floor(ln(CAST(cxy * nd AS DOUBLE) / CAST(cx * cy AS DOUBLE))"
+    "CAST(floor(ln(CAST(CAST(cxy AS DECIMAL(19,0)) * nd AS DOUBLE)"
+    " / CAST(CAST(cx AS DECIMAL(19,0)) * cy AS DOUBLE))"
     f" * {PMI_SCALE!r} + 0.5) AS BIGINT)"
 )
 
