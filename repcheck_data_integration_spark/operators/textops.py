@@ -2142,6 +2142,12 @@ def mix_excess_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.sum("cnt").alias("n_tokens"),
+            # DECIMAL accumulator (round-10 overflow sweep): the
+            # quantized log-likelihood runs ~ -15e6 * n_tokens, so a
+            # LONG sum wraps at ~6e11 tokens per source while DuckDB's
+            # HUGEINT twin stays exact. (The per-term floor itself is
+            # LONG-bounded at cnt >~ 5.7e11 occurrences of ONE token in
+            # ONE source — an order beyond the 1e13-token posture.)
             F.sum(
                 F.floor(
                     F.col("cnt")
@@ -2149,7 +2155,7 @@ def mix_excess_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("ccount").cast("double") / F.col("ctotal")
                     )
                     * _XENT_SCALE
-                ).cast("long")
+                ).cast("decimal(38,0)")
             ).alias("llq"),
         )
     )
