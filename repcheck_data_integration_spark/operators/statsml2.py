@@ -1427,19 +1427,25 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "off_cnt",
         F.col("tot_cnt").alias("n"),
     )
+    # srk stays DECIMAL (round-10 overflow sweep, the brier lesson):
+    # the per-bin rank mass is ~n_b*n, past LONG at the 1e10-row
+    # posture — the old .cast("long") was a CHECKED cast in Spark 4 and
+    # would have crashed there. The calibration-gap diff widens pos_b
+    # through DECIMAL(19,0) for the same reason; every downstream read
+    # is CAST(... AS DOUBLE), one rounding, same as the DuckDB twin's
+    # HUGEINT arithmetic.
     g = b.groupBy("bin", "n").agg(
         F.sum("cnt").alias("n_b"),
         F.sum("pos_c").alias("pos_b"),
-        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("off_cnt"))
-        .cast("long")
-        .alias("srk"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("off_cnt")).alias(
+            "srk"
+        ),
     )
-    e = g.withColumn(
-        "ece_num",
-        F.sum(
-            F.abs(F.col("srk") - F.col("pos_b") * (F.col("n") - 1))
-        ).over(W.partitionBy()),
+    gap_num = F.abs(
+        F.col("srk")
+        - F.col("pos_b").cast("decimal(19,0)") * (F.col("n") - 1)
     )
+    e = g.withColumn("ece_num", F.sum(gap_num).over(W.partitionBy()))
     nm1 = (F.col("n") - 1).cast("double")
     return e.select(
         F.col("bin").cast("int"),
@@ -1451,9 +1457,7 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos_b").cast("double") / F.col("n_b").cast("double")
         ).alias("accuracy"),
         stable_round4(
-            F.abs(F.col("srk") - F.col("pos_b") * (F.col("n") - 1)).cast(
-                "double"
-            )
+            gap_num.cast("double")
             / (nm1 * F.col("n_b").cast("double"))
         ).alias("gap"),
         stable_round4(

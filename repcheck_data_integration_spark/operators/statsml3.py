@@ -828,9 +828,13 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("node").alias("state"),
             F.col("r").cast("long").alias("stationary_q"),
-            F.expr(f"(cnt * {MS_SCALE}L) div t").cast("long").alias(
-                "empirical_q"
-            ),
+            # DECIMAL before the multiply (round-10 overflow sweep):
+            # cnt*1e6 wraps LONG at ~9.2e12 transitions of one type —
+            # posture-adjacent for the events fact; the quotient is a
+            # millionth-share <= 1e6 so the DIV result always fits.
+            F.expr(f"(CAST(cnt AS DECIMAL(19,0)) * {MS_SCALE}) div t")
+            .cast("long")
+            .alias("empirical_q"),
         )
         .orderBy("state")
     )

@@ -160,8 +160,14 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(m, (F.col("mb") >= F.col("jb")) & (F.col("mb") <= F.col("kb")))
         .groupBy("jb", "kb")
         .agg(
+            # DECIMAL before the multiply (round-10 overflow sweep):
+            # sum(pos)*1e12 wraps LONG at just ~9.2e6 positives per
+            # segment (sf100-adjacent); the quotient is a fraction at
+            # 1e12 so the DIV result always fits. DuckDB's twin is
+            # already exact (its sum() returns HUGEINT).
             F.expr(
-                f"(sum(mpos_b) * {ISO_SCALE}) div sum(mn_b)"
+                f"(CAST(sum(mpos_b) AS DECIMAL(19,0)) * {ISO_SCALE})"
+                " div sum(mn_b)"
             ).alias("aq")
         )
     )

@@ -317,3 +317,43 @@ def test_quantized_stat_terms_no_bigint_wrap(spark):
         BRIER_SCALE * (d * d / (float(nn - 1) * (nn - 1) * n_b))
     )
     assert br == want_br and br > 0
+
+
+def test_share_quantizer_products_no_bigint_wrap(spark):
+    """The `(count * SCALE) div total` share-quantizer family (isotonic
+    segment averages, markov empirical shares, calibration rank mass):
+    the interior count*SCALE product must survive counts past
+    Long.MAX/SCALE. Pins the decimal-widened forms against python
+    floor-division."""
+    df = spark.createDataFrame(
+        [(20_000_000_000, 50_000_000_000)], "c long, t long"
+    )
+    # isotonic-style 1e12 quantizer: 2e10 * 1e12 = 2e22 >> Long.MAX
+    got = df.selectExpr(
+        "(CAST(c AS DECIMAL(19,0)) * 1000000000000) div t AS q"
+    ).collect()[0]["q"]
+    assert got == 20_000_000_000 * 10**12 // 50_000_000_000 == 400_000_000_000
+    # markov-style 1e6 quantizer at 1e13 transitions
+    got2 = spark.createDataFrame(
+        [(10_000_000_000_000, 40_000_000_000_000)], "c long, t long"
+    ).selectExpr(
+        "(CAST(c AS DECIMAL(19,0)) * 1000000) div t AS q"
+    ).collect()[0]["q"]
+    assert got2 == 250_000
+    # calibration gap: srk DECIMAL ~ n_b*n, pos_b*(n-1) decimal-widened
+    from pyspark.sql import functions as F
+
+    r = (
+        spark.createDataFrame(
+            [(500_000_000, 10_000_000_000)], "pos_b long, n long"
+        )
+        .selectExpr("CAST(12345678901234567890 AS DECIMAL(38,0)) AS srk", "*")
+        .select(
+            F.abs(
+                F.col("srk")
+                - F.col("pos_b").cast("decimal(19,0)") * (F.col("n") - 1)
+            ).alias("g")
+        )
+        .collect()[0]["g"]
+    )
+    assert int(r) == abs(12345678901234567890 - 500_000_000 * 9_999_999_999)
