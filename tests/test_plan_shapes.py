@@ -1633,3 +1633,21 @@ def test_dq_fk_coverage_bucketed_orderkey_edge(spark):
     p, n = _final_shuffle_exchanges(spark, "dq_fk_coverage")
     assert p.count("Bucketed: true") >= 6, p[:2000]
     assert n == 11, p[:2500]
+
+
+def test_seasonal_strength_quantizer_guard_survives_optimizer(spark):
+    """ts_seasonal_strength's quantized group mass has an inherent 2^63
+    ceiling (floor on a double returns LONG in Spark); the coalesce-woven
+    assert_true must survive into the OPTIMIZED plan — the when/otherwise
+    guard shape gets deleted by equal-branch CaseWhen simplification
+    (CLAUDE.md round-10 trap), which is exactly the regression this pins."""
+    from repcheck_data_integration_spark import registry
+
+    registry.load_all_modules()
+    df = registry.QUERIES["ts_seasonal_strength"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # assert_true lowers to `if(cond) null else raise_error(...)` by the
+    # optimizer — the raise_error with our message is the survival proof
+    assert "raise_error" in plan and "quantized group mass" in plan, (
+        "quantizer guard optimized away"
+    )
