@@ -128,3 +128,47 @@ def test_pdf_roundtrip_property(text, wrap):
         for off in range(0, max(len(ln), 1), wrap):
             lines.append(ln[off : off + wrap])
     assert got == "\n".join(ln for ln in lines if ln)
+
+
+@FAST
+@given(
+    groups=st.lists(
+        st.tuples(
+            # cents values up to $100M customers, tie-group counts up to
+            # 5e9 — the magnitudes where LONG arithmetic wrapped pre-r10
+            st.integers(1, 10_000_000_000),
+            st.integers(1, 5_000_000_000),
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_gini_pivot_matches_exact_rationals(spark, groups):
+    """The decimal gini pivot equals exact python-rational Gini for any
+    (cents, cnt) offsets table, including magnitudes where every LONG
+    intermediate (t, n*t, rank-sum) would have wrapped (round-10 sweep)."""
+    import math
+
+    from repcheck_data_integration_spark.operators.aggregates import (
+        _gini_pivot,
+    )
+
+    groups = sorted(groups)
+    rows, off = [], 0
+    for cents, cnt in groups:
+        rows.append((cents, cnt, off))
+        off += cnt
+    n = sum(c for _, c, _ in rows)
+    t = sum(v * c for v, c, _ in rows)
+    iw = sum(v * (c * o + c * (c + 1) // 2) for v, c, o in rows)
+    # mirror the pivot's exact float sequence (exact decimal integers,
+    # ONE rounding per double conversion) so the compare can't 1-ulp
+    # flake at a quantization boundary
+    g = 2.0 * float(iw) / float(n * t) - float(n + 1) / float(n)
+    want = math.floor(g * 10000.0 + 0.5) / 10000.0
+    got = _gini_pivot(
+        spark.createDataFrame(rows, "cents long, cnt long, off_cnt long")
+    ).collect()[0]
+    assert got["n_customers"] == n
+    assert got["gini"] == want, (rows, got["gini"], want)
