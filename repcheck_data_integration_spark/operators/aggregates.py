@@ -1135,43 +1135,62 @@ def _gini_pivot(offs: DataFrame) -> DataFrame:
     """,
 )
 def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT grouped median without a quantile sketch: the dual-rank
-    identity — rank every row ascending (ra) and descending (rd) with
-    mirrored full tie-breaks; the median members are exactly the rows
-    with |ra − rd| ≤ 1 (one row for odd group sizes, two for even), and
-    the median is their mean. All integer until the single final
-    division; no engine quantile function is trusted on either side
-    (interpolation conventions differ — this formulation sidesteps them).
+    """EXACT grouped median without a quantile sketch. The oracle keeps
+    the dual-rank identity (|ra − rd| ≤ 1 picks the one/two central
+    rows); the Spark side exploits that the CENTRAL VALUES depend only
+    on the sorted multiset: aggregate to distinct (priority, cents)
+    counts, take per-group exclusive prefix offsets, and the central
+    ranks lo = (m+1) DIV 2, hi = m DIV 2 + 1 fall in the value groups
+    with off < hi and off + c >= lo — each covering
+    least(off+c, hi) − greatest(off+1, lo) + 1 central positions.
+    All integer until the single final division; no engine quantile
+    function is trusted on either side (interpolation conventions
+    differ — this formulation sidesteps them).
 
-    Scale: two window passes over ONE partition shuffle on the group key
-    (both windows share it; the second sort is the mirror order), then a
-    near-empty filter — the distributed-exact-median idiom when the group
-    doesn't fit the driver; contrast agg_approx_percentile (GK sketch)
-    for the single-pass approximate path."""
+    Scale shape (round-10 partitioned-window sweep): the old form dual-
+    ranked EVERY orders row inside 5 priority partitions — a fact-scaled
+    single-task external sort per priority that the unpartitioned-window
+    audit cannot see (the window IS partitioned), with row_number's
+    IntegerType counter silently wrapping past 2^31 rows per priority
+    while the BIGINT oracle keeps counting. Now: one map-side-combining
+    aggregate to the distinct-value stats, then grouped_prefix_offsets
+    (operators/grouped_prefix.py — every window partitioned by
+    (priority, value bucket), broadcast theta top) and a near-empty
+    straddle filter. Integer rank bounds use DIV, never /, per the
+    round-9 trap. Contrast agg_approx_percentile (GK sketch) for the
+    single-pass approximate path."""
+    from .grouped_prefix import grouped_prefix_offsets
+
     o = load(spark, sf_dir, "orders")
     v = o.select(
         "o_orderpriority",
         scaled_long(F.col("o_totalprice"), 100).alias("cents"),
-        "o_orderkey",
     )
-    wa = W.partitionBy("o_orderpriority").orderBy(
-        F.col("cents"), F.col("o_orderkey")
+    vg = v.groupBy("o_orderpriority", "cents").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    wd = W.partitionBy("o_orderpriority").orderBy(
-        F.col("cents").desc(), F.col("o_orderkey").desc()
+    offs = grouped_prefix_offsets(vg, ["o_orderpriority"], "cents", ["c"])
+    sel = (
+        offs.withColumn("lo", F.expr("(tot_c + 1) DIV 2"))
+        .withColumn("hi", F.expr("tot_c DIV 2 + 1"))
+        .filter(
+            (F.col("off_c") < F.col("hi"))
+            & ((F.col("off_c") + F.col("c")) >= F.col("lo"))
+        )
+        .withColumn(
+            "ncov",
+            F.least(F.col("off_c") + F.col("c"), F.col("hi"))
+            - F.greatest(F.col("off_c") + 1, F.col("lo"))
+            + 1,
+        )
     )
-    r = v.select(
-        "o_orderpriority",
-        "cents",
-        F.row_number().over(wa).alias("ra"),
-        F.row_number().over(wd).alias("rd"),
-    )
-    mid = r.filter((F.col("ra") - F.col("rd")).between(-1, 1))
     return (
-        mid.groupBy("o_orderpriority")
+        sel.groupBy("o_orderpriority")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_mid"),
-            F.sum("cents").cast("long").alias("mid_cents_sum"),
+            F.sum("ncov").cast("long").alias("n_mid"),
+            F.sum(F.col("cents") * F.col("ncov"))
+            .cast("long")
+            .alias("mid_cents_sum"),
         )
         .select(
             "o_orderpriority",

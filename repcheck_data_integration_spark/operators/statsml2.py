@@ -113,17 +113,31 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     AUC == P(score_pos > score_neg) + 0.5 * P(tie), computed WITHOUT
     sampling pairs: rank-sum with exact tie correction. Twice the
-    tie-averaged rank of a row is the integer 2*rank(<=) + ties - 1, so
-    s2r (the positive rank-sum doubled) is an exact integer sum and
+    tie-averaged rank of a row is the integer 2*rank(<=) + ties - 1, and
+    rank with ties sharing depends only on the value group — rk =
+    off_cnt(cents) + 1, ce = the group count — so s2r collapses to the
+    DISTINCT-value sum over (segment, cents) groups:
+    s2r = sum_v pos_v * (2*off_v + c_v + 1), and
     AUC = (s2r - P(P+1)) / (2PN) needs one double division at the end.
 
-    Scale shape: one window sort per segment partition (the shuffle key
-    is the segment, skew bounded by segment cardinality), one grouped
-    sum; the pooled row costs a second pass over the projected 3-column
-    base, not the raw table. No pair materialization — AUC over n rows
-    is O(n log n), not the O(n_pos * n_neg) a naive pairwise count
-    would be at 100 TB.
+    Scale shape (round-10 partitioned-window sweep): the old form ranked
+    POOLED FACT ROWS with ``rank() OVER (PARTITION BY segment)`` — five
+    priority partitions plus a constant '__all__' segment, i.e. a global
+    single-task sort of the whole fact disguised as a partitioned window
+    (invisible to the unpartitioned-window audit by construction), with
+    Spark's IntegerType rank wrapping past 2^31 rows per segment while
+    the BIGINT oracle keeps counting. Now: one map-side-combining
+    aggregate to the distinct (segment, cents) stats, the pooled row
+    derived at the DISTINCT level (no second fact pass), and per-segment
+    offsets from grouped_prefix_offsets — every window partitioned by
+    (segment, value bucket), no int rank anywhere. s2r ~ 2*P*N exceeds
+    LONG at posture (the round-10 overflow class), so the positive count
+    is DECIMAL(19,0)-widened before the multiply; DuckDB's BIGINT sum
+    promotes to HUGEINT, exact on both sides, and both convert to DOUBLE
+    once inside the shared AUC formula.
     """
+    from .grouped_prefix import grouped_prefix_offsets
+
     o = load(spark, sf_dir, "orders")
     base = o.select(
         F.col("o_orderpriority").alias("segment"),
@@ -132,21 +146,26 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    pooled = base.unionByName(
-        base.withColumn("segment", F.lit("__all__"))
+    vg = base.groupBy("segment", "cents").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("pos").alias("pc")
     )
-    r = pooled.select(
-        "segment",
-        "pos",
-        F.rank().over(W.partitionBy("segment").orderBy("cents")).alias("rk"),
-        F.count("*").over(W.partitionBy("segment", "cents")).alias("ce"),
+    pooled = vg.unionByName(
+        vg.groupBy("cents")
+        .agg(F.sum("c").alias("c"), F.sum("pc").alias("pc"))
+        .select(F.lit("__all__").alias("segment"), "cents", "c", "pc")
     )
-    s = r.groupBy("segment").agg(
-        F.sum("pos").alias("p"),
-        F.sum(1 - F.col("pos")).alias("q"),
-        F.sum(
-            F.col("pos") * (2 * F.col("rk") + F.col("ce") - 1)
-        ).alias("s2r"),
+    offs = grouped_prefix_offsets(pooled, ["segment"], "cents", ["c"])
+    s = (
+        offs.groupBy("segment")
+        .agg(
+            F.sum("pc").cast("long").alias("p"),
+            F.max("tot_c").alias("n"),
+            F.sum(
+                F.col("pc").cast("decimal(19,0)")
+                * (2 * F.col("off_c") + F.col("c") + 1)
+            ).alias("s2r"),
+        )
+        .withColumn("q", F.col("n") - F.col("p"))
     )
     return s.select(
         "segment",

@@ -521,14 +521,23 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: fold assignment is a salted md5-bucket; the group mean
     is an exact integer division to micro-cents; residuals stay integer
-    micro-cents; the quantile is a row_number pick with an orderkey
-    tie-break; outputs descale once through the stable-round4 form.
+    micro-cents; the oracle's quantile is a row_number pick with an
+    orderkey tie-break, and the Spark side selects the SAME value from
+    the distinct-residual offsets (ties share a value, so the rank-k
+    value never depends on tie order); outputs descale once through the
+    stable-round4 form.
 
-    Scale shape: one scan into a group-keyed partial agg (train means,
-    |groups| rows, broadcast back), one co-partitioned rank window on
-    the calibration fold (per-group sort, never global), constant-size
-    rollups after.
+    Scale shape (round-10 partitioned-window sweep): the old form
+    ranked every calibration row inside 5 priority partitions — a
+    fact-scaled single-task sort per priority, invisible to the
+    unpartitioned-window audit, with row_number's IntegerType counter
+    wrapping past 2^31 rows per priority. Now: a map-side-combining
+    aggregate to distinct (grp, resid) counts, grouped_prefix_offsets
+    (every window partitioned by (grp, value bucket)), and the rank-k
+    pick is the value group with off < k <= off + c. Integer rank
+    bounds via DIV/ceil kept textually identical to the oracle.
     """
+    from .grouped_prefix import grouped_prefix_offsets
     o = load(spark, sf_dir, "orders")
     base = o.select(
         "o_orderkey",
@@ -562,21 +571,28 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("resid_micro"),
         )
     )
-    wg = W.partitionBy("grp")
-    ranked = calib.select(
-        "grp",
-        "resid_micro",
-        F.row_number()
-        .over(wg.orderBy("resid_micro", "o_orderkey"))
-        .alias("rk"),
-        F.count("*").over(wg).alias("n_cal"),
+    vg = calib.groupBy("grp", "resid_micro").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    qhat = ranked.filter(
-        F.expr(
-            f"rk = least(CAST(ceil((n_cal + 1)"
-            f" * (100 - {CONF_ALPHA_PCT}) / 100.0) AS BIGINT), n_cal)"
+    offs = grouped_prefix_offsets(vg, ["grp"], "resid_micro", ["c"])
+    qhat = (
+        offs.withColumn(
+            "rk_t",
+            F.expr(
+                f"least(CAST(ceil((tot_c + 1)"
+                f" * (100 - {CONF_ALPHA_PCT}) / 100.0) AS BIGINT), tot_c)"
+            ),
         )
-    ).select("grp", "n_cal", F.col("resid_micro").alias("q_micro"))
+        .filter(
+            (F.col("off_c") < F.col("rk_t"))
+            & ((F.col("off_c") + F.col("c")) >= F.col("rk_t"))
+        )
+        .select(
+            "grp",
+            F.col("tot_c").alias("n_cal"),
+            F.col("resid_micro").alias("q_micro"),
+        )
+    )
     cov = (
         calib.join(F.broadcast(qhat.select("grp", "q_micro")), "grp")
         .groupBy("grp")
