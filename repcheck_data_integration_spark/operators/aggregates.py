@@ -968,9 +968,13 @@ def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         rev.join(offs.select("rev_cents", "off_cnt", "off_vsum"), "rev_cents")
         .withColumn(
+            # LONG-safe within-tie numbering (round-10 partitioned-window
+            # sweep): count-over-frame, never the int row_number counter
             "rn",
-            F.row_number().over(
-                W.partitionBy("rev_cents").orderBy("l_partkey")
+            F.count(F.lit(1)).over(
+                W.partitionBy("rev_cents")
+                .orderBy("l_partkey")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
             ),
         )
         .select(

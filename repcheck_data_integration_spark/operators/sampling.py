@@ -107,20 +107,33 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain downsampling cap: keep at most DOMAIN_CAP documents per
     source, chosen by md5-hash order (a deterministic uniform sample of
     each over-represented domain — how curation reins in the crawl's
-    mega-domains without touching rare ones). One shuffle on source.
-    100 TB note: for caps where a single domain exceeds executor memory,
-    pre-thin with a bucket filter at ~2× the expected rate first (same
-    hash), then rank the survivors — the rank window then sorts a bounded
-    set per domain; the two-phase version composes from this same op."""
+    mega-domains without touching rare ones).
+
+    Scale shape (round-10 partitioned-window sweep): the old form was
+    ``row_number() OVER (PARTITION BY source)`` over ALL documents — a
+    handful of source partitions each holding a crawl-sized slice (one
+    task sorts the mega-domain; the int rank counter wraps past 2^31
+    docs/source). grouped_bucket_rank with the [1, cap] range prunes to
+    the hash buckets that can still reach the cap BEFORE any window —
+    the md5 bucket value is uniform, so only ~cap/n of each domain is
+    ever ranked, in (source, bucket)-partitioned windows with a LONG
+    rank. This IS the old docstring's 'pre-thin then rank the
+    survivors' two-phase plan, derived from the offsets instead of a
+    guessed rate."""
+    from .grouped_prefix import grouped_bucket_rank
+
     d = load(spark, sf_dir, "documents")
     h = hash_bucket(F.col("doc_id").cast("string"), 1_000_000)
-    rk = F.row_number().over(
-        W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    sel = grouped_bucket_rank(
+        d.select("doc_id", "source", h.alias("_h")),
+        ["source"],
+        "_h",
+        ["doc_id"],
+        lo="1",
+        hi=str(DOMAIN_CAP),
     )
-    return (
-        d.select("doc_id", "source", rk.alias("sample_rank"))
-        .filter(F.col("sample_rank") <= DOMAIN_CAP)
-        .select("doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank"))
+    return sel.select(
+        "doc_id", "source", F.col("_rk").cast("long").alias("sample_rank")
     )
 
 
@@ -469,20 +482,32 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract is 'exactly equal class counts' (classifier training,
     evaluation pools).
 
-    Scale shape: one tiny per-label count aggregate broadcast back, one
-    label-keyed rank window over the fact table, a map-side filter — no
-    driver materialization, reprocessing-stable under any partitioning."""
+    Scale shape (round-10 partitioned-window sweep): the old form was a
+    label-keyed rank window over the whole fact — each label partition
+    is class-sized (one task per class; int rank wrap past 2^31). Now
+    grouped_bucket_rank buckets on a numeric md5 prefix (conv of the
+    first 15 hex chars — a monotone non-strict proxy for the md5 string
+    order, so ordering by (prefix, md5, vec_id) equals ordering by
+    (md5, vec_id)) and prunes to the buckets that can still reach
+    min_n; windows partition by (label, bucket), rank is LONG. min_n
+    rides in as a broadcast constant column so the [1, min_n] range is
+    a per-row expression."""
+    from .grouped_prefix import grouped_bucket_rank
+
     e = load(spark, sf_dir, "embeddings")
     counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
     m = counts.agg(F.min("n").alias("min_n"))
     h = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("#bal")))
-    w = W.partitionBy("label").orderBy(h.alias("__h"), F.col("vec_id"))
-    return (
-        e.select("vec_id", "label")
-        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+    base = (
+        e.select("vec_id", "label", h.alias("_h"))
+        .withColumn("_hn", F.conv(F.substring("_h", 1, 15), 16, 10).cast("long"))
         .join(F.broadcast(m))
-        .filter(F.col("sample_rank") <= F.col("min_n"))
-        .select("vec_id", "label", "sample_rank")
+    )
+    sel = grouped_bucket_rank(
+        base, ["label"], "_hn", ["_h", "vec_id"], lo="1", hi="min_n"
+    )
+    return sel.select(
+        "vec_id", "label", F.col("_rk").cast("long").alias("sample_rank")
     )
 
 

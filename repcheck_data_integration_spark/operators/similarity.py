@@ -1348,25 +1348,29 @@ def emb_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the outlier-immune feature scaling (each dim's values map to their
     empirical quantiles rank/(n+1)), standard before distance-based
     screening when dims have wildly different scales. Executed the
-    distributed way: posexplode to (dim, value), ONE shuffle partitioned
-    by dim for the rank window (64 balanced partitions-worth of keys, no
-    global sort), quantiles re-assembled per vector with an order-pinned
-    collect (struct-sorted, not collect_list luck). Rank ties break on
-    vec_id so the map is engine-exact.
+    distributed way: posexplode to (dim, value), then a per-dim LONG
+    rank from grouped_bucket_rank — quantiles re-assembled per vector
+    with an order-pinned collect (struct-sorted, not collect_list
+    luck). Rank ties break on vec_id so the map is engine-exact.
 
-    Scale: shuffle volume = rows x dims exploded, keyed on dim — embarrassing
-    parallelism across dims; nothing global except the scalar n."""
+    Scale (round-10 partitioned-window sweep): the old rank window was
+    ``PARTITION BY j`` — 64 dim partitions, each holding EVERY vector,
+    i.e. 64 fact-scaled single-task sorts the unpartitioned-window
+    audit cannot see, with row_number's IntegerType counter wrapping
+    past 2^31 vectors per dim (embedding clouds concentrate mass at
+    exact 0.0, so the within-dim sort is also tie-heavy). Now every
+    window partitions by (dim, value bucket) and the rank is a LONG
+    count-over-frame; degenerate all-one-value dims degrade to one
+    bucket, never worse than the old shape."""
+    from .grouped_prefix import grouped_bucket_rank
+
     e = load(spark, sf_dir, "embeddings")
     x = e.select(
         "vec_id", F.posexplode("embedding").alias("j0", "v")
     ).select("vec_id", (F.col("j0") + 1).alias("j"), F.col("v").cast("double"))
     n = x.agg(F.countDistinct("vec_id").alias("n"))
-    r = x.select(
-        "vec_id",
-        "j",
-        F.row_number()
-        .over(W.partitionBy("j").orderBy(F.col("v"), F.col("vec_id")))
-        .alias("rk"),
+    r = grouped_bucket_rank(x, ["j"], "v", ["vec_id"]).select(
+        "vec_id", "j", F.col("_rk").alias("rk")
     )
     q = r.join(F.broadcast(n)).select(
         "vec_id",

@@ -394,8 +394,10 @@ def _median_center_avg(vals: DataFrame, col: str, *ties: str) -> DataFrame:
         .withColumn(
             "_rn",
             F.col("_off")
-            + F.row_number().over(
-                W.partitionBy("_bkt").orderBy(col, *ties)
+            + F.count(F.lit(1)).over(
+                W.partitionBy("_bkt")
+                .orderBy(col, *ties)
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
             ),
         )
         .filter(
@@ -1197,9 +1199,14 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
         .withColumn(
+            # LONG-safe within-tie numbering: count-over-frame, never the
+            # IntegerType row_number counter (wraps past 2^31 rows in one
+            # cents tie group — a constant promo price at posture)
             "rn_g",
-            F.row_number().over(
-                W.partitionBy("cents").orderBy("o_orderkey")
+            F.count(F.lit(1)).over(
+                W.partitionBy("cents")
+                .orderBy("o_orderkey")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
             ),
         )
         .selectExpr("pos", "off_cnt + rn_g AS rn", "n", "p")

@@ -688,8 +688,10 @@ def ml_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "arm",
             (F.col("pre_sum") + F.sum("step").over(win)).alias("llr"),
-            (F.col("pre_cnt") + F.row_number().over(
-                W.partitionBy("arm", "b").orderBy("o_orderkey")
+            (F.col("pre_cnt") + F.count(F.lit(1)).over(
+                W.partitionBy("arm", "b")
+                .orderBy("o_orderkey")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
             )).alias("rn"),
         )
     )

@@ -1631,8 +1631,14 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = (
         cr.join(offs.select("cents", "off_cnt"), "cents")
         .withColumn(
+            # LONG-safe within-tie numbering (round-10 partitioned-window
+            # sweep): count-over-frame, never the int row_number counter
             "rn_g",
-            F.row_number().over(W.partitionBy("cents").orderBy("o_custkey")),
+            F.count(F.lit(1)).over(
+                W.partitionBy("cents")
+                .orderBy("o_custkey")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
         )
         .join(F.broadcast(nt))
         .selectExpr("cents", "off_cnt + rn_g AS rn", "n", "tot")

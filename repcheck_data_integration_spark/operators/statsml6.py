@@ -869,8 +869,16 @@ def ml_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         per_user.join(F.broadcast(off), "activity")
         .withColumn(
+            # LONG-safe within-tie numbering (round-10 partitioned-window
+            # sweep): activity is a per-user COUNT, so tie groups are
+            # Zipf-massed (activity=1 alone can exceed 2^31 users at
+            # posture) — count-over-frame, never the int row_number
             "rn",
-            F.row_number().over(W.partitionBy("activity").orderBy("user_id")),
+            F.count(F.lit(1)).over(
+                W.partitionBy("activity")
+                .orderBy("user_id")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
         )
         .join(F.broadcast(n_total))
         .selectExpr("treat", "conv", "off + rn AS rk", "n")

@@ -35,19 +35,30 @@ from ..tables import load
 )
 def q2_min_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 shape: correlated minimum — cheapest supplier per brand over the
-    shipped part-supplier link, as a dedup-window instead of a correlated
-    subquery (one shuffle on the brand key)."""
+    shipped part-supplier link. The oracle keeps the rank-window form;
+    the Spark side computes the identical argmin as a MIN over a
+    (s_acctbal, s_suppkey, s_name) struct (lexicographic struct ordering
+    IS the window's tie-break chain; s_name is never reached because
+    s_suppkey is unique) — a map-side-combining aggregate instead of a
+    ``PARTITION BY p_brand`` rank window whose ~25 brand partitions each
+    sort a partsupp-scaled slice in one task and overflow the int rank
+    counter past 2^31 link rows per brand (round-10 partitioned-window
+    sweep)."""
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     p = load(spark, sf_dir, "part")
     s = load(spark, sf_dir, "supplier")
-    w = W.partitionBy("p_brand").orderBy("s_acctbal", "s_suppkey")
+    st = F.struct(F.col("s_acctbal"), F.col("s_suppkey"), F.col("s_name"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .select("p_brand", "s_suppkey", "s_name", "s_acctbal")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("p_brand")
+        .agg(F.min(st).alias("m"))
+        .select(
+            "p_brand",
+            F.col("m.s_suppkey").alias("s_suppkey"),
+            F.col("m.s_name").alias("s_name"),
+            F.col("m.s_acctbal").alias("s_acctbal"),
+        )
     )
 
 

@@ -1369,6 +1369,66 @@ def test_qini_is_one_fact_aggregate(spark):
     assert "BroadcastNestedLoopJoin" in p
 
 
+def test_median_exact_no_fact_window_no_int_rank(spark):
+    """agg_median_exact (round-10 partitioned-window sweep): the dual
+    fact-scaled per-priority rank sorts are gone — the median selects
+    from distinct-value grouped prefix offsets. No row_number anywhere;
+    every window partitions by (priority, value bucket)."""
+    p = plan(spark, "agg_median_exact")
+    assert "row_number" not in p
+    wins = [l for l in p.splitlines() if "windowspecdefinition" in l]
+    assert wins and all("_gpbk" in w for w in wins)
+    # the distinct-value stats are pinned at build: the returned plan
+    # reads the checkpointed frame, and the one fact scan ran eagerly
+    assert "ExistingRDD" in p
+
+
+def test_auc_roc_distinct_value_offsets_no_int_rank(spark):
+    """ml_auc_roc (round-10 sweep): the pooled '__all__' segment was a
+    constant partition key — a global fact sort in disguise. Now s2r
+    comes from the distinct-(segment, cents) offsets; no rank()/
+    row_number() node survives, and every window carries the bucket."""
+    p = plan(spark, "ml_auc_roc")
+    assert "row_number" not in p and " rank(" not in p
+    wins = [l for l in p.splitlines() if "windowspecdefinition" in l]
+    assert wins and all("_gpbk" in w for w in wins)
+
+
+def test_quantile_normalize_bucketed_long_rank(spark):
+    """emb_quantile_normalize (round-10 sweep): per-dim rank via
+    (j, bucket)-partitioned count-over-frame — the 64 fact-scaled dim
+    partitions and the int row_number counter are gone."""
+    p = plan(spark, "emb_quantile_normalize")
+    assert "row_number" not in p
+    wins = [l for l in p.splitlines() if "windowspecdefinition" in l]
+    assert wins and any("_grbk" in w for w in wins)
+
+
+def test_sample_caps_prune_before_rank_window(spark):
+    """sample_domain_cap / sample_class_balance (round-10 sweep): the
+    [1, cap] bucket pruning must filter on the broadcast offsets BEFORE
+    any window (only ~cap rows per group are ever ranked), windows
+    partition by (group, bucket), and no int rank counter remains."""
+    for q, grp in (("sample_domain_cap", "source"),
+                   ("sample_class_balance", "label")):
+        p = plan(spark, q)
+        assert "row_number" not in p, q
+        wins = [l for l in p.splitlines() if "windowspecdefinition" in l]
+        # offset-scan windows partition by (grp, _gpbk); the rank pass by
+        # (grp, _grbk) — every window carries a bucket key and the group
+        assert wins, q
+        assert all(("_grbk" in w or "_gpbk" in w) and grp in w for w in wins), q
+
+
+def test_q2_min_supplier_is_aggregate_not_window(spark):
+    """tpch_q2_min_supplier (round-10 sweep): argmin per brand as a
+    map-side-combining min-struct aggregate — no window node at all
+    over the partsupp-scaled link."""
+    p = plan(spark, "tpch_q2_min_supplier")
+    assert "Window" not in p and "row_number" not in p
+    assert "HashAggregate" in p
+
+
 def test_did_no_cartesian_fact_blowup(spark):
     """DiD's only cross joins are the broadcast 1-row span scalar and
     the 2-row period grid."""

@@ -30,8 +30,25 @@ def count_unpartitioned_windows(df) -> int:
     """Number of Window logical nodes with an empty partitionSpec in the
     optimized plan (optimized, not analyzed: optimizer-collapsed windows
     shouldn't count, and column pruning can't remove a window it needs)."""
-    n, _ = _walk_plan(df)
+    n, _, _ = _walk_plan(df)
     return n
+
+
+def count_int_rank_windows(df) -> int:
+    """Number of Window nodes carrying an IntegerType-counter ranking
+    function (row_number / rank / dense_rank / percent_rank / ntile —
+    all RowNumberLike/RankLike in catalyst, public source: their
+    internal counter is an int AttributeReference). Such a window is
+    fine over a bounded partition but silently overflows past 2^31 rows
+    in ONE partition — and a partition key with a bounded domain
+    (priority, source, a pooled constant) makes the partition
+    fact-scaled while remaining invisible to the unpartitioned-window
+    count (round-10 partitioned-window sweep). The count-over-ROWS-frame
+    spelling and operators/grouped_prefix.py are the LONG-safe
+    alternatives; every remaining int-rank window is pinned with a
+    partition-boundedness justification in tests/test_plan_shapes.py."""
+    _, _, r = _walk_plan(df)
+    return r
 
 
 def count_unauditable_nodes(df) -> int:
@@ -43,14 +60,21 @@ def count_unauditable_nodes(df) -> int:
     checkpointing query builds it with operators.ckpt.PLAN_ONLY = True
     (audit() does) so this returns 0; a non-zero count means the pin
     `count_unpartitioned_windows(df) == 0` is partially vacuous."""
-    _, u = _walk_plan(df)
+    _, u, _ = _walk_plan(df)
     return u
 
 
-def _walk_plan(df) -> tuple[int, int]:
-    """(unpartitioned window count, unauditable truncated-leaf count)."""
+# substrings of a Window node's simpleString that mark an int-counter
+# ranking function ("rank(" also matches dense_rank/percent_rank)
+_INT_RANK_MARKS = ("row_number(", "rank(", "ntile(")
+
+
+def _walk_plan(df) -> tuple[int, int, int]:
+    """(unpartitioned window count, unauditable truncated-leaf count,
+    int-rank window count)."""
     n = 0
     unauditable = 0
+    int_rank = 0
     stack = [df._jdf.queryExecution().optimizedPlan()]
     while stack:
         node = stack.pop()
@@ -60,6 +84,12 @@ def _walk_plan(df) -> tuple[int, int]:
         if cls in ("Window", "WindowExec"):
             if node.partitionSpec().size() == 0:
                 n += 1
+            try:
+                sig = node.simpleString(200)
+            except Exception:
+                sig = node.toString()
+            if any(m in sig for m in _INT_RANK_MARKS):
+                int_rank += 1
         elif cls in ("LogicalRDD", "RDDScanExec", "ExternalRDD"):
             # a localCheckpoint (or any RDD-backed leaf) severs lineage:
             # whatever plan produced the RDD is gone from this tree
@@ -88,7 +118,7 @@ def _walk_plan(df) -> tuple[int, int]:
         # inner subquery plans (scalar subqueries etc.) live in expressions;
         # none of the registry queries use them for windows, and traversing
         # expression trees over py4j is ~100x slower — skip deliberately.
-    return n, unauditable
+    return n, unauditable, int_rank
 
 
 def audit(
@@ -96,6 +126,7 @@ def audit(
     sf_dir: str,
     names: list[str] | None = None,
     unauditable_out: dict[str, int] | None = None,
+    rank_out: dict[str, int] | None = None,
 ) -> dict[str, int]:
     """{query_name: unpartitioned_window_count} for every registered query
     that has at least one. Queries whose builder fails (env-gated stubs)
@@ -105,7 +136,10 @@ def audit(
     ADVICE r8 #1/#3): build-time eager localCheckpoints are suppressed so
     (a) the audit sees the FULL pre-checkpoint tree instead of an opaque
     LogicalRDD, and (b) the pin()-routed checkpoint side effects never
-    fire during a mere audit. Iterative loops are the documented
+    fire during a mere audit. ``rank_out`` (round-10) collects, in the
+    same single plan walk, the per-query count of Window nodes carrying
+    an IntegerType ranking function — see count_int_rank_windows.
+    Iterative loops are the documented
     exception (ADVICE r9): their convergence probes (connected
     components, PageRank, BPE) still execute jobs at CONSTRUCTION time
     even in plan-only mode — e.g. split_leakage_safe /
@@ -134,11 +168,13 @@ def audit(
                 df = registry.QUERIES[name](spark, sf_dir)
             except Exception:
                 continue
-            c, u = _walk_plan(df)
+            c, u, r = _walk_plan(df)
             if c:
                 out[name] = c
             if u and unauditable_out is not None:
                 unauditable_out[name] = u
+            if r and rank_out is not None:
+                rank_out[name] = r
     finally:
         ckpt.PLAN_ONLY = prior
     return out
@@ -159,7 +195,7 @@ def audit_hooks(spark) -> dict[str, tuple[int, int]]:
     for name, builder in sorted(ah.HOOKS.items()):
         n = u = 0
         for df in builder(spark):
-            dn, du = _walk_plan(df)
+            dn, du, _ = _walk_plan(df)
             n += dn
             u += du
         out[name] = (n, u)
@@ -172,10 +208,14 @@ if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     spark = get_spark("window-audit")
     unaud: dict[str, int] = {}
-    found = audit(spark, sf_dir, unauditable_out=unaud)
+    ranks: dict[str, int] = {}
+    found = audit(spark, sf_dir, unauditable_out=unaud, rank_out=ranks)
     for k, v in sorted(found.items()):
         print(f"{k}\t{v}")
     print(f"# {len(found)} queries with unpartitioned windows")
+    for k, v in sorted(ranks.items()):
+        print(f"# int-rank windows: {k}\t{v}")
+    print(f"# {len(ranks)} queries with int-rank windows")
     from repcheck_data_integration_spark.operators import audit_hooks as ah
 
     hook_rows = audit_hooks(spark)
