@@ -824,10 +824,14 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reuses the exact-integer codebook (cell_centroids) so the centroids —
     and therefore every cosine — are bit-deterministic; ranking ties break
-    on vec_id. Scale shape: the codebook is |cells|×dim (tiny → broadcast
-    join, no shuffle of the embedding table beyond the centroid groupBy);
-    scoring is a per-row array fold; the top-k window partitions by label
-    so ranking distributes across cells."""
+    on vec_id. Scale shape (round-10 partitioned-window sweep): the
+    codebook is |cells|×dim (tiny → broadcast join, no shuffle of the
+    embedding table beyond the centroid groupBy); scoring is a per-row
+    array fold; the bottom-k pick runs through grouped_bucket_rank's
+    [1, k] bucket pruning — the old per-label rank window put a whole
+    CLASS in one task (and its int row_number wraps past 2^31
+    vectors/label); now only the lowest-cosine buckets are ever ranked,
+    in (label, bucket)-partitioned LONG windows."""
     e = load(spark, sf_dir, "embeddings")
     cents = cell_centroids(e).withColumn(
         "__cn", vec_norm(F.col("centroid"))
@@ -842,15 +846,15 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("__en") * F.col("__cn"))
         ).alias("cos"),
     )
-    w = W.partitionBy("label").orderBy(F.col("cos").asc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= N_OUTLIERS)
-        .select(
-            "vec_id",
-            "label",
-            stable_round4(F.col("cos")).alias("centroid_cos"),
-        )
+    from .grouped_prefix import grouped_bucket_rank
+
+    sel = grouped_bucket_rank(
+        scored, ["label"], "cos", ["vec_id"], lo="1", hi=str(N_OUTLIERS)
+    )
+    return sel.select(
+        "vec_id",
+        "label",
+        stable_round4(F.col("cos")).alias("centroid_cos"),
     )
 
 

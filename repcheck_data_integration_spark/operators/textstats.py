@@ -515,27 +515,36 @@ def text_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reuses the registered text_quality_score plan/oracle verbatim as a
     subquery, joins language back on, and ranks inside each language with
-    a full (score, doc_id) tie-break so percent_rank is single-valued.
-    Scale shape: one shuffle keyed on lang for the rank window — language
-    cardinality is small but each partition only sorts its own language's
-    (score, id) pairs; for a skewed single-language corpus the same op
-    re-keys on (lang, score-band) — documented, not needed at fixture
-    scale."""
-    from pyspark.sql import Window as W
+    a full (score, doc_id) tie-break so percent_rank is single-valued
+    (total order -> no peers -> percent_rank = (rn-1)/(m-1), 0 when the
+    language has one document — both engines' definition).
+
+    Scale shape (round-10 partitioned-window sweep): the old docstring
+    already conceded the problem ('for a skewed single-language corpus
+    re-key on (lang, score-band)') — a PARTITION BY lang window puts
+    English (half the corpus) in ONE task, and percent_rank's internal
+    RankLike counters are IntegerType, wrapping past 2^31 docs/lang.
+    grouped_bucket_rank IS the (lang, score-band) re-key, derived from
+    broadcast offsets: LONG rank in (lang, bucket)-partitioned windows,
+    percent_rank reconstructed from (rn, m); the gate cross-checks the
+    closed form against DuckDB's native percent_rank."""
+    from .grouped_prefix import grouped_bucket_rank
 
     q = text_quality_score(spark, sf_dir)
     d = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    w = W.partitionBy("lang").orderBy("quality_score", "doc_id")
-    pr = F.percent_rank().over(w)
-    return (
-        q.join(d, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "quality_score",
-            stable_round4(pr).alias("quality_pctile"),
-            (pr >= F.lit(1.0 - TOP_P_KEEP)).alias("keep_top"),
-        )
+    rk = grouped_bucket_rank(
+        q.join(d, "doc_id"), ["lang"], "quality_score", ["doc_id"]
+    )
+    pr = F.when(
+        F.col("_m") > 1,
+        (F.col("_rk") - 1) / (F.col("_m") - 1),
+    ).otherwise(F.lit(0.0))
+    return rk.select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        stable_round4(pr).alias("quality_pctile"),
+        (pr >= F.lit(1.0 - TOP_P_KEEP)).alias("keep_top"),
     )
 
 

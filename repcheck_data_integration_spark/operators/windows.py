@@ -148,15 +148,32 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-native extension: rank family (tie-stable by definition)."""
+    """Engine-native extension: rank family (tie-stable by definition).
+    The oracle keeps the native rank()/dense_rank() windows; the Spark
+    side derives both from per-nation distinct-value offsets —
+    rank = off_cnt + 1 (ties share), dense_rank = off_distinct + 1 —
+    because the native forms partition by c_nationkey (25 partitions,
+    each customers/25: one task per nation AND an IntegerType counter
+    that wraps past 2^31 customers per nation; round-10
+    partitioned-window sweep). The gate cross-checks the offset
+    formulas against DuckDB's native rank functions."""
+    from .grouped_prefix import grouped_prefix_offsets
+
     c = load(spark, sf_dir, "customer")
-    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
-    return c.select(
+    vg = (
+        c.groupBy("c_nationkey", "c_acctbal")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("one", F.lit(1))
+    )
+    offs = grouped_prefix_offsets(
+        vg, ["c_nationkey"], "c_acctbal", ["c", "one"], ascending=False
+    ).select("c_nationkey", "c_acctbal", "off_c", "off_one")
+    return c.join(offs, ["c_nationkey", "c_acctbal"]).select(
         "c_nationkey",
         "c_custkey",
         "c_acctbal",
-        F.rank().over(w).alias("bal_rank"),
-        F.dense_rank().over(w).alias("bal_dense_rank"),
+        (F.col("off_c") + 1).cast("int").alias("bal_rank"),
+        (F.col("off_one") + 1).cast("int").alias("bal_dense_rank"),
     )
 
 
@@ -320,17 +337,37 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     it, equal balances would land in different quartiles per engine. The
     rational ranks are stable-rounded for the cross-engine hash."""
     from .dedup import stable_round4
+    from .grouped_prefix import grouped_bucket_rank
 
     c = load(spark, sf_dir, "customer")
-    w = W.partitionBy("c_nationkey").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
+    base = c.select(
+        "c_nationkey", "c_custkey", (-F.col("c_acctbal")).alias("negbal")
     )
-    return c.select(
+    # round-10 partitioned-window sweep: the native forms partition by
+    # c_nationkey (one task per nation over customers/25 rows, int
+    # counters). With the full tie-break the order is total, so every
+    # distribution function is a closed form of (rn, m): the SQL NTILE
+    # big-tiles-first rule, percent_rank = (rn-1)/(m-1) (0 when m = 1),
+    # cume_dist = rn/m (no peers under a total order). rn comes from the
+    # bucketed LONG rank; the gate cross-checks the formulas against
+    # DuckDB's native ntile/percent_rank/cume_dist.
+    rk = grouped_bucket_rank(base, ["c_nationkey"], "negbal", ["c_custkey"])
+    # integer DIV throughout (round-9 trap: / on longs yields DOUBLE)
+    tile = F.expr(
+        "CASE WHEN _rk <= (_m % 4) * (_m DIV 4 + 1)"
+        " THEN (_rk - 1) DIV (_m DIV 4 + 1)"
+        " ELSE (_m % 4) + (_rk - (_m % 4) * (_m DIV 4 + 1) - 1)"
+        "       DIV greatest(_m DIV 4, 1) END"
+    )
+    return rk.select(
         "c_nationkey",
         "c_custkey",
-        F.ntile(4).over(w).cast("int").alias("bal_quartile"),
-        stable_round4(F.percent_rank().over(w)).alias("bal_pct_rank"),
-        stable_round4(F.cume_dist().over(w)).alias("bal_cume_dist"),
+        (tile + 1).cast("int").alias("bal_quartile"),
+        stable_round4(
+            F.when(F.col("_m") > 1, (F.col("_rk") - 1) / (F.col("_m") - 1))
+            .otherwise(F.lit(0.0))
+        ).alias("bal_pct_rank"),
+        stable_round4(F.col("_rk") / F.col("_m")).alias("bal_cume_dist"),
     )
 
 

@@ -68,7 +68,30 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q12_priority_counts",
     # round-10 changed-op re-check (BIGINT-wrap-free rank-sum):
     "agg_gini_revenue",
-    # never-sampled backlog in registration order (first 44 of 82):
+    # round-10 continuation changed-op re-checks (the fact-scaled
+    # partitioned-window sweep rewired these 14 plans — changed ops go
+    # BEFORE first-time backlog per the rotation policy, displacing 14
+    # backlog rows to r11; all 14 re-gated green in both session shapes
+    # and driver_sim-prevalidated. ml_conformal_interval / ml_qini_uplift
+    # double as first-time rows; ts_theil_sen_sampled is also first-time):
+    "ml_auc_roc",
+    "agg_median_exact",
+    "agg_abc_pareto",
+    "agg_lorenz_deciles",
+    "ml_lift_gains",
+    "ml_sprt_ab",
+    "ml_conformal_interval",
+    "ml_qini_uplift",
+    "emb_quantile_normalize",
+    "sample_domain_cap",
+    "sample_class_balance",
+    "tpch_q2_min_supplier",
+    "ts_theil_sen",
+    "ts_theil_sen_sampled",
+    # never-sampled backlog in registration order (next 30 of the
+    # remaining 80; 14 rows displaced by the changed-op block move to
+    # r11 — never rotate a failure out, changed ops never ship
+    # unsampled):
     "agg_cuped",
     "ts_granger_causality",
     "ts_changepoint_binseg",
@@ -99,20 +122,6 @@ DRIVER_PRIORITY: list[str] = [
     "agg_delta_method_ratio",
     "ts_runs_test",
     "agg_paired_ttest",
-    "ml_power_analysis",
-    "ml_isotonic_calibration",
-    "priv_noisy_max",
-    "events_attribution_shapley",
-    "ml_conformal_interval",
-    "ml_qini_uplift",
-    "ml_srm_check",
-    "ml_diff_in_diff",
-    "ml_tost_equivalence",
-    "ml_ucb_allocation",
-    "snk_parquet_roundtrip",
-    "src_orc_roundtrip",
-    "src_text_scan",
-    "src_xml_dir_scan",
 ]
 
 
