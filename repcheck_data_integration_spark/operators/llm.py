@@ -1509,17 +1509,34 @@ def _register_bradley_terry() -> None:
         from pyspark.sql import Window as _W
 
         d = load(spark, sf_dir, "documents")
-        toks = F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")
-        s = d.select(
-            "doc_id",
-            "source",
-            F.expr(f"doc_id div {BT_BLOCK}").alias("grp"),
-            F.expr(
-                f"(size(array_distinct(regexp_extract_all(text,"
-                f" '{TOKEN_RE}', 0))) * {_PREF_SCALE}L)"
-                f" div size(regexp_extract_all(text, '{TOKEN_RE}', 0))"
-            ).alias("score_q"),
-        ).filter(F.size(toks) > 0)
+        # Round-10 optimization: the old single select evaluated the
+        # tokenize regex 3x per row (distinct-size, size, and the
+        # emptiness filter). Filter on the cheap precursor (rlike hits
+        # iff extract_all is non-empty; both engines agree on the empty
+        # and NULL cases) and layer the projection so the regex runs
+        # once (CollapseProject keeps a non-cheap producer with two
+        # consumers un-inlined). Same rows, same score_q — oracle
+        # unchanged.
+        s = (
+            d.filter(F.col("text").rlike(TOKEN_RE))
+            .select(
+                "doc_id",
+                "source",
+                F.expr(f"doc_id div {BT_BLOCK}").alias("grp"),
+                F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)").alias(
+                    "toks"
+                ),
+            )
+            .select(
+                "doc_id",
+                "source",
+                "grp",
+                F.expr(
+                    f"(size(array_distinct(toks)) * {_PREF_SCALE}L)"
+                    " div size(toks)"
+                ).alias("score_q"),
+            )
+        )
         rk = s.select(
             "grp",
             "source",

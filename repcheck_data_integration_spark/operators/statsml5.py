@@ -2112,13 +2112,31 @@ def ml_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     nbp = nb_doc_pred(spark, sf_dir)
     d = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-
-    def marker_count(ws):
-        return F.size(F.filter(toks, lambda x: x.isin(*ws)))
-
-    cnt = {lang: marker_count(ws) for lang, ws in LANG_MARKERS.items()}
-    c_en, c_de, c_fr, c_es = cnt["en"], cnt["de"], cnt["fr"], cnt["es"]
+    # Layered projections (round-10 optimization): higher-order-function
+    # bodies run interpreted, so a single select inlines the tokenize
+    # regex into every filter lambda AND every when-branch reference —
+    # ~14 regexp_extract_all evaluations per row. Materializing toks,
+    # then the four counts, as separate Projects (CollapseProject keeps
+    # non-cheap producers with >1 consumer un-inlined) evaluates the
+    # regex once and each marker filter once. Same expressions, same
+    # values — oracle unchanged.
+    mt = d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+    mc = mt.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.filter(F.col("toks"), lambda x: x.isin(*ws))).alias(
+                f"c_{lang}"
+            )
+            for lang, ws in LANG_MARKERS.items()
+        ],
+    )
+    c_en, c_de, c_fr, c_es = (
+        F.col("c_en"),
+        F.col("c_de"),
+        F.col("c_fr"),
+        F.col("c_es"),
+    )
     marker = (
         F.when(
             (c_en >= c_de) & (c_en >= c_fr) & (c_en >= c_es) & (c_en > 0),
@@ -2129,7 +2147,7 @@ def ml_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(c_es > 0, "es")
         .otherwise("und")
     )
-    mpred = d.select("doc_id", "lang", marker.alias("marker_pred"))
+    mpred = mc.select("doc_id", "lang", marker.alias("marker_pred"))
     paired = nbp.join(mpred, "doc_id").select(
         F.when(F.col("lang_pred") == F.col("lang_true"), 1)
         .otherwise(0)

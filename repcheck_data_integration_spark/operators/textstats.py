@@ -153,12 +153,28 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang column is kept alongside for comparison, not as ground truth the
     heuristic could recover.)"""
     d = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    def marker_count(ws):
-        return F.size(F.filter(toks, lambda x: x.isin(*ws)))
-
-    counts = {lang: marker_count(ws) for lang, ws in LANG_MARKERS.items()}
-    c_en, c_de, c_fr, c_es = counts["en"], counts["de"], counts["fr"], counts["es"]
+    # Layered projections (round-10 optimization, same as ml_mcnemar_test):
+    # one select would inline the tokenize regex into every filter lambda
+    # and when-branch reference (~14 evals/row, HOFs run interpreted with
+    # no CSE). Materialize toks, then the counts, as separate Projects —
+    # regex once, each filter once. Values unchanged; oracle untouched.
+    mt = d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+    mc = mt.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.filter(F.col("toks"), lambda x: x.isin(*ws))).alias(
+                f"c_{lang}"
+            )
+            for lang, ws in LANG_MARKERS.items()
+        ],
+    )
+    c_en, c_de, c_fr, c_es = (
+        F.col("c_en"),
+        F.col("c_de"),
+        F.col("c_fr"),
+        F.col("c_es"),
+    )
     pred = (
         F.when((c_en >= c_de) & (c_en >= c_fr) & (c_en >= c_es) & (c_en > 0), "en")
         .when((c_de >= c_fr) & (c_de >= c_es) & (c_de > 0), "de")
@@ -166,7 +182,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(c_es > 0, "es")
         .otherwise("und")
     )
-    return d.select(
+    return mc.select(
         "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
     )
 
