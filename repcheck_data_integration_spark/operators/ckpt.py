@@ -125,3 +125,55 @@ def shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ] = round(_time.time() - _t0, 3)
     _COMPONENTS_CACHE[key] = (spark, comp)
     return comp
+
+
+def shared_stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_components_batch's (doc_id, canonical_id) frame, computed
+    once per (session, documents-content) — the STREAMING-verify twin of
+    shared_components (round-10 optimization). stream_dedup_minhash and
+    dedup_cluster_stats each rebuilt the banded-candidates + minhash-
+    agreement + iterative-CC DAG (~3 s at sf0.1) from the identical
+    (doc_id, text) input; like the r9 memo, on a cluster this frame is
+    the maintained dedup-cluster state table the streaming fold persists,
+    and the memo stands in for that materialization locally. Same
+    fallbacks: fresh un-memoized build in PLAN_ONLY mode (audit sees the
+    full tree) or when the fixture path has no stat-able parquet."""
+    import os
+
+    from .. import tables
+    from ..streaming.stream_ops import minhash_components_batch
+
+    def _build() -> DataFrame:
+        docs = tables.load(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        return minhash_components_batch(docs)
+
+    if PLAN_ONLY:
+        return _build()
+    try:
+        fp = tables._content_fingerprint(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+    except OSError:
+        return _build()
+    _sweep_dead_sessions()
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        tables.LAYOUT_SALT,
+        fp,
+        "stream",
+    )
+    hit = _COMPONENTS_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    import time as _time
+
+    _t0 = _time.time()
+    comp = _build().localCheckpoint(eager=True)
+    tables.FIXED_COSTS[
+        f"stream_components:{os.path.basename(sf_dir.rstrip('/'))}"
+    ] = round(_time.time() - _t0, 3)
+    _COMPONENTS_CACHE[key] = (spark, comp)
+    return comp

@@ -1169,10 +1169,9 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive reachability CTE, so even the component step is
     hash-verified cross-engine (the one step dedup_components left
     rows-only)."""
-    from .stream_ops import minhash_components_batch
+    from ..operators.ckpt import shared_stream_components
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return minhash_components_batch(docs).orderBy("doc_id")
+    return shared_stream_components(spark, sf_dir).orderBy("doc_id")
 
 
 @register(
@@ -2334,11 +2333,10 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded candidate edges (localCheckpointed per round, shuffle ∝
     colliding pairs); the histogram adds two map-side-combined
     aggregates keyed on canonical_id then cluster_size."""
-    from .stream_ops import minhash_components_batch
+    from ..operators.ckpt import shared_stream_components
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     comp = (
-        minhash_components_batch(docs)
+        shared_stream_components(spark, sf_dir)
         .groupBy("canonical_id")
         .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
     )

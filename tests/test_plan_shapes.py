@@ -1218,6 +1218,35 @@ def test_shared_components_sweeps_stopped_sessions(spark):
     assert live_key in ckpt._COMPONENTS_CACHE
 
 
+def test_shared_stream_components_memoized_single_build(spark):
+    """stream_dedup_minhash and dedup_cluster_stats must NOT rebuild the
+    banded + minhash-agreement + iterative-CC DAG twice in one session
+    (round-10 optimization — the streaming-verify twin of the r9
+    shared_components memo): both calls return the identical
+    checkpointed frame, keyed separately from the batch-verify memo, and
+    PLAN_ONLY mode still builds the full auditable tree."""
+    from repcheck_data_integration_spark.operators import ckpt
+
+    ckpt._COMPONENTS_CACHE.clear()
+    a = ckpt.shared_stream_components(spark, SF)
+    b = ckpt.shared_stream_components(spark, SF)
+    assert a is b
+    (key,) = ckpt._COMPONENTS_CACHE
+    assert key[-1] == "stream"
+    # distinct memo from the batch-verify components (different edge
+    # semantics: minhash-agreement vs jaccard-verified pairs)
+    batch = ckpt.shared_components(spark, SF)
+    assert batch is not a
+    assert len(ckpt._COMPONENTS_CACHE) == 2
+    # PLAN_ONLY bypasses the memo and returns the un-truncated tree
+    ckpt.PLAN_ONLY = True
+    try:
+        full = ckpt.shared_stream_components(spark, SF)
+        assert full is not a
+    finally:
+        ckpt.PLAN_ONLY = False
+
+
 def test_gesd_rounds_on_cached_bounded_series(spark):
     spark.catalog.clearCache()
     p = plan(spark, "events_gesd_outliers")
