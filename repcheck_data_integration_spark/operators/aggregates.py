@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from .ckpt import pin
 from ..registry import register
 from ..functions.exact import scaled_long
-from ..tables import literal_frame, load
+from ..tables import literal_frame, load, load_bucketed
 
 
 @register(
@@ -1593,42 +1593,67 @@ def agg_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket total); confidence and lift are rationals of those integers
     through the stable_round4 form. No window, no ties to break.
 
-    Scale shape: same pair-generation as agg_copurchase_pairs (self
-    equi-join on the basket key, work Σk²/2 with basket size bounded;
-    the {MBR_MIN_SUP}-basket support floor prunes before the rule
-    expansion); item supports are an item-keyed aggregate broadcast into
-    the rule join; the basket total is a 1-row singleton. The basket
-    incidence is persisted once for its three readers (pair join ×2 legs,
-    supports, total).
+    Scale shape (round-10 rewrite): per-basket item SETS are collected
+    over the bucketed-by-l_orderkey scan — the grouping key is already
+    clustered, so the basket aggregate (and everything derived from it)
+    runs with ZERO basket-keyed exchange; in-basket pairs come from a
+    double explode of the set (work Σk²/2 with basket size bounded,
+    exactly the old self-equi-join's, but with no join and no fact-sized
+    broadcast — the r7 trap the old BuildRight plan flirted with), and
+    both directed rules explode from ONE pair aggregate (the old
+    UNION ALL recomputed the whole pair tower per direction). Item
+    supports are an item-keyed aggregate broadcast into the rule join;
+    the basket total is a 1-row singleton. The basket-set frame is
+    persisted once for its three readers (pairs, supports, total).
+    Measured sf0.1: 2.56 → 1.92 s; Exchange mentions halved
+    (plans/r10/agg_market_basket_rules_ before/after .txt).
     """
-    li = load(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct().persist()
-    nb = op.agg(F.countDistinct("l_orderkey").alias("n"))
-    isup = op.groupBy(F.col("l_partkey").alias("item")).agg(
-        F.count(F.lit(1)).alias("s")
+    li = load_bucketed(spark, sf_dir, "lineitem", "l_orderkey")
+    # per-basket distinct item sets: the bucketed-by-l_orderkey scan
+    # already clusters the grouping key, so this aggregate (and everything
+    # derived from it) needs NO basket-keyed exchange; collect_set gives
+    # the same distinct incidence the old `.distinct()` produced
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
+        .persist()
     )
-    a, b = op.alias("a"), op.alias("b")
+    nb = baskets.agg(F.count(F.lit(1)).alias("n"))
+    item = baskets.select(F.explode("items").alias("item"))
+    isup = item.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
+    # in-basket pair generation by a double explode of the item set
+    # (work Σk²/2 exactly like the old self-equi-join, but with no join,
+    # no second scan of the incidence, and no fact-sized broadcast)
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
+        baskets.select(F.col("items").alias("its"), F.explode("items").alias("p1"))
+        .select("p1", F.explode("its").alias("p2"))
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("np"))
         .filter(F.col("np") >= MBR_MIN_SUP)
     )
+    # both directed rules from ONE pair aggregate: the old
+    # `pairs UNION ALL pairs.swap` duplicated the whole pair-generation
+    # subtree (self-join + groupBy ran twice — plan showed two full
+    # HashAggregate towers, plans/r10/agg_market_basket_rules_before.txt);
+    # explode(array(struct..)) emits the same rows from a single subtree
     rules = pairs.select(
-        F.col("p1").alias("antecedent"), F.col("p2").alias("consequent"), "np"
-    ).unionAll(
-        pairs.select(
-            F.col("p2").alias("antecedent"),
-            F.col("p1").alias("consequent"),
-            "np",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p1").alias("antecedent"),
+                    F.col("p2").alias("consequent"),
+                    F.col("np"),
+                ),
+                F.struct(
+                    F.col("p2").alias("antecedent"),
+                    F.col("p1").alias("consequent"),
+                    F.col("np"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.np")
     from .dedup import stable_round4
 
     return (

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..functions.exact import scaled_long
-from ..tables import load
+from ..tables import load, load_bucketed
 from .dedup import sql_stable_round4
 from .statsml import _DET, _DET0, _DET1, _DET2
 
@@ -646,10 +646,19 @@ def rec_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     items — never an all-pairs stage, and the full user base is scored
     by making probe = r (same plan, one more shuffle).
     """
-    o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
+    # round-10: both fact scans go through the orderkey-bucketed layout —
+    # the join, and the (u, pk, ok) distinct right after it (ok ⊆ the
+    # grouping set), then run with ZERO exchanges; the old plan paid an
+    # exchange for each (plans/r10/rec_slope_one_before.txt: Exchange 11
+    # under the distinct plus the broadcast build for the join)
+    o = load_bucketed(spark, sf_dir, "orders", "o_orderkey")
+    li = load_bucketed(spark, sf_dir, "lineitem", "l_orderkey")
     bi = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.select("l_orderkey", "l_partkey")
+        .join(
+            o.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .select(
             F.col("o_custkey").alias("u"),
             F.col("l_partkey").alias("pk"),
@@ -658,9 +667,14 @@ def rec_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # ratings feed three plan references (both self-join sides + the
-    # anti-join) — persist the narrow (u, pk, rt) frame once
+    # anti-join) — persist the narrow (u, pk, rt) frame once. ONE
+    # user-keyed exchange up front: hash(u) satisfies the (u, pk)
+    # aggregate's clustering AND both sides of the user-keyed deviation
+    # self-join, which the old plan re-exchanged on u twice (Exchange
+    # 18/23 in the before plan)
     r = (
-        bi.groupBy("u", "pk")
+        bi.repartition(F.col("u"))
+        .groupBy("u", "pk")
         .agg(F.count("*").cast("long").alias("rt"))
         .persist()
     )

@@ -1823,14 +1823,23 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus groupBy, the lang-keyed tercile window, the content-hash
     window — each on its natural key, nothing global but the scalar
     total."""
-    from .textstats import qc_sum_w
+    from .textstats import qc_weight
 
     d = load(spark, sf_dir, "documents")
     tc = term_counts(d).persist()
+    # round-10: the classifier weight is a pure function of the TOKEN, so
+    # evaluate it once per DISTINCT corpus token on the vocabulary frame
+    # and let it ride the existing tc⋈corpus join — the per-doc logit is
+    # then the exact integer Σ cnt·w(tok) inside the per_doc aggregate
+    # that already exists. The old plan re-tokenized every document a
+    # SECOND time (regexp_extract_all over full text) and folded one md5
+    # per token OCCURRENCE through an interpreted HOF lambda; same
+    # integer sum (commutative long arithmetic), oracle unchanged.
     corpus = tc.groupBy("tok").agg(F.sum("cnt").alias("ccount"))
+    corpus_w = corpus.withColumn("w", qc_weight(F.col("tok")))
     total = corpus.agg(F.sum("ccount").alias("ctotal"))
     per_doc = (
-        tc.join(corpus, "tok")
+        tc.join(corpus_w, "tok")
         .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -1839,6 +1848,7 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cnt")
                 * F.log(F.col("ccount").cast("double") / F.col("ctotal"))
             ).alias("ll"),
+            F.sum(F.col("cnt") * F.col("w")).cast("long").alias("sum_w"),
         )
     )
     scored = per_doc.join(
@@ -1850,9 +1860,7 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round4(-F.col("ll") / F.col("n_tokens")).alias(
             "cross_entropy"
         ),
-        qc_sum_w(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias(
-            "sum_w"
-        ),
+        "sum_w",
     )
     tile = F.ntile(3).over(
         W.partitionBy("lang").orderBy("cross_entropy", "doc_id")

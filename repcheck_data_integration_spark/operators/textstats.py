@@ -896,10 +896,16 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     same ulp-margin rationale as the xent family. The keep flag compares
     INTEGERS, so the decision boundary is engine-exact."""
     d = load(spark, sf_dir, "documents")
+    # layered projection (round-10, same class as ml_mcnemar_test): one
+    # select evaluated the tokenize regex twice per row (size + the fold's
+    # array argument); materialize toks once, then consume it twice as a
+    # cheap column reference
     out = d.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).select(
         "doc_id",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-        qc_sum_w(tokens(F.col("text"))).alias("sum_w"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        qc_sum_w(F.col("toks")).alias("sum_w"),
     )
     margin = F.col("sum_w") * 1.0 / (float(QC_W_SPAN) * F.col("n_tokens"))
     return out.select(

@@ -1299,18 +1299,46 @@ def stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import tokens as _tokens
     from ..operators.textstats import qc_sum_w
 
+    from ..operators.dedup import TOKEN_RE as _TOKEN_RE
+
     d = load(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    gated = d.select(
-        "doc_id",
-        F.md5("text").alias("content_hash"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        qc_sum_w(toks).alias("sum_w"),
-    ).filter((F.col("n_tokens") > 0) & (F.col("sum_w") >= 0))
-    return gated.groupBy("content_hash").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by("n_tokens", "doc_id").cast("long").alias("n_tokens"),
-        F.min_by("sum_w", "doc_id").cast("long").alias("sum_w"),
+    # round-10 layering (ml_bradley_terry class): the old single select
+    # inlined the tokenize regex into size() and the weight fold, and the
+    # filter's pushed-down copies re-evaluated both below the projection
+    # (4 regex + 2 md5-folds per row). Emptiness-gate on the cheap rlike
+    # precursor (hits iff extract_all non-empty; NULL text drops in both
+    # forms), tokenize ONCE in a layered projection, and keep only the
+    # irreducible sum_w fold. Same rows, same values — oracle unchanged.
+    scored = (
+        d.filter(F.col("text").rlike(_TOKEN_RE))
+        .select(
+            "doc_id",
+            F.md5("text").alias("content_hash"),
+            _tokens(F.col("text")).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "content_hash",
+            F.size("toks").cast("long").alias("n_tokens"),
+            qc_sum_w(F.col("toks")).alias("sum_w"),
+        )
+    )
+    # the sum_w >= 0 gate lives INSIDE the aggregate (null-keyed min/
+    # min_by rows are skipped — semantics pinned above): a plain .filter
+    # here gets predicate-pushed below the projection and re-evaluates
+    # the whole regex+fold a second time per row in the Filter node.
+    # Groups with no passing row aggregate to NULL and drop after.
+    keep_id = F.when(F.col("sum_w") >= 0, F.col("doc_id"))
+    return (
+        scored.groupBy("content_hash")
+        .agg(
+            F.min(keep_id).alias("doc_id"),
+            F.min_by(F.col("n_tokens"), keep_id).cast("long").alias(
+                "n_tokens"
+            ),
+            F.min_by(F.col("sum_w"), keep_id).cast("long").alias("sum_w"),
+        )
+        .filter(F.col("doc_id").isNotNull())
     )
 
 
