@@ -411,7 +411,11 @@ def join_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the prefix ranking, and both verify sides) — narrow rows, cheap to
     # cache, expensive to recompute.
     sh_df = with_shingles(d).select("doc_id", "sh").persist()
-    toks = sh_df.select("doc_id", F.explode("sh").alias("tok")).persist()
+    # n = |set| comes free from size(sh) (sh is array_distinct'd), saving
+    # the count(*)-over-doc window the old form paid beside row_number.
+    toks = sh_df.select(
+        "doc_id", F.size("sh").cast("long").alias("n"), F.explode("sh").alias("tok")
+    ).persist()
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     tw = toks.join(dfreq, "tok")
     # Rare-first total order per doc via a window — fully relational, no
@@ -422,7 +426,7 @@ def join_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(W.partitionBy("doc_id").orderBy("df", "tok"))
         .alias("pos"),
-        F.count("*").over(W.partitionBy("doc_id")).alias("n"),
+        "n",
     )
     prefix = ranked.filter(
         F.col("pos")
@@ -439,6 +443,15 @@ def join_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   na+nb. Keeping a pair when ANY colliding prefix token passes is
     #   a superset of PPJoin's first-collision rule — no false negatives.
     # Measured 310k -> 125k candidates at sf0.1.
+    # Third materialization boundary: without it the whole prefix tower
+    # (dfreq agg + df join + doc_id exchange + rank window) is EXECUTED
+    # TWICE — the self-join's broadcast build can never be deduped
+    # against the probe side, and AQE stage reuse does not collapse the
+    # two shuffle towers either (verified on the final adaptive plan:
+    # two identical 7.5 MiB ShuffleQueryStages, zero ReusedExchange).
+    # Same persist discipline as sh_df/toks above; prefix is ~half of
+    # toks, so the cache cost class is unchanged.
+    prefix = prefix.persist()
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
