@@ -1987,13 +1987,24 @@ def dedup_embedding_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= EMBDUP_THETA)
     )
+    # Both edge directions exploded from ONE surv — a unionAll(surv.swap)
+    # duplicates the whole candidate+verify tower (4 sign-LSH band builds,
+    # 2 salted candidate joins, 2 verify-join pyramids executed; the
+    # market-basket bug class): plans/r10/dedup_embedding_pairs_capped_
+    # {before,after}.txt show the tower count 2 -> 1.
     edges = surv.select(
-        F.col("vec1").alias("src"), F.col("vec2").alias("dst"), "cos"
-    ).unionAll(
-        surv.select(
-            F.col("vec2").alias("src"), F.col("vec1").alias("dst"), "cos"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec1").alias("src"), F.col("vec2").alias("dst")
+                ),
+                F.struct(
+                    F.col("vec2").alias("src"), F.col("vec1").alias("dst")
+                ),
+            )
+        ).alias("e"),
+        "cos",
+    ).select("e.src", "e.dst", "cos")
     w = W.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
     kept = (
         edges.withColumn("rn", F.row_number().over(w))
