@@ -1517,11 +1517,26 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("e2.c2").alias("c"),
             )
         )
+        # all three triangle edges exploded from ONE tri relation — the
+        # 2-unionAll form re-executed the 3-way triangle join three times
+        # per round (plans/r10/graph_ktruss_{before,after}.txt)
         sup = (
-            tri.select(F.col("a").alias("c1"), F.col("b").alias("c2"))
-            .unionAll(tri.select(F.col("a").alias("c1"), F.col("c").alias("c2")))
-            .unionAll(tri.select(F.col("b").alias("c1"), F.col("c").alias("c2")))
-            .groupBy("c1", "c2")
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("a").alias("c1"), F.col("b").alias("c2")
+                        ),
+                        F.struct(
+                            F.col("a").alias("c1"), F.col("c").alias("c2")
+                        ),
+                        F.struct(
+                            F.col("b").alias("c1"), F.col("c").alias("c2")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .groupBy(F.col("e.c1").alias("c1"), F.col("e.c2").alias("c2"))
             .agg(F.count(F.lit(1)).cast("long").alias("supp"))
         )
         edges = sup.filter(F.col("supp") >= KTRUSS_K - 2).select(
