@@ -2018,7 +2018,20 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window."""
     d = load(spark, sf_dir, "documents")
     tc = term_counts(d).persist()
-    dl = tc.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
+    # Document length = sum(cnt) over tc = size of the raw occurrence
+    # array — a map-only projection of the documents scan (docs with no
+    # tokens are absent from tc, hence the dl > 0 filter; NULL text gives
+    # NULL size and is dropped by the same predicate). The old
+    # groupBy(doc_id) tower over tc cost ~0.7 s per reference at sf0.1
+    # and was executed TWICE (once under st, once under the m join);
+    # the projection is ~0.2 s and shuffle-free.
+    dl = (
+        d.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("dl"),
+        )
+        .filter(F.col("dl") > 0)
+    )
     st = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     )
