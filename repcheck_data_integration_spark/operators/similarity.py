@@ -117,6 +117,35 @@ def cell_centroids(e: DataFrame) -> DataFrame:
     )
 
 
+def cell_centroids_with_count(e: DataFrame) -> DataFrame:
+    """cell_centroids plus the member count per cell, read off the same
+    two-level aggregate (the per-(label, pos) count is the member count
+    for every pos) — callers that need BOTH avoid a second pass over the
+    input. Kept separate from cell_centroids so the existing consumers'
+    plans are untouched."""
+    pos = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    scaled = scaled_long(F.col("v"), 1000000)
+    return (
+        pos.groupBy("label", "pos")
+        .agg(
+            (F.sum(scaled) * 1.0 / 1000000 / F.count(F.lit(1))).alias("m"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"),
+            F.max("__n").alias("n_members"),
+        )
+        .select(
+            "label",
+            F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
+            "n_members",
+        )
+    )
+
+
 @register(
     "sim_search_ivf",
     oracle=f"""
@@ -303,7 +332,15 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ac = e.select(
         "vec_id", "embedding", vec_norm(F.col("embedding")).alias("__en")
     ).join(F.broadcast(cents))
-    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("label"))
+    # Top-1-per-vector as ONE map-side-combining aggregate instead of a
+    # row_number window: min(struct(-cos, label, embedding)) is
+    # lexicographic, so it picks max cos then min label — exactly the
+    # window's (cos DESC, label ASC) rn=1 row, with NULL cos pushed last
+    # via the +inf coalesce like DESC NULLS LAST. Beats the window twice:
+    # the k-way-expanded relation partial-aggregates map-side instead of
+    # being shuffled and sorted whole, and the assignment tower is no
+    # longer executed twice (members used to re-run it; the count now
+    # rides the centroid aggregate via cell_centroids_with_count).
     assign = (
         ac.select(
             "vec_id",
@@ -314,19 +351,34 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("__en") * F.col("__cn"))
             ).alias("cos"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("label").alias("cluster"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.coalesce(-F.col("cos"), F.lit(float("inf"))).alias(
+                        "nc"
+                    ),
+                    F.col("label").alias("l"),
+                    F.col("embedding").alias("emb"),
+                )
+            ).alias("s")
+        )
+        .select(
+            "vec_id",
+            F.col("s.emb").alias("embedding"),
+            F.col("s.l").alias("cluster"),
+        )
     )
-    ncents = cell_centroids(
+    ncm = cell_centroids_with_count(
         assign.select(F.col("cluster").alias("label"), "embedding")
-    ).select(F.col("label").alias("cluster"), F.col("centroid").alias("ncentroid"))
-    members = assign.groupBy("cluster").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members")
+    ).select(
+        F.col("label").alias("cluster"),
+        F.col("centroid").alias("ncentroid"),
+        F.col("n_members").cast("long").alias("n_members"),
     )
     nc = F.col("ncentroid")
     return (
-        members.join(ncents, "cluster")
+        ncm
         .join(
             F.broadcast(cents).select(
                 F.col("label").alias("cluster"), F.col("centroid")
