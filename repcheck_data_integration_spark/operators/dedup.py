@@ -153,6 +153,33 @@ def _bands_sql() -> str:
     return ", ".join(f"md5(mh{2*b} || mh{2*b+1})" for b in range(N_BANDS))
 
 
+def minhash_mins(ex: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{N_MINHASH-1}) from the exploded (doc_id, h=md5)
+    stream. The mins aggregate over LONGs, not the 4-char hex substrings:
+    a string min falls back to SortAggregate (two fact-scaled sorts of
+    the exploded shingle stream around the exchange — string buffers are
+    not HashAggregate-mutable), while the long buffer stays in
+    HashAggregate with map-side partial mins. min over fixed-width
+    lowercase hex == min over its numeric value, and lpad(lower(hex()))
+    reconstructs the old substring output bit-for-bit, so bands,
+    candidates and every oracle twin are unchanged."""
+    mh = ex.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(F.substring("h", 1 + 4 * j, 4), 16, 10).cast("long")
+            ).alias(f"mh{j}")
+            for j in range(N_MINHASH)
+        ]
+    )
+    return mh.select(
+        "doc_id",
+        *[
+            F.lpad(F.lower(F.hex(F.col(f"mh{j}"))), 4, "0").alias(f"mh{j}")
+            for j in range(N_MINHASH)
+        ],
+    )
+
+
 CAND_BUCKET_CAP = 64  # max left-side rows one salted candidate task compares
 
 
@@ -283,12 +310,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", F.md5("s").alias("h")
     )
-    mh = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring("h", 1 + 4 * j, 4)).alias(f"mh{j}")
-            for j in range(N_MINHASH)
-        ]
-    )
+    mh = minhash_mins(ex)
     bands = mh.select(
         "doc_id", F.posexplode(_bands_spark()).alias("band_idx", "band_hash")
     )
@@ -1034,12 +1056,7 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # mh feeds both the band explode and both sides of the scoring join —
     # persist it so the shingle explode + min-aggregate runs once
-    mh = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring("h", 1 + 4 * j, 4)).alias(f"mh{j}")
-            for j in range(N_MINHASH)
-        ]
-    ).persist()
+    mh = minhash_mins(ex).persist()
     mhs = mh.join(sh, "doc_id")
     bands = mh.select(
         "doc_id", F.posexplode(_bands_spark()).alias("band_idx", "band_hash")
@@ -1307,12 +1324,7 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", F.md5("s").alias("h")
     )
-    mh = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring("h", 1 + 4 * j, 4)).alias(f"mh{j}")
-            for j in range(N_MINHASH)
-        ]
-    )
+    mh = minhash_mins(ex)
     bands = mh.select(
         "doc_id", F.posexplode(_bands_spark()).alias("band_idx", "band_hash")
     )

@@ -634,18 +634,15 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     dedup_minhash_lsh (operators/dedup.py): distinct word-3-gram shingles,
     md5 per shingle, per-doc min of 8 seeded 4-hex-char slices. Docs too
     short to shingle are absent (they can never near-dup)."""
-    from ..operators.dedup import N_MINHASH, with_shingles
+    from ..operators.dedup import minhash_mins, with_shingles
 
     sh = with_shingles(docs.select("doc_id", "text")).select("doc_id", "sh")
     ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", F.md5("s").alias("h")
     )
-    return ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring("h", 1 + 4 * j, 4)).alias(f"mh{j}")
-            for j in range(N_MINHASH)
-        ]
-    )
+    # long-buffered mins (HashAggregate, not SortAggregate) with the
+    # bit-identical hex reconstruction — see operators/dedup.minhash_mins
+    return minhash_mins(ex)
 
 
 def _sig_bands(sigs: DataFrame) -> DataFrame:
