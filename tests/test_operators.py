@@ -878,3 +878,32 @@ def test_pack_best_fit_invariants(spark):
         for r in QUERIES["pack_best_fit"](spark, sf).collect()
     }
     assert repart == {(r.doc_id, r.bin_id, r.bin_fill) for r in rows}
+
+
+def test_minhash_mins_bit_equal_and_hash_aggregated(spark):
+    """The long-buffered minhash mins (round-10: HashAggregate instead of
+    a SortAggregate over the exploded shingle stream) must reproduce the
+    old string-min output bit-for-bit — fixed-width lowercase hex orders
+    identically to its numeric value — and must plan as a hash aggregate
+    (no fact-scaled sort around the exchange)."""
+    from repcheck_data_integration_spark.operators.dedup import (
+        N_MINHASH,
+        minhash_mins,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{j}x{(i * 7 + j * 13) % 31}") for i in range(40) for j in range(12)],
+        "doc_id long, s string",
+    )
+    ex = docs.select("doc_id", F.md5("s").alias("h"))
+    new = minhash_mins(ex)
+    old = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring("h", 1 + 4 * j, 4)).alias(f"mh{j}")
+            for j in range(N_MINHASH)
+        ]
+    )
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan

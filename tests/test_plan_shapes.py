@@ -1625,7 +1625,6 @@ INT_RANK_WINDOW_WHITELIST = {
     "ml_boosted_stumps": 4,  # [alpha] value alphabet per round
     "ml_bradley_terry": 341,  # [alpha] item grid; MM unroll duplicates
     "ml_decision_stump": 1,  # [alpha] value alphabet
-    "ml_kmeans_refine": 2,  # [cand] k centroids per vector
     "ml_knn_classify": 2,  # [cand] k neighbors per query
     "pipeline_corpus_curation_v2": 1,  # [cand] per-cluster canonical pick
     "pipeline_corpus_curation_v3": 1,  # [cand]
