@@ -90,16 +90,22 @@ def shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (session, documents-content) and served from a localCheckpoint.
 
     Falls back to a fresh un-memoized build when the fixture path has no
-    stat-able parquet (probe harnesses patching tables.load) or in
-    PLAN_ONLY mode — the memo is an optimization, never a correctness
-    or auditability dependency."""
+    stat-able parquet (probe harnesses patching tables.load) — the memo
+    is an optimization, never a correctness dependency.
+
+    PLAN_ONLY consumers are served from the memo too (round-11): the
+    components loop executes its convergence probes at CONSTRUCTION time
+    regardless, so the consumer's optimized plan ends in a
+    lineage-truncated checkpoint leaf EITHER WAY (that is exactly why
+    this family sits in UNAUDITABLE_LEAF_PINS with one-round audit
+    hooks) — a fresh build bought the audit nothing while re-running the
+    full LSH+CC DAG once per consumer (~11 s × 4 consumers per
+    window_audit sweep at sf0.001, measured round-11)."""
     import os
 
     from .. import tables
     from .dedup import dedup_components
 
-    if PLAN_ONLY:
-        return dedup_components(spark, sf_dir)
     try:
         fp = tables._content_fingerprint(
             os.path.join(sf_dir, "documents.parquet")
@@ -119,7 +125,17 @@ def shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     _t0 = _time.time()
-    comp = dedup_components(spark, sf_dir).localCheckpoint(eager=True)
+    # Build with checkpoints ENABLED even when a PLAN_ONLY consumer
+    # triggers the first build: the memoized frame must be identical no
+    # matter who touches it first (an unpinned lattice build would be
+    # slower and plan-deeper for the same values).
+    global PLAN_ONLY
+    prior = PLAN_ONLY
+    PLAN_ONLY = False
+    try:
+        comp = dedup_components(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        PLAN_ONLY = prior
     tables.FIXED_COSTS[
         f"components:{os.path.basename(sf_dir.rstrip('/'))}"
     ] = round(_time.time() - _t0, 3)
@@ -136,8 +152,11 @@ def shared_stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, text) input; like the r9 memo, on a cluster this frame is
     the maintained dedup-cluster state table the streaming fold persists,
     and the memo stands in for that materialization locally. Same
-    fallbacks: fresh un-memoized build in PLAN_ONLY mode (audit sees the
-    full tree) or when the fixture path has no stat-able parquet."""
+    fallback: fresh un-memoized build when the fixture path has no
+    stat-able parquet. PLAN_ONLY consumers read the memo as of round 11
+    for the same reason as shared_components (the CC loop truncates the
+    consumer's plan identically either way; the pins + one-round hooks
+    are the audit coverage)."""
     import os
 
     from .. import tables
@@ -149,8 +168,6 @@ def shared_stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return minhash_components_batch(docs)
 
-    if PLAN_ONLY:
-        return _build()
     try:
         fp = tables._content_fingerprint(
             os.path.join(sf_dir, "documents.parquet")
@@ -171,7 +188,13 @@ def shared_stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     _t0 = _time.time()
-    comp = _build().localCheckpoint(eager=True)
+    global PLAN_ONLY
+    prior = PLAN_ONLY
+    PLAN_ONLY = False
+    try:
+        comp = _build().localCheckpoint(eager=True)
+    finally:
+        PLAN_ONLY = prior
     tables.FIXED_COSTS[
         f"stream_components:{os.path.basename(sf_dir.rstrip('/'))}"
     ] = round(_time.time() - _t0, 3)

@@ -14,8 +14,13 @@ Five strategies, cheapest-first — the standard production ladder:
 - embedding-cosine blocked pairwise semantic near-dup
 
 Everything is expressed with native array/string functions (no UDFs), so the
-whole suite is DuckDB-oracle-checkable; minhash uses lexicographic-min over
-seeded md5 strings, which both engines evaluate identically.
+whole suite is DuckDB-oracle-checkable; minhash signatures are bit-equal
+NUMERIC mins on the Spark side (min over conv(hex, 16, 10) longs with the
+exact substring reconstructed via lpad(lower(hex())) — HashAggregate-mutable,
+round-10), while the DuckDB oracle keeps the original lexicographic-min over
+the seeded md5 substrings: fixed-width lowercase hex orders identically to
+its numeric value, so both spellings select the same signature (bit-equality
+pinned in tests/test_operators.py::test_minhash_mins_bit_equal_and_hash_aggregated).
 """
 
 from __future__ import annotations

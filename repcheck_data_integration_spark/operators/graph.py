@@ -532,7 +532,13 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation); steps are frontier⋈adjacency hash joins on the node key —
     the textbook distributed-walk shape, N steps = N joins, no lineage
     blowup at fixed N."""
-    p = _copurchase_pairs(spark, sf_dir).select("cust1", "cust2")
+    # Round-11 (VERDICT r10 #5): persist the PAIR relation, not just the
+    # ranked adjacency — un-persisted, the expensive edges-self-join
+    # tower executed three times (once under nb's window, once under
+    # deg's aggregate — ReuseExchange can't dedup across the differing
+    # post-shapes — and a THIRD time for the walk seed, which reads deg
+    # outside the persisted adj). One build now feeds all three readers.
+    p = _copurchase_pairs(spark, sf_dir).select("cust1", "cust2").persist()
     und = p.select(
         F.col("cust1").alias("node"), F.col("cust2").alias("nbr")
     ).unionByName(

@@ -122,7 +122,15 @@ def cell_centroids_with_count(e: DataFrame) -> DataFrame:
     two-level aggregate (the per-(label, pos) count is the member count
     for every pos) — callers that need BOTH avoid a second pass over the
     input. Kept separate from cell_centroids so the existing consumers'
-    plans are untouched."""
+    plans are untouched.
+
+    The per-(label, pos) count IS the member count only under the
+    fixed-dim non-null embedding invariant (a NULL/empty embedding adds
+    no pos rows; a ragged one makes counts differ across pos). ADVICE
+    r10: assert that invariant — min==max across pos — woven as
+    coalesce(assert_true(...), max) so equal-branch CaseWhen
+    simplification can't delete it (round-10 trap); a violating input
+    now raises instead of silently shifting n_members."""
     pos = e.select(
         "label", F.posexplode("embedding").alias("pos", "v")
     )
@@ -136,7 +144,16 @@ def cell_centroids_with_count(e: DataFrame) -> DataFrame:
         .groupBy("label")
         .agg(
             F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"),
-            F.max("__n").alias("n_members"),
+            F.coalesce(
+                F.assert_true(
+                    F.min("__n") == F.max("__n"),
+                    F.lit(
+                        "cell_centroids_with_count: ragged or null/empty "
+                        "embedding — per-pos member counts differ"
+                    ),
+                ).cast("long"),
+                F.max("__n"),
+            ).alias("n_members"),
         )
         .select(
             "label",
@@ -341,6 +358,11 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # being shuffled and sorted whole, and the assignment tower is no
     # longer executed twice (members used to re-run it; the count now
     # rides the centroid aggregate via cell_centroids_with_count).
+    # NaN divergence (ADVICE r10): the old window's orderBy(cos.desc())
+    # ranked a NaN cos FIRST (Spark sorts NaN greatest), while -NaN = NaN
+    # sorts LAST under this min. Reachable only if an embedding carries
+    # NaN values (fixture data is NaN-free; gate-verified identical) —
+    # a NaN-bearing corpus would need the window form or a NaN guard.
     assign = (
         ac.select(
             "vec_id",
@@ -997,7 +1019,18 @@ def pq_codebook(e: DataFrame, pos: DataFrame) -> DataFrame:
         .select("code", "p", F.col("vs").alias("ss"))
     )
     sub = F.floor(F.col("p") / PQ_SUB_DIM).cast("long").alias("sub")
-    wassign = W.partitionBy("vec_id", "sub").orderBy("d0", "code")
+    # Round-11 (guide §2.3 aggregate-before-you-shuffle): the nearest-seed
+    # pick was a row_number window over the ×PQ_K-expanded per-subvector
+    # distance relation — a fact-scaled Sort+Exchange+Sort tower (even
+    # with WindowGroupLimit's partial top-1, every task sorts its slice).
+    # argmin by (d0 ASC, code ASC) IS min(d0 * PQ_K + code) for integer
+    # d0 ≥ 0 and code ∈ [0, PQ_K): d1 < d2 ⇒ d1·K + (K−1) < d2·K, and
+    # equal d ties break on the smaller code — the window's exact pick.
+    # The packed min is LONG-safe with 4 extra bits on top of d0, whose
+    # own long-sum headroom (Σ₈ diff², diff = 2·10⁶·|v|) already assumes
+    # |v| ≲ 500; packing tightens that to |v| ≲ 130 — two orders above
+    # any unit-ish embedding. Two-level HashAggregate, zero sorts; the
+    # same rewrite applies in pq_encode below.
     assign0 = (
         pos.join(F.broadcast(seeds), "p")
         .groupBy("vec_id", sub, "code")
@@ -1006,9 +1039,9 @@ def pq_codebook(e: DataFrame, pos: DataFrame) -> DataFrame:
                 (F.col("vs") - F.col("ss")) * (F.col("vs") - F.col("ss"))
             ).alias("d0")
         )
-        .withColumn("rn", F.row_number().over(wassign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", "code")
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.col("d0") * PQ_K + F.col("code")).alias("pk"))
+        .select("vec_id", "sub", (F.col("pk") % PQ_K).cast("int").alias("code"))
     )
     return (
         pos.join(
@@ -1030,14 +1063,26 @@ def pq_encode(pos: DataFrame, cb: DataFrame) -> DataFrame:
     exact integer distances, ties to the lower code."""
     sub = F.floor(F.col("p") / PQ_SUB_DIM).cast("long").alias("sub")
     diff = F.col("vs") - F.col("ms")
-    wenc = W.partitionBy("vec_id", "sub").orderBy("dist", "code")
+    # Round-11: packed-long argmin instead of the row_number window —
+    # min(dist * PQ_K + code) is the window's exact (dist ASC, code ASC)
+    # top-1 for integer dist ≥ 0, code ∈ [0, PQ_K); both dist and code
+    # unpack exactly (code = pk mod K, dist = pk div K, both
+    # non-negative). See pq_codebook.assign0 for the overflow headroom
+    # argument. Plan: two-level HashAggregate with map-side combine on
+    # both levels, zero Sort/Window nodes (before: Sort+Exchange+Sort+
+    # WindowGroupLimit over the ×PQ_K-expanded relation).
     return (
         pos.join(F.broadcast(cb), "p")
         .groupBy("vec_id", sub, "code")
         .agg(F.sum(diff * diff).alias("dist"))
-        .withColumn("rn", F.row_number().over(wenc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", "code", "dist")
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.col("dist") * PQ_K + F.col("code")).alias("pk"))
+        .select(
+            "vec_id",
+            "sub",
+            (F.col("pk") % PQ_K).cast("int").alias("code"),
+            F.expr(f"pk DIV {PQ_K}").alias("dist"),
+        )
     )
 
 

@@ -974,13 +974,51 @@ def nb_doc_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_consts = defaults.join(prior_q, "lang").select(
         F.col("lang").alias("cand"), "dq", "pq"
     )
+    # Round-11 (VERDICT r10 #8, the minhash-longification generalized):
+    # give every lang a dense ascending integer id WITHOUT a window —
+    # idx = |{langs ≤ cand}| via a |langs|² self-join count (the
+    # rank()-ties-share spelling from the round-10 sweep; langs are
+    # distinct so count == rank). Bounded: |langs| is the language
+    # alphabet, never data-scaled. idx ≤ 256 is asserted below (packing
+    # reserves 8 bits).
+    from .ckpt import pin
+
+    # The rank map feeds TWO branches (the scores crossjoin and the
+    # final idx→lang unpack join), so it is pin()ned — but derived from
+    # PRIORS (one documents groupBy(lang)), NOT from the tc-based
+    # lang_consts tower: an eager pin over lt/vsize would materialize
+    # the full tokenize+persist at BUILD time, serializing it against
+    # the consumer's independent stages (ml_mcnemar_test's marker tower
+    # overlapped tc's build inside one job — pinning the tc path cost it
+    # 2× at the 10× probe). priors' lang set ⊇ lt's (every lt lang has
+    # ≥1 doc), and a rank over a superset restricted to a subset is
+    # still strictly increasing in cand — order-preserving, so ties
+    # still break to the smallest cand.
+    _langs = priors.select(F.col("lang").alias("cand"))
+    _lc2 = _langs.select(F.col("cand").alias("cand2"))
+    lang_rank = pin(
+        _langs.join(F.broadcast(_lc2), F.col("cand2") <= F.col("cand"))
+        .groupBy("cand")
+        .agg(F.count(F.lit(1)).alias("idx"))
+        .select(
+            "cand",
+            F.coalesce(
+                F.assert_true(
+                    F.col("idx") <= 256,
+                    F.lit("nb packed argmax: >256 languages"),
+                ).cast("long"),
+                F.col("idx") - 1,
+            ).alias("idx"),
+        )
+    )
+    lang_idx = lang_consts.join(F.broadcast(lang_rank), "cand")
     scores = (
-        doc_tot.crossJoin(F.broadcast(lang_consts))
+        doc_tot.crossJoin(F.broadcast(lang_idx))
         .join(present, ["doc_id", "cand"], "left")
         .select(
             "doc_id",
             "lang_true",
-            "cand",
+            "idx",
             (
                 F.col("pq")
                 + F.col("tot") * F.col("dq")
@@ -990,22 +1028,34 @@ def nb_doc_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    # argmax via partial-aggregated struct-min (lexicographic: highest s,
-    # then smallest cand) instead of a sort window — map-side combine cuts
-    # the |langs|-wide rows to one per doc before the shuffle
+    # argmax as min over ONE packed LONG (round-11, VERDICT r10 #8):
+    # packed = (-s) * 256 + idx is lexicographic (-s ASC, idx ASC) for
+    # idx ∈ [0, 256) — i.e. highest s, then smallest cand (idx is the
+    # ascending lang rank), exactly the old min(struct(-s, cand)) and the
+    # oracle's row_number(ORDER BY s DESC, cand). A LONG min is
+    # HashAggregate-mutable where the struct min planned as a
+    # SortAggregate pair around the exchange (partial sorted-agg per
+    # task); lang_true rides the group key (functionally dependent on
+    # doc_id). Headroom: |s| ≤ pq + tot·|dq| + |psum| ≲ 1e14 for 1e6
+    # tokens/doc at 1e6 log-scale; ×256 = 2.6e16 ≪ 2^63 (pinned with
+    # adversarial values in tests/test_statsml.py).
+    # Group by doc_id ALONE (lang_true is constant per doc, so
+    # min(lang_true) is exact): grouping by (doc_id, lang_true) would
+    # re-key the output partitioning and force consumers that join on
+    # doc_id (ml_mcnemar_test's paired join) to re-shuffle the doc-sized
+    # pred frame — measured 2× on the 10× probe.
     pred = scores.groupBy("doc_id").agg(
-        F.min(
-            F.struct(
-                (-F.col("s")).alias("neg_s"),
-                F.col("cand").alias("cand"),
-                F.col("lang_true").alias("lang_true"),
-            )
-        ).alias("m")
+        F.min((-F.col("s")) * 256 + F.col("idx")).alias("pk"),
+        F.min("lang_true").alias("lang_true"),
     )
     return pred.select(
         "doc_id",
-        F.col("m.lang_true").alias("lang_true"),
-        F.col("m.cand").alias("lang_pred"),
+        "lang_true",
+        F.pmod(F.col("pk"), F.lit(256)).alias("idx"),
+    ).join(
+        F.broadcast(lang_rank), "idx"
+    ).select(
+        "doc_id", "lang_true", F.col("cand").alias("lang_pred")
     )
 
 

@@ -1851,12 +1851,24 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cnt") * F.col("w")).cast("long").alias("sum_w"),
         )
     )
+    # Round-11 (guide §2.3 "shuffle keys and metadata instead of
+    # payloads"): hash the text AT THE SCAN and never carry the document
+    # body again — the old plan shipped full text through the per_doc
+    # join AND the lang-keyed tercile Exchange+Sort (plans/r11/..._before:
+    # Exchange(37)/Sort(38)/Window(39) all carry text#69), only to md5 it
+    # after the filter. md5-per-doc moves map-side (all docs instead of
+    # the kept ~2/3 — a per-row hash vs a payload shuffle+sort), values
+    # bit-identical, oracle unchanged. At 100 TB this also removes the
+    # only fact-payload column from the one broadcast-infeasible join.
     scored = per_doc.join(
-        d.select("doc_id", "lang", "text"), "doc_id"
+        d.select(
+            "doc_id", "lang", F.md5("text").alias("content_hash")
+        ),
+        "doc_id",
     ).select(
         "doc_id",
         "lang",
-        "text",
+        "content_hash",
         stable_round4(-F.col("ll") / F.col("n_tokens")).alias(
             "cross_entropy"
         ),
@@ -1875,7 +1887,7 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("tile") == 1, "head")
             .otherwise("middle")
             .alias("ppl_bucket"),
-            F.md5("text").alias("content_hash"),
+            "content_hash",
         )
     )
     canon = kept.withColumn(

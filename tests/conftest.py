@@ -23,3 +23,41 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def registry_sweep(spark):
+    """ONE plan-only sweep over every registered query, shared by every
+    registry-wide pin (round-11, VERDICT r10 #1): the suite previously ran
+    tools/window_audit.audit twice (both plan-inventory tests) and rebuilt
+    all 439 query frames a third time for the driver-canon schema sweep —
+    ~450 s of the 23-minute wall that timed out the driver's verify
+    window. audit() collects the unpartitioned-window, int-rank and
+    truncated-leaf inventories, the analyzed schemas, and any builder
+    failures in a single per-query clearCache pass (the round-8 audit
+    discipline is per QUERY, so sharing across TESTS loses nothing)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from window_audit import audit
+
+    unaud: dict[str, int] = {}
+    ranks: dict[str, int] = {}
+    schemas: dict[str, object] = {}
+    fails: dict[str, str] = {}
+    found = audit(
+        spark,
+        SF_SMOKE,
+        unauditable_out=unaud,
+        rank_out=ranks,
+        schema_out=schemas,
+        fail_out=fails,
+    )
+    return {
+        "windows": found,
+        "ranks": ranks,
+        "unauditable": unaud,
+        "schemas": schemas,
+        "fails": fails,
+    }

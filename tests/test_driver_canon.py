@@ -25,14 +25,24 @@ from repcheck_data_integration_spark.operators.temporal import HIGH_DATE
 SF = "/root/testdata/sf0.001"
 
 
-def test_no_query_emits_toplevel_array_or_map(spark):
+def test_no_query_emits_toplevel_array_or_map(registry_sweep):
+    # Schemas come from the shared session-wide registry sweep (conftest
+    # registry_sweep — one build of all 439 query frames instead of three;
+    # plan-only mode changes checkpoint materialization, never the
+    # analyzed schema). A query whose builder now CRASHES would silently
+    # vanish from the schema map, so pin that set too.
     registry.load_all_modules()
+    assert not registry_sweep["fails"], (
+        "query builders crashed during the registry sweep: "
+        f"{registry_sweep['fails']}"
+    )
+    missing = set(registry.QUERIES) - set(registry_sweep["schemas"])
+    assert not missing, f"queries not covered by the sweep: {missing}"
     offenders = {}
-    for name, fn in registry.ordered_queries().items():
-        df = fn(spark, SF)
+    for name, schema in registry_sweep["schemas"].items():
         bad = [
             f.name
-            for f in df.schema.fields
+            for f in schema.fields
             if isinstance(f.dataType, (T.ArrayType, T.MapType))
         ]
         if bad:

@@ -1224,7 +1224,10 @@ def test_shared_stream_components_memoized_single_build(spark):
     (round-10 optimization — the streaming-verify twin of the r9
     shared_components memo): both calls return the identical
     checkpointed frame, keyed separately from the batch-verify memo, and
-    PLAN_ONLY mode still builds the full auditable tree."""
+    PLAN_ONLY consumers read the SAME memo (round-11: the CC loop
+    truncates the consumer's plan into a checkpoint leaf either way —
+    see UNAUDITABLE_LEAF_PINS — so a fresh per-consumer build bought the
+    audit nothing at ~11 s a pop per window_audit sweep)."""
     from repcheck_data_integration_spark.operators import ckpt
 
     ckpt._COMPONENTS_CACHE.clear()
@@ -1238,11 +1241,12 @@ def test_shared_stream_components_memoized_single_build(spark):
     batch = ckpt.shared_components(spark, SF)
     assert batch is not a
     assert len(ckpt._COMPONENTS_CACHE) == 2
-    # PLAN_ONLY bypasses the memo and returns the un-truncated tree
+    # PLAN_ONLY is served from the memo too (round-11): the audit's
+    # leaf-pin test, not a per-consumer rebuild, guards visibility
     ckpt.PLAN_ONLY = True
     try:
         full = ckpt.shared_stream_components(spark, SF)
-        assert full is not a
+        assert full is a
     finally:
         ckpt.PLAN_ONLY = False
 
@@ -1603,7 +1607,9 @@ INT_RANK_WINDOW_WHITELIST = {
     "agg_quantile_histogram": 1,  # [alpha] bucket grid
     "dedup_embedding_pairs_capped": 1,  # [cand] banded candidates per src
     "dedup_repeated_ngrams": 1,  # [ent] positions within one document
-    "emb_pq_encode": 3,  # [cand] K seeds / codes per (vec, subspace)
+    "emb_pq_encode": 1,  # [cand] K-seed numbering over limit(PQ_K); the
+    # per-(vec, subspace) code argmins are packed-long min aggregates
+    # since round 11 (no window)
     "events_gesd_outliers": 13,  # [alpha] series-sized, one per round
     "events_longest_streak": 1,  # [ent] days per user (calendar)
     "events_user_paths": 1,  # [ent] sessions per user
@@ -1634,7 +1640,8 @@ INT_RANK_WINDOW_WHITELIST = {
     "rec_slope_one": 1,  # [cand] item-dim pairs
     "resolve_survivorship": 2,  # [cand] records per entity
     "sim_search_ivf": 2,  # [cand] probed cells / top-k per query
-    "sim_search_ivfpq": 7,  # [cand]
+    "sim_search_ivfpq": 4,  # [cand] probe + final top-k + 2× cached seed
+    # numbering; encode/assign argmins are packed-long mins since round 11
     "sim_search_lsh": 1,  # [cand]
     "sim_search_lsh_multiprobe": 1,  # [cand]
     "sim_search_mips": 1,  # [cand]
@@ -1660,19 +1667,15 @@ INT_RANK_WINDOW_WHITELIST = {
 }
 
 
-def test_unpartitioned_window_inventory_pinned(spark):
-    """Sweep every registered query's optimized plan ONCE and pin BOTH
-    inventories: unpartitioned windows (can't hide in the warning flood)
-    and int-rank windows (can't creep back over a fact-scaled partition
-    without a boundedness justification here)."""
-    import sys
-    from pathlib import Path
-
-    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
-    from window_audit import audit
-
-    ranks: dict[str, int] = {}
-    found = audit(spark, SF, rank_out=ranks)
+def test_unpartitioned_window_inventory_pinned(registry_sweep):
+    """Pin BOTH inventories from the shared session-wide registry sweep
+    (conftest registry_sweep — one audit pass serves this test, the
+    unauditable-tail pin, and the driver-canon schema sweep):
+    unpartitioned windows (can't hide in the warning flood) and int-rank
+    windows (can't creep back over a fact-scaled partition without a
+    boundedness justification here)."""
+    ranks = registry_sweep["ranks"]
+    found = registry_sweep["windows"]
     new = {k: v for k, v in found.items() if k not in UNPARTITIONED_WINDOW_WHITELIST}
     gone = {k: v for k, v in UNPARTITIONED_WINDOW_WHITELIST.items() if k not in found}
     changed = {
@@ -1719,23 +1722,24 @@ UNAUDITABLE_LEAF_PINS = {
 }
 
 
-def test_unauditable_tail_pinned_and_hook_covered(spark):
+def test_unauditable_tail_pinned_and_hook_covered(spark, registry_sweep):
     """Every lineage-truncated leaf that survives plan-only mode belongs
     to a known iterative loop AND that loop's round body is registered as
     an audit hook that is itself fully auditable with zero unpartitioned
-    windows. A new truncated leaf (or a hook regression) fails here."""
+    windows. A new truncated leaf (or a hook regression) fails here.
+    The leaf inventory comes from the shared registry sweep (conftest);
+    the hook bodies are re-audited here (cheap — zero jobs)."""
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
-    from window_audit import audit, audit_hooks
+    from window_audit import audit_hooks
 
     from repcheck_data_integration_spark.operators.audit_hooks import (
         QUERY_HOOKS,
     )
 
-    unaud: dict[str, int] = {}
-    audit(spark, SF, unauditable_out=unaud)
+    unaud = registry_sweep["unauditable"]
     assert unaud == UNAUDITABLE_LEAF_PINS, unaud
     for name in unaud:
         assert name in QUERY_HOOKS, f"{name} has no one-round audit hook"

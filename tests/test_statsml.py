@@ -256,3 +256,37 @@ def test_naive_bayes_separates_disjoint_vocab_langs(spark, tmp_path):
         for r in ml_naive_bayes_lang(spark, str(tmp_path)).collect()
     }
     assert out == {("en", "en"): 6, ("fr", "fr"): 3}
+
+
+def test_nb_packed_argmax_matches_struct_argmax(spark):
+    """Round-11 wrap/tie pin for nb_doc_pred's packed-long argmax:
+    min((-s) * 256 + idx) must equal the lexicographic (-s ASC, idx ASC)
+    struct-min — i.e. highest s wins, ties to the smallest idx — at
+    adversarial magnitudes near the documented 2.6e16 headroom (|s| up
+    to 1e14 at 1e6 tokens/doc × 1e6 log-scale), at s = 0, and on exact
+    ties. Pure expression pin over a literal frame (no fixture)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (doc, s, idx): doc 1 — tie on the max s=-5 → idx 1 wins
+        (1, -5, 2),
+        (1, -5, 1),
+        (1, -7, 0),
+        # doc 2 — headroom magnitudes; -(-10**14) * 256 must not wrap
+        (2, -(10**14), 3),
+        (2, -(10**14) + 1, 0),
+        # doc 3 — s = 0 boundary (empty doc, single lang, prior ln 1)
+        (3, 0, 2),
+        (3, -1, 0),
+    ]
+    df = spark.createDataFrame(rows, ["doc", "s", "idx"])
+    packed = df.groupBy("doc").agg(
+        F.min((-F.col("s")) * 256 + F.col("idx")).alias("pk")
+    ).select("doc", F.pmod(F.col("pk"), F.lit(256)).alias("idx"))
+    struct = df.groupBy("doc").agg(
+        F.min(F.struct((-F.col("s")).alias("n"), F.col("idx").alias("i")))
+        .alias("m")
+    ).select("doc", F.col("m.i").alias("idx"))
+    got = {r["doc"]: r["idx"] for r in packed.collect()}
+    want = {r["doc"]: r["idx"] for r in struct.collect()}
+    assert got == want == {1: 1, 2: 0, 3: 2}

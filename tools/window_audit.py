@@ -127,6 +127,8 @@ def audit(
     names: list[str] | None = None,
     unauditable_out: dict[str, int] | None = None,
     rank_out: dict[str, int] | None = None,
+    schema_out: dict[str, object] | None = None,
+    fail_out: dict[str, str] | None = None,
 ) -> dict[str, int]:
     """{query_name: unpartitioned_window_count} for every registered query
     that has at least one. Queries whose builder fails (env-gated stubs)
@@ -139,6 +141,11 @@ def audit(
     fire during a mere audit. ``rank_out`` (round-10) collects, in the
     same single plan walk, the per-query count of Window nodes carrying
     an IntegerType ranking function — see count_int_rank_windows.
+    ``schema_out`` / ``fail_out`` (round-11) collect each query's analyzed
+    schema and any builder exception in the SAME sweep, so consumers that
+    only need schemas (tests/test_driver_canon.py) share this one
+    registry pass instead of re-building all 439 query frames — the
+    pytest suite paid three full sweeps (~450 s) for what is one.
     Iterative loops are the documented
     exception (ADVICE r9): their convergence probes (connected
     components, PageRank, BPE) still execute jobs at CONSTRUCTION time
@@ -166,8 +173,12 @@ def audit(
             spark.catalog.clearCache()
             try:
                 df = registry.QUERIES[name](spark, sf_dir)
-            except Exception:
+            except Exception as e:
+                if fail_out is not None:
+                    fail_out[name] = f"{type(e).__name__}: {e}"
                 continue
+            if schema_out is not None:
+                schema_out[name] = df.schema
             c, u, r = _walk_plan(df)
             if c:
                 out[name] = c
