@@ -45,20 +45,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # covers what the engine is FOR; the full local gate (tools/check.py) still
 # checks all of them.
 #
-# Round-10 ordering rule (VERDICT.md r9 Next-round #1, same policy since
-# r6): the 5 ever-failed rows stay pinned first (never rotate a failure
-# out of the window). Slot 6 re-checks agg_gini_revenue — its rank-sum
-# formula changed AGAIN this round (VERDICT r9 #1 demonstrated the r9
-# DECIMAL form still wrapping through BIGINT `DIV`; _gini_ranksum_expr
-# now halves the even factor in LONG before the decimal multiply), and a
-# changed formula always re-earns its driver row. Slots 7-50 burn the
-# never-driver-sampled oracle-backed backlog (82 after r9, every one
-# gate-green in both session shapes and driver_sim-prevalidated) in
-# registration order — 44 first-time rows, leaving 38 of the original 82
-# for r11. Rows-only ops stay OUTSIDE the window (policy pinned by
-# tests/test_entry.py: a slot spent on a query that can never hash-match
-# wastes hash-verification surface; their correctness is their unit
-# tests, COVERAGE.md "Rows-only registry").
+# Round-11 ordering rule (VERDICT.md r10 Next-round #6, same policy
+# since r6): the 5 ever-failed rows stay pinned first (never rotate a
+# failure out of the window); slots 6–16 re-check every op whose plan or
+# build path changed this round (changed ops never ship unsampled);
+# slots 17–50 burn the never-driver-sampled oracle-backed backlog (50
+# remaining after r10) in registration order — 34 first-time rows,
+# leaving 16 for any future round. Rows-only ops stay OUTSIDE the window
+# (policy pinned by tests/test_entry.py: a slot spent on a query that
+# can never hash-match wastes hash-verification surface; their
+# correctness is their unit tests, COVERAGE.md "Rows-only registry").
 DRIVER_PRIORITY: list[str] = [
     # ever-failed rows, pinned first forever (r2: tpch_q12; r3: the four):
     "win_session_features",
@@ -66,6 +62,63 @@ DRIVER_PRIORITY: list[str] = [
     "emb_normalize",
     "emb_quantize_int8",
     "tpch_q12_priority_counts",
+    # round-11 changed-op re-checks (changed ops go BEFORE first-time
+    # backlog per the rotation policy; all re-gated green in both
+    # session shapes this round): the PQ packed-argmin rewrite, the NB
+    # packed-argmax family, the curation md5-at-scan rewrite, the
+    # kmeans n_members invariant assert, the random-walks persist, and
+    # the two shared-components-memo consumers (PLAN_ONLY-serving memo):
+    "emb_pq_encode",
+    "sim_search_ivfpq",
+    "ml_naive_bayes_lang",
+    "ml_mcnemar_test",
+    "ml_confusion_prf",
+    "ml_cohen_kappa",
+    "pipeline_corpus_curation_v3",
+    "ml_kmeans_refine",
+    "graph_random_walks",
+    "dedup_cluster_stats",
+    "stream_dedup_minhash",
+    # round-11 never-sampled backlog (oracle-backed, registration
+    # order — 34 of the 50 remaining; rows-only ops stay outside the
+    # window per the pinned policy):
+    "ml_power_analysis",
+    "ml_isotonic_calibration",
+    "priv_noisy_max",
+    "events_attribution_shapley",
+    "ml_srm_check",
+    "ml_diff_in_diff",
+    "ml_tost_equivalence",
+    "ml_ucb_allocation",
+    "snk_parquet_roundtrip",
+    "src_orc_roundtrip",
+    "src_text_scan",
+    "src_xml_dir_scan",
+    "src_partitioned_scan",
+    "snk_compact_files",
+    "snk_partitioned_overwrite",
+    "src_corrupt_json_scan",
+    "src_avro_split_scan",
+    "maint_compact_files",
+    "src_schema_evolution",
+    "snk_csv_roundtrip",
+    "snk_json_roundtrip",
+    "src_parquet_metadata",
+    "src_fixed_width_scan",
+    "src_zip_archive_scan",
+    "src_sqlite_scan",
+    "snk_bucketed_join",
+    "src_pyds_scan",
+    "stream_stream_left_outer",
+    "events_funnel",
+    "events_cohort_retention",
+    "stream_topk_types",
+    "events_markov_transitions",
+    "events_user_paths",
+    "events_rate_spike",
+    # ---- rows below this line are the pre-r11 ordering, displaced
+    # past the 50-query window by the r11 prefix (kept for provenance;
+    # ordered_queries() de-duplicates nothing — names appear once) ----
     # round-10 changed-op re-check (BIGINT-wrap-free rank-sum):
     "agg_gini_revenue",
     # round-10 continuation changed-op re-checks (the fact-scaled
@@ -110,7 +163,6 @@ DRIVER_PRIORITY: list[str] = [
     "ts_adf_test",
     "ml_two_proportion_ztest",
     "ml_lasso_cd",
-    "ml_mcnemar_test",
     "ml_brier_decomposition",
     "ts_dow_profile",
     "events_gesd_outliers",
