@@ -1035,18 +1035,20 @@ def nb_doc_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's row_number(ORDER BY s DESC, cand). A LONG min is
     # HashAggregate-mutable where the struct min planned as a
     # SortAggregate pair around the exchange (partial sorted-agg per
-    # task); lang_true rides the group key (functionally dependent on
-    # doc_id). Headroom: |s| ≤ pq + tot·|dq| + |psum| ≲ 1e14 for 1e6
+    # task). Headroom: |s| ≤ pq + tot·|dq| + |psum| ≲ 1e14 for 1e6
     # tokens/doc at 1e6 log-scale; ×256 = 2.6e16 ≪ 2^63 (pinned with
     # adversarial values in tests/test_statsml.py).
-    # Group by doc_id ALONE (lang_true is constant per doc, so
-    # min(lang_true) is exact): grouping by (doc_id, lang_true) would
-    # re-key the output partitioning and force consumers that join on
-    # doc_id (ml_mcnemar_test's paired join) to re-shuffle the doc-sized
-    # pred frame — measured 2× on the 10× probe.
-    pred = scores.groupBy("doc_id").agg(
+    # lang_true rides the GROUP KEY, not a min() aggregate: min over a
+    # STRING is not HashAggregate-mutable (the r10 minhash lesson), so
+    # riding it through min(lang_true) silently re-planned the whole
+    # aggregate as the SortAggregate pair this rewrite exists to remove
+    # (caught in plans/r11 re-capture). The (doc_id, lang_true) key is
+    # functionally doc_id (lang_true is constant per doc); the price is
+    # one extra exchange of the 3-column doc-sized pred frame in
+    # consumers that join on doc_id alone — drain-measured flat at 10×,
+    # vs a per-task sort of the docs×langs stream saved here.
+    pred = scores.groupBy("doc_id", "lang_true").agg(
         F.min((-F.col("s")) * 256 + F.col("idx")).alias("pk"),
-        F.min("lang_true").alias("lang_true"),
     )
     return pred.select(
         "doc_id",
